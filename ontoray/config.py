@@ -1,0 +1,69 @@
+"""Engine configuration.
+
+Mirrors the reference's ``PipelineConfig`` (reference src/data_models.py:48-62)
+— the integrated pipeline's actual defaults — plus engine-level knobs
+(parallelism, batch sizes, checkpointing) the reference lacks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Similarity thresholds: the reference has two conflicting default sets
+# (src/config.py:88-93 vs src/data_models.py:58-62).  We use the
+# PipelineConfig values since that is what the integrated pipeline uses
+# (src/integrated_schema_pipeline.py:38).
+DEFAULT_THRESHOLDS = {
+    "exact_match": 0.95,
+    "high_similarity": 0.85,
+    "medium_similarity": 0.70,
+    "low_similarity": 0.50,
+}
+
+# Reference chunking params (src/config.py:83-84).
+CHUNK_SIZE = 1000
+CHUNK_OVERLAP = 100
+
+# Concept validity stopwords, verbatim from reference src/idea_extractor.py:22-29.
+CONCEPT_STOPWORDS = frozenset({
+    "figure", "table", "application", "system", "section", "part", "example",
+    "information", "note", "introduction", "overview", "description", "feature",
+    "copyright", "inc", "page", "date", "january", "february", "march", "april",
+    "may", "june", "july", "august", "september", "october", "november", "december",
+    "california", "texas", "germany", "japan", "china", "india", "france",
+})
+
+
+@dataclass
+class PipelineConfig:
+    """Configuration for the KG-construction pipeline.
+
+    Decision semantics follow reference src/ontology_extension_manager.py:368-421
+    with ``enable_llm_validation=False`` (the deterministic branch: the
+    high-similarity window falls through to the medium check → UNCERTAIN).
+    """
+
+    similarity_thresholds: dict = field(default_factory=lambda: dict(DEFAULT_THRESHOLDS))
+    # Deterministic replacement for the reference's LLM tie-break: when True,
+    # best scores >= validate_threshold are accepted as MAP_SIMILAR.
+    enable_rule_validation: bool = False
+    validate_threshold: float = 0.92
+    enable_technical_matching: bool = True
+
+    chunk_size: int = CHUNK_SIZE
+    chunk_overlap: int = CHUNK_OVERLAP
+
+    # Engine knobs (no reference analog — scale design).
+    batch_size: int = 1024            # rows per map_batches batch for text stages
+    linker_concurrency: int = 4       # actor-pool size for the entity linker
+    extractor_concurrency: int = 4    # actor-pool size for mention/triple extraction
+    salt_buckets: int = 16            # salting factor for skewed groupbys
+    num_blocks: int | None = None     # None = 2x cluster CPUs
+    embed_dim: int = 64               # char-ngram hash embedding dimension
+    checkpoint_dir: str | None = None # stage-checkpoint root (None = no checkpointing)
+
+    # Curation (reference src/curation/graph_cleaner.py:53,89).
+    degree_threshold: int = 1
+    curation_root: str = "ElectronicComponent"
+    max_hierarchy_depth: int = 12     # bound for iterative reachability

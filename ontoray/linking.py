@@ -1,0 +1,143 @@
+"""Entity-linking core: similarity matching + extension-decision table.
+
+Pure functions (no Ray) implementing the reference's hybrid decision engine —
+embedding / lexical / technical / category matchers
+(src/ontology_extension_manager.py:225-366), match dedup + top-10 ranking
+(:489-499, :245-249), and the extension decision table (:368-421) with the LLM
+branch disabled (enable_llm_validation=False ⇒ the high-similarity window
+falls through to the medium-similarity check), optionally replaced by a
+deterministic rule validator.
+
+Shared by the single-process oracle and the Ray linker actor so that
+engine-vs-oracle differences can only come from the distributed dataflow.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import numpy as np
+
+from ontoray.aliases import AliasData
+from ontoray.config import DEFAULT_THRESHOLDS
+from ontoray.text.embed import embed_text
+from ontoray.text.normalize import normalize_concept_name
+from ontoray.text.specs import TECHNICAL_MATCHERS
+
+# Decision labels (reference ExtensionDecision values, src/data_models.py:7-12).
+EXTEND = "extend_ontology"
+MAP_EXACT = "map_to_existing_exact"
+MAP_SIMILAR = "map_to_existing_similar"
+UNCERTAIN = "requires_manual_review"
+
+
+def find_matches(name: str, alias: AliasData, *, name_norm: str | None = None,
+                 props: dict | None = None, category: str = "",
+                 thresholds: dict | None = None, enable_technical: bool = True,
+                 embedding: np.ndarray | None = None) -> list[tuple[str, float, str, float]]:
+    """Ranked candidate matches: (existing_name, score, match_type, confidence).
+
+    Match-method order (embedding, lexical, technical, category), per-concept
+    best-score dedup, stable sort by score desc, top 10 — mirroring
+    _find_concept_matches (src/ontology_extension_manager.py:225-249).
+    """
+    th = thresholds or DEFAULT_THRESHOLDS
+    nn = name_norm if name_norm is not None else normalize_concept_name(name)
+    matches: list[tuple[str, float, str, float]] = []
+
+    # 1. Embedding cosine vs every existing concept (J1: broadcast matrix,
+    # vectorized dot product — alias embeddings are L2-normalized).
+    vec = embedding if embedding is not None else embed_text(name.lower(), alias.embeddings.shape[1])
+    sims = alias.embeddings @ vec
+    low = th["low_similarity"]
+    for i in np.flatnonzero(sims >= low):
+        matches.append((alias.names[int(i)], float(sims[int(i)]), "embedding", float(sims[int(i)])))
+
+    # 2. Lexical on normalized names: exact (1.0) else SequenceMatcher >= 0.8.
+    for i, existing_norm in enumerate(alias.name_norms):
+        if nn == existing_norm:
+            matches.append((alias.names[i], 1.0, "lexical_exact_normalized", 1.0))
+            continue
+        # cheap upper bound: ratio() <= 2*min/(la+lb)
+        la, lb = len(nn), len(existing_norm)
+        if la and lb and (2.0 * min(la, lb)) / (la + lb) >= 0.8:
+            r = SequenceMatcher(None, nn, existing_norm).ratio()
+            if r >= 0.8:
+                matches.append((alias.names[i], r, "lexical_similar_normalized", r))
+    # Surface-alias table: known alternate spellings map exactly.
+    idx = alias.surface_map.get(nn)
+    if idx is not None and alias.name_norms[idx] != nn:
+        matches.append((alias.names[idx], 1.0, "lexical_exact_normalized", 1.0))
+
+    # 3. Technical specs: sum of per-property similarities > 0.7 must reach 1.5.
+    if enable_technical and props:
+        for i, etech in enumerate(alias.tech):
+            if not etech:
+                continue
+            total, details = 0.0, 0
+            for prop, fn in TECHNICAL_MATCHERS.items():
+                if props.get(prop) and etech.get(prop):
+                    s = fn(props[prop], etech[prop])
+                    if s > 0.7:
+                        total += s
+                        details += 1
+            if total >= 1.5:
+                avg = total / details
+                matches.append((alias.names[i], avg, "technical_specs", avg))
+
+    # 4. Category variants: same category and name ratio >= 0.4, conf x0.7.
+    if category:
+        cat = category.lower()
+        nl = name.lower()
+        for i, ecat in enumerate(alias.categories):
+            if ecat.lower() == cat:
+                r = SequenceMatcher(None, nl, alias.names[i].lower()).ratio()
+                if r >= 0.4:
+                    matches.append((alias.names[i], r, "category_variant", r * 0.7))
+
+    # Dedup keeping best score per existing concept (insertion-order stable).
+    best: dict[str, tuple[str, float, str, float]] = {}
+    for m in matches:
+        cur = best.get(m[0])
+        if cur is None or m[1] > cur[1]:
+            best[m[0]] = m
+    ranked = sorted(best.values(), key=lambda m: -m[1])
+    return ranked[:10]
+
+
+def decide(name: str, matches: list[tuple[str, float, str, float]], *,
+           thresholds: dict | None = None, enable_rule_validation: bool = False,
+           validate_threshold: float = 0.92) -> tuple[str, str | None, float]:
+    """Extension decision: (decision, target_concept, confidence).
+
+    Exact port of _make_extension_decision (src/ontology_extension_manager.py:
+    368-421) with the LLM validator replaced by a deterministic threshold rule
+    (off by default, matching enable_llm_validation=False behavior).
+    """
+    th = thresholds or DEFAULT_THRESHOLDS
+    if not matches:
+        return (EXTEND, None, 0.9)
+    existing, score, _mtype, conf = matches[0]
+    if score >= 0.999:
+        return (MAP_EXACT, existing, conf)
+    if score >= th["high_similarity"] and enable_rule_validation:
+        if score >= validate_threshold:
+            return (MAP_SIMILAR, existing, score)
+        return (UNCERTAIN, existing, 0.5)
+    if score >= th["medium_similarity"]:
+        return (UNCERTAIN, existing, 0.5)
+    return (EXTEND, None, 0.8)
+
+
+def route_task(decision: str, target: str | None,
+               matches: list[tuple[str, float, str, float]]) -> tuple[str | None, str | None]:
+    """(parent_class, status) for concepts that become ontology tasks, or
+    (None, None) for mapped concepts — reference
+    _route_concepts_based_on_decisions (src/integrated_schema_pipeline.py:182-216)."""
+    if decision == EXTEND:
+        parent = target or (matches[0][0] if matches else "ElectronicComponent")
+        return parent, "new"
+    if decision == UNCERTAIN:
+        parent = target or (matches[0][0] if matches else "ElectronicComponent")
+        return parent, "review"
+    return None, None

@@ -1,0 +1,97 @@
+"""End-to-end KG-construction pipeline.
+
+Ray-Data-native composition of the reference's integrated pipeline
+(src/integrated_schema_pipeline.py:70-99 steps 1-9): pages → docs → chunks →
+(mentions, triples) → distinct-mention canonicalization shuffle → linker actor
+pool with broadcast alias dictionary → entities → node/edge materialize →
+curation → stats.  Optionally checkpointed per stage with per-partition
+lineage manifests (resume = read checkpoint Parquet).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from ontoray.aliases import AliasData, build_alias_data, gazetteer_phrases
+from ontoray.config import PipelineConfig
+from ontoray.stages.chunking import make_chunks
+from ontoray.stages.curation import curate, graph_stats
+from ontoray.stages.extraction import dedup_triples, make_mentions, make_triples
+from ontoray.stages.graph import build_edges, build_nodes
+from ontoray.stages.ingest import extract_docs
+from ontoray.stages.linking import collect_props, link_entities
+from ontoray.state.checkpoint import CheckpointManager
+
+
+@dataclass
+class KGResult:
+    docs: Any
+    chunks: Any
+    mentions: Any
+    triples: Any            # raw triples with provenance
+    triples_dedup: Any      # canonical (subj_norm, pred_norm, obj_norm) set
+    entities: Any
+    nodes: Any
+    edges: Any
+    stats: dict = field(default_factory=dict)
+
+
+def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
+                    alias: AliasData | None = None,
+                    curate_graph: bool = True,
+                    fingerprint: str = "") -> KGResult:
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    alias = alias or build_alias_data(cfg.embed_dim)
+    ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    # Blocks to restore downstream parallelism after block-collapsing shuffles
+    # (a groupby emits as many blocks as its input had; a single-file read or
+    # from_arrow input starts at 1).
+    n_blocks = cfg.num_blocks or max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def stage(name: str, build, reused: bool = False):
+        """Checkpoint-or-build.  A completed stage (manifest fingerprint match
+        + _SUCCESS) is read back instead of recomputed.  Without a checkpoint
+        dir, stages consumed by MULTIPLE downstream consumers are pinned with
+        ``materialize()`` so lineage is not re-executed per consumer; with a
+        checkpoint dir they stream to Parquet instead (the 100-TB path)."""
+        if ckpt is not None and ckpt.is_complete(name, fingerprint):
+            return ckpt.load(name)
+        ds = build()
+        if ckpt is not None:
+            ds = ckpt.save(name, ds, fingerprint)
+        elif reused:
+            ds = ds.materialize()
+        return ds
+
+    docs = stage("docs", lambda: extract_docs(pages_ds).repartition(n_blocks))
+    chunks = stage("chunks", lambda: make_chunks(docs, cfg.chunk_size, cfg.chunk_overlap),
+                   reused=True)
+    mentions = stage("mentions", lambda: make_mentions(
+        chunks, gazetteer_phrases(alias), cfg.extractor_concurrency, cfg.batch_size))
+    triples = stage("triples", lambda: make_triples(
+        chunks, cfg.extractor_concurrency, cfg.batch_size), reused=True)
+    triples_dd = stage("triples_dedup", lambda: dedup_triples(triples), reused=True)
+
+    props = collect_props(triples)
+    entities = stage("entities", lambda: link_entities(mentions, alias, cfg, props),
+                     reused=True)
+
+    nodes = stage("nodes", lambda: build_nodes(entities, alias), reused=True)
+    edges = stage("edges", lambda: build_edges(entities, triples_dd, alias), reused=True)
+
+    stats: dict = {}
+    if curate_graph:
+        nodes, edges, removed = curate(nodes, edges, cfg.curation_root,
+                                       cfg.degree_threshold, cfg.max_hierarchy_depth)
+        if ckpt is not None:
+            nodes = ckpt.save("nodes_curated", nodes, fingerprint)
+            edges = ckpt.save("edges_curated", edges, fingerprint)
+        stats.update(removed)
+    stats.update(graph_stats(nodes, edges))
+
+    return KGResult(docs=docs, chunks=chunks, mentions=mentions, triples=triples,
+                    triples_dedup=triples_dd, entities=entities, nodes=nodes,
+                    edges=edges, stats=stats)

@@ -1,0 +1,132 @@
+"""Canonicalization shuffle + entity-linking actor pool.
+
+The reference dedups concepts with a driver-side ``sorted(set(...))``
+(src/idea_extractor.py:121) and then loops each concept through the decision
+engine on threads (src/integrated_schema_pipeline.py:160-180).  Here:
+
+1. ``distinct_mentions`` — two-phase aggregation: a per-batch combiner
+   collapses each batch to (mention, partial_count) rows BEFORE the shuffle,
+   so the global ``groupby("mention")`` only moves one row per key per batch —
+   the standard defense against head-entity skew (SURVEY §4 / north_rule).
+   With the combiner, residual skew on the reduce side is bounded by the
+   number of input blocks, so no additional salting is required here; the
+   salted variant is exercised in extras for list-collecting aggregations.
+
+2. ``LinkerActor`` — an actor pool holding the broadcast alias dictionary
+   (``ray.put`` once on the driver; ``ray.get`` once per actor in
+   ``__init__``, T2/J1-J5).  Each batch of distinct mentions is embedded as a
+   matrix and scored against the alias embedding matrix, then routed through
+   the reference decision table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ontoray.config import PipelineConfig
+from ontoray.linking import decide, find_matches, route_task
+from ontoray.text.embed import embed_many
+from ontoray.text.normalize import normalize_concept_name
+
+ENTITY_SCHEMA = pa.schema([
+    ("name", pa.string()),
+    ("name_norm", pa.string()),
+    ("decision", pa.string()),
+    ("target", pa.string()),
+    ("confidence", pa.float32()),
+    ("best_score", pa.float32()),
+    ("n_mentions", pa.int64()),
+    ("parent_class", pa.string()),
+    ("status", pa.string()),
+])
+
+
+def distinct_mentions(mentions_ds):
+    """mentions (url, chunk_id, mention) -> (mention, n_mentions) via
+    partial-then-final aggregation (A1)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["mention"]).aggregate([("mention", "count")])
+        return g.select(["mention", "mention_count"])
+
+    partials = mentions_ds.select_columns(["mention"]).map_batches(
+        partial, batch_format="pyarrow")
+    return partials.groupby("mention").aggregate(Sum("mention_count", alias_name="n_mentions"))
+
+
+class LinkerActor:
+    """Distinct-mention batches -> entity decision rows (ENTITY_SCHEMA)."""
+
+    def __init__(self, alias_ref, cfg: PipelineConfig, props_ref=None):
+        self.alias = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
+        self.cfg = cfg
+        props = None
+        if props_ref is not None:
+            props = ray.get(props_ref) if isinstance(props_ref, ray.ObjectRef) else props_ref
+        self.props = props or {}
+        self.dim = self.alias.embeddings.shape[1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = batch.column("mention").to_pylist()
+        n_mentions = batch.column("n_mentions").to_pylist()
+        vecs = embed_many([n.lower() for n in names], self.dim)
+        out = {f.name: [] for f in ENTITY_SCHEMA}
+        th = self.cfg.similarity_thresholds
+        for name, n_m, vec in zip(names, n_mentions, vecs):
+            nn = normalize_concept_name(name)
+            matches = find_matches(
+                name, self.alias, name_norm=nn, props=self.props.get(name),
+                thresholds=th, enable_technical=self.cfg.enable_technical_matching,
+                embedding=vec)
+            decision, target, conf = decide(
+                name, matches, thresholds=th,
+                enable_rule_validation=self.cfg.enable_rule_validation,
+                validate_threshold=self.cfg.validate_threshold)
+            parent, status = route_task(decision, target, matches)
+            out["name"].append(name)
+            out["name_norm"].append(nn)
+            out["decision"].append(decision)
+            out["target"].append(target)
+            out["confidence"].append(float(conf))
+            out["best_score"].append(float(matches[0][1]) if matches else 0.0)
+            out["n_mentions"].append(int(n_m))
+            out["parent_class"].append(parent)
+            out["status"].append(status)
+        return pa.table(out, schema=ENTITY_SCHEMA)
+
+
+def collect_props(triples_ds) -> dict[str, dict[str, str]]:
+    """Per-surface technical properties from property triples (J3 features):
+    {subj: {pred: obj}} with deterministic min-obj tie-break.
+
+    The distinct (subj, pred) universe is vocabulary-bounded (property
+    patterns only fire on spec-shaped sentences), so the grouped result is
+    small enough to collect and broadcast; at larger scales this becomes a
+    hash join on subj before the linker."""
+    from ray.data.aggregate import Min
+
+    props_ds = (triples_ds
+                .filter(expr="extractor == 'pattern'")
+                .groupby(["subj", "pred"])
+                .aggregate(Min("obj", alias_name="value")))
+    out: dict[str, dict[str, str]] = {}
+    for row in props_ds.take_all():
+        out.setdefault(row["subj"], {})[row["pred"]] = row["value"]
+    return out
+
+
+def link_entities(mentions_ds, alias_data, cfg: PipelineConfig, props: dict | None = None):
+    """Full linking stage: distinct mentions -> entities Dataset."""
+    dm = distinct_mentions(mentions_ds).repartition(cfg.linker_concurrency * 2)
+    alias_ref = ray.put(alias_data)
+    props_ref = ray.put(props or {})
+    return dm.map_batches(
+        LinkerActor,
+        fn_constructor_args=(alias_ref, cfg, props_ref),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.linker_concurrency,
+    )

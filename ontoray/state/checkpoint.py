@@ -1,0 +1,83 @@
+"""Stage checkpointing with per-partition lineage.
+
+Replaces the reference's pickle-per-stage cache
+(src/cached_schema_org_pipeline.py:13-28,47-89) with Parquet stage
+checkpoints: each stage writes ``<root>/<stage>/data/*.parquet`` plus a
+``manifest.json`` recording the stage name, input fingerprint, row count,
+partition file list and wall time, and a ``_SUCCESS`` marker written LAST
+(atomic-completion contract).  Resume = read the checkpoint Parquet;
+invalidation is forward-only — deleting a stage dir invalidates it and every
+downstream stage (the manifest carries the upstream fingerprint chain).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+class CheckpointManager:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def is_complete(self, stage: str, fingerprint: str | None = None) -> bool:
+        d = self._dir(stage)
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            return False
+        if fingerprint is not None:
+            try:
+                with open(os.path.join(d, "manifest.json")) as f:
+                    return json.load(f).get("fingerprint") == fingerprint
+            except Exception:
+                return False
+        return True
+
+    def invalidate(self, stage: str):
+        """Forward-only invalidation of this stage (callers drop downstream
+        stages by invalidating them too, reference clear_cache semantics)."""
+        shutil.rmtree(self._dir(stage), ignore_errors=True)
+
+    def load(self, stage: str):
+        import ray.data as rd
+        return rd.read_parquet(os.path.join(self._dir(stage), "data"))
+
+    def save(self, stage: str, ds, fingerprint: str = "", extra: dict | None = None):
+        """Write ds to the stage checkpoint; returns a fresh Dataset reading it
+        (so downstream stages consume the materialized lineage, not a
+        recomputation)."""
+        import ray.data as rd
+        d = self._dir(stage)
+        self.invalidate(stage)
+        data_dir = os.path.join(d, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        t0 = time.perf_counter()
+        ds.write_parquet(data_dir)
+        wall = time.perf_counter() - t0
+        files = sorted(os.listdir(data_dir))
+        out = rd.read_parquet(data_dir)
+        manifest = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "rows": out.count(),
+            "partitions": files,
+            "n_partitions": len(files),
+            "wall_s": wall,
+            "written_at": time.time(),
+        }
+        if extra:
+            manifest.update(extra)
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write("ok\n")
+        return out
+
+    def manifest(self, stage: str) -> dict:
+        with open(os.path.join(self._dir(stage), "manifest.json")) as f:
+            return json.load(f)
