@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in the ontoray library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship KG-construction pipeline on /root/testdata/sf0.001.
+- ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2);
+  each callable takes sf_dir and returns a Dataset / pandas / pyarrow result.
+- ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for the
+  SQL-expressible subset (pattern extraction is mirrored exactly because both
+  sides share RE2-compatible regex tables; see ontoray/queries.py).
+  Non-SQL-expressible ops (linker decisions, LSH, graph materialize) are
+  rows-only checked.
 """
 
 from __future__ import annotations
@@ -18,27 +18,186 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ontoray import queries as Q
+
+
+def _pages_ds(sf_dir: str):
+    from ontoray.pages import pages_from_documents
+    return pages_from_documents(sf_dir)
+
+
+_KG_CACHE: dict = {}
+
+
+def _kg_result(sf_dir: str):
+    """Per-process memo: several queries() entries expose different tables of
+    the same pipeline run; stage outputs are materialized so reuse is free."""
+    if sf_dir not in _KG_CACHE:
+        from ontoray.pipelines.kg import run_kg_pipeline
+        _KG_CACHE[sf_dir] = run_kg_pipeline(_pages_ds(sf_dir), curate_graph=True)
+    return _KG_CACHE[sf_dir]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG pipeline (clean → extract → link → materialize) on
+    sf0.001; returns the deduplicated, sorted edge table."""
+    return _kg_result("/root/testdata/sf0.001").edges
+
+
+def _q_kg_chunks(sf_dir: str):
+    import pyarrow as pa
+    from ontoray.stages.chunking import make_chunks
+
+    def as_doc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([str(d) for d in batch.column("doc_id").to_pylist()], pa.string()),
+            "doc_text": batch.column("doc_text"),
+        })
+
+    return make_chunks(Q._clean_docs_ds(sf_dir).map_batches(as_doc, batch_format="pyarrow"))
+
+
+def _q_kg_triples_norm(sf_dir: str):
+    return _kg_result(sf_dir).triples_dedup
+
+
+def _q_kg_entities(sf_dir: str):
+    return _kg_result(sf_dir).entities
+
+
+def _q_kg_entity_decisions(sf_dir: str):
+    from ray.data.aggregate import Count
+    return _kg_result(sf_dir).entities.groupby("decision").aggregate(
+        Count(alias_name="n"))
+
+
+def _q_kg_nodes(sf_dir: str):
+    return _kg_result(sf_dir).nodes
+
+
+def _q_kg_edges(sf_dir: str):
+    return _kg_result(sf_dir).edges
+
+
+def _q_kg_degree_topk(sf_dir: str):
+    import pandas as pd
+    res = _kg_result(sf_dir)
+    rows = res.edges.select_columns(["src", "dst"]).take_all()
+    deg: dict[str, int] = {}
+    for r in rows:
+        deg[r["src"]] = deg.get(r["src"], 0) + 1
+        deg[r["dst"]] = deg.get(r["dst"], 0) + 1
+    top = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    return pd.DataFrame({"name": [k for k, _ in top], "degree": [v for _, v in top]})
+
+
+def _q_text_langid(sf_dir: str):
+    import ray.data as rd
+    from ontoray.extras.textstats import LangId
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+def _q_text_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from ontoray.extras.textstats import fingerprint_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import ray.data as rd
+    from ontoray.extras.dedup import minhash_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.8)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+    from ontoray.extras.dedup import simhash_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _q_embed_neardup(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+    from ontoray.extras.dedup import embedding_neardup
+    dim = Q._embedding_dim(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = embedding_neardup(ds, dim, threshold=0.9).take_all()
+    # Near-dup pairs are a tiny result; collect so the schema is stable even
+    # when every LSH bucket verifies to zero pairs (Ray drops empty blocks).
+    return pa.table({
+        "vec_a": pa.array([r["vec_a"] for r in rows], pa.int64()),
+        "vec_b": pa.array([r["vec_b"] for r in rows], pa.int64()),
+        "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
+    })
+
+
+def _q_multimodal_image_features(sf_dir: str):
+    """Binary-payload decode plumbing (deterministic fake decode): documents
+    text bytes stand in for image payloads."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ontoray.extras.multimodal import decode_images
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([f"doc-{d}" for d in batch.column("doc_id").to_pylist()], pa.string()),
+            "payload": pa.array([t.encode() for t in batch.column("text").to_pylist()], pa.binary()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decode_images(ds.map_batches(to_payload, batch_format="pyarrow"), fake=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline operators (SURVEY §2.2/§2.5) — SQL-checked subset
+        "kg_clean_docs": Q.q_kg_clean_docs,
+        "kg_mentions": Q.q_kg_mentions,
+        "kg_mention_counts": Q.q_kg_mention_counts,
+        "kg_triples": Q.q_kg_triples,
+        # KG pipeline — rows-only (linker/graph semantics not SQL-expressible)
+        "kg_chunks": _q_kg_chunks,
+        "kg_triples_norm": _q_kg_triples_norm,
+        "kg_entities": _q_kg_entities,
+        "kg_entity_decisions": _q_kg_entity_decisions,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "kg_degree_topk": _q_kg_degree_topk,
+        # Training-data extras
+        "doc_stats": Q.q_doc_stats,
+        "token_counts_by_source": Q.q_token_counts_by_source,
+        "lang_counts": Q.q_lang_counts,
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "embed_neardup": _q_embed_neardup,
+        "ann_topk": Q.q_ann_topk,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "multimodal_image_features": _q_multimodal_image_features,
+        # Relational breadth (J7 join, A5 agg, A11 top-k)
+        "orders_by_nation": Q.q_orders_by_nation,
+        "topk_parts": Q.q_topk_parts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # sf-independent SQL strings; ann_topk needs the embedding dim, which is
+    # identical across sf dirs (read once from sf0.01).
+    return {
+        "kg_clean_docs": Q.SQL_KG_CLEAN_DOCS,
+        "kg_mentions": Q.SQL_KG_MENTIONS,
+        "kg_mention_counts": Q.SQL_KG_MENTION_COUNTS,
+        "kg_triples": Q.SQL_KG_TRIPLES,
+        "doc_stats": __import__("ontoray.extras.textstats", fromlist=["sql_doc_stats"]).sql_doc_stats(),
+        "token_counts_by_source": Q.SQL_TOKEN_COUNTS,
+        "lang_counts": Q.SQL_LANG_COUNTS,
+        "dedup_exact": Q.SQL_DEDUP_EXACT,
+        "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
+        "orders_by_nation": Q.SQL_ORDERS_BY_NATION,
+        "topk_parts": Q.SQL_TOPK_PARTS,
+    }

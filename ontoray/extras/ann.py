@@ -1,0 +1,81 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``brute_force_topk`` — the exactness baseline: the query matrix is
+  broadcast (``ray.put`` once, read per actor), each batch computes cosine
+  via one float64 matmul and emits only its LOCAL top-k; the global answer is
+  a tiny sort over ``num_batches × k`` partials, so the full score matrix
+  never materializes.
+* ``lsh_topk`` — the scale path: sign-projection LSH buckets (same hashing as
+  extras.dedup.SignLSH); only the query's bucket (and optional neighboring
+  probes) is scanned.
+
+Cosine is computed in float64 from the stored float32 values and rounded to 6
+decimals at the output boundary so the DuckDB ``list_cosine_similarity``
+oracle matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def query_vector(dim: int, seed: int = 123) -> np.ndarray:
+    """Deterministic benchmark query vector (unit-norm float64)."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    return v / np.linalg.norm(v)
+
+
+class BatchTopK:
+    """Per-batch cosine top-k against a broadcast query vector."""
+
+    def __init__(self, query_ref, k: int):
+        self.q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1) * np.linalg.norm(self.q)
+        norms[norms == 0] = 1.0
+        sims = (vecs @ self.q) / norms
+        k = min(self.k, len(ids))
+        idx = np.argpartition(-sims, k - 1)[:k] if k > 0 else np.array([], dtype=int)
+        return pa.table({
+            "vec_id": pa.array(ids[idx], pa.int64()),
+            "cosine": pa.array(np.round(sims[idx], 6), pa.float64()),
+        })
+
+
+def brute_force_topk(ds, query: np.ndarray, k: int = 10, concurrency: int = 4):
+    """Global cosine top-k: local top-k per batch -> tiny global sort.
+    Deterministic tie-break: (-cosine, vec_id)."""
+    qref = ray.put(query)
+    partials = ds.map_batches(BatchTopK, fn_constructor_args=(qref, k),
+                              batch_format="pyarrow", concurrency=concurrency)
+    rows = partials.take_all()
+    rows.sort(key=lambda r: (-r["cosine"], r["vec_id"]))
+    top = rows[:k]
+    return pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in top], pa.int64()),
+        "cosine": pa.array([r["cosine"] for r in top], pa.float64()),
+    })
+
+
+def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 11,
+             concurrency: int = 4):
+    """Bucketed variant: scan only rows whose sign-LSH bucket matches the
+    query's (recall < 1; the documented trade for sublinear scan at scale)."""
+    from ontoray.extras.dedup import SignLSH
+
+    dim = len(query)
+    probe = SignLSH(dim, n_planes, seed)
+    qsigns = (query @ probe.planes) > 0
+    qbucket = int(qsigns.dot(probe.weights))
+
+    bucketed = ds.map_batches(SignLSH, fn_constructor_args=(dim, n_planes, seed),
+                              batch_format="pyarrow", concurrency=concurrency)
+    mine = bucketed.filter(expr=f"bucket == {qbucket}")
+    return brute_force_topk(mine, query, k, concurrency)

@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes:
+* exact — content-hash per batch (vectorized crc/sha) then a two-phase
+  groupby on the HASH (small fixed-width key) instead of shuffling full text.
+* MinHash-LSH — shingle → 64 minhashes → band rows (band_id, band_hash,
+  doc_id) → groupby bands → candidate pairs → Jaccard verify.  Only band
+  rows shuffle; full shingle sets never leave their batch except for
+  candidate verification.
+* SimHash — 64-bit signature per doc; banded on 4×16-bit chunks for
+  candidate generation.
+* embedding near-dup — sign-projection LSH buckets → within-bucket cosine.
+
+All hashes are crc32/fixed-seed (process-stable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(min id, n_copies) per distinct content — groupby on sha1(text)."""
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha1(t.encode()).hexdigest() for t in batch.column(text_col).to_pylist()]
+        return pa.table({id_col: batch.column(id_col), "__h": pa.array(hs, pa.string())})
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("__h")
+            .aggregate(Min(id_col, alias_name="doc_id"), Count(alias_name="n_copies"))
+            .select_columns(["doc_id", "n_copies"]))
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE - 1, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE - 1, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    toks = _TOKEN_RE.findall(text)
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.int64))
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
+    sh = _shingles(text, k)
+    # (num_hashes, n_shingles) permutation hashes — vectorized.
+    vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHashBands:
+    """documents -> (band_id, band_hash, doc_id) rows; params built per actor."""
+
+    def __init__(self, num_hashes: int = 64, bands: int = 16, k: int = 3, seed: int = 7):
+        assert num_hashes % bands == 0
+        self.a, self.b = _minhash_params(num_hashes, seed)
+        self.bands = bands
+        self.rows = num_hashes // bands
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, doc_ids = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            sig = minhash_signature(text, self.a, self.b, self.k)
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows:(bi + 1) * self.rows]
+                band_ids.append(bi)
+                band_hashes.append(zlib.crc32(chunk.tobytes()))
+                doc_ids.append(did)
+        return pa.table({
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+        })
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = set(_shingles(text_a, k).tolist()), set(_shingles(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_candidate_pairs(ds, num_hashes: int = 64, bands: int = 16, k: int = 3,
+                            seed: int = 7, concurrency: int = 4):
+    """Distinct candidate (doc_a < doc_b) pairs sharing >= 1 LSH band."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    band_rows = ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHashBands, fn_constructor_args=(num_hashes, bands, k, seed),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_of, batch_format="pandas")
+    # Distinct pairs (a pair can collide in several bands).
+    return (pairs.groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="n_bands")))
+
+
+def minhash_dedup(ds, threshold: float = 0.8, num_hashes: int = 64, bands: int = 16,
+                  k: int = 3, seed: int = 7, concurrency: int = 4):
+    """Verified near-duplicate pairs: LSH candidates with true Jaccard >= t.
+
+    Verification joins candidate pairs back to texts via broadcast of the
+    candidate id set (candidates are a tiny fraction of the corpus)."""
+    import ray
+
+    cand = minhash_candidate_pairs(ds, num_hashes, bands, k, seed, concurrency).take_all()
+    need_ids = sorted({r["doc_a"] for r in cand} | {r["doc_b"] for r in cand})
+    id_set = set(need_ids)
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(need_ids, pa.int64()))
+        return batch.filter(mask)
+
+    texts = {}
+    if need_ids:
+        small = ds.select_columns(["doc_id", "text"]).map_batches(
+            keep_needed, batch_format="pyarrow")
+        for r in small.take_all():
+            if r["doc_id"] in id_set:
+                texts[r["doc_id"]] = r["text"]
+
+    rows = []
+    for r in cand:
+        a, b = r["doc_a"], r["doc_b"]
+        j = jaccard(texts.get(a, ""), texts.get(b, ""), k)
+        if j >= threshold:
+            rows.append({"doc_a": a, "doc_b": b, "jaccard": round(j, 6)})
+    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())})
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = _TOKEN_RE.findall(text)
+    acc = np.zeros(64, dtype=np.int64)
+    for w in toks:
+        h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8),
+                             bitorder="little")
+        acc += np.where(bits == 1, 1, -1)
+    sig = 0
+    for i in range(64):
+        if acc[i] > 0:
+            sig |= (1 << i)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # two's-complement int64
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "simhash": pa.array([simhash64(t) for t in batch.column("text").to_pylist()],
+                            pa.int64()),
+    })
+
+
+# --- embedding near-dup -----------------------------------------------------
+
+
+class SignLSH:
+    """embeddings -> (bucket, vec_id, embedding) via seeded sign random
+    projection — planes built once per actor."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        signs = (vecs @ self.planes) > 0
+        buckets = signs.dot(self.weights).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(buckets, pa.int64()),
+            "vec_id": batch.column("vec_id"),
+            "embedding": batch.column("embedding"),
+        })
+
+
+def embedding_neardup(ds, dim: int, threshold: float = 0.95, n_planes: int = 12,
+                      seed: int = 11, concurrency: int = 4):
+    """Cosine near-duplicate pairs within sign-LSH buckets."""
+    import pandas as pd
+
+    with_bucket = ds.map_batches(
+        SignLSH, fn_constructor_args=(dim, n_planes, seed),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].tolist()
+        vecs = np.array(g["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms[:, None]
+        sims = vn @ vn.T
+        out_a, out_b, out_s = [], [], []
+        order = np.argsort(ids)
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                s = sims[i, j]
+                if s >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_s.append(round(float(s), 6))
+        return pd.DataFrame({"vec_a": pd.array(out_a, dtype="int64"),
+                             "vec_b": pd.array(out_b, dtype="int64"),
+                             "cosine": pd.array(out_s, dtype="float64")})
+
+    return with_bucket.groupby("bucket").map_groups(verify, batch_format="pandas")

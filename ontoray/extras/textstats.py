@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword-profile heuristic), quality scoring (length / token /
+stopword ratios), token counting (whitespace + BPE-ish regex), and rolling-hash
+document fingerprinting.  All vectorized-enough per-batch transforms over the
+``documents`` table; the SQL-mirrorable ones use only RE2 + integer math so a
+DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+# BPE-ish word/number/punct splitter (GPT-2-style contractions omitted —
+# lowercase corpora): runs of letters, runs of digits, single punctuation.
+BPE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+STOP_PROFILES = {
+    "en": {"the", "a", "and", "of", "to", "is", "in", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "des", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que"},
+}
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text, …) -> per-doc quality stats.  Integer counts + one
+    final division (rounded to 6) so the DuckDB mirror matches exactly."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    n_chars, n_tokens, n_stop, n_bpe = [], [], [], []
+    stop = STOP_PROFILES["en"]
+    for t in texts:
+        toks = TOKEN_RE.findall(t)
+        n_chars.append(len(t))
+        n_tokens.append(len(toks))
+        n_stop.append(sum(1 for w in toks if w in stop))
+        n_bpe.append(len(BPE_RE.findall(t)))
+    stop_ratio = [round(s / n, 6) if n else 0.0 for s, n in zip(n_stop, n_tokens)]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+        "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+    })
+
+
+def sql_doc_stats(table: str = "documents") -> str:
+    stopw = ", ".join(f"'{w}'" for w in sorted(STOP_PROFILES["en"]))
+    return f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN length(regexp_extract_all(text, '[a-z0-9]+')) = 0 THEN 0.0
+                ELSE round(CAST(length(list_filter(regexp_extract_all(text, '[a-z0-9]+'),
+                                                    w -> w IN ({stopw}))) AS DOUBLE)
+                           / length(regexp_extract_all(text, '[a-z0-9]+')), 6) END AS stopword_ratio
+    FROM {table}
+    """
+
+
+class LangId:
+    """Stopword-profile language identifier — an actor-pool stage: profiles
+    are built once per actor in ``__init__`` (T1-style state)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in STOP_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            toks = TOKEN_RE.findall(t)
+            best, best_n = "und", 0
+            for lang in sorted(self.profiles):
+                n = sum(1 for w in toks if w in self.profiles[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang_pred": pa.array(preds, pa.string()),
+        })
+
+
+def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Rolling-hash (Rabin-Karp over token crc32s) document fingerprint:
+    min-hash of all ``window``-token windows — stable int64 per doc."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    fps = []
+    B, M = 1_000_003, (1 << 61) - 1
+    for t in texts:
+        hs = [zlib.crc32(w.encode()) for w in TOKEN_RE.findall(t)]
+        if len(hs) < window:
+            hs = hs + [0] * (window - len(hs))
+        power = pow(B, window - 1, M)
+        h = 0
+        for x in hs[:window]:
+            h = (h * B + x) % M
+        best = h
+        for i in range(window, len(hs)):
+            h = ((h - hs[i - window] * power) * B + hs[i]) % M
+            if h < best:
+                best = h
+        fps.append(best)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "fingerprint": pa.array(fps, pa.int64()),
+    })

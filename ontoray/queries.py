@@ -1,0 +1,243 @@
+"""Driver-contract queries: one entry per operator, each as (a) a Ray Data
+pipeline over the sf_dir parquet tables and (b) where expressible, an ANSI-SQL
+mirror for the DuckDB oracle.  Column names/types match exactly between the
+two (the driver hash-compares values after sorting columns by name).
+
+Both sides share the same RE2-compatible pattern tables
+(ontoray.text.extract.TRIPLE_PATTERNS) and the same deterministic pages
+derivation (ontoray.pages), which is what makes the extraction pipeline
+SQL-checkable end to end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ontoray.aliases import SURFACE_ALIASES
+from ontoray.config import CONCEPT_STOPWORDS
+from ontoray.pages import pages_from_documents, sql_pages_cte
+from ontoray.text.clean import clean_many, sql_clean_expr
+from ontoray.text.extract import (ENDPOINT_STOP, TOKEN_PATTERN, TRIPLE_PATTERNS,
+                                  extract_mentions, extract_triples)
+
+GAZETTEER = tuple(sorted(a for a, _ in SURFACE_ALIASES if " " in a))
+
+_CLEANED_CTE = (f"WITH pages AS ({sql_pages_cte()}), "
+                f"cleaned AS (SELECT doc_id, {sql_clean_expr('text')} AS ct FROM pages)")
+
+
+def _clean_docs_ds(sf_dir: str):
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "doc_text": pa.array(clean_many(batch.column("text").to_pylist()), pa.string()),
+        })
+    return pages_from_documents(sf_dir).map_batches(clean, batch_format="pyarrow")
+
+
+# --- kg_clean_docs ----------------------------------------------------------
+
+def q_kg_clean_docs(sf_dir: str):
+    return _clean_docs_ds(sf_dir)
+
+
+SQL_KG_CLEAN_DOCS = (f"WITH pages AS ({sql_pages_cte()}) "
+                     f"SELECT doc_id, {sql_clean_expr('text')} AS doc_text FROM pages")
+
+
+# --- kg_mentions / kg_mention_counts ---------------------------------------
+
+def q_kg_mentions(sf_dir: str):
+    def extract(batch: pa.Table) -> pa.Table:
+        ids, ments = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("doc_text").to_pylist()):
+            for m in extract_mentions(text, GAZETTEER):
+                ids.append(did)
+                ments.append(m)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "mention": pa.array(ments, pa.string())})
+    return _clean_docs_ds(sf_dir).map_batches(extract, batch_format="pyarrow")
+
+
+def _sql_mentions_body() -> str:
+    stopw = ", ".join(f"'{w}'" for w in sorted(CONCEPT_STOPWORDS))
+    uni = (f"SELECT DISTINCT doc_id, tok AS mention FROM "
+           f"(SELECT doc_id, unnest(regexp_extract_all(ct, '{TOKEN_PATTERN}')) AS tok FROM cleaned) "
+           f"WHERE tok NOT IN ({stopw})")
+    phrase_parts = [
+        f"SELECT doc_id, '{p}' AS mention FROM cleaned WHERE contains(ct, '{p}')"
+        for p in GAZETTEER
+    ]
+    return " UNION ".join([uni] + phrase_parts)
+
+
+SQL_KG_MENTIONS = f"{_CLEANED_CTE} {_sql_mentions_body()}"
+
+
+def q_kg_mention_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["mention"]).aggregate([("mention", "count")])
+        return g.select(["mention", "mention_count"])
+
+    return (q_kg_mentions(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("mention").aggregate(Sum("mention_count", alias_name="n_docs")))
+
+
+SQL_KG_MENTION_COUNTS = (f"{_CLEANED_CTE}, m AS ({_sql_mentions_body()}) "
+                         f"SELECT mention, count(*) AS n_docs FROM m GROUP BY mention")
+
+
+# --- kg_triples (raw distinct pattern triples) ------------------------------
+
+def q_kg_triples(sf_dir: str):
+    def extract(batch: pa.Table) -> pa.Table:
+        subs, preds, objs = [], [], []
+        for text in batch.column("doc_text").to_pylist():
+            for s, p, o, _tag, _conf in extract_triples(text):
+                subs.append(s)
+                preds.append(p)
+                objs.append(o)
+        return pa.table({"subj": pa.array(subs, pa.string()),
+                         "pred": pa.array(preds, pa.string()),
+                         "obj": pa.array(objs, pa.string())})
+
+    ds = _clean_docs_ds(sf_dir).map_batches(extract, batch_format="pyarrow")
+    # Distinct via groupby (shuffle dedup), project keys back out.
+    from ray.data.aggregate import Count
+    return (ds.groupby(["subj", "pred", "obj"]).aggregate(Count(alias_name="__n"))
+            .select_columns(["subj", "pred", "obj"]))
+
+
+def _sql_triples_body() -> str:
+    stops = ", ".join(f"'{w}'" for w in sorted(ENDPOINT_STOP))
+    parts = []
+    for _name, pat, spec, _tag, _conf in TRIPLE_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        for sg, pred, og in spec:
+            parts.append(
+                f"SELECT c.doc_id, s.z[1] AS subj, '{pred}' AS pred, s.z[2] AS obj "
+                f"FROM cleaned c, unnest(list_zip("
+                f"regexp_extract_all(c.ct, '{sql_pat}', {sg}), "
+                f"regexp_extract_all(c.ct, '{sql_pat}', {og}))) AS s(z)")
+    union = " UNION ALL ".join(parts)
+    return (f"SELECT DISTINCT subj, pred, obj FROM ({union}) "
+            f"WHERE subj <> '' AND obj <> '' "
+            f"AND subj NOT IN ({stops}) AND obj NOT IN ({stops})")
+
+
+SQL_KG_TRIPLES = f"{_CLEANED_CTE} {_sql_triples_body()}"
+
+
+# --- text stats / token counts / lang counts -------------------------------
+
+def q_doc_stats(sf_dir: str):
+    import ray.data as rd
+    from ontoray.extras.textstats import doc_stats_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def q_token_counts_by_source(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ontoray.extras.textstats import TOKEN_RE
+
+    def per_row(batch: pa.Table) -> pa.Table:
+        counts = [len(TOKEN_RE.findall(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({"source": batch.column("source"),
+                         "n": pa.array(counts, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return (ds.map_batches(per_row, batch_format="pyarrow")
+            .groupby("source").aggregate(Sum("n", alias_name="total_tokens")))
+
+
+SQL_TOKEN_COUNTS = ("SELECT source, CAST(sum(length(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) "
+                    "AS total_tokens FROM documents GROUP BY source")
+
+
+def q_lang_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# --- dedup ------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+    from ontoray.extras.dedup import exact_dedup_groups
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_groups(ds)
+
+
+SQL_DEDUP_EXACT = ("SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies "
+                   "FROM documents GROUP BY text")
+
+
+# --- ANN --------------------------------------------------------------------
+
+def _embedding_dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(f.iter_batches(batch_size=1))
+    return len(first.column("embedding")[0])
+
+
+def q_ann_topk(sf_dir: str, k: int = 10):
+    import ray.data as rd
+    from ontoray.extras.ann import brute_force_topk, query_vector
+    dim = _embedding_dim(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, query_vector(dim), k=k)
+
+
+def sql_ann_topk(sf_dir: str, k: int = 10) -> str:
+    from ontoray.extras.ann import query_vector
+    dim = _embedding_dim(sf_dir)
+    q = query_vector(dim)
+    qlit = "[" + ", ".join(repr(float(x)) for x in q) + "]"
+    return (f"SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            f"CAST({qlit} AS DOUBLE[])), 6) AS cosine "
+            f"FROM embeddings ORDER BY cosine DESC, vec_id LIMIT {k}")
+
+
+# --- relational breadth (J7 hash join + A5 agg, A11 top-k) ------------------
+
+def q_orders_by_nation(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from ontoray.stages.joins import hash_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j1 = hash_join(orders, cust, "o_custkey", "c_custkey", how="inner")
+    j2 = hash_join(j1, nation, "c_nationkey", "n_nationkey", how="inner")
+    return j2.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
+SQL_ORDERS_BY_NATION = ("SELECT n_name, count(*) AS n_orders FROM orders "
+                        "JOIN customer ON o_custkey = c_custkey "
+                        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
+
+
+def q_topk_parts(sf_dir: str, k: int = 5):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"])
+    rows = ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).take(k)
+    return pa.table({
+        "p_partkey": pa.array([r["p_partkey"] for r in rows], pa.int64()),
+        "p_retailprice": pa.array([r["p_retailprice"] for r in rows], pa.float64()),
+    })
+
+
+SQL_TOPK_PARTS = ("SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_retailprice FROM part "
+                  "ORDER BY p_retailprice DESC, p_partkey LIMIT 5")

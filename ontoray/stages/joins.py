@@ -3,63 +3,95 @@
 Ray 2.49's native ``Dataset.join`` proved unreliable when chained (the second
 join intermittently fails schema resolution), so wide joins use the portable
 pattern: add ``bucket = stable_hash(key) % B`` to both sides, tag each side,
-union, ``groupby(bucket)`` (one hash shuffle), and pandas-merge each bucket in
-``map_groups``.  Deterministic (fixed-key siphash via
-``pd.util.hash_pandas_object``), skew-safe for the bucket count chosen, and
-exactly the strategy a multi-node shuffle would use.
+union, ``groupby(bucket)`` (one hash shuffle), and merge each bucket in
+``map_groups``.  Arrow-native padding (typed null columns) keeps integer
+columns integers across the union; the per-bucket merge output is cast back
+to the exact combined schema.  Hashing is fixed-key siphash
+(``pd.util.hash_pandas_object``) on the stringified key — process-stable.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
-def _bucketize(df: pd.DataFrame, key: str, num_partitions: int, side: str) -> pd.DataFrame:
-    df = df.copy()
-    h = pd.util.hash_pandas_object(df[key].astype("string").fillna(""), index=False)
-    df["__bucket"] = (h % num_partitions).astype("int64")
-    df["__side"] = side
-    return df
+def _stable_bucket(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
+    s = pd.Series(col.to_pylist(), dtype="object").astype(str)
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    return pa.array((h % num_partitions).astype(np.int64), pa.int64())
 
 
 def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner",
               num_partitions: int = 16, right_cols: list[str] | None = None,
               suffix: str = "_r"):
-    """Join two Datasets on a single key column.
+    """Join two Datasets on one key column each.
 
-    Returns a Dataset with the left columns plus the right side's
-    ``right_cols`` (default: all non-key columns), suffixed on collision.
-    ``how`` ∈ {inner, left} (left = left_outer).
+    Output columns: all left columns plus the right side's ``right_cols``
+    (default: every non-key right column), suffixed on name collision.
+    ``how`` ∈ {inner, left}.
     """
-    left_schema = left_ds.schema().names
-    right_schema = right_ds.schema().names
-    rcols = right_cols if right_cols is not None else [c for c in right_schema if c != right_on]
-    rename = {c: (c + suffix if c in left_schema else c) for c in rcols}
-    out_cols = left_schema + [rename[c] for c in rcols]
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(lschema.names)
+    rcols = right_cols if right_cols is not None else [c for c in rschema.names if c != right_on]
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols}
+
+    out_fields = [(c, ltypes[c]) for c in lcols] + [(rename[c], rtypes[c]) for c in rcols]
+    out_schema = pa.schema(out_fields)
+    # Union schema: out columns + right key + bucket + side tag.
+    union_fields = list(out_fields)
+    rkey_name = "__rkey"
+    union_fields += [(rkey_name, rtypes[right_on]), ("__bucket", pa.int64()),
+                     ("__side", pa.string())]
+    union_schema = pa.schema(union_fields)
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch.column(c) for c in lcols}
+        for c in rcols:
+            cols[rename[c]] = pa.nulls(n, rtypes[c])
+        cols[rkey_name] = pa.nulls(n, rtypes[right_on])
+        cols["__bucket"] = _stable_bucket(batch.column(left_on), num_partitions)
+        cols["__side"] = pa.array(["L"] * n, pa.string())
+        return pa.table(cols, schema=union_schema)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: pa.nulls(n, t) for c, t in zip(lcols, (ltypes[c] for c in lcols))}
+        for c in rcols:
+            cols[rename[c]] = batch.column(c)
+        cols[rkey_name] = batch.column(right_on)
+        cols["__bucket"] = _stable_bucket(batch.column(right_on), num_partitions)
+        cols["__side"] = pa.array(["R"] * n, pa.string())
+        return pa.table(cols, schema=union_schema)
+
+    l_tagged = left_ds.map_batches(pad_left, batch_format="pyarrow")
+    r_tagged = right_ds.map_batches(pad_right, batch_format="pyarrow")
+    unioned = l_tagged.union(r_tagged)
+
     pd_how = {"inner": "inner", "left": "left"}[how]
+    renamed_rcols = [rename[c] for c in rcols]
 
-    lmap = lambda df: _bucketize(df, left_on, num_partitions, "L")  # noqa: E731
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # Split sides BEFORE pandas conversion so each side's own columns
+        # carry no nulls and integer dtypes survive the merge.
+        lf = g.filter(pc.equal(g.column("__side"), "L")).select(lcols).to_pandas()
+        rf = (g.filter(pc.equal(g.column("__side"), "R"))
+              .select([rkey_name] + renamed_rcols).to_pandas())
+        merged = lf.merge(rf, how=pd_how, left_on=left_on, right_on=rkey_name)
+        merged = merged.reindex(columns=[c for c, _ in out_fields])
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
-    def rmap(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[[right_on] + rcols].rename(columns=rename)
-        return _bucketize(df, right_on, num_partitions, "R")
+    joined = unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
-    l_tagged = left_ds.map_batches(lmap, batch_format="pandas")
-    r_tagged = right_ds.map_batches(rmap, batch_format="pandas")
+    def restore_schema(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        return batch.select(out_schema.names).cast(out_schema)
 
-    # Union needs a shared schema: pad each side with the other's columns.
-    all_cols = out_cols + ([right_on] if right_on not in out_cols else []) + ["__bucket", "__side"]
-
-    def pad(df: pd.DataFrame) -> pd.DataFrame:
-        return df.reindex(columns=all_cols)
-
-    unioned = l_tagged.map_batches(pad, batch_format="pandas").union(
-        r_tagged.map_batches(pad, batch_format="pandas"))
-
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["__side"] == "L"][left_schema]
-        rf = g[g["__side"] == "R"][[right_on] + [rename[c] for c in rcols]]
-        merged = lf.merge(rf, how=pd_how, left_on=left_on, right_on=right_on)
-        return merged.reindex(columns=out_cols)
-
-    return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return joined.map_batches(restore_schema, batch_format="pyarrow")
