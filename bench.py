@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: one fresh Ray session at ``RAY_GRAFT_CPUS`` CPUs (default 32),
+headline = end-to-end KG-construction pipeline (clean → chunk → extract →
+link → canonicalize → graph materialize) over a deterministic synthetic
+Common-Crawl-style corpus of ``GRAFT_BENCH_ROWS`` pages (default 20000,
+seed 42; corpus generation is excluded from timing), plus per-query timings
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).  Prints ONE JSON line:
+
+  {"metric": "kg_e2e_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "triples_per_sec": ...}
+
+``--scaling``: runs the same headline in fresh subprocesses at 8 and 32 CPUs
+on identical input and reports both throughputs plus scaling efficiency
+(T8/T32)/4 — the sandbox proxy for the N vs 4N cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    bench_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "20000"))
+
+    import logging
+
+    import ray
+    import ray.data as rd
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from ontoray.config import PipelineConfig
+    from ontoray.pages import make_pages_corpus
+    from ontoray.pipelines.kg import run_kg_pipeline
+
+    # --- headline: KG end-to-end over the synthetic corpus ---
+    corpus = make_pages_corpus(bench_rows, seed=42)          # untimed
+    pages = rd.from_arrow(corpus).materialize()               # warm, untimed
+    cfg = PipelineConfig(
+        extractor_concurrency=max(2, num_cpus // 2),
+        linker_concurrency=max(2, num_cpus // 4),
+        batch_size=2048,
+    )
+    t0 = time.perf_counter()
+    res = run_kg_pipeline(pages, cfg=cfg, curate_graph=True)
+    n_edges = res.edges.count()
+    n_entities = res.entities.count()
+    n_triples = sum(r["n_obs"] for r in res.triples_dedup.select_columns(["n_obs"]).take_all())
+    kg_sec = time.perf_counter() - t0
+    n_docs = res.docs.count()
+
+    # --- per-query timings over the sf tables ---
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    qtimes = {}
+    queries = entrymod.queries()
+    for name in ("kg_clean_docs", "kg_mentions", "kg_triples", "dedup_exact",
+                 "dedup_minhash", "doc_stats", "ann_topk", "orders_by_nation"):
+        t0 = time.perf_counter()
+        out = queries[name](sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "kg_e2e_sec",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_rows": bench_rows,
+        "n_docs": n_docs,
+        "n_entities": n_entities,
+        "n_edges": n_edges,
+        "n_triple_observations": n_triples,
+        "docs_per_sec": round(n_docs / kg_sec, 1),
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline at 8 vs 32 CPUs in fresh processes on identical input."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": r_lo["value"],
+        "sec_32cpu": r_hi["value"],
+        "docs_per_sec_8cpu": r_lo["docs_per_sec"],
+        "docs_per_sec_32cpu": r_hi["docs_per_sec"],
+        "triples_per_sec_8cpu": r_lo["triples_per_sec"],
+        "triples_per_sec_32cpu": r_hi["triples_per_sec"],
+        "bench_rows": r_hi["bench_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+        ray.shutdown()

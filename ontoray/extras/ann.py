@@ -54,7 +54,7 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10, concurrency: int = 4):
     Deterministic tie-break: (-cosine, vec_id)."""
     qref = ray.put(query)
     partials = ds.map_batches(BatchTopK, fn_constructor_args=(qref, k),
-                              batch_format="pyarrow", concurrency=concurrency)
+                              batch_format="pyarrow", concurrency=(1, concurrency))
     rows = partials.take_all()
     rows.sort(key=lambda r: (-r["cosine"], r["vec_id"]))
     top = rows[:k]
@@ -76,6 +76,6 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 
     qbucket = int(qsigns.dot(probe.weights))
 
     bucketed = ds.map_batches(SignLSH, fn_constructor_args=(dim, n_planes, seed),
-                              batch_format="pyarrow", concurrency=concurrency)
+                              batch_format="pyarrow", concurrency=(1, concurrency))
     mine = bucketed.filter(expr=f"bucket == {qbucket}")
     return brute_force_topk(mine, query, k, concurrency)

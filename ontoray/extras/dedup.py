@@ -113,7 +113,7 @@ def minhash_candidate_pairs(ds, num_hashes: int = 64, bands: int = 16, k: int = 
 
     band_rows = ds.select_columns(["doc_id", "text"]).map_batches(
         MinHashBands, fn_constructor_args=(num_hashes, bands, k, seed),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=(1, concurrency))
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].tolist())
@@ -224,7 +224,7 @@ def embedding_neardup(ds, dim: int, threshold: float = 0.95, n_planes: int = 12,
 
     with_bucket = ds.map_batches(
         SignLSH, fn_constructor_args=(dim, n_planes, seed),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=(1, concurrency))
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].tolist()

@@ -81,4 +81,4 @@ def decode_images(ds, fake: bool = False, payload_col: str = "payload",
     """Actor-pool decode with small batches (payload-heavy binary rows)."""
     return ds.map_batches(
         DecodeImage, fn_constructor_args=(fake, payload_col, key_col),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency))

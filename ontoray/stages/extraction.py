@@ -78,13 +78,13 @@ def make_mentions(chunks_ds, gazetteer: tuple[str, ...] = (), concurrency: int =
                   batch_size: int = 1024):
     return chunks_ds.map_batches(
         MentionExtractor, fn_constructor_args=(gazetteer,),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency))
 
 
 def make_triples(chunks_ds, concurrency: int = 4, batch_size: int = 1024):
     return chunks_ds.map_batches(
         TripleExtractor, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=(1, concurrency))
 
 
 def dedup_triples(triples_ds):

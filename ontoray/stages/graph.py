@@ -101,10 +101,13 @@ def resolution_table(entities_ds):
         return pa.table({"surface": batch.column("name_norm"), "resolved": resolved,
                          "mapped": is_mapped, "n_mentions": batch.column("n_mentions")})
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
+    def pick(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["mapped", "n_mentions", "resolved"],
                           ascending=[False, False, True], kind="mergesort")
-        return g.head(1)[["surface", "resolved"]]
+        out = g.head(1)[["surface", "resolved"]]
+        # Emit Arrow so downstream sorts/joins never see mixed block types.
+        return pa.table({"surface": pa.array(out["surface"].tolist(), pa.string()),
+                         "resolved": pa.array(out["resolved"].tolist(), pa.string())})
 
     return (entities_ds.map_batches(to_map, batch_format="pyarrow")
             .groupby("surface").map_groups(pick, batch_format="pandas"))
@@ -161,27 +164,32 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
 
     if resolve_mode == "join":
         from ontoray.stages.joins import hash_join
-        nt = hash_join(nt, res.map_batches(lambda d: d.rename(columns={"resolved": "resolved_s"}),
-                                           batch_format="pandas"),
+
+        def _rename(to: str):
+            def fn(b: pa.Table) -> pa.Table:
+                return b.select(["surface", "resolved"]).rename_columns(["surface", to])
+            return fn
+
+        nt = hash_join(nt, res.map_batches(_rename("resolved_s"), batch_format="pyarrow"),
                        "subj_norm", "surface", how="left", num_partitions=num_partitions)
-        nt = hash_join(nt, res.map_batches(lambda d: d.rename(columns={"resolved": "resolved_o"}),
-                                           batch_format="pandas"),
+        nt = hash_join(nt, res.map_batches(_rename("resolved_o"), batch_format="pyarrow"),
                        "obj_norm", "surface", how="left", num_partitions=num_partitions)
 
-        def finish_nt(df):
-            import pandas as _pd
-            src = df["resolved_s"].where(df["resolved_s"].notna(), df["subj_norm"])
-            dst = df["resolved_o"].where(df["resolved_o"].notna(), df["obj_norm"])
-            return _pd.DataFrame({
-                "src": src.astype(str),
-                "rel": [sanitize_rel(r) for r in df["pred_norm"]],
-                "dst": dst.astype(str),
-                "taxonomic": False,
-                "conf": df["conf"].astype("float32"),
-                "n": df["n_obs"].astype("int64"),
+        def finish_nt(batch: pa.Table) -> pa.Table:
+            src = pc.coalesce(batch.column("resolved_s"), batch.column("subj_norm"))
+            dst = pc.coalesce(batch.column("resolved_o"), batch.column("obj_norm"))
+            n = batch.num_rows
+            return pa.table({
+                "src": src.cast(pa.string()),
+                "rel": pa.array([sanitize_rel(r) for r in batch.column("pred_norm").to_pylist()],
+                                pa.string()),
+                "dst": dst.cast(pa.string()),
+                "taxonomic": pa.array([False] * n, pa.bool_()),
+                "conf": batch.column("conf").cast(pa.float32()),
+                "n": batch.column("n_obs").cast(pa.int64()),
             })
 
-        ntedges = nt.map_batches(finish_nt, batch_format="pandas")
+        ntedges = nt.map_batches(finish_nt, batch_format="pyarrow")
     else:
         import ray
         res_map = {r["surface"]: r["resolved"] for r in res.take_all()}

@@ -32,10 +32,22 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     (default: every non-key right column), suffixed on name collision.
     ``how`` ∈ {inner, left}.
     """
+    def _arrow_types(schema) -> dict:
+        out = {}
+        for name, t in zip(schema.names, schema.types):
+            if not isinstance(t, pa.DataType):
+                # Pandas-block datasets report numpy dtypes / object class.
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (TypeError, pa.ArrowNotImplementedError):
+                    t = pa.string()
+            out[name] = t
+        return out
+
     lschema = left_ds.schema()
     rschema = right_ds.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = _arrow_types(lschema)
+    rtypes = _arrow_types(rschema)
     lcols = list(lschema.names)
     rcols = right_cols if right_cols is not None else [c for c in rschema.names if c != right_on]
     rename = {c: (c + suffix if c in lcols else c) for c in rcols}

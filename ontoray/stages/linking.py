@@ -128,5 +128,5 @@ def link_entities(mentions_ds, alias_data, cfg: PipelineConfig, props: dict | No
         fn_constructor_args=(alias_ref, cfg, props_ref),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.linker_concurrency,
+        concurrency=(1, cfg.linker_concurrency),
     )

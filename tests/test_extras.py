@@ -1,0 +1,250 @@
+"""Tests for training-data extras: dedup family, ANN, text stats, multimodal
+plumbing, hash join, linker units."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    # Small synthetic docs with exact + near duplicates.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    other = "completely different content about capacitors and antennas here"
+    texts = [base, base, near, other, "unrelated words entirely", base + " extra"]
+    return pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+class TestDedup:
+    def test_exact_dedup(self, ray_session, docs_table):
+        import ray.data as rd
+        from ontoray.extras.dedup import exact_dedup_groups
+        out = exact_dedup_groups(rd.from_arrow(docs_table)).take_all()
+        by_id = {r["doc_id"]: r["n_copies"] for r in out}
+        assert by_id[0] == 2          # doc 0 and 1 identical, min id kept
+        assert 1 not in by_id
+        assert by_id[2] == 1
+
+    def test_minhash_finds_near_dups(self, ray_session, docs_table):
+        import ray.data as rd
+        from ontoray.extras.dedup import jaccard, minhash_dedup
+        pairs = minhash_dedup(rd.from_arrow(docs_table), threshold=0.5).to_pylist()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (0, 1) in found        # exact dup pair
+        for r in pairs:               # reported jaccard is the true jaccard
+            t_a = docs_table["text"][r["doc_a"]].as_py()
+            t_b = docs_table["text"][r["doc_b"]].as_py()
+            assert abs(r["jaccard"] - round(jaccard(t_a, t_b), 6)) < 1e-9
+
+    def test_minhash_signature_approximates_jaccard(self):
+        from ontoray.extras.dedup import _minhash_params, jaccard, minhash_signature
+        a, b = _minhash_params(256)
+        t1 = "word " * 50 + "alpha beta gamma delta"
+        t2 = "word " * 50 + "alpha beta gamma epsilon"
+        s1 = minhash_signature(t1, a, b)
+        s2 = minhash_signature(t2, a, b)
+        est = float(np.mean(s1 == s2))
+        true = jaccard(t1, t2)
+        assert abs(est - true) < 0.2
+
+    def test_simhash_similar_docs_close(self, ray_session, docs_table):
+        import ray.data as rd
+        from ontoray.extras.dedup import simhash_batch
+        out = {r["doc_id"]: r["simhash"]
+               for r in rd.from_arrow(docs_table).map_batches(
+                   simhash_batch, batch_format="pyarrow").take_all()}
+        assert out[0] == out[1]       # identical docs -> identical simhash
+        def hamming(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+        assert hamming(out[0], out[2]) < hamming(out[0], out[3])
+
+    def test_embedding_neardup(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import embedding_neardup
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(16)
+        vecs = [base, base + 0.01 * rng.standard_normal(16), rng.standard_normal(16)]
+        tbl = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        pairs = embedding_neardup(rd.from_arrow(tbl), 16, threshold=0.95).take_all()
+        assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 1)}
+
+
+class TestANN:
+    def test_brute_force_topk_matches_numpy(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.ann import brute_force_topk, query_vector
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((200, 16)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(200)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        })
+        q = query_vector(16)
+        out = brute_force_topk(rd.from_arrow(tbl).repartition(4), q, k=10)
+        got = out.column("vec_id").to_pylist()
+        v64 = vecs.astype(np.float64)
+        sims = np.round((v64 @ q) / (np.linalg.norm(v64, axis=1) * np.linalg.norm(q)), 6)
+        expect = sorted(range(200), key=lambda i: (-sims[i], i))[:10]
+        assert got == expect
+
+    def test_lsh_topk_subset_of_brute(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.ann import brute_force_topk, lsh_topk, query_vector
+        rng = np.random.default_rng(6)
+        vecs = rng.standard_normal((300, 16)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(300)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        })
+        q = query_vector(16)
+        lsh = lsh_topk(rd.from_arrow(tbl), q, k=5, n_planes=4)
+        brute = brute_force_topk(rd.from_arrow(tbl), q, k=300)
+        all_ids = brute.column("vec_id").to_pylist()
+        assert set(lsh.column("vec_id").to_pylist()) <= set(all_ids)
+
+
+class TestTextStats:
+    def test_doc_stats(self, ray_session, docs_table):
+        import ray.data as rd
+        from ontoray.extras.textstats import doc_stats_batch
+        out = {r["doc_id"]: r for r in rd.from_arrow(docs_table).map_batches(
+            doc_stats_batch, batch_format="pyarrow").take_all()}
+        assert out[0]["n_tokens"] == 12
+        assert 0 < out[0]["stopword_ratio"] < 1
+
+    def test_langid(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.textstats import LangId
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["the cat and the dog of a house",
+                              "der hund und die katze ist ein tier"], pa.string()),
+        })
+        out = {r["doc_id"]: r["lang_pred"] for r in rd.from_arrow(tbl).map_batches(
+            LangId, batch_format="pyarrow", concurrency=1).take_all()}
+        assert out[0] == "en" and out[1] == "de"
+
+    def test_fingerprint_shift_invariant_content(self, ray_session):
+        from ontoray.extras.textstats import fingerprint_batch
+        # A long shared region dominates the window population, so the min
+        # rolling hash comes from it on both sides despite different prefixes.
+        core = " ".join(f"tok{i}" for i in range(300))
+        t1 = "prefix words " + core
+        t2 = "other start " + core
+        tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                        "text": pa.array([t1, t2, t1], pa.string())})
+        out = fingerprint_batch(tbl)
+        fps = out.column("fingerprint").to_pylist()
+        assert fps[0] == fps[2]                       # deterministic
+        assert fps[0] == fps[1]                       # content-driven, not offset-driven
+
+
+class TestMultimodal:
+    def test_fake_decode_plumbing(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.multimodal import IMAGE_FEATURE_SCHEMA, decode_images
+        tbl = pa.table({
+            "url": pa.array(["a", "b"], pa.string()),
+            "payload": pa.array([b"\x89PNGfake", b"GIF89afake"], pa.binary()),
+        })
+        out = decode_images(rd.from_arrow(tbl), fake=True)
+        rows = out.take_all()
+        assert len(rows) == 2
+        assert set(rows[0].keys()) == set(IMAGE_FEATURE_SCHEMA.names)
+        assert rows[0]["n_bytes"] == 8
+
+    def test_real_decode_raises(self):
+        from ontoray.extras.multimodal import DecodeImage
+        with pytest.raises(NotImplementedError):
+            DecodeImage(fake=False)._decode(b"bytes")
+
+
+class TestHashJoin:
+    def test_inner_and_left(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.joins import hash_join
+        left = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"], pa.string())}))
+        right = rd.from_arrow(pa.table({
+            "rk": pa.array([2, 3, 5], pa.int64()),
+            "w": pa.array(["x", "y", "z"], pa.string())}))
+        inner = hash_join(left, right, "k", "rk", how="inner", num_partitions=4)
+        rows = sorted((r["k"], r["v"], r["w"]) for r in inner.take_all())
+        assert rows == [(2, "b", "x"), (3, "c", "y")]
+        outer = hash_join(left, right, "k", "rk", how="left", num_partitions=4)
+        orows = sorted((r["k"], r["w"]) for r in outer.take_all())
+        assert orows == [(1, None), (2, "x"), (3, "y"), (4, None)]
+
+    def test_int_keys_stay_int(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.joins import hash_join
+        left = rd.from_arrow(pa.table({"k": pa.array([10**12 + 7], pa.int64()),
+                                       "v": pa.array([1], pa.int64())}))
+        right = rd.from_arrow(pa.table({"k2": pa.array([10**12 + 7], pa.int64()),
+                                        "w": pa.array([2], pa.int64())}))
+        out = hash_join(left, right, "k", "k2", how="inner", num_partitions=2).take_all()
+        assert out[0]["k"] == 10**12 + 7 and out[0]["w"] == 2
+
+    def test_collision_suffix(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.joins import hash_join
+        left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                       "v": pa.array(["L"], pa.string())}))
+        right = rd.from_arrow(pa.table({"rk": pa.array([1], pa.int64()),
+                                        "v": pa.array(["R"], pa.string())}))
+        out = hash_join(left, right, "k", "rk", how="inner", num_partitions=2).take_all()
+        assert out[0]["v"] == "L" and out[0]["v_r"] == "R"
+
+
+class TestLinkerUnits:
+    def test_decision_table(self):
+        from ontoray.linking import EXTEND, MAP_EXACT, UNCERTAIN, decide
+        assert decide("x", []) == (EXTEND, None, 0.9)
+        m_exact = [("Capacitor", 1.0, "lexical_exact_normalized", 1.0)]
+        assert decide("capacitors", m_exact) == (MAP_EXACT, "Capacitor", 1.0)
+        m_mid = [("Capacitor", 0.75, "embedding", 0.75)]
+        assert decide("capx", m_mid) == (UNCERTAIN, "Capacitor", 0.5)
+        m_low = [("Capacitor", 0.55, "embedding", 0.55)]
+        assert decide("weird", m_low) == (EXTEND, None, 0.8)
+
+    def test_rule_validation_branch(self):
+        from ontoray.linking import MAP_SIMILAR, UNCERTAIN, decide
+        m = [("Capacitor", 0.93, "lexical_similar_normalized", 0.93)]
+        d = decide("capacitorz", m, enable_rule_validation=True, validate_threshold=0.92)
+        assert d[0] == MAP_SIMILAR
+        m2 = [("Capacitor", 0.86, "lexical_similar_normalized", 0.86)]
+        d2 = decide("capactr", m2, enable_rule_validation=True)
+        assert d2[0] == UNCERTAIN
+
+    def test_find_matches_exact_and_fuzzy(self):
+        from ontoray.aliases import build_alias_data
+        from ontoray.linking import find_matches
+        alias = build_alias_data()
+        m = find_matches("capacitors", alias)
+        assert m[0][0] == "Capacitor" and m[0][1] == 1.0
+        m2 = find_matches("chip antena", alias)   # misspelled, ratio >= 0.8
+        assert any(name == "ChipAntenna" and 0.8 <= s < 1.0 for name, s, t, c in m2)
+
+    def test_technical_match(self):
+        from ontoray.aliases import build_alias_data
+        from ontoray.linking import find_matches
+        alias = build_alias_data()
+        m = find_matches("mystery part x", alias,
+                         props={"frequency": "2.4-5.8 ghz", "impedance": "50"})
+        assert any(t == "technical_specs" for _n, _s, t, _c in m)
+
+    def test_route_task(self):
+        from ontoray.linking import EXTEND, MAP_EXACT, UNCERTAIN, route_task
+        assert route_task(EXTEND, None, []) == ("ElectronicComponent", "new")
+        assert route_task(EXTEND, None, [("Antenna", 0.6, "e", 0.6)]) == ("Antenna", "new")
+        assert route_task(UNCERTAIN, "Antenna", []) == ("Antenna", "review")
+        assert route_task(MAP_EXACT, "Antenna", []) == (None, None)

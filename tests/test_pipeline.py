@@ -1,0 +1,262 @@
+"""End-to-end engine-vs-oracle gates (FIXTURES.md §5 test matrix)."""
+
+import pyarrow as pa
+import pytest
+
+
+def _triple_set(res):
+    return {(r["subj_norm"], r["pred_norm"], r["obj_norm"])
+            for r in res.triples_dedup.take_all()}
+
+
+class TestByteIdentity:
+    def test_clean_byte_identity(self, small_engine, small_oracle):
+        eng = {r["url"]: r["doc_text"] for r in small_engine.docs.take_all()}
+        ora = small_oracle["docs"]
+        assert set(eng) == set(ora)
+        mismatches = [u for u in eng if eng[u] != ora[u]]
+        assert mismatches == []
+
+    def test_empty_text_rows_derived_from_html(self, small_corpus, small_engine):
+        # ~10% of fixture rows have text='' — they must still produce docs.
+        empty_urls = {u for u, t, l in zip(small_corpus["url"].to_pylist(),
+                                           small_corpus["text"].to_pylist(),
+                                           small_corpus["lang"].to_pylist())
+                      if t == "" and l == "en"}
+        assert empty_urls, "fixture should contain empty-text en rows"
+        eng = {r["url"] for r in small_engine.docs.take_all()}
+        assert empty_urls <= eng
+
+    def test_non_en_rows_excluded(self, small_corpus, small_engine):
+        non_en = {u for u, l in zip(small_corpus["url"].to_pylist(),
+                                    small_corpus["lang"].to_pylist()) if l != "en"}
+        en = {u for u, l in zip(small_corpus["url"].to_pylist(),
+                                small_corpus["lang"].to_pylist()) if l == "en"}
+        eng = {r["url"] for r in small_engine.docs.take_all()}
+        assert eng.isdisjoint(non_en - en)
+
+    def test_url_dedup_first_wins(self, small_corpus, small_engine):
+        urls = small_corpus["url"].to_pylist()
+        assert len(urls) > len(set(urls)), "fixture should contain duplicate urls"
+        eng_urls = [r["url"] for r in small_engine.docs.take_all()]
+        assert len(eng_urls) == len(set(eng_urls))
+
+
+class TestTriples:
+    def test_triples_pr(self, small_engine, small_oracle):
+        eng = _triple_set(small_engine)
+        ora = set(small_oracle["triples_dedup"])
+        tp = len(eng & ora)
+        precision = tp / len(eng) if eng else 0.0
+        recall = tp / len(ora) if ora else 0.0
+        assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+        # Identical rules should in fact give exact equality.
+        assert eng == ora
+
+    def test_triple_counts_match(self, small_engine, small_oracle):
+        eng = {(r["subj_norm"], r["pred_norm"], r["obj_norm"]): r["n_obs"]
+               for r in small_engine.triples_dedup.take_all()}
+        ora = {k: v[1] for k, v in small_oracle["triples_dedup"].items()}
+        assert eng == ora
+
+
+class TestCanonicalization:
+    def test_canonical_cardinality(self, small_engine, small_oracle):
+        eng = {r["name"]: r for r in small_engine.entities.take_all()}
+        ora = {e["name"]: e for e in small_oracle["entities"]}
+        assert set(eng) == set(ora)
+        for name in eng:
+            assert eng[name]["decision"] == ora[name]["decision"], name
+            assert eng[name]["n_mentions"] == ora[name]["n_mentions"], name
+            assert eng[name]["parent_class"] == ora[name]["parent_class"], name
+
+    def test_plural_maps_exact(self, small_engine):
+        from ontoray.linking import MAP_EXACT
+        ents = {r["name"]: r for r in small_engine.entities.take_all()}
+        # The fixture emits "Many {E}s are used here" -> plural surface forms.
+        plural = [n for n in ents if n in ("capacitors", "resistors", "antennas")]
+        assert plural, "fixture should produce plural mentions"
+        for n in plural:
+            assert ents[n]["decision"] == MAP_EXACT, (n, ents[n])
+
+
+class TestGraph:
+    def test_nodes_edges_match_oracle(self, small_engine, small_oracle):
+        eng_n = {r["name"] for r in small_engine.nodes.take_all()}
+        assert eng_n == set(small_oracle["nodes"])
+        eng_e = {(r["src"], r["rel"], r["dst"]) for r in small_engine.edges.take_all()}
+        assert eng_e == set(small_oracle["edges"])
+
+    def test_edges_sorted_and_deduped(self, small_engine):
+        rows = [(r["src"], r["rel"], r["dst"]) for r in small_engine.edges.take_all()]
+        assert rows == sorted(rows)
+        assert len(rows) == len(set(rows))
+
+    def test_rel_types_sanitized(self, small_engine):
+        import re
+        for r in small_engine.edges.take_all():
+            assert re.fullmatch(r"[A-Z0-9_]+", r["rel"]), r["rel"]
+
+    def test_curation_removed_counts(self, small_engine, small_oracle):
+        assert small_engine.stats["orphans_removed"] == small_oracle["removed"]["orphans_removed"]
+        assert small_engine.stats["low_degree_removed"] == small_oracle["removed"]["low_degree_removed"]
+
+    def test_join_mode_matches_broadcast(self, ray_session, small_corpus):
+        """Edge endpoint resolution: partitioned hash-join path == broadcast."""
+        import ray.data as rd
+        from ontoray.aliases import build_alias_data
+        from ontoray.pipelines.kg import run_kg_pipeline
+        from ontoray.stages.graph import build_edges
+        sub = small_corpus.slice(0, 200)
+        res = run_kg_pipeline(rd.from_arrow(sub), curate_graph=False)
+        alias = build_alias_data()
+        bc = build_edges(res.entities, res.triples_dedup, alias, resolve_mode="broadcast")
+        jn = build_edges(res.entities, res.triples_dedup, alias, resolve_mode="join")
+        bc_set = {(r["src"], r["rel"], r["dst"], r["n_obs"]) for r in bc.take_all()}
+        jn_set = {(r["src"], r["rel"], r["dst"], r["n_obs"]) for r in jn.take_all()}
+        assert bc_set == jn_set
+
+
+class TestInvariance:
+    def test_partition_invariance(self, ray_session, small_corpus, small_engine):
+        """Same outputs at 1 input block vs 16 input blocks."""
+        import ray.data as rd
+        from ontoray.pipelines.kg import run_kg_pipeline
+        many = rd.from_arrow(small_corpus).repartition(16)
+        res16 = run_kg_pipeline(many, curate_graph=True)
+        assert _triple_set(res16) == _triple_set(small_engine)
+        e1 = {(r["src"], r["rel"], r["dst"]) for r in small_engine.edges.take_all()}
+        e16 = {(r["src"], r["rel"], r["dst"]) for r in res16.edges.take_all()}
+        assert e1 == e16
+
+    def test_dedup_idempotent(self, ray_session, small_corpus, small_engine):
+        """Running on pre-deduplicated input (unique urls) gives identical
+        canonical outputs."""
+        import pandas as pd
+        import ray.data as rd
+        from ontoray.pipelines.kg import run_kg_pipeline
+        df = small_corpus.to_pandas()
+        df = df.sort_values(["url", "warc_ts", "text"], kind="mergesort").drop_duplicates(
+            "url", keep="first")
+        res2 = run_kg_pipeline(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+                               curate_graph=True)
+        assert _triple_set(res2) == _triple_set(small_engine)
+
+
+class TestSkew:
+    def test_hot_host_and_entity_present(self, small_corpus):
+        from ontoray.pages import HOT_HOST
+        hosts = [u.split("/")[2] for u in small_corpus["url"].to_pylist()]
+        frac = sum(1 for h in hosts if h == HOT_HOST) / len(hosts)
+        assert frac > 0.1, "hot host should dominate"
+
+    def test_partial_agg_bounds_shuffle_rows(self, ray_session, small_corpus):
+        """The per-batch combiner must collapse the hot mention before the
+        shuffle: post-partial rows per key <= number of batches, not number
+        of occurrences."""
+        import ray.data as rd
+        from ontoray.stages.chunking import make_chunks
+        from ontoray.stages.extraction import make_mentions
+        from ontoray.stages.ingest import extract_docs
+        docs = extract_docs(rd.from_arrow(small_corpus)).repartition(8)
+        mentions = make_mentions(make_chunks(docs), (), 2, 512)
+
+        def partial(batch):
+            g = batch.group_by(["mention"]).aggregate([("mention", "count")])
+            return g.select(["mention", "mention_count"])
+        partials = mentions.select_columns(["mention"]).map_batches(
+            partial, batch_format="pyarrow").take_all()
+        from collections import Counter
+        per_key_rows = Counter(r["mention"] for r in partials)
+        total_occurrences = sum(r["mention_count"] for r in partials
+                                if r["mention"] == "capacitor")
+        assert total_occurrences > 50, "hot entity should be frequent"
+        assert per_key_rows["capacitor"] <= 40  # bounded by batch count
+
+
+class TestResume:
+    def test_checkpoint_resume_identical(self, ray_session, small_corpus, tmp_path):
+        import ray.data as rd
+        from ontoray.config import PipelineConfig
+        from ontoray.pipelines.kg import run_kg_pipeline
+        from ontoray.state.checkpoint import CheckpointManager
+        sub = small_corpus.slice(0, 300)
+        cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ck"))
+        r1 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="fpA")
+        e1 = sorted((r["src"], r["rel"], r["dst"]) for r in r1.edges.take_all())
+
+        # Simulate a crash after 'triples': invalidate downstream stages.
+        ck = CheckpointManager(cfg.checkpoint_dir)
+        for stage in ("triples_dedup", "entities", "nodes", "edges",
+                      "nodes_curated", "edges_curated"):
+            ck.invalidate(stage)
+        r2 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="fpA")
+        e2 = sorted((r["src"], r["rel"], r["dst"]) for r in r2.edges.take_all())
+        assert e1 == e2
+
+        # Manifests carry per-partition lineage.
+        m = ck.manifest("triples")
+        assert m["fingerprint"] == "fpA"
+        assert m["rows"] > 0 and m["n_partitions"] >= 1 and m["partitions"]
+
+    def test_fingerprint_mismatch_recomputes(self, ray_session, small_corpus, tmp_path):
+        import ray.data as rd
+        from ontoray.config import PipelineConfig
+        from ontoray.pipelines.kg import run_kg_pipeline
+        from ontoray.state.checkpoint import CheckpointManager
+        sub = small_corpus.slice(0, 100)
+        cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ck2"))
+        run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="v1")
+        ck = CheckpointManager(cfg.checkpoint_dir)
+        assert ck.is_complete("docs", "v1")
+        assert not ck.is_complete("docs", "v2")
+
+
+class TestEvalHarness:
+    def test_metrics_math(self):
+        from ontoray.evaluation.metrics import calculate_metrics
+        m = calculate_metrics(8, 2, 4)
+        assert m["precision"] == 0.8
+        assert m["recall"] == round(8 / 12, 4)
+        assert m["f1_score"] == round(2 * 0.8 * (8 / 12) / (0.8 + 8 / 12), 4)
+        z = calculate_metrics(0, 0, 0)
+        assert z["precision"] == 0.0 and z["recall"] == 0.0 and z["f1_score"] == 0.0
+
+    def test_gold_eval_reconstruction(self):
+        from ontoray.evaluation.metrics import evaluate_against_gold
+        tasks = [{"name": "ChipAntenna", "parent_class": "Antenna",
+                  "non_taxonomic_relations": [{"target": "Acme", "relation": "manufacturer"}]},
+                 {"name": "Widget", "parent_class": "Thing"}]
+        gold = {"concepts": ["chipantenna", "other"],
+                "relations": [{"source": "chipantenna", "type": "subclass_of", "target": "antenna"},
+                              {"source": "chipantenna", "type": "manufacturer", "target": "acme"}]}
+        out = evaluate_against_gold(tasks, gold)
+        assert out["concept_evaluation"]["TP"] == 1
+        assert out["concept_evaluation"]["FP"] == 1
+        assert out["concept_evaluation"]["FN"] == 1
+        assert out["relation_evaluation"]["TP"] == 2
+        assert out["relation_evaluation"]["FP"] == 1  # widget->thing
+        assert out["relation_evaluation"]["FN"] == 0
+
+    def test_pipeline_vs_fixture_gold(self, small_engine, small_oracle):
+        """The engine's learned tasks hit the oracle-derived gold exactly."""
+        from ontoray.evaluation.metrics import evaluate_against_gold
+        from ontoray.linking import EXTEND, UNCERTAIN
+        tasks = [r for r in small_engine.entities.take_all()
+                 if r["decision"] in (EXTEND, UNCERTAIN)]
+        gold_tasks = [e for e in small_oracle["entities"]
+                      if e["decision"] in (EXTEND, UNCERTAIN)]
+        gold = {"concepts": [t["name"] for t in gold_tasks],
+                "relations": [{"source": t["name"], "type": "subclass_of",
+                               "target": t["parent_class"]} for t in gold_tasks]}
+        out = evaluate_against_gold(tasks, gold)
+        assert out["concept_evaluation"]["f1_score"] == 1.0
+        assert out["relation_evaluation"]["f1_score"] == 1.0
+
+    def test_saturation_curve(self):
+        from ontoray.evaluation.metrics import saturation_curve
+        chunks = [["a", "b"], ["b", "c"], ["c"], ["d"]]
+        curve = saturation_curve(chunks, batch_size=2, seed=1)
+        assert curve[-1]["total_seen"] == 4
+        assert sum(c["new_concepts"] for c in curve) == 4
+        assert curve == saturation_curve(chunks, batch_size=2, seed=1)
