@@ -60,6 +60,7 @@ class PipelineConfig:
     extractor_concurrency: int = 4    # actor-pool size for mention/triple extraction
     salt_buckets: int = 16            # salting factor for skewed groupbys
     num_blocks: int | None = None     # None = 2x cluster CPUs
+    extractor_actors: bool = False    # pin extraction to an actor pool (default: tasks)
     embed_dim: int = 64               # char-ngram hash embedding dimension
     checkpoint_dir: str | None = None # stage-checkpoint root (None = no checkpointing)
 

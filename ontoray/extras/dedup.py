@@ -31,16 +31,17 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(min id, n_copies) per distinct content — groupby on sha1(text)."""
-    from ray.data.aggregate import Count, Min
-
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [hashlib.sha1(t.encode()).hexdigest() for t in batch.column(text_col).to_pylist()]
         return pa.table({id_col: batch.column(id_col), "__h": pa.array(hs, pa.string())})
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("__h")
-            .aggregate(Min(id_col, alias_name="doc_id"), Count(alias_name="n_copies"))
-            .select_columns(["doc_id", "n_copies"]))
+    from ontoray.stages.agg import hash_aggregate
+    return hash_aggregate(
+        ds.map_batches(add_hash, batch_format="pyarrow"), ["__h"],
+        partial_aggs=[(id_col, "min"), (id_col, "count")],
+        aggs=[(f"{id_col}_min", "min"), (f"{id_col}_count", "sum")],
+        rename={f"{id_col}_min_min": "doc_id", f"{id_col}_count_sum": "n_copies"},
+    ).select_columns(["doc_id", "n_copies"])
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -109,11 +110,26 @@ def minhash_candidate_pairs(ds, num_hashes: int = 64, bands: int = 16, k: int = 
                             seed: int = 7, concurrency: int = 4):
     """Distinct candidate (doc_a < doc_b) pairs sharing >= 1 LSH band."""
     import pandas as pd
-    from ray.data.aggregate import Count
 
     band_rows = ds.select_columns(["doc_id", "text"]).map_batches(
         MinHashBands, fn_constructor_args=(num_hashes, bands, k, seed),
-        batch_format="pyarrow", concurrency=(1, concurrency))
+        batch_format="pyarrow", concurrency=(1, concurrency)).materialize()
+
+    # Almost every (band, hash) bucket is a singleton; count first and keep
+    # only colliding buckets so the per-group pair expansion never touches
+    # the long tail.
+    from ontoray.stages.agg import hash_aggregate
+    colliding = hash_aggregate(
+        band_rows.select_columns(["band_id", "band_hash"]), ["band_id", "band_hash"],
+        partial_aggs=[("band_hash", "count")],
+        aggs=[("band_hash_count", "sum")], rename={"band_hash_count_sum": "n"},
+    ).filter(expr="n >= 2")
+    keep = {(r["band_id"], r["band_hash"]) for r in colliding.take_all()}
+    keep_hashes = pa.array(sorted({h for _b, h in keep}), pa.int64())
+
+    def only_colliding(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch.column("band_hash"), value_set=keep_hashes))
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["doc_id"].tolist())
@@ -122,13 +138,16 @@ def minhash_candidate_pairs(ds, num_hashes: int = 64, bands: int = 16, k: int = 
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        return pd.DataFrame({"doc_a": pd.array(out_a, dtype="int64"),
+                             "doc_b": pd.array(out_b, dtype="int64")})
 
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_of, batch_format="pandas")
+    pairs = (band_rows.map_batches(only_colliding, batch_format="pyarrow")
+             .groupby(["band_id", "band_hash"]).map_groups(pairs_of, batch_format="pandas"))
     # Distinct pairs (a pair can collide in several bands).
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="n_bands")))
+    return hash_aggregate(pairs, ["doc_a", "doc_b"],
+                          partial_aggs=[("doc_a", "count")],
+                          aggs=[("doc_a_count", "sum")],
+                          rename={"doc_a_count_sum": "n_bands"})
 
 
 def minhash_dedup(ds, threshold: float = 0.8, num_hashes: int = 64, bands: int = 16,

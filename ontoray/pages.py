@@ -149,7 +149,7 @@ _IMP = ["50", "75", "300"]
 _VLT = ["3.3", "5.0", "12"]
 
 
-def _page_text(rng: np.random.Generator, ent_idx: np.ndarray) -> str:
+def _page_text(rng: np.random.Generator, ent_idx: np.ndarray, pn_space: int) -> str:
     n_sent = int(rng.integers(3, 9))
     parts = []
     for _ in range(n_sent):
@@ -166,6 +166,14 @@ def _page_text(rng: np.random.Generator, ent_idx: np.ndarray) -> str:
             I1=_IMP[int(rng.integers(0, len(_IMP)))],
             V1=_VLT[int(rng.integers(0, len(_VLT)))],
         ))
+    # Part-number entities: an open vocabulary that scales with corpus size
+    # (a web corpus's entity space is unbounded; a fixed 8-entity vocabulary
+    # would make the canonicalization stages trivially constant-time).
+    if rng.random() < 0.7:
+        pn = f"pn{int(rng.integers(0, pn_space)):06d}"
+        e = ENT[int(rng.integers(0, len(ENT)))]
+        m = MFR[int(rng.integers(0, len(MFR)))]
+        parts.append(f"The {pn} is a {e}. The {pn} is manufactured by {m}.")
     if rng.random() < 0.4:
         parts.append(_NOISE[int(rng.integers(0, len(_NOISE)))].format(E1=ENT[0]))
     return " ".join(parts)
@@ -184,11 +192,12 @@ def make_pages_corpus(n_rows: int, seed: int = 42) -> pa.Table:
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
     base_ts = np.datetime64("2025-01-01T00:00:00", "us")
+    pn_space = max(16, n_rows // 3)
     for i in range(n_rows):
         host = hosts[int(rng.choice(len(hosts), p=host_p))]
         url = f"https://{host}/page-{i:06d}"
         ent_idx = rng.choice(len(ENT), size=3, p=ent_w)
-        body = _page_text(rng, ent_idx)
+        body = _page_text(rng, ent_idx, pn_space)
         lang = "en" if rng.random() < 0.9 else ("de" if rng.random() < 0.5 else "fr")
         ts = base_ts + np.timedelta64(int(rng.integers(0, 365 * 24 * 3600)), "s")
         html = (f"<html><head><title>page {i}</title>"

@@ -17,7 +17,8 @@ from ontoray.aliases import AliasData, build_alias_data, gazetteer_phrases
 from ontoray.config import PipelineConfig
 from ontoray.stages.chunking import make_chunks
 from ontoray.stages.curation import curate, graph_stats
-from ontoray.stages.extraction import dedup_triples, make_mentions, make_triples
+from ontoray.stages.extraction import (ChunkAndExtract, chunk_and_extract_batch,
+                                        dedup_triples, split_combined)
 from ontoray.stages.graph import build_edges, build_nodes
 from ontoray.stages.ingest import extract_docs
 from ontoray.stages.linking import collect_props, link_entities
@@ -66,13 +67,31 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
             ds = ds.materialize()
         return ds
 
-    docs = stage("docs", lambda: extract_docs(pages_ds).repartition(n_blocks))
-    chunks = stage("chunks", lambda: make_chunks(docs, cfg.chunk_size, cfg.chunk_overlap),
-                   reused=True)
-    mentions = stage("mentions", lambda: make_mentions(
-        chunks, gazetteer_phrases(alias), cfg.extractor_concurrency, cfg.batch_size))
-    triples = stage("triples", lambda: make_triples(
-        chunks, cfg.extractor_concurrency, cfg.batch_size), reused=True)
+    # Input parallelism: a single-file read or from_arrow input is ONE block,
+    # which would serialize every map stage — rebalance before the hot path.
+    docs = stage("docs", lambda: extract_docs(pages_ds.repartition(n_blocks)))
+
+    # Fused hot path: chunk + mention + triple extraction in ONE pass over
+    # docs — one barrier instead of three (chunks/mentions/triples remain
+    # available as standalone stages for finer-grained pipelines).  Stateless
+    # tasks by default (warm workers, elastic); cfg.extractor_actors pins an
+    # actor pool instead.
+    def build_extraction():
+        kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size)
+        if cfg.extractor_actors:
+            return docs.map_batches(
+                ChunkAndExtract,
+                fn_constructor_args=(gazetteer_phrases(alias), cfg.chunk_size, cfg.chunk_overlap),
+                concurrency=(1, cfg.extractor_concurrency), **kwargs)
+        return docs.map_batches(
+            chunk_and_extract_batch,
+            fn_kwargs=dict(gazetteer=gazetteer_phrases(alias),
+                           chunk_size=cfg.chunk_size, chunk_overlap=cfg.chunk_overlap),
+            **kwargs)
+
+    combined = stage("extraction", build_extraction, reused=True)
+    mentions, triples = split_combined(combined)
+    chunks = make_chunks(docs, cfg.chunk_size, cfg.chunk_overlap)  # lazy view
     triples_dd = stage("triples_dedup", lambda: dedup_triples(triples), reused=True)
 
     props = collect_props(triples)

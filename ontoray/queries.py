@@ -76,15 +76,11 @@ SQL_KG_MENTIONS = f"{_CLEANED_CTE} {_sql_mentions_body()}"
 
 
 def q_kg_mention_counts(sf_dir: str):
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["mention"]).aggregate([("mention", "count")])
-        return g.select(["mention", "mention_count"])
-
-    return (q_kg_mentions(sf_dir)
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("mention").aggregate(Sum("mention_count", alias_name="n_docs")))
+    from ontoray.stages.agg import hash_aggregate
+    return hash_aggregate(
+        q_kg_mentions(sf_dir).select_columns(["mention"]), ["mention"],
+        partial_aggs=[("mention", "count")],
+        aggs=[("mention_count", "sum")], rename={"mention_count_sum": "n_docs"})
 
 
 SQL_KG_MENTION_COUNTS = (f"{_CLEANED_CTE}, m AS ({_sql_mentions_body()}) "
@@ -106,10 +102,12 @@ def q_kg_triples(sf_dir: str):
                          "obj": pa.array(objs, pa.string())})
 
     ds = _clean_docs_ds(sf_dir).map_batches(extract, batch_format="pyarrow")
-    # Distinct via groupby (shuffle dedup), project keys back out.
-    from ray.data.aggregate import Count
-    return (ds.groupby(["subj", "pred", "obj"]).aggregate(Count(alias_name="__n"))
-            .select_columns(["subj", "pred", "obj"]))
+    # Distinct via bucketed hash aggregation (vectorized shuffle dedup).
+    from ontoray.stages.agg import hash_aggregate
+    return hash_aggregate(ds, ["subj", "pred", "obj"],
+                          partial_aggs=[("subj", "count")],
+                          aggs=[("subj_count", "sum")], rename={"subj_count_sum": "__n"}
+                          ).select_columns(["subj", "pred", "obj"])
 
 
 def _sql_triples_body() -> str:

@@ -74,6 +74,92 @@ class TripleExtractor:
         })
 
 
+def chunk_and_extract_batch(batch: pa.Table, gazetteer: tuple[str, ...] = (),
+                            chunk_size: int = 1000, chunk_overlap: int = 100) -> pa.Table:
+    """Fused hot-path kernel: docs (url, doc_text) -> combined mention+triple
+    rows in ONE pass (chunking inline, both extractors share the scan).
+
+    Emitting one combined table with a ``kind`` discriminator ('m'/'t')
+    instead of two stages halves the number of pipeline barriers — at cluster
+    scale the corpus streams through once.  Downstream splits are cheap
+    vectorized filters over the materialized output.
+
+    Runs as STATELESS TASKS by default (state = module-level compiled pattern
+    automata, already warm in reused worker processes; elastic scheduling, no
+    actor-spawn ramp).  ``ChunkAndExtract`` wraps the same kernel as a
+    callable class for deployments that pin an actor pool instead.
+    """
+    from ontoray.text.chunk import split_text
+    kind, urls, cids = [], [], []
+    mention = []
+    subj, pred, obj = [], [], []
+    subj_n, pred_n, obj_n = [], [], []
+    conf, extractor = [], []
+    for url, doc in zip(batch.column("url").to_pylist(),
+                        batch.column("doc_text").to_pylist()):
+        for cid, text in enumerate(split_text(doc, chunk_size, chunk_overlap)):
+            for m in extract_mentions(text, gazetteer):
+                kind.append("m"); urls.append(url); cids.append(cid)
+                mention.append(m)
+                subj.append(""); pred.append(""); obj.append("")
+                subj_n.append(""); pred_n.append(""); obj_n.append("")
+                conf.append(0.0); extractor.append("")
+            for s, p, o, tag, c in extract_triples(text):
+                kind.append("t"); urls.append(url); cids.append(cid)
+                mention.append("")
+                subj.append(s); pred.append(p); obj.append(o)
+                subj_n.append(normalize_concept_name(s))
+                pred_n.append(p.lower())
+                obj_n.append(normalize_concept_name(o))
+                conf.append(c); extractor.append(tag)
+    return pa.table({
+        "kind": pa.array(kind, pa.string()),
+        "url": pa.array(urls, pa.string()),
+        "chunk_id": pa.array(cids, pa.int32()),
+        "mention": pa.array(mention, pa.string()),
+        "subj": pa.array(subj, pa.string()),
+        "pred": pa.array(pred, pa.string()),
+        "obj": pa.array(obj, pa.string()),
+        "subj_norm": pa.array(subj_n, pa.string()),
+        "pred_norm": pa.array(pred_n, pa.string()),
+        "obj_norm": pa.array(obj_n, pa.string()),
+        "conf": pa.array(conf, pa.float32()),
+        "extractor": pa.array(extractor, pa.string()),
+    })
+
+
+class ChunkAndExtract:
+    """Actor-pool wrapper over ``chunk_and_extract_batch`` (state built once
+    per actor) for deployments that pin extraction to a dedicated pool."""
+
+    def __init__(self, gazetteer: tuple[str, ...] = (), chunk_size: int = 1000,
+                 chunk_overlap: int = 100):
+        self.gazetteer = tuple(gazetteer)
+        self.chunk_size = chunk_size
+        self.chunk_overlap = chunk_overlap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return chunk_and_extract_batch(batch, self.gazetteer,
+                                       self.chunk_size, self.chunk_overlap)
+
+
+def split_combined(combined_ds):
+    """(mentions_ds, triples_ds) views over the combined extraction table."""
+    import pyarrow.compute as pc
+
+    def mention_part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("kind"), "m"))
+        return t.select(["url", "chunk_id", "mention"])
+
+    def triple_part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("kind"), "t"))
+        return t.select(["url", "chunk_id", "subj", "pred", "obj",
+                         "subj_norm", "pred_norm", "obj_norm", "conf", "extractor"])
+
+    return (combined_ds.map_batches(mention_part, batch_format="pyarrow", zero_copy_batch=True),
+            combined_ds.map_batches(triple_part, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def make_mentions(chunks_ds, gazetteer: tuple[str, ...] = (), concurrency: int = 4,
                   batch_size: int = 1024):
     return chunks_ds.map_batches(
@@ -90,19 +176,13 @@ def make_triples(chunks_ds, concurrency: int = 4, batch_size: int = 1024):
 def dedup_triples(triples_ds):
     """Global exact triple dedup on (subj_norm, pred_norm, obj_norm) —
     reference set-dedup semantics (src/relation_extractor.py:87-88) as a
-    groupby-aggregate shuffle with count + max-confidence rollup (SURVEY A2)."""
-    from ray.data.aggregate import Max, Sum
+    two-phase bucketed hash aggregation with count + max-confidence rollup
+    (SURVEY A2; vectorized reduce — triple keys are open-vocabulary)."""
+    from ontoray.stages.agg import hash_aggregate
 
-    def partial(batch: pa.Table) -> pa.Table:
-        # Per-batch combiner: collapse duplicates before the shuffle.
-        g = batch.group_by(["subj_norm", "pred_norm", "obj_norm"]).aggregate(
-            [("conf", "max"), ("conf", "count")])
-        return g.select(["subj_norm", "pred_norm", "obj_norm", "conf_max", "conf_count"])
-
-    partials = triples_ds.select_columns(
-        ["subj_norm", "pred_norm", "obj_norm", "conf"]
-    ).map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["subj_norm", "pred_norm", "obj_norm"]).aggregate(
-        Max("conf_max", alias_name="conf"),
-        Sum("conf_count", alias_name="n_obs"),
-    )
+    keys = ["subj_norm", "pred_norm", "obj_norm"]
+    return hash_aggregate(
+        triples_ds.select_columns(keys + ["conf"]), keys,
+        partial_aggs=[("conf", "max"), ("conf", "count")],
+        aggs=[("conf_max", "max"), ("conf_count", "sum")],
+        rename={"conf_max_max": "conf", "conf_count_sum": "n_obs"})

@@ -69,19 +69,55 @@ def tasks_to_nodes(batch: pa.Table) -> pa.Table:
     }).cast(NODE_SCHEMA)
 
 
-def _node_first(g: pd.DataFrame) -> pd.DataFrame:
-    # MERGE-by-name determinism: Baseline rows win, then higher n_mentions.
-    g = g.sort_values(["source", "n_mentions", "name"],
-                      ascending=[True, False, True], kind="mergesort")
-    return g.head(1)
+# MERGE-by-name first-wins runs as a vectorized min-aggregate over an
+# order-encoded key (Baseline beats learned, then higher n_mentions) — a
+# per-group Python callback at one-group-per-name granularity is ~100x slower
+# at open-vocabulary entity counts.
+_INV = 10**12
+
+
+def _encode_node_rows(batch: pa.Table) -> pa.Table:
+    keys = []
+    for src, status, parent, n_m, conf in zip(
+            batch.column("source").to_pylist(), batch.column("status").to_pylist(),
+            batch.column("parent_class").to_pylist(), batch.column("n_mentions").to_pylist(),
+            batch.column("confidence").to_pylist()):
+        prio = "0" if src == "Baseline" else "1"
+        keys.append(f"{prio}{_INV - (n_m or 0):013d}\x1f{src}\x1f{status or ''}"
+                    f"\x1f{parent or ''}\x1f{n_m}\x1f{conf!r}")
+    return pa.table({"name": batch.column("name"), "k": pa.array(keys, pa.string())})
+
+
+def _decode_node_rows(batch: pa.Table) -> pa.Table:
+    names = batch.column("name").to_pylist()
+    cols = {c: [] for c in ("source", "status", "parent_class", "n_mentions", "confidence")}
+    for k in batch.column("k").to_pylist():
+        _prefix, src, status, parent, n_m, conf = k.split("\x1f")
+        cols["source"].append(src)
+        cols["status"].append(status)
+        cols["parent_class"].append(parent or None)
+        cols["n_mentions"].append(int(n_m))
+        cols["confidence"].append(float(conf))
+    return pa.table({
+        "name": pa.array(names, pa.string()),
+        "source": pa.array(cols["source"], pa.string()),
+        "status": pa.array(cols["status"], pa.string()),
+        "parent_class": pa.array(cols["parent_class"], pa.string()),
+        "n_mentions": pa.array(cols["n_mentions"], pa.int64()),
+        "confidence": pa.array(cols["confidence"], pa.float32()),
+    }).cast(NODE_SCHEMA)
 
 
 def build_nodes(entities_ds, alias: AliasData):
     import ray.data as rd
+    from ontoray.stages.agg import hash_aggregate
     learned = entities_ds.map_batches(tasks_to_nodes, batch_format="pyarrow")
     base = rd.from_arrow(baseline_nodes_table(alias))
-    return (learned.union(base)
-            .groupby("name").map_groups(_node_first, batch_format="pandas")
+    encoded = learned.union(base).map_batches(_encode_node_rows, batch_format="pyarrow")
+    return (hash_aggregate(encoded, ["name"],
+                           partial_aggs=[("k", "min")],
+                           aggs=[("k_min", "min")], rename={"k_min_min": "k"})
+            .map_batches(_decode_node_rows, batch_format="pyarrow")
             .sort("name"))
 
 
@@ -91,26 +127,32 @@ def resolution_table(entities_ds):
     learned node.  Keyed and deduplicated on the normalized form so triple
     endpoints (already normalized) join directly; groups pick the mapped
     target first, then the most-mentioned surface (deterministic)."""
-    def to_map(batch: pa.Table) -> pa.Table:
-        name = batch.column("name")
-        target = batch.column("target")
-        decision = batch.column("decision")
-        mapped = pc.is_in(decision, value_set=pa.array([MAP_EXACT, MAP_SIMILAR]))
-        is_mapped = pc.and_(mapped, pc.is_valid(target))
-        resolved = pc.if_else(is_mapped, target, name)
-        return pa.table({"surface": batch.column("name_norm"), "resolved": resolved,
-                         "mapped": is_mapped, "n_mentions": batch.column("n_mentions")})
+    def to_key(batch: pa.Table) -> pa.Table:
+        # Order-encoded key: mapped targets first, then higher n_mentions,
+        # then lexicographic — vectorized min-aggregate replaces a per-group
+        # callback (open-vocabulary group counts).
+        keys = []
+        for name, target, decision, n_m in zip(
+                batch.column("name").to_pylist(), batch.column("target").to_pylist(),
+                batch.column("decision").to_pylist(), batch.column("n_mentions").to_pylist()):
+            mapped = decision in (MAP_EXACT, MAP_SIMILAR) and target
+            resolved = target if mapped else name
+            prio = "0" if mapped else "1"
+            keys.append(f"{prio}{_INV - (n_m or 0):013d}\x1f{resolved}")
+        return pa.table({"surface": batch.column("name_norm"),
+                         "k": pa.array(keys, pa.string())})
 
-    def pick(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["mapped", "n_mentions", "resolved"],
-                          ascending=[False, False, True], kind="mergesort")
-        out = g.head(1)[["surface", "resolved"]]
-        # Emit Arrow so downstream sorts/joins never see mixed block types.
-        return pa.table({"surface": pa.array(out["surface"].tolist(), pa.string()),
-                         "resolved": pa.array(out["resolved"].tolist(), pa.string())})
+    def decode(batch: pa.Table) -> pa.Table:
+        resolved = [k.split("\x1f", 1)[1] for k in batch.column("k").to_pylist()]
+        return pa.table({"surface": batch.column("surface"),
+                         "resolved": pa.array(resolved, pa.string())})
 
-    return (entities_ds.map_batches(to_map, batch_format="pyarrow")
-            .groupby("surface").map_groups(pick, batch_format="pandas"))
+    from ontoray.stages.agg import hash_aggregate
+    return hash_aggregate(
+        entities_ds.map_batches(to_key, batch_format="pyarrow"), ["surface"],
+        partial_aggs=[("k", "min")],
+        aggs=[("k_min", "min")], rename={"k_min_min": "k"},
+    ).map_batches(decode, batch_format="pyarrow")
 
 
 def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions: int = 16,
@@ -125,7 +167,6 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
     joins (ontoray.stages.joins.hash_join) on the normalized endpoint.
     """
     import ray.data as rd
-    from ray.data.aggregate import Max, Sum
 
     res = resolution_table(entities_ds)
 
@@ -211,10 +252,23 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
 
         ntedges = nt.map_batches(finish_bc, batch_format="pyarrow")
 
-    all_edges = tedges.union(base_edges).union(ntedges)
-    deduped = (all_edges.groupby(["src", "rel", "dst"]).aggregate(
-        Max("taxonomic", alias_name="taxonomic"),
-        Max("conf", alias_name="confidence"),
-        Sum("n", alias_name="n_obs"),
-    ))
-    return deduped.sort(["src", "rel", "dst"])
+    from ontoray.stages.agg import hash_aggregate
+
+    def _bool_to_int(batch: pa.Table) -> pa.Table:
+        return batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
+                                pc.cast(batch.column("taxonomic"), pa.int8()))
+
+    all_edges = tedges.union(base_edges).union(ntedges).map_batches(
+        _bool_to_int, batch_format="pyarrow")
+    deduped = hash_aggregate(
+        all_edges, ["src", "rel", "dst"],
+        partial_aggs=[("taxonomic", "max"), ("conf", "max"), ("n", "sum")],
+        aggs=[("taxonomic_max", "max"), ("conf_max", "max"), ("n_sum", "sum")],
+        rename={"taxonomic_max_max": "taxonomic", "conf_max_max": "confidence",
+                "n_sum_sum": "n_obs"})
+
+    def _int_to_bool(batch: pa.Table) -> pa.Table:
+        return batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
+                                pc.cast(batch.column("taxonomic"), pa.bool_()))
+
+    return deduped.map_batches(_int_to_bool, batch_format="pyarrow").sort(["src", "rel", "dst"])

@@ -45,16 +45,16 @@ ENTITY_SCHEMA = pa.schema([
 
 def distinct_mentions(mentions_ds):
     """mentions (url, chunk_id, mention) -> (mention, n_mentions) via
-    partial-then-final aggregation (A1)."""
-    from ray.data.aggregate import Sum
+    two-phase bucketed hash aggregation (A1; the per-batch combiner collapses
+    the hot mention before the shuffle, so post-partial rows per key are
+    bounded by the block count — the head-entity skew defense)."""
+    from ontoray.stages.agg import hash_aggregate
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["mention"]).aggregate([("mention", "count")])
-        return g.select(["mention", "mention_count"])
-
-    partials = mentions_ds.select_columns(["mention"]).map_batches(
-        partial, batch_format="pyarrow")
-    return partials.groupby("mention").aggregate(Sum("mention_count", alias_name="n_mentions"))
+    return hash_aggregate(
+        mentions_ds.select_columns(["mention"]), ["mention"],
+        partial_aggs=[("mention", "count")],
+        aggs=[("mention_count", "sum")],
+        rename={"mention_count_sum": "n_mentions"})
 
 
 class LinkerActor:
@@ -119,14 +119,20 @@ def collect_props(triples_ds) -> dict[str, dict[str, str]]:
 
 
 def link_entities(mentions_ds, alias_data, cfg: PipelineConfig, props: dict | None = None):
-    """Full linking stage: distinct mentions -> entities Dataset."""
-    dm = distinct_mentions(mentions_ds).repartition(cfg.linker_concurrency * 2)
+    """Full linking stage: distinct mentions -> entities Dataset.
+
+    The pool pre-spawns (autoscaling from 1 never catches up on a stage whose
+    work arrives all at once after a shuffle), but leaves half the CPUs for
+    upstream operators so the stage cannot deadlock the streaming executor."""
+    dm = distinct_mentions(mentions_ds).repartition(cfg.linker_concurrency * 4)
     alias_ref = ray.put(alias_data)
     props_ref = ray.put(props or {})
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    min_actors = max(1, min(4, cfg.linker_concurrency, cpus // 4))
     return dm.map_batches(
         LinkerActor,
         fn_constructor_args=(alias_ref, cfg, props_ref),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=(1, cfg.linker_concurrency),
+        batch_size=min(512, cfg.batch_size),
+        concurrency=(min_actors, cfg.linker_concurrency),
     )

@@ -185,7 +185,7 @@ class TestResume:
         r1 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="fpA")
         e1 = sorted((r["src"], r["rel"], r["dst"]) for r in r1.edges.take_all())
 
-        # Simulate a crash after 'triples': invalidate downstream stages.
+        # Simulate a crash after 'extraction': invalidate downstream stages.
         ck = CheckpointManager(cfg.checkpoint_dir)
         for stage in ("triples_dedup", "entities", "nodes", "edges",
                       "nodes_curated", "edges_curated"):
@@ -195,7 +195,7 @@ class TestResume:
         assert e1 == e2
 
         # Manifests carry per-partition lineage.
-        m = ck.manifest("triples")
+        m = ck.manifest("extraction")
         assert m["fingerprint"] == "fpA"
         assert m["rows"] > 0 and m["n_partitions"] >= 1 and m["partitions"]
 
