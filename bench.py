@@ -29,7 +29,7 @@ import time
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    bench_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "20000"))
+    bench_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "500000"))
 
     import logging
 
@@ -50,15 +50,18 @@ def run_bench() -> dict:
     # the --scaling subprocesses), read back with real file parallelism.
     corpus_dir = f"/tmp/ontoray_bench_corpus_{bench_rows}"
     if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
-        import pyarrow.parquet as pq
-        table = make_pages_corpus(bench_rows, seed=42)
         os.makedirs(corpus_dir, exist_ok=True)
         shards = 64
-        per = (table.num_rows + shards - 1) // shards
-        for i in range(shards):
-            sl = table.slice(i * per, per)
-            if sl.num_rows:
-                pq.write_table(sl, os.path.join(corpus_dir, f"pages-{i:04d}.parquet"))
+        per = (bench_rows + shards - 1) // shards
+
+        @ray.remote
+        def _gen_shard(i: int) -> str:
+            import pyarrow.parquet as pq
+            t = make_pages_corpus(per, seed=42, shard=i)
+            pq.write_table(t, os.path.join(corpus_dir, f"pages-{i:04d}.parquet"))
+            return "ok"
+
+        ray.get([_gen_shard.remote(i) for i in range(shards)])
         with open(os.path.join(corpus_dir, "_DONE"), "w") as f:
             f.write("ok")
     pages = rd.read_parquet(corpus_dir)
@@ -88,7 +91,7 @@ def run_bench() -> dict:
         n_entities = res.entities.count()
         kg_sec = min(kg_sec, time.perf_counter() - t0)
     # Metadata counts (cheap scans over materialized stages) — untimed.
-    n_triples = sum(r["n_obs"] for r in res.triples_dedup.select_columns(["n_obs"]).take_all())
+    n_triples = int(res.triples_dedup.sum("n_obs") or 0)
     n_docs = res.docs.count()
 
     # --- per-query timings over the sf tables ---

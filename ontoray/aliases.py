@@ -100,6 +100,9 @@ class AliasData:
     tech: list[dict]                  # per-concept {frequency?, impedance?, voltage?, ...}
     surface_map: dict = field(default_factory=dict)  # alias_norm -> concept index
     parent: dict = field(default_factory=dict)       # child name -> parent name
+    # Per-concept char multisets of name_norms — a cheap true upper bound on
+    # SequenceMatcher.ratio (quick_ratio) prunes the fuzzy-match loop.
+    char_counts: list = field(default_factory=list)
 
     def exact_index(self, name_norm: str):
         idx = self.surface_map.get(name_norm)
@@ -128,9 +131,11 @@ def build_alias_data(dim: int = 64, extra_concepts: list[dict] | None = None) ->
     parent = {"Thing": None}
     for child, par in BASELINE_HIERARCHY:
         parent[child] = par
+    from collections import Counter
+    char_counts = [Counter(nn) for nn in name_norms]
     return AliasData(names=names, name_norms=name_norms, categories=categories,
                      embeddings=embeddings, tech=tech, surface_map=surface_map,
-                     parent=parent)
+                     parent=parent, char_counts=char_counts)
 
 
 def gazetteer_phrases(alias: AliasData) -> tuple[str, ...]:

@@ -61,6 +61,7 @@ class PipelineConfig:
     salt_buckets: int = 16            # salting factor for skewed groupbys
     num_blocks: int | None = None     # None = 2x cluster CPUs
     extractor_actors: bool = False    # pin extraction to an actor pool (default: tasks)
+    resolve_mode: str = "auto"        # edge endpoint resolution: broadcast | join | auto
     embed_dim: int = 64               # char-ngram hash embedding dimension
     checkpoint_dir: str | None = None # stage-checkpoint root (None = no checkpointing)
 

@@ -54,16 +54,27 @@ def find_matches(name: str, alias: AliasData, *, name_norm: str | None = None,
         matches.append((alias.names[int(i)], float(sims[int(i)]), "embedding", float(sims[int(i)])))
 
     # 2. Lexical on normalized names: exact (1.0) else SequenceMatcher >= 0.8.
+    # Two true upper bounds prune the quadratic matcher: length ratio, then
+    # the char-multiset bound (difflib quick_ratio) against precomputed alias
+    # counters.
+    from collections import Counter
+    nn_counts = Counter(nn)
+    la = len(nn)
     for i, existing_norm in enumerate(alias.name_norms):
         if nn == existing_norm:
             matches.append((alias.names[i], 1.0, "lexical_exact_normalized", 1.0))
             continue
-        # cheap upper bound: ratio() <= 2*min/(la+lb)
-        la, lb = len(nn), len(existing_norm)
-        if la and lb and (2.0 * min(la, lb)) / (la + lb) >= 0.8:
-            r = SequenceMatcher(None, nn, existing_norm).ratio()
-            if r >= 0.8:
-                matches.append((alias.names[i], r, "lexical_similar_normalized", r))
+        lb = len(existing_norm)
+        if not la or not lb or (2.0 * min(la, lb)) / (la + lb) < 0.8:
+            continue
+        if alias.char_counts:
+            ec = alias.char_counts[i]
+            common = sum(min(c, ec.get(ch, 0)) for ch, c in nn_counts.items())
+            if (2.0 * common) / (la + lb) < 0.8:
+                continue
+        r = SequenceMatcher(None, nn, existing_norm).ratio()
+        if r >= 0.8:
+            matches.append((alias.names[i], r, "lexical_similar_normalized", r))
     # Surface-alias table: known alternate spellings map exactly.
     idx = alias.surface_map.get(nn)
     if idx is not None and alias.name_norms[idx] != nn:

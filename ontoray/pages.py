@@ -179,11 +179,14 @@ def _page_text(rng: np.random.Generator, ent_idx: np.ndarray, pn_space: int) -> 
     return " ".join(parts)
 
 
-def make_pages_corpus(n_rows: int, seed: int = 42) -> pa.Table:
+def make_pages_corpus(n_rows: int, seed: int = 42, shard: int = 0) -> pa.Table:
     """Deterministic pages table: Zipf-skewed hosts (HOT_HOST ~20%), Zipf
     entity skew (ENT[0] hot), ~2% duplicate urls, 10% empty text (derive from
-    html), 10% non-en rows."""
-    rng = np.random.default_rng(seed)
+    html), 10% non-en rows.
+
+    ``shard`` namespaces urls and the RNG stream so large corpora can be
+    generated as independent deterministic shards in parallel."""
+    rng = np.random.default_rng([seed, shard])
     hosts = [HOT_HOST] + [f"host{i:02d}.example.net" for i in range(49)]
     host_p = np.array([0.20] + [0.80 / 49] * 49)
     # Zipf-ish entity exposure: ENT[0] appears in ~15% of docs' candidate pool.
@@ -195,7 +198,7 @@ def make_pages_corpus(n_rows: int, seed: int = 42) -> pa.Table:
     pn_space = max(16, n_rows // 3)
     for i in range(n_rows):
         host = hosts[int(rng.choice(len(hosts), p=host_p))]
-        url = f"https://{host}/page-{i:06d}"
+        url = f"https://{host}/s{shard:03d}-page-{i:06d}"
         ent_idx = rng.choice(len(ENT), size=3, p=ent_w)
         body = _page_text(rng, ent_idx, pn_space)
         lang = "en" if rng.random() < 0.9 else ("de" if rng.random() < 0.5 else "fr")

@@ -69,7 +69,15 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
 
     # Input parallelism: a single-file read or from_arrow input is ONE block,
     # which would serialize every map stage — rebalance before the hot path.
-    docs = stage("docs", lambda: extract_docs(pages_ds.repartition(n_blocks)))
+    # A many-file parquet read already supplies parallel blocks; skip the
+    # redundant all-to-all in that case.
+    try:
+        n_inputs = len(pages_ds.input_files())
+    except Exception:
+        n_inputs = 0
+    if n_inputs < max(4, n_blocks // 4):
+        pages_ds = pages_ds.repartition(n_blocks)
+    docs = stage("docs", lambda: extract_docs(pages_ds))
 
     # Fused hot path: chunk + mention + triple extraction in ONE pass over
     # docs — one barrier instead of three (chunks/mentions/triples remain
@@ -99,7 +107,18 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
                      reused=True)
 
     nodes = stage("nodes", lambda: build_nodes(entities, alias), reused=True)
-    edges = stage("edges", lambda: build_edges(entities, triples_dd, alias), reused=True)
+
+    # Endpoint resolution: broadcast the (surface -> node) map while the
+    # canonical-entity table is small; switch to the partitioned hash join
+    # once it grows past driver-broadcast comfort.
+    resolve_mode = cfg.resolve_mode
+    if resolve_mode == "auto":
+        # Broadcast is faster until the resolution dict threatens driver /
+        # worker heap (~100 bytes/entry); beyond that, partitioned hash join.
+        resolve_mode = "join" if entities.count() > 1_000_000 else "broadcast"
+    edges = stage("edges", lambda: build_edges(entities, triples_dd, alias,
+                                               num_partitions=n_blocks,
+                                               resolve_mode=resolve_mode), reused=True)
 
     stats: dict = {}
     if curate_graph:
@@ -108,6 +127,10 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         if ckpt is not None:
             nodes = ckpt.save("nodes_curated", nodes, fingerprint)
             edges = ckpt.save("edges_curated", edges, fingerprint)
+        else:
+            # graph_stats and callers scan these repeatedly.
+            nodes = nodes.materialize()
+            edges = edges.materialize()
         stats.update(removed)
     stats.update(graph_stats(nodes, edges))
 

@@ -39,26 +39,46 @@ def _reachable_names(subclass_pairs: list[tuple[str, str]], root: str,
     return reach
 
 
+def _degree_table(edges_ds, exclude: pa.Array):
+    """(name, degree) over edges not touching ``exclude`` — distributed
+    two-sided count via bucketed hash aggregation."""
+    from ontoray.stages.agg import hash_aggregate
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        bad = pc.or_(pc.is_in(batch.column("src"), value_set=exclude),
+                     pc.is_in(batch.column("dst"), value_set=exclude))
+        b = batch.filter(pc.invert(bad))
+        return pa.table({"name": pa.concat_arrays(
+            [b.column("src").combine_chunks(), b.column("dst").combine_chunks()])})
+
+    ends = edges_ds.select_columns(["src", "dst"]).map_batches(
+        endpoints, batch_format="pyarrow")
+    return hash_aggregate(ends, ["name"],
+                          partial_aggs=[("name", "count")],
+                          aggs=[("name_count", "sum")],
+                          rename={"name_count_sum": "degree"})
+
+
 def curate(nodes_ds, edges_ds, root: str = "ElectronicComponent",
            degree_threshold: int = 1, max_depth: int = 12):
-    """Returns (nodes_ds, edges_ds, removed_counts) after C1 + C2."""
-    # Subclass pairs and degrees come from the already-deduplicated edge
-    # table — small (entity-scale, not corpus-scale).
-    edge_rows = edges_ds.select_columns(["src", "rel", "dst"]).take_all()
-    sub_pairs = [(r["src"], r["dst"]) for r in edge_rows if r["rel"] == "SUBCLASS_OF"]
+    """Returns (nodes_ds, edges_ds, removed_counts) after C1 + C2.
+
+    The reachability fixpoint collects only the SUBCLASS_OF pairs and the
+    learned-node names (ontology-scale); degrees are computed distributed
+    (two-sided bucketed count) rather than by shipping the edge table to the
+    driver."""
+    from ontoray.util import column_lists
+    sp = column_lists(edges_ds.filter(expr="rel == 'SUBCLASS_OF'"), ["src", "dst"])
+    sub_pairs = list(zip(sp["src"], sp["dst"]))
     reach = _reachable_names(sub_pairs, root, max_depth)
 
-    node_rows = nodes_ds.select_columns(["name", "source"]).take_all()
-    learned = {r["name"] for r in node_rows if r["source"] == "learned_from_dataset"}
+    learned = set(column_lists(
+        nodes_ds.filter(expr="source == 'learned_from_dataset'"), ["name"])["name"])
     orphans = learned - reach
 
-    # C2: degree over the surviving graph.
-    degree: dict[str, int] = {}
-    for r in edge_rows:
-        if r["src"] in orphans or r["dst"] in orphans:
-            continue
-        degree[r["src"]] = degree.get(r["src"], 0) + 1
-        degree[r["dst"]] = degree.get(r["dst"], 0) + 1
+    orphan_arr = pa.array(sorted(orphans)) if orphans else pa.array([], pa.string())
+    dg = column_lists(_degree_table(edges_ds, orphan_arr), ["name", "degree"])
+    degree = dict(zip(dg["name"], dg["degree"]))
     low_degree = {n for n in (learned - orphans) if degree.get(n, 0) <= degree_threshold}
 
     removed = orphans | low_degree
@@ -84,21 +104,38 @@ def graph_stats(nodes_ds, edges_ds, root: str = "Thing", max_depth: int = 12) ->
     """Structural stats (reference schema_org_graph_builder.py:126-141 and
     evaluation/final_ontology_analyzer.py:32-127): counts, density, degree
     stats, relation-type histogram, max SUBCLASS_OF depth to the root."""
+    from ontoray.util import column_lists
+
     n_nodes = nodes_ds.count()
-    edge_rows = edges_ds.select_columns(["src", "rel", "dst"]).take_all()
-    n_edges = len(edge_rows)
+    n_edges = edges_ds.count()
     density = n_edges / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 0.0
 
-    rel_hist: dict[str, int] = {}
-    degree: dict[str, int] = {}
     parent: dict[str, str] = {}
-    for r in edge_rows:
-        rel_hist[r["rel"]] = rel_hist.get(r["rel"], 0) + 1
-        degree[r["src"]] = degree.get(r["src"], 0) + 1
-        degree[r["dst"]] = degree.get(r["dst"], 0) + 1
-        if r["rel"] == "SUBCLASS_OF":
-            parent.setdefault(r["src"], r["dst"])
-
+    if n_edges <= 5_000_000:
+        # Summary stats over a driver-sized edge table: one collection, one
+        # fold — cheaper than several distributed scans.
+        from collections import Counter
+        cl = column_lists(edges_ds, ["src", "rel", "dst"])
+        rel_hist = dict(Counter(cl["rel"]))
+        degree_c: Counter = Counter(cl["src"])
+        degree_c.update(cl["dst"])
+        n_connected = len(degree_c)
+        deg_sum = sum(degree_c.values())
+        deg_max = max(degree_c.values()) if degree_c else 0
+        for s, r, d in zip(cl["src"], cl["rel"], cl["dst"]):
+            if r == "SUBCLASS_OF":
+                parent.setdefault(s, d)
+    else:
+        from ray.data.aggregate import Count
+        rel_hist = {r["rel"]: r["n"] for r in
+                    edges_ds.groupby("rel").aggregate(Count(alias_name="n")).take_all()}
+        deg = _degree_table(edges_ds, pa.array([], pa.string())).materialize()
+        n_connected = deg.count()
+        deg_sum = deg.sum("degree") if n_connected else 0
+        deg_max = deg.max("degree") if n_connected else 0
+        sp = column_lists(edges_ds.filter(expr="rel == 'SUBCLASS_OF'"), ["src", "dst"])
+        for s, d in zip(sp["src"], sp["dst"]):
+            parent.setdefault(s, d)
     max_d = 0
     for name in parent:
         d, cur = 0, name
@@ -107,14 +144,14 @@ def graph_stats(nodes_ds, edges_ds, root: str = "Thing", max_depth: int = 12) ->
             d += 1
         if cur == root:
             max_d = max(max_d, d)
-    degs = sorted(degree.values())
+
     return {
         "n_nodes": n_nodes,
         "n_edges": n_edges,
         "density": density,
         "rel_histogram": dict(sorted(rel_hist.items())),
         "max_subclass_depth": max_d,
-        "avg_degree": (sum(degs) / len(degs)) if degs else 0.0,
-        "max_degree": degs[-1] if degs else 0,
-        "n_orphan_nodes": n_nodes - len(degree),
+        "avg_degree": (deg_sum / n_connected) if n_connected else 0.0,
+        "max_degree": deg_max,
+        "n_orphan_nodes": n_nodes - n_connected,
     }

@@ -76,47 +76,60 @@ class TripleExtractor:
 
 def chunk_and_extract_batch(batch: pa.Table, gazetteer: tuple[str, ...] = (),
                             chunk_size: int = 1000, chunk_overlap: int = 100) -> pa.Table:
-    """Fused hot-path kernel: docs (url, doc_text) -> combined mention+triple
-    rows in ONE pass (chunking inline, both extractors share the scan).
+    """Fused hot-path kernel: docs (url, doc_text) -> PRE-AGGREGATED mention
+    and triple rows in ONE pass (chunking inline, both extractors share the
+    scan, and the per-batch combiner runs right here).
 
-    Emitting one combined table with a ``kind`` discriminator ('m'/'t')
-    instead of two stages halves the number of pipeline barriers — at cluster
-    scale the corpus streams through once.  Downstream splits are cheap
-    vectorized filters over the materialized output.
+    The in-batch aggregation is the decisive volume cut: a web corpus's
+    common-token mentions repeat in almost every document, so emitting raw
+    (url, chunk, mention) rows multiplies the corpus; emitting per-batch
+    (mention, n-of-chunks) rows compresses 30-50x before anything hits the
+    object store.  Triples likewise carry an in-batch count.  (Pipelines that
+    need provenance columns use the unfused make_mentions/make_triples
+    stages instead.)
 
     Runs as STATELESS TASKS by default (state = module-level compiled pattern
     automata, already warm in reused worker processes; elastic scheduling, no
     actor-spawn ramp).  ``ChunkAndExtract`` wraps the same kernel as a
     callable class for deployments that pin an actor pool instead.
     """
+    from collections import Counter
+
     from ontoray.text.chunk import split_text
-    kind, urls, cids = [], [], []
-    mention = []
+
+    m_counts: Counter = Counter()
+    t_counts: Counter = Counter()
+    t_conf: dict = {}
+    for doc in batch.column("doc_text").to_pylist():
+        for text in split_text(doc, chunk_size, chunk_overlap):
+            m_counts.update(extract_mentions(text, gazetteer))
+            for s, p, o, tag, c in extract_triples(text):
+                key = (s, p, o, tag)
+                t_counts[key] += 1
+                prev = t_conf.get(key)
+                if prev is None or c > prev:
+                    t_conf[key] = c
+
+    kind, mention, n = [], [], []
     subj, pred, obj = [], [], []
     subj_n, pred_n, obj_n = [], [], []
     conf, extractor = [], []
-    for url, doc in zip(batch.column("url").to_pylist(),
-                        batch.column("doc_text").to_pylist()):
-        for cid, text in enumerate(split_text(doc, chunk_size, chunk_overlap)):
-            for m in extract_mentions(text, gazetteer):
-                kind.append("m"); urls.append(url); cids.append(cid)
-                mention.append(m)
-                subj.append(""); pred.append(""); obj.append("")
-                subj_n.append(""); pred_n.append(""); obj_n.append("")
-                conf.append(0.0); extractor.append("")
-            for s, p, o, tag, c in extract_triples(text):
-                kind.append("t"); urls.append(url); cids.append(cid)
-                mention.append("")
-                subj.append(s); pred.append(p); obj.append(o)
-                subj_n.append(normalize_concept_name(s))
-                pred_n.append(p.lower())
-                obj_n.append(normalize_concept_name(o))
-                conf.append(c); extractor.append(tag)
+    for m, c in m_counts.items():
+        kind.append("m"); mention.append(m); n.append(c)
+        subj.append(""); pred.append(""); obj.append("")
+        subj_n.append(""); pred_n.append(""); obj_n.append("")
+        conf.append(0.0); extractor.append("")
+    for (s, p, o, tag), c in t_counts.items():
+        kind.append("t"); mention.append(""); n.append(c)
+        subj.append(s); pred.append(p); obj.append(o)
+        subj_n.append(normalize_concept_name(s))
+        pred_n.append(p.lower())
+        obj_n.append(normalize_concept_name(o))
+        conf.append(t_conf[(s, p, o, tag)]); extractor.append(tag)
     return pa.table({
         "kind": pa.array(kind, pa.string()),
-        "url": pa.array(urls, pa.string()),
-        "chunk_id": pa.array(cids, pa.int32()),
         "mention": pa.array(mention, pa.string()),
+        "n": pa.array(n, pa.int64()),
         "subj": pa.array(subj, pa.string()),
         "pred": pa.array(pred, pa.string()),
         "obj": pa.array(obj, pa.string()),
@@ -144,17 +157,19 @@ class ChunkAndExtract:
 
 
 def split_combined(combined_ds):
-    """(mentions_ds, triples_ds) views over the combined extraction table."""
+    """(mention_counts_ds, triple_counts_ds) views over the combined
+    pre-aggregated extraction table: (mention, n) and (subj..., conf,
+    extractor, n)."""
     import pyarrow.compute as pc
 
     def mention_part(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b.column("kind"), "m"))
-        return t.select(["url", "chunk_id", "mention"])
+        return t.select(["mention", "n"])
 
     def triple_part(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b.column("kind"), "t"))
-        return t.select(["url", "chunk_id", "subj", "pred", "obj",
-                         "subj_norm", "pred_norm", "obj_norm", "conf", "extractor"])
+        return t.select(["subj", "pred", "obj",
+                         "subj_norm", "pred_norm", "obj_norm", "conf", "extractor", "n"])
 
     return (combined_ds.map_batches(mention_part, batch_format="pyarrow", zero_copy_batch=True),
             combined_ds.map_batches(triple_part, batch_format="pyarrow", zero_copy_batch=True))
@@ -177,10 +192,19 @@ def dedup_triples(triples_ds):
     """Global exact triple dedup on (subj_norm, pred_norm, obj_norm) —
     reference set-dedup semantics (src/relation_extractor.py:87-88) as a
     two-phase bucketed hash aggregation with count + max-confidence rollup
-    (SURVEY A2; vectorized reduce — triple keys are open-vocabulary)."""
+    (SURVEY A2; vectorized reduce — triple keys are open-vocabulary).
+
+    Accepts raw triple rows (counted once each) or pre-aggregated rows
+    carrying an ``n`` count column from the fused extractor."""
     from ontoray.stages.agg import hash_aggregate
 
     keys = ["subj_norm", "pred_norm", "obj_norm"]
+    if "n" in triples_ds.schema().names:
+        return hash_aggregate(
+            triples_ds.select_columns(keys + ["conf", "n"]), keys,
+            partial_aggs=[("conf", "max"), ("n", "sum")],
+            aggs=[("conf_max", "max"), ("n_sum", "sum")],
+            rename={"conf_max_max": "conf", "n_sum_sum": "n_obs"})
     return hash_aggregate(
         triples_ds.select_columns(keys + ["conf"]), keys,
         partial_aggs=[("conf", "max"), ("conf", "count")],

@@ -233,7 +233,9 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
         ntedges = nt.map_batches(finish_nt, batch_format="pyarrow")
     else:
         import ray
-        res_map = {r["surface"]: r["resolved"] for r in res.take_all()}
+        from ontoray.util import column_lists
+        cl = column_lists(res, ["surface", "resolved"])
+        res_map = dict(zip(cl["surface"], cl["resolved"]))
         res_ref = ray.put(res_map)
 
         def finish_bc(batch: pa.Table) -> pa.Table:

@@ -44,12 +44,21 @@ ENTITY_SCHEMA = pa.schema([
 
 
 def distinct_mentions(mentions_ds):
-    """mentions (url, chunk_id, mention) -> (mention, n_mentions) via
-    two-phase bucketed hash aggregation (A1; the per-batch combiner collapses
-    the hot mention before the shuffle, so post-partial rows per key are
-    bounded by the block count — the head-entity skew defense)."""
+    """mention rows -> (mention, n_mentions) via two-phase bucketed hash
+    aggregation (A1; the per-batch combiner collapses the hot mention before
+    the shuffle, so post-partial rows per key are bounded by the block count —
+    the head-entity skew defense).
+
+    Accepts raw (…, mention) rows (counted once each) or pre-aggregated
+    (mention, n) rows from the fused extractor."""
     from ontoray.stages.agg import hash_aggregate
 
+    if "n" in mentions_ds.schema().names:
+        return hash_aggregate(
+            mentions_ds.select_columns(["mention", "n"]), ["mention"],
+            partial_aggs=[("n", "sum")],
+            aggs=[("n_sum", "sum")],
+            rename={"n_sum_sum": "n_mentions"})
     return hash_aggregate(
         mentions_ds.select_columns(["mention"]), ["mention"],
         partial_aggs=[("mention", "count")],
@@ -112,9 +121,11 @@ def collect_props(triples_ds) -> dict[str, dict[str, str]]:
                 .filter(expr="extractor == 'pattern'")
                 .groupby(["subj", "pred"])
                 .aggregate(Min("obj", alias_name="value")))
+    from ontoray.util import column_lists
+    cl = column_lists(props_ds, ["subj", "pred", "value"])
     out: dict[str, dict[str, str]] = {}
-    for row in props_ds.take_all():
-        out.setdefault(row["subj"], {})[row["pred"]] = row["value"]
+    for s, p, v in zip(cl["subj"], cl["pred"], cl["value"]):
+        out.setdefault(s, {})[p] = v
     return out
 
 
@@ -128,7 +139,7 @@ def link_entities(mentions_ds, alias_data, cfg: PipelineConfig, props: dict | No
     alias_ref = ray.put(alias_data)
     props_ref = ray.put(props or {})
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    min_actors = max(1, min(4, cfg.linker_concurrency, cpus // 4))
+    min_actors = max(1, min(cfg.linker_concurrency, cpus // 2))
     return dm.map_batches(
         LinkerActor,
         fn_constructor_args=(alias_ref, cfg, props_ref),
