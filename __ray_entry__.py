@@ -152,6 +152,80 @@ def _q_multimodal_image_features(sf_dir: str):
     return decode_images(ds.map_batches(to_payload, batch_format="pyarrow"), fake=True)
 
 
+def _q_kg_summary(sf_dir: str):
+    import pandas as pd
+    from ontoray.stages.reporting import run_summary
+    s = run_summary(_kg_result(sf_dir).entities)
+    return pd.DataFrame([s])
+
+
+def _q_review_queue(sf_dir: str):
+    from ontoray.stages.reporting import review_queue
+    return review_queue(_kg_result(sf_dir).entities)
+
+
+def _q_confidence_topk(sf_dir: str):
+    from ontoray.stages.reporting import confidence_topk
+    return confidence_topk(_kg_result(sf_dir).entities, k=25)
+
+
+def _q_mention_contexts(sf_dir: str):
+    """J6 provenance join (mention ⋈ chunk) on a bounded sample."""
+    from ontoray.stages.chunking import make_chunks
+    from ontoray.stages.extraction import make_mentions
+    from ontoray.stages.reporting import mention_contexts
+    docs = Q._clean_docs_ds(sf_dir).limit(200)
+    import pyarrow as pa
+
+    def as_doc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([str(d) for d in batch.column("doc_id").to_pylist()], pa.string()),
+            "doc_text": batch.column("doc_text"),
+        })
+
+    doc_ds = docs.map_batches(as_doc, batch_format="pyarrow").materialize()
+    chunks = make_chunks(doc_ds)
+    mentions = make_mentions(chunks, Q.GAZETTEER, concurrency=2)
+    return mention_contexts(mentions, chunks)
+
+
+def _q_jsonld_export(sf_dir: str):
+    import pandas as pd
+    from ontoray.stages.export import entities_to_jsonld, sanitize_filename
+    res = _kg_result(sf_dir)
+    rows = res.entities.take_all()
+    objs = entities_to_jsonld(rows)
+    return pd.DataFrame({
+        "name": [o["name"] for o in objs],
+        "file": [sanitize_filename(o["name"]) + ".jsonld" for o in objs],
+        "jsonld": [__import__("json").dumps(o, sort_keys=True) for o in objs],
+    })
+
+
+def _q_saturation(sf_dir: str):
+    import pandas as pd
+    from ontoray.evaluation.metrics import saturation_curve
+    from ontoray.stages.chunking import make_chunks
+    from ontoray.text.extract import extract_mentions
+    docs = Q._clean_docs_ds(sf_dir)
+    chunk_mentions = []
+    for b in make_chunks(docs.map_batches(
+            lambda t: __import__("pyarrow").table(
+                {"url": [str(x) for x in t.column("doc_id").to_pylist()],
+                 "doc_text": t.column("doc_text").to_pylist()}),
+            batch_format="pyarrow")).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for text in b.column("chunk_text").to_pylist():
+            chunk_mentions.append(extract_mentions(text, Q.GAZETTEER))
+    return pd.DataFrame(saturation_curve(chunk_mentions, batch_size=10, seed=42))
+
+
+def _q_events_session(sf_dir: str):
+    import ray.data as rd
+    from ontoray.stages.events import session_windows
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_windows(ds, gap_s=1800)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline operators (SURVEY §2.2/§2.5) — SQL-checked subset
@@ -179,6 +253,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_image_features": _q_multimodal_image_features,
+        # Reporting / evaluation / export operators
+        "kg_summary": _q_kg_summary,
+        "kg_review_queue": _q_review_queue,
+        "kg_confidence_topk": _q_confidence_topk,
+        "kg_mention_contexts": _q_mention_contexts,
+        "kg_jsonld_export": _q_jsonld_export,
+        "kg_saturation": _q_saturation,
+        # Streaming-shaped windowed aggregates over the events log
+        "events_window": Q.q_events_window,
+        "events_session": _q_events_session,
+        # Quality filtering
+        "quality_filter": Q.q_quality_filter,
         # Relational breadth (J7 join, A5 agg, A11 top-k)
         "orders_by_nation": Q.q_orders_by_nation,
         "topk_parts": Q.q_topk_parts,
@@ -198,6 +284,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": Q.SQL_LANG_COUNTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
+        "events_window": Q.SQL_EVENTS_WINDOW,
+        "quality_filter": Q.sql_quality_filter(),
         "orders_by_nation": Q.SQL_ORDERS_BY_NATION,
         "topk_parts": Q.SQL_TOPK_PARTS,
     }

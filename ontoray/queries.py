@@ -239,3 +239,47 @@ def q_topk_parts(sf_dir: str, k: int = 5):
 
 SQL_TOPK_PARTS = ("SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_retailprice FROM part "
                   "ORDER BY p_retailprice DESC, p_partkey LIMIT 5")
+
+
+# --- streaming-shaped: tumbling window over events (§2.7 guide shape) ------
+
+def q_events_window(sf_dir: str, window_s: int = 3600):
+    import ray.data as rd
+    from ontoray.stages.events import tumbling_window
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    out = tumbling_window(ds, window_s)
+
+    def round_val(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.set_column(batch.schema.get_field_index("max_value"), "max_value",
+                                pc.round(batch.column("max_value"), 6))
+    return out.map_batches(round_val, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW = (
+    "SELECT event_type, epoch_us(ts) // CAST(3600000000 AS BIGINT) AS window_id, "
+    "count(*) AS n_events, round(max(value), 6) AS max_value "
+    "FROM events GROUP BY event_type, epoch_us(ts) // CAST(3600000000 AS BIGINT)")
+
+
+# --- quality filter over doc stats ------------------------------------------
+
+def q_quality_filter(sf_dir: str, min_tokens: int = 20, max_stop: float = 0.5):
+    from ontoray.extras.textstats import doc_stats_batch
+    import ray.data as rd
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ok = pc.and_(pc.greater_equal(batch.column("n_tokens"), min_tokens),
+                     pc.less_equal(batch.column("stopword_ratio"), max_stop))
+        return batch.filter(ok).select(["doc_id", "n_tokens", "stopword_ratio"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(doc_stats_batch, batch_format="pyarrow").map_batches(
+        keep, batch_format="pyarrow")
+
+
+def sql_quality_filter(min_tokens: int = 20, max_stop: float = 0.5) -> str:
+    from ontoray.extras.textstats import sql_doc_stats
+    return (f"SELECT doc_id, n_tokens, stopword_ratio FROM ({sql_doc_stats()}) "
+            f"WHERE n_tokens >= {min_tokens} AND stopword_ratio <= {max_stop}")

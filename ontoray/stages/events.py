@@ -1,0 +1,65 @@
+"""Windowed aggregates over the ordered ``events`` log.
+
+Ray Data is a batch engine (no watermarks); stream-shaped semantics are
+expressed over the events table as an ordered, partitioned log (guide §
+streaming-shaped workloads): tumbling windows are a pure groupby on
+(key, floor(ts/size)); session windows sort each key's group by ts and split
+on gaps inside ``map_groups``.  The ordering assumption — all rows of one
+key fit one group — is the same partitioning assumption a streaming shuffle
+would make.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_US = 1_000_000
+
+
+def tumbling_window(events_ds, window_s: int = 3600, key: str = "event_type"):
+    """(key, window_id, n_events, max_value) — two-phase bucketed aggregate."""
+    from ontoray.stages.agg import hash_aggregate
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        win = pc.divide(ts_us, window_s * _US)
+        return pa.table({
+            key: batch.column(key),
+            "window_id": pc.cast(win, pa.int64()),
+            "value": batch.column("value"),
+        })
+
+    out = hash_aggregate(
+        events_ds.select_columns([key, "ts", "value"]).map_batches(
+            add_window, batch_format="pyarrow"),
+        [key, "window_id"],
+        partial_aggs=[("value", "count"), ("value", "max")],
+        aggs=[("value_count", "sum"), ("value_max", "max")],
+        rename={"value_count_sum": "n_events", "value_max_max": "max_value"})
+    return out
+
+
+def session_windows(events_ds, gap_s: int = 1800, key: str = "user_id"):
+    """Gap-based sessionization per key: (key, session_id, n_events,
+    session_start_us, session_end_us).  Each key's events are grouped, sorted
+    by ts, and split where the gap exceeds ``gap_s``."""
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].astype("int64")
+        new_session = (ts.diff() > gap_s * _US).fillna(True)
+        sid = new_session.cumsum() - 1
+        out = g.assign(__sid=sid.values, __ts=ts.values).groupby("__sid").agg(
+            n_events=("ts", "size"),
+            session_start_us=("__ts", "min"),
+            session_end_us=("__ts", "max"),
+        ).reset_index()
+        out[key] = g[key].iloc[0]
+        out = out.rename(columns={"__sid": "session_id"})
+        return pa.Table.from_pandas(
+            out[[key, "session_id", "n_events", "session_start_us", "session_end_us"]],
+            preserve_index=False)
+
+    return events_ds.select_columns([key, "ts"]).groupby(key).map_groups(
+        sessionize, batch_format="pandas")

@@ -1,0 +1,127 @@
+"""Tests for export formatters, reporting ops, and windowed event aggregates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestExport:
+    def test_schema_org_object_fallback(self):
+        from ontoray.stages.export import schema_org_object
+        o = schema_org_object("ChipAntenna")
+        assert o["@type"] == "Product" and o["name"] == "ChipAntenna"
+        assert o["additionalType"].endswith("/Antenna_(radio)")  # partial match on 'antenna'
+        assert len(o["description"]) <= 200
+
+    def test_product_ontology_unknown_concept(self):
+        from ontoray.stages.export import product_ontology_uri
+        assert product_ontology_uri("mystery part") == \
+            "http://www.productontology.org/id/mystery_part"
+
+    def test_enhance_promotes_context_and_lists(self):
+        from ontoray.stages.export import enhance_schema_object, schema_org_object
+        base = schema_org_object("Widget")
+        o = enhance_schema_object(base, {"frequency": "2.4 GHz", "weight": "5g"},
+                                  [{"relation": "hasPart", "target": "A"},
+                                   {"relation": "hasPart", "target": "B"}])
+        assert o["elec:frequency"] == "2.4 GHz"
+        assert isinstance(o["@context"], dict) and "elec" in o["@context"]
+        assert o["weight"] == "5g"          # non-elec prop stays unprefixed
+        assert o["hasPart"] == ["A", "B"]   # scalar -> list promotion
+
+    def test_sanitize_filename(self):
+        from ontoray.stages.export import sanitize_filename
+        assert sanitize_filename('a<b>:c/d\\e|f?g*h') == "a_b_c_d_e_f_g_h"
+        assert len(sanitize_filename("x" * 200)) == 80
+
+    def test_sanitize_owl_name(self):
+        from ontoray.stages.export import sanitize_owl_name
+        assert sanitize_owl_name("2.4 GHz antenna!") == "_2_4_GHz_antenna_"
+
+    def test_infer_category(self):
+        from ontoray.stages.export import infer_category
+        assert infer_category("ceramic capacitor") == "Passive Components"
+        assert infer_category("power transistor") == "Active Components"
+        assert infer_category("sma connector") == "Interconnects"
+        assert infer_category("gizmo") == "General Electronics"
+
+    def test_write_graph_outputs(self, ray_session, small_engine, tmp_path):
+        import json
+        import os
+        from ontoray.stages.export import write_graph_outputs
+        out = write_graph_outputs(small_engine, str(tmp_path / "out"))
+        for name in ("entities", "nodes", "edges", "triples_dedup"):
+            assert os.listdir(tmp_path / "out" / name)
+        with open(tmp_path / "out" / "summary.json") as f:
+            assert json.load(f)["n_nodes"] == out["n_nodes"]
+
+
+class TestReporting:
+    def test_run_summary(self, ray_session, small_engine, small_oracle):
+        from ontoray.linking import EXTEND, MAP_EXACT, MAP_SIMILAR, UNCERTAIN
+        from ontoray.stages.reporting import run_summary
+        s = run_summary(small_engine.entities)
+        dec = [e["decision"] for e in small_oracle["entities"]]
+        assert s["total_concepts_extracted"] == len(dec)
+        assert s["concepts_mapped_to_existing"] == sum(d in (MAP_EXACT, MAP_SIMILAR) for d in dec)
+        assert s["concepts_extending_ontology"] == sum(d == EXTEND for d in dec)
+        assert s["concepts_requiring_review"] == sum(d == UNCERTAIN for d in dec)
+        assert 0 <= s["automation_rate"] <= 100
+
+    def test_review_queue_limit_and_status(self, ray_session, small_engine):
+        from ontoray.stages.reporting import review_queue
+        rows = review_queue(small_engine.entities, limit=5).take_all()
+        assert len(rows) <= 5
+        assert all(r["status"] == "review" for r in rows)
+        assert [r["name"] for r in rows] == sorted(r["name"] for r in rows)
+
+    def test_confidence_topk(self, ray_session, small_engine):
+        from ontoray.stages.reporting import confidence_topk
+        rows = confidence_topk(small_engine.entities, k=10).take_all()
+        confs = [r["confidence"] for r in rows]
+        assert confs == sorted(confs, reverse=True)
+        assert len(rows) == 10
+
+    def test_mention_contexts_join(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.reporting import mention_contexts
+        mentions = rd.from_arrow(pa.table({
+            "url": ["u1", "u1", "u2"], "chunk_id": pa.array([0, 1, 0], pa.int32()),
+            "mention": ["a", "b", "c"]}))
+        chunks = rd.from_arrow(pa.table({
+            "url": ["u1", "u1", "u2"], "chunk_id": pa.array([0, 1, 0], pa.int32()),
+            "chunk_text": ["t10", "t11", "t20"]}))
+        rows = sorted((r["url"], r["chunk_id"], r["mention"], r["chunk_text"])
+                      for r in mention_contexts(mentions, chunks, 4).take_all())
+        assert rows == [("u1", 0, "a", "t10"), ("u1", 1, "b", "t11"), ("u2", 0, "c", "t20")]
+
+
+class TestEvents:
+    def test_tumbling_window_counts(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.events import tumbling_window
+        base = np.datetime64("2025-01-01T00:00:00", "us")
+        ts = [base, base + np.timedelta64(30, "m"), base + np.timedelta64(90, "m")]
+        ds = rd.from_arrow(pa.table({
+            "event_type": ["x", "x", "x"],
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]"), pa.timestamp("us")),
+            "value": [1.0, 5.0, 2.0]}))
+        rows = {r["window_id"]: r for r in tumbling_window(ds, 3600).take_all()}
+        assert len(rows) == 2
+        wins = sorted(rows)
+        assert rows[wins[0]]["n_events"] == 2 and rows[wins[0]]["max_value"] == 5.0
+        assert rows[wins[1]]["n_events"] == 1 and rows[wins[1]]["max_value"] == 2.0
+
+    def test_session_windows_gap_split(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.events import session_windows
+        base = np.datetime64("2025-01-01T00:00:00", "us")
+        ts = [base, base + np.timedelta64(10, "m"), base + np.timedelta64(120, "m"),
+              base + np.timedelta64(125, "m")]
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]"), pa.timestamp("us"))}))
+        rows = sorted(session_windows(ds, gap_s=1800).take_all(),
+                      key=lambda r: r["session_id"])
+        assert len(rows) == 2
+        assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 2
