@@ -219,6 +219,22 @@ def _q_saturation(sf_dir: str):
     return pd.DataFrame(saturation_curve(chunk_mentions, batch_size=10, seed=42))
 
 
+def _q_mention_sources(sf_dir: str):
+    """Salted collect-distinct: per-mention sample of source docs (the
+    explicitly-salted aggregation path for list-valued collectors)."""
+    import pyarrow as pa
+    from ontoray.stages.salted import collect_distinct_sample
+
+    def as_kv(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "mention": batch.column("mention"),
+            "doc": pa.array([str(d) for d in batch.column("doc_id").to_pylist()], pa.string()),
+        })
+
+    kv = Q.q_kg_mentions(sf_dir).map_batches(as_kv, batch_format="pyarrow")
+    return collect_distinct_sample(kv, "mention", "doc", per_key_cap=5, salt_buckets=16)
+
+
 def _q_events_session(sf_dir: str):
     import ray.data as rd
     from ontoray.stages.events import session_windows
@@ -260,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_contexts": _q_mention_contexts,
         "kg_jsonld_export": _q_jsonld_export,
         "kg_saturation": _q_saturation,
+        "kg_mention_sources": _q_mention_sources,
         # Streaming-shaped windowed aggregates over the events log
         "events_window": Q.q_events_window,
         "events_session": _q_events_session,

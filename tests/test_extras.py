@@ -248,3 +248,35 @@ class TestLinkerUnits:
         assert route_task(EXTEND, None, [("Antenna", 0.6, "e", 0.6)]) == ("Antenna", "new")
         assert route_task(UNCERTAIN, "Antenna", []) == ("Antenna", "review")
         assert route_task(MAP_EXACT, "Antenna", []) == (None, None)
+
+
+class TestSaltedCollect:
+    def test_distinct_sample_deterministic_and_capped(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.salted import collect_distinct_sample
+        # Hot key 'hot' with 500 distinct values; cold keys with few.
+        keys = ["hot"] * 500 + ["cold_a"] * 3 + ["cold_b"] * 1
+        vals = [f"v{i:04d}" for i in range(500)] + ["x", "y", "x"] + ["z"]
+        tbl = pa.table({"k": pa.array(keys, pa.string()),
+                        "v": pa.array(vals, pa.string())})
+        ds = rd.from_arrow(tbl).repartition(8)
+        out1 = {r["k"]: (r["vs"], r["n_distinct_capped"])
+                for r in collect_distinct_sample(ds, "k", "v", per_key_cap=10,
+                                                 salt_buckets=16).take_all()}
+        assert out1["hot"][1] == 10
+        assert out1["hot"][0] == [f"v{i:04d}" for i in range(10)]  # lexicographic min sample
+        assert sorted(out1["cold_a"][0]) == ["x", "y"]
+        assert out1["cold_b"][0] == ["z"]
+        # Partition-count invariance.
+        out2 = {r["k"]: (r["vs"], r["n_distinct_capped"])
+                for r in collect_distinct_sample(rd.from_arrow(tbl), "k", "v",
+                                                 per_key_cap=10,
+                                                 salt_buckets=16).take_all()}
+        assert {k: tuple(v[0]) for k, v in out1.items()} == \
+               {k: tuple(v[0]) for k, v in out2.items()}
+
+    def test_salt_spreads_hot_key(self):
+        # The salt assignment itself must spread a hot key's values.
+        import zlib
+        salts = {zlib.crc32(f"v{i:04d}".encode()) % 16 for i in range(500)}
+        assert len(salts) == 16
