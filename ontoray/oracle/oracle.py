@@ -24,7 +24,9 @@ from ontoray.text.normalize import normalize_concept_name
 
 
 def oracle_docs(pages: pa.Table, lang: str = "en") -> dict[str, str]:
-    """url -> cleaned doc text; first-wins per url by min warc_ts."""
+    """url -> cleaned doc text; first-wins per url by the engine's ordering
+    min (warc_ts, crc32(raw bytes), len(raw)) over the RAW row."""
+    import zlib
     cols = pages.column_names
     rows = pages.to_pylist()
     best: dict[str, tuple] = {}
@@ -32,15 +34,16 @@ def oracle_docs(pages: pa.Table, lang: str = "en") -> dict[str, str]:
         if r.get("lang") != lang:
             continue
         text = r.get("text") or ""
-        if not text and "html" in cols and r.get("html"):
-            text = html_to_text(r["html"])
+        raw = text.encode() if text else (bytes(r["html"]) if "html" in cols and r.get("html") else b"")
+        if not text and raw:
+            text = html_to_text(raw)
         doc = clean_text(text)
         ts = r.get("warc_ts")
-        key = (ts, doc)
+        key = (ts, zlib.crc32(raw), len(raw), doc)
         cur = best.get(r["url"])
         if cur is None or key < cur:
             best[r["url"]] = key
-    return {url: doc for url, (ts, doc) in best.items()}
+    return {url: key[3] for url, key in best.items()}
 
 
 def oracle_chunks(docs: dict[str, str], chunk_size=1000, chunk_overlap=100):

@@ -77,7 +77,7 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         n_inputs = 0
     if n_inputs < max(4, n_blocks // 4):
         pages_ds = pages_ds.repartition(n_blocks)
-    docs = stage("docs", lambda: extract_docs(pages_ds))
+    docs = stage("docs", lambda: extract_docs(pages_ds, dedup_strategy=cfg.url_dedup_strategy))
 
     # Fused hot path: chunk + mention + triple extraction in ONE pass over
     # docs — one barrier instead of three (chunks/mentions/triples remain
@@ -100,7 +100,9 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
     combined = stage("extraction", build_extraction, reused=True)
     mentions, triples = split_combined(combined)
     chunks = make_chunks(docs, cfg.chunk_size, cfg.chunk_overlap)  # lazy view
-    triples_dd = stage("triples_dedup", lambda: dedup_triples(triples), reused=True)
+    # Consumed once in-pipeline (edges); bench/test consumers re-execute the
+    # cheap dedup over the materialized extraction output.
+    triples_dd = stage("triples_dedup", lambda: dedup_triples(triples))
 
     props = collect_props(triples)
     entities = stage("entities", lambda: link_entities(mentions, alias, cfg, props),

@@ -4,12 +4,25 @@ Replaces the reference's file loader + ``_preprocess_text``
 (src/data_loader.py:50-92, :13-47) with vectorized Ray ``map_batches`` over
 Arrow batches: language filter (M21) → text derivation from ``html`` when the
 ``text`` column is empty → the byte-identical cleaner (M1) → early projection
-dropping the wide ``html`` binary column → per-url first-wins dedup keyed on
-``min(warc_ts)`` (the deterministic replacement for the reference's
-arrival-order MERGE semantics, SURVEY O8/A6).
+dropping the wide ``html`` binary column → per-url first-wins dedup (the
+deterministic replacement for the reference's arrival-order MERGE semantics,
+SURVEY O8/A6).
+
+First-wins dedup is SHUFFLE-FREE on the corpus: a side pass aggregates only
+(url, 24-byte order key) rows — key = (warc_ts, crc32(raw bytes), len) — and
+keeps just the urls with duplicates (dup-rate-bounded, tiny); that winner map
+is broadcast and the main text pipeline filters locally.  The corpus text
+never enters an all-to-all.  At 10^12 urls the winner map stays dup-bounded;
+if even that outgrows broadcast, the same winner table semi-joins via
+stages/joins.hash_join, or the corpus is laid out hash-partitioned by url at
+ingest making dedup partition-local.  (A true key collision — same url, same
+(ts, crc32, len), different bytes — would keep both rows; probability ~2^-32
+per duplicate pair, documented trade.)
 """
 
 from __future__ import annotations
+
+import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -40,44 +53,114 @@ def clean_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-# First-wins dedup encodes (warc_ts, doc_text) into ONE lexicographically
-# ordered string so the whole dedup is a vectorized min-aggregate — a
-# per-group Python callback at one-group-per-url granularity is ~100x slower.
-_TS_WIDTH = 20
-
-
-def _encode_key(batch: pa.Table) -> pa.Table:
+def _winner_keys(batch: pa.Table) -> pa.Table:
+    """40-char order key over the RAW row bytes: (warc_ts, crc32, len).
+    Only rows with empty ``text`` touch the wide ``html`` column."""
     ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
-    texts = batch.column("doc_text").to_pylist()
-    keys = [f"{t:0{_TS_WIDTH}d}\x1f{x}" for t, x in zip(ts, texts)]
+    texts = batch.column("text").to_pylist()
+    html_col = batch.column("html") if "html" in batch.column_names else None
+    keys = []
+    for i, (t, x) in enumerate(zip(ts, texts)):
+        if x:
+            raw = x.encode()
+        elif html_col is not None:
+            h = html_col[i].as_py()
+            raw = bytes(h) if h else b""
+        else:
+            raw = b""
+        keys.append(f"{t:020d}{zlib.crc32(raw):010d}{len(raw):010d}")
     return pa.table({"url": batch.column("url"), "k": pa.array(keys, pa.string())})
 
 
-def _decode_key(batch: pa.Table) -> pa.Table:
-    text = pc.utf8_slice_codeunits(batch.column("k"), _TS_WIDTH + 1, 2**31 - 1)
-    return pa.table({"url": batch.column("url"), "doc_text": text})
+def compute_dup_winners(pages_ds, lang: str = "en") -> dict[str, str]:
+    """{url: winning key} for urls with MORE THAN ONE row (tiny, dup-bounded).
+
+    One all-to-all over 30-byte rows instead of shuffling the corpus text."""
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.util import column_lists
+
+    keyed = (pages_ds.map_batches(filter_lang, batch_format="pyarrow",
+                                  fn_kwargs={"lang": lang}, zero_copy_batch=True)
+             .map_batches(_winner_keys, batch_format="pyarrow"))
+    agg = hash_aggregate(keyed, ["url"],
+                         partial_aggs=[("k", "min"), ("k", "count")],
+                         aggs=[("k_min", "min"), ("k_count", "sum")],
+                         rename={"k_min_min": "k", "k_count_sum": "n"})
+    dups = agg.filter(expr="n >= 2")
+    cl = column_lists(dups, ["url", "k"])
+    return dict(zip(cl["url"], cl["k"]))
 
 
-def extract_docs(pages_ds, *, lang: str = "en", dedup_urls: bool | None = None):
+def _shuffle_dedup(docs_ds):
+    """Alternative first-wins path: encode (warc_ts, crc, len, text) into one
+    lexicographically ordered key and min-aggregate — shuffles the cleaned
+    text once.  Wins when the corpus re-read for the winner pass is more
+    expensive than one text shuffle (fast local object store, cold storage)."""
+    from ontoray.stages.agg import hash_aggregate
+
+    def encode(batch: pa.Table) -> pa.Table:
+        keyed = _winner_keys(batch)
+        cleaned = clean_batch(batch)
+        ks = [f"{k}\x1f{t}" for k, t in zip(keyed.column("k").to_pylist(),
+                                            cleaned.column("doc_text").to_pylist())]
+        return pa.table({"url": batch.column("url"), "k": pa.array(ks, pa.string())})
+
+    def decode(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_slice_codeunits(batch.column("k"), 41, 2**31 - 1)
+        return pa.table({"url": batch.column("url"), "doc_text": text})
+
+    return hash_aggregate(
+        docs_ds.map_batches(encode, batch_format="pyarrow"), ["url"],
+        partial_aggs=[("k", "min")],
+        aggs=[("k_min", "min")], rename={"k_min_min": "k"},
+    ).map_batches(decode, batch_format="pyarrow")
+
+
+def extract_docs(pages_ds, *, lang: str = "en", dedup_urls: bool | None = None,
+                 dedup_strategy: str = "broadcast_winners"):
     """pages Dataset -> docs Dataset (url, doc_text).
 
-    Per-url first-wins (min warc_ts, then lexicographic text) runs as a
-    two-phase min-aggregate: per-batch pyarrow combiner, then one hash
-    groupby over the (url, key) partials — fully vectorized, skew-proof."""
-    ds = pages_ds.map_batches(filter_lang, batch_format="pyarrow",
-                              fn_kwargs={"lang": lang}, zero_copy_batch=True)
-    ds = ds.map_batches(clean_batch, batch_format="pyarrow")
+    Per-url first-wins = min (warc_ts, crc32(raw), len(raw)).  Default
+    strategy 'broadcast_winners' is shuffle-free: a side aggregate over tiny
+    key rows finds winners for DUPLICATED urls only and the broadcast winner
+    map filters locally (no corpus bytes cross the network — the multi-node
+    choice).  'shuffle' min-aggregates the cleaned text in one all-to-all
+    (single read; can win on a single node's shm object store)."""
+    import ray
+
     if dedup_urls is None:
-        schema = pages_ds.schema()
-        dedup_urls = "warc_ts" in schema.names
-    if dedup_urls:
-        from ontoray.stages.agg import hash_aggregate
-        ds = hash_aggregate(
-            ds.map_batches(_encode_key, batch_format="pyarrow"), ["url"],
-            partial_aggs=[("k", "min")],
-            aggs=[("k_min", "min")],
-            rename={"k_min_min": "k"},
-        ).map_batches(_decode_key, batch_format="pyarrow")
-    else:
-        ds = ds.select_columns(["url", "doc_text"])
-    return ds
+        dedup_urls = "warc_ts" in pages_ds.schema().names
+
+    if not dedup_urls:
+        ds = pages_ds.map_batches(filter_lang, batch_format="pyarrow",
+                                  fn_kwargs={"lang": lang}, zero_copy_batch=True)
+        return ds.map_batches(clean_batch, batch_format="pyarrow").select_columns(
+            ["url", "doc_text"])
+
+    if dedup_strategy == "shuffle":
+        ds = pages_ds.map_batches(filter_lang, batch_format="pyarrow",
+                                  fn_kwargs={"lang": lang}, zero_copy_batch=True)
+        return _shuffle_dedup(ds)
+
+    winners = compute_dup_winners(pages_ds, lang)
+    winners_ref = ray.put(winners)
+
+    def filter_clean(batch: pa.Table) -> pa.Table:
+        wmap = ray.get(winners_ref)
+        batch = filter_lang(batch, lang)
+        if wmap:
+            urls = batch.column("url").to_pylist()
+            dup_idx = [i for i, u in enumerate(urls) if u in wmap]
+            if dup_idx:
+                # Key computation only for rows of duplicated urls (~dup rate).
+                sub = batch.take(pa.array(dup_idx, pa.int64()))
+                keys = _winner_keys(sub).column("k").to_pylist()
+                keep = [True] * batch.num_rows
+                for i, k in zip(dup_idx, keys):
+                    if wmap[urls[i]] != k:
+                        keep[i] = False
+                batch = batch.filter(pa.array(keep, pa.bool_()))
+        out = clean_batch(batch)
+        return out.select(["url", "doc_text"])
+
+    return pages_ds.map_batches(filter_clean, batch_format="pyarrow")
