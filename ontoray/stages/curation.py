@@ -39,6 +39,32 @@ def _reachable_names(subclass_pairs: list[tuple[str, str]], root: str,
     return reach
 
 
+def reachable_distributed(edges_ds, root: str, max_depth: int = 12) -> set[str]:
+    """Iterative semi-join reachability (SURVEY C1 scale path): per round,
+    children of the frontier are found by a broadcast-filter over the
+    SUBCLASS_OF edges — the edge table never leaves the cluster; only each
+    round's (deduplicated) frontier does.  Equivalent to ``_reachable_names``;
+    used when the subclass pair list outgrows the driver."""
+    sub = edges_ds.filter(expr="rel == 'SUBCLASS_OF'").select_columns(
+        ["src", "dst"]).materialize()
+    reach: set[str] = {root}
+    frontier: set[str] = {root}
+    for _ in range(max_depth):
+        frontier_arr = pa.array(sorted(frontier))
+
+        def children_of(batch: pa.Table) -> pa.Table:
+            hit = batch.filter(pc.is_in(batch.column("dst"), value_set=frontier_arr))
+            return hit.select(["src"])
+
+        nxt = {r["src"] for r in sub.map_batches(
+            children_of, batch_format="pyarrow").take_all()} - reach
+        if not nxt:
+            break
+        reach |= nxt
+        frontier = nxt
+    return reach
+
+
 def _degree_table(edges_ds, exclude: pa.Array):
     """(name, degree) over edges not touching ``exclude`` — distributed
     two-sided count via bucketed hash aggregation."""
@@ -110,6 +136,7 @@ def graph_stats(nodes_ds, edges_ds, root: str = "Thing", max_depth: int = 12) ->
     n_edges = edges_ds.count()
     density = n_edges / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 0.0
 
+    node_names = set(column_lists(nodes_ds, ["name"])["name"])
     parent: dict[str, str] = {}
     if n_edges <= 5_000_000:
         # Summary stats over a driver-sized edge table: one collection, one
@@ -119,7 +146,9 @@ def graph_stats(nodes_ds, edges_ds, root: str = "Thing", max_depth: int = 12) ->
         rel_hist = dict(Counter(cl["rel"]))
         degree_c: Counter = Counter(cl["src"])
         degree_c.update(cl["dst"])
-        n_connected = len(degree_c)
+        # Degree names include literal endpoints (attribute values that never
+        # became nodes); orphan counting is over NODES only.
+        n_connected = sum(1 for n in degree_c if n in node_names)
         deg_sum = sum(degree_c.values())
         deg_max = max(degree_c.values()) if degree_c else 0
         for s, r, d in zip(cl["src"], cl["rel"], cl["dst"]):
@@ -130,9 +159,12 @@ def graph_stats(nodes_ds, edges_ds, root: str = "Thing", max_depth: int = 12) ->
         rel_hist = {r["rel"]: r["n"] for r in
                     edges_ds.groupby("rel").aggregate(Count(alias_name="n")).take_all()}
         deg = _degree_table(edges_ds, pa.array([], pa.string())).materialize()
-        n_connected = deg.count()
-        deg_sum = deg.sum("degree") if n_connected else 0
-        deg_max = deg.max("degree") if n_connected else 0
+        node_arr = pa.array(sorted(node_names))
+        n_connected = deg.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("name"), value_set=node_arr)),
+            batch_format="pyarrow").count()
+        deg_sum = deg.sum("degree") if deg.count() else 0
+        deg_max = deg.max("degree") if deg.count() else 0
         sp = column_lists(edges_ds.filter(expr="rel == 'SUBCLASS_OF'"), ["src", "dst"])
         for s, d in zip(sp["src"], sp["dst"]):
             parent.setdefault(s, d)

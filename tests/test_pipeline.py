@@ -260,3 +260,25 @@ class TestEvalHarness:
         assert curve[-1]["total_seen"] == 4
         assert sum(c["new_concepts"] for c in curve) == 4
         assert curve == saturation_curve(chunks, batch_size=2, seed=1)
+
+
+class TestResumeRobustness:
+    def test_missing_success_marker_forces_recompute(self, ray_session, small_corpus, tmp_path):
+        """A stage dir without _SUCCESS (crash mid-write) must not be trusted."""
+        import os
+        import ray.data as rd
+        from ontoray.config import PipelineConfig
+        from ontoray.pipelines.kg import run_kg_pipeline
+        from ontoray.state.checkpoint import CheckpointManager
+        sub = small_corpus.slice(0, 120)
+        cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ckp"))
+        r1 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="f1")
+        e1 = sorted((r["src"], r["rel"], r["dst"]) for r in r1.edges.take_all())
+        ck = CheckpointManager(cfg.checkpoint_dir)
+        # Simulate crash: extraction written but _SUCCESS never landed.
+        os.remove(os.path.join(cfg.checkpoint_dir, "extraction", "_SUCCESS"))
+        assert not ck.is_complete("extraction", "f1")
+        r2 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="f1")
+        e2 = sorted((r["src"], r["rel"], r["dst"]) for r in r2.edges.take_all())
+        assert e1 == e2
+        assert ck.is_complete("extraction", "f1")   # rewritten atomically

@@ -125,3 +125,36 @@ class TestEvents:
                       key=lambda r: r["session_id"])
         assert len(rows) == 2
         assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 2
+
+
+class TestConsistency:
+    def test_owl_export_and_cycles(self, ray_session, small_engine):
+        from ontoray.evaluation.consistency import (check_consistency, export_owl,
+                                                    find_subclass_cycles)
+        nodes = small_engine.nodes.take_all()
+        edges = small_engine.edges.take_all()
+        owl = export_owl(nodes, edges)
+        assert owl.startswith("<?xml")
+        assert "<owl:Class rdf:about=\"#Capacitor\">" in owl
+        assert "rdfs:subClassOf" in owl
+        assert find_subclass_cycles(edges) == []
+        out = check_consistency(nodes, edges)
+        assert out["structurally_consistent"] is True
+
+    def test_cycle_detection(self):
+        from ontoray.evaluation.consistency import find_subclass_cycles
+        edges = [{"src": "a", "rel": "SUBCLASS_OF", "dst": "b"},
+                 {"src": "b", "rel": "SUBCLASS_OF", "dst": "a"},
+                 {"src": "c", "rel": "SUBCLASS_OF", "dst": "a"}]
+        assert find_subclass_cycles(edges) == ["a", "b"]
+
+
+class TestDistributedReachability:
+    def test_matches_driver_bfs(self, ray_session, small_engine):
+        from ontoray.stages.curation import _reachable_names, reachable_distributed
+        from ontoray.util import column_lists
+        sp = column_lists(small_engine.edges.filter(expr="rel == 'SUBCLASS_OF'"),
+                          ["src", "dst"])
+        expect = _reachable_names(list(zip(sp["src"], sp["dst"])), "ElectronicComponent")
+        got = reachable_distributed(small_engine.edges, "ElectronicComponent")
+        assert got == expect

@@ -10,6 +10,11 @@ against DuckDB.  Usage:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import hashlib
 import sys
 import time
