@@ -57,7 +57,8 @@ def run_bench() -> dict:
         @ray.remote
         def _gen_shard(i: int) -> str:
             import pyarrow.parquet as pq
-            t = make_pages_corpus(per, seed=42, shard=i)
+            t = make_pages_corpus(per, seed=42, shard=i,
+                                  pn_space=max(16, bench_rows // 3))
             pq.write_table(t, os.path.join(corpus_dir, f"pages-{i:04d}.parquet"))
             return "ok"
 

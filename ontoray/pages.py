@@ -179,13 +179,16 @@ def _page_text(rng: np.random.Generator, ent_idx: np.ndarray, pn_space: int) -> 
     return " ".join(parts)
 
 
-def make_pages_corpus(n_rows: int, seed: int = 42, shard: int = 0) -> pa.Table:
+def make_pages_corpus(n_rows: int, seed: int = 42, shard: int = 0,
+                      pn_space: int | None = None) -> pa.Table:
     """Deterministic pages table: Zipf-skewed hosts (HOT_HOST ~20%), Zipf
     entity skew (ENT[0] hot), ~2% duplicate urls, 10% empty text (derive from
     html), 10% non-en rows.
 
     ``shard`` namespaces urls and the RNG stream so large corpora can be
-    generated as independent deterministic shards in parallel."""
+    generated as independent deterministic shards in parallel; when sharding,
+    pass the GLOBAL ``pn_space`` (total_rows // 3) so the open part-number
+    vocabulary scales with the whole corpus, not per shard."""
     rng = np.random.default_rng([seed, shard])
     hosts = [HOT_HOST] + [f"host{i:02d}.example.net" for i in range(49)]
     host_p = np.array([0.20] + [0.80 / 49] * 49)
@@ -195,7 +198,7 @@ def make_pages_corpus(n_rows: int, seed: int = 42, shard: int = 0) -> pa.Table:
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
     base_ts = np.datetime64("2025-01-01T00:00:00", "us")
-    pn_space = max(16, n_rows // 3)
+    pn_space = pn_space if pn_space is not None else max(16, n_rows // 3)
     for i in range(n_rows):
         host = hosts[int(rng.choice(len(hosts), p=host_p))]
         url = f"https://{host}/s{shard:03d}-page-{i:06d}"
