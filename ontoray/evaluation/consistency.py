@@ -25,15 +25,26 @@ _HEADER = """<?xml version="1.0"?>
 """
 
 
+def _parent_multimap(edge_rows: list[dict]) -> dict[str, list[str]]:
+    """src -> sorted list of SUBCLASS_OF parents (the edge table permits
+    multiple parents; a single-parent dict silently dropped axioms and could
+    miss cycles through a dropped edge — ADVICE r1)."""
+    parents: dict[str, set[str]] = {}
+    for r in edge_rows:
+        if r["rel"] == "SUBCLASS_OF":
+            parents.setdefault(r["src"], set()).add(r["dst"])
+    return {k: sorted(v) for k, v in parents.items()}
+
+
 def export_owl(node_rows: list[dict], edge_rows: list[dict]) -> str:
-    """RDF/XML OWL document for the materialized graph (deterministic order)."""
+    """RDF/XML OWL document for the materialized graph (deterministic order);
+    one rdfs:subClassOf axiom per parent edge."""
     out = [_HEADER]
-    parents = {r["src"]: r["dst"] for r in edge_rows if r["rel"] == "SUBCLASS_OF"}
+    parents = _parent_multimap(edge_rows)
     for r in sorted(node_rows, key=lambda x: x["name"]):
         name = sanitize_owl_name(r["name"])
         out.append(f'  <owl:Class rdf:about="#{name}">')
-        parent = parents.get(r["name"])
-        if parent:
+        for parent in parents.get(r["name"], ()):
             out.append(f'    <rdfs:subClassOf rdf:resource="#{sanitize_owl_name(parent)}"/>')
         if r.get("source"):
             out.append(f'    <rdfs:comment>source={r["source"]}</rdfs:comment>')
@@ -46,18 +57,33 @@ def export_owl(node_rows: list[dict], edge_rows: list[dict]) -> str:
 
 
 def find_subclass_cycles(edge_rows: list[dict], max_depth: int = 64) -> list[str]:
-    """Names on a SUBCLASS_OF cycle (a structurally inconsistent hierarchy)."""
-    parent = {r["src"]: r["dst"] for r in edge_rows if r["rel"] == "SUBCLASS_OF"}
+    """Names on a SUBCLASS_OF cycle (a structurally inconsistent hierarchy).
+
+    BFS over ALL parent edges per start node — a node is on a cycle iff it can
+    reach itself through >= 1 edge of the parent multimap."""
+    parents = _parent_multimap(edge_rows)
     bad = []
-    for start in parent:
-        cur = start
+    for start in parents:
+        seen: set[str] = set()
+        frontier = [start]
+        on_cycle = False
         for _ in range(max_depth):
-            cur = parent.get(cur)
-            if cur is None:
+            nxt = []
+            for cur in frontier:
+                for p in parents.get(cur, ()):
+                    if p == start:
+                        on_cycle = True
+                        break
+                    if p not in seen:
+                        seen.add(p)
+                        nxt.append(p)
+                if on_cycle:
+                    break
+            if on_cycle or not nxt:
                 break
-            if cur == start:      # walked back to the start: start is ON a cycle
-                bad.append(start)
-                break
+            frontier = nxt
+        if on_cycle:
+            bad.append(start)
     return sorted(bad)
 
 

@@ -47,6 +47,7 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
 # --- MinHash + LSH ----------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_M61 = np.uint64(_MERSENNE)
 
 
 def _minhash_params(num_hashes: int, seed: int = 7):
@@ -54,6 +55,28 @@ def _minhash_params(num_hashes: int, seed: int = 7):
     a = rng.integers(1, _MERSENNE - 1, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE - 1, size=num_hashes, dtype=np.int64)
     return a, b
+
+
+def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact (a[:,None] * x[None,:]) mod 2^61-1 for a < 2^61-1, x < 2^32.
+
+    The naive int64/uint64 product wraps mod 2^64 (a*x is up to 2^93), which
+    silently breaks the universal-hash family (ADVICE r1).  Split a into
+    32-bit halves and use the Mersenne fold 2^61 ≡ 1 (mod p), all in uint64:
+      a*x = a_hi*x*2^32 + a_lo*x, with a_hi*x < p and a_lo*x < 2^64."""
+    a = a.astype(np.uint64)
+    x = x.astype(np.uint64)
+    a_hi = a >> np.uint64(32)                 # < 2^29
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    m = a_hi[:, None] * x[None, :]            # < 2^61 - 1 = p
+    # m * 2^32 mod p: m = m_hi*2^29 + m_lo  =>  m*2^32 ≡ m_hi + m_lo*2^32.
+    m = (m >> np.uint64(29)) + ((m & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    m = np.where(m >= _M61, m - _M61, m)
+    lo = a_lo[:, None] * x[None, :]           # < 2^64, exact in uint64
+    lo = (lo >> np.uint64(61)) + (lo & _M61)  # fold once, < p + 8
+    r = m + lo                                # < 2^62
+    r = (r >> np.uint64(61)) + (r & _M61)
+    return np.where(r >= _M61, r - _M61, r)
 
 
 def _shingles(text: str, k: int = 3) -> np.ndarray:
@@ -67,9 +90,10 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
     sh = _shingles(text, k)
-    # (num_hashes, n_shingles) permutation hashes — vectorized.
-    vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    # (num_hashes, n_shingles) permutation hashes — vectorized, exact mod-p.
+    vals = _mulmod61(a, sh) + b.astype(np.uint64)[:, None]   # < 2p, fits uint64
+    vals = np.where(vals >= _M61, vals - _M61, vals)
+    return vals.min(axis=1).astype(np.int64)
 
 
 class MinHashBands:

@@ -47,6 +47,17 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
     cfg = cfg or PipelineConfig()
     alias = alias or build_alias_data(cfg.embed_dim)
     ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    if ckpt is not None and not fingerprint:
+        # Derive a default fingerprint from the input file listing so two
+        # default runs over different corpora sharing a checkpoint_dir can
+        # never resume each other's stale outputs; with no file lineage the
+        # fingerprint stays empty and is_complete refuses to resume.
+        import hashlib
+        try:
+            files = sorted(pages_ds.input_files())
+            fingerprint = "files:" + hashlib.sha1("\n".join(files).encode()).hexdigest()
+        except Exception:
+            fingerprint = ""
     # Blocks to restore downstream parallelism after block-collapsing shuffles
     # (a groupby emits as many blocks as its input had; a single-file read or
     # from_arrow input starts at 1).

@@ -29,15 +29,19 @@ def tumbling_window(events_ds, window_s: int = 3600, key: str = "event_type"):
             key: batch.column(key),
             "window_id": pc.cast(win, pa.int64()),
             "value": batch.column("value"),
+            # count(*) semantics: pyarrow 'count' skips nulls, so counting
+            # 'value' would diverge from the SQL mirror's count(*) on null
+            # values (ADVICE r1) — sum a constant instead.
+            "one": pa.array([1] * batch.num_rows, pa.int64()),
         })
 
     out = hash_aggregate(
         events_ds.select_columns([key, "ts", "value"]).map_batches(
             add_window, batch_format="pyarrow"),
         [key, "window_id"],
-        partial_aggs=[("value", "count"), ("value", "max")],
-        aggs=[("value_count", "sum"), ("value_max", "max")],
-        rename={"value_count_sum": "n_events", "value_max_max": "max_value"})
+        partial_aggs=[("one", "sum"), ("value", "max")],
+        aggs=[("one_sum", "sum"), ("value_max", "max")],
+        rename={"one_sum_sum": "n_events", "value_max_max": "max_value"})
     return out
 
 

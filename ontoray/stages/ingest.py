@@ -15,9 +15,9 @@ is broadcast and the main text pipeline filters locally.  The corpus text
 never enters an all-to-all.  At 10^12 urls the winner map stays dup-bounded;
 if even that outgrows broadcast, the same winner table semi-joins via
 stages/joins.hash_join, or the corpus is laid out hash-partitioned by url at
-ingest making dedup partition-local.  (A true key collision — same url, same
-(ts, crc32, len), different bytes — would keep both rows; probability ~2^-32
-per duplicate pair, documented trade.)
+ingest making dedup partition-local.  Rows that TIE on the winning key
+(byte-identical duplicate records, or a ~2^-32 crc collision) are routed
+through a tiny keyed min-aggregate so exactly one row survives per url.
 """
 
 from __future__ import annotations
@@ -72,23 +72,47 @@ def _winner_keys(batch: pa.Table) -> pa.Table:
     return pa.table({"url": batch.column("url"), "k": pa.array(keys, pa.string())})
 
 
-def compute_dup_winners(pages_ds, lang: str = "en") -> dict[str, str]:
-    """{url: winning key} for urls with MORE THAN ONE row (tiny, dup-bounded).
+def compute_dup_winners(pages_ds, lang: str = "en") -> tuple[dict[str, str], dict[str, str]]:
+    """(winners, ties) for urls with MORE THAN ONE row (tiny, dup-bounded).
 
-    One all-to-all over 30-byte rows instead of shuffling the corpus text."""
+    ``winners`` maps url -> winning 40-char key; ``ties`` is the subset whose
+    winning key is shared by >= 2 rows (byte-identical duplicate records, e.g.
+    the same crawl record stored twice) — those urls cannot be deduplicated by
+    a batch-local key filter and are routed through a keyed min-aggregate
+    instead.  Aggregates only (url, key) rows — no corpus text all-to-all."""
     from ontoray.stages.agg import hash_aggregate
     from ontoray.util import column_lists
 
     keyed = (pages_ds.map_batches(filter_lang, batch_format="pyarrow",
                                   fn_kwargs={"lang": lang}, zero_copy_batch=True)
              .map_batches(_winner_keys, batch_format="pyarrow"))
-    agg = hash_aggregate(keyed, ["url"],
-                         partial_aggs=[("k", "min"), ("k", "count")],
-                         aggs=[("k_min", "min"), ("k_count", "sum")],
-                         rename={"k_min_min": "k", "k_count_sum": "n"})
+    # Per (url, key) multiplicity first so the per-url reduce can carry the
+    # winner key's own count (the tie detector) alongside the url total.
+    per_key = hash_aggregate(keyed, ["url", "k"],
+                             partial_aggs=[("k", "count")],
+                             aggs=[("k_count", "sum")], rename={"k_count_sum": "nk"})
+
+    def enc(batch: pa.Table) -> pa.Table:
+        v = [f"{k}{n:010d}" for k, n in zip(batch.column("k").to_pylist(),
+                                            batch.column("nk").to_pylist())]
+        return pa.table({"url": batch.column("url"),
+                         "v": pa.array(v, pa.string()),
+                         "nk": batch.column("nk")})
+
+    agg = hash_aggregate(per_key.map_batches(enc, batch_format="pyarrow"), ["url"],
+                         partial_aggs=[("v", "min"), ("nk", "sum")],
+                         aggs=[("v_min", "min"), ("nk_sum", "sum")],
+                         rename={"v_min_min": "v", "nk_sum_sum": "n"})
     dups = agg.filter(expr="n >= 2")
-    cl = column_lists(dups, ["url", "k"])
-    return dict(zip(cl["url"], cl["k"]))
+    cl = column_lists(dups, ["url", "v"])
+    winners: dict[str, str] = {}
+    ties: dict[str, str] = {}
+    for u, v in zip(cl["url"], cl["v"]):
+        k, nk = v[:40], int(v[40:])
+        winners[u] = k
+        if nk >= 2:
+            ties[u] = k
+    return winners, ties
 
 
 def _shuffle_dedup(docs_ds):
@@ -142,7 +166,7 @@ def extract_docs(pages_ds, *, lang: str = "en", dedup_urls: bool | None = None,
                                   fn_kwargs={"lang": lang}, zero_copy_batch=True)
         return _shuffle_dedup(ds)
 
-    winners = compute_dup_winners(pages_ds, lang)
+    winners, ties = compute_dup_winners(pages_ds, lang)
     winners_ref = ray.put(winners)
 
     def filter_clean(batch: pa.Table) -> pa.Table:
@@ -157,10 +181,46 @@ def extract_docs(pages_ds, *, lang: str = "en", dedup_urls: bool | None = None,
                 keys = _winner_keys(sub).column("k").to_pylist()
                 keep = [True] * batch.num_rows
                 for i, k in zip(dup_idx, keys):
-                    if wmap[urls[i]] != k:
+                    # Tied urls (byte-identical duplicate records) are dropped
+                    # entirely here and re-emitted exactly once by the keyed
+                    # aggregate below — a batch-local filter cannot pick one
+                    # of several rows with the SAME winning key.
+                    if wmap[urls[i]] != k or urls[i] in ties:
                         keep[i] = False
                 batch = batch.filter(pa.array(keep, pa.bool_()))
         out = clean_batch(batch)
         return out.select(["url", "doc_text"])
 
-    return pages_ds.map_batches(filter_clean, batch_format="pyarrow")
+    main = pages_ds.map_batches(filter_clean, batch_format="pyarrow")
+    if not ties:
+        return main
+
+    # Tie path (rare: identical records stored twice): winner rows of tied
+    # urls are byte-identical, so a per-url min-aggregate over just those rows
+    # keeps exactly one.  Tie-bounded extra read, guarded to zero cost when no
+    # ties exist.
+    from ontoray.stages.agg import hash_aggregate
+    ties_ref = ray.put(ties)
+    tie_urls_arr = pa.array(sorted(ties))
+    _EMPTY_DOCS = pa.table({"url": pa.array([], pa.string()),
+                            "doc_text": pa.array([], pa.string())})
+
+    def tied_clean(batch: pa.Table) -> pa.Table:
+        b = filter_lang(batch, lang)
+        b = b.filter(pc.is_in(b.column("url"), value_set=tie_urls_arr))
+        if b.num_rows == 0:
+            return _EMPTY_DOCS
+        tmap = ray.get(ties_ref)
+        keys = _winner_keys(b).column("k").to_pylist()
+        urls = b.column("url").to_pylist()
+        mask = pa.array([tmap.get(u) == k for u, k in zip(urls, keys)], pa.bool_())
+        b = b.filter(mask)
+        if b.num_rows == 0:
+            return _EMPTY_DOCS
+        return clean_batch(b).select(["url", "doc_text"])
+
+    tie_docs = hash_aggregate(
+        pages_ds.map_batches(tied_clean, batch_format="pyarrow"), ["url"],
+        partial_aggs=[("doc_text", "min")],
+        aggs=[("doc_text_min", "min")], rename={"doc_text_min_min": "doc_text"})
+    return main.union(tie_docs)

@@ -27,10 +27,17 @@ class CheckpointManager:
         return os.path.join(self.root, stage)
 
     def is_complete(self, stage: str, fingerprint: str | None = None) -> bool:
+        """Complete = _SUCCESS present and, when a fingerprint is given, the
+        manifest matches it.  An EMPTY fingerprint never matches: two
+        default-fingerprint runs over different corpora sharing one
+        checkpoint_dir must not silently resume each other's stale outputs
+        (ADVICE r1) — callers derive a real fingerprint or forgo resume."""
         d = self._dir(stage)
         if not os.path.exists(os.path.join(d, "_SUCCESS")):
             return False
         if fingerprint is not None:
+            if not fingerprint:
+                return False
             try:
                 with open(os.path.join(d, "manifest.json")) as f:
                     return json.load(f).get("fingerprint") == fingerprint

@@ -40,6 +40,20 @@ class TestDedup:
             t_b = docs_table["text"][r["doc_b"]].as_py()
             assert abs(r["jaccard"] - round(jaccard(t_a, t_b), 6)) < 1e-9
 
+    def test_mulmod61_exact_vs_python_ints(self):
+        """uint64 Mersenne-fold arithmetic == arbitrary-precision (a*x) mod p
+        (the naive product silently wrapped mod 2^64 — ADVICE r1)."""
+        from ontoray.extras.dedup import _MERSENNE, _mulmod61
+        rng = np.random.default_rng(0)
+        a = rng.integers(1, _MERSENNE - 1, size=16, dtype=np.int64)
+        x = rng.integers(0, 1 << 32, size=23, dtype=np.int64)
+        # Include boundary values on both sides.
+        a[0], x[0] = _MERSENNE - 1, (1 << 32) - 1
+        got = _mulmod61(a, x)
+        want = np.array([[(int(ai) * int(xi)) % _MERSENNE for xi in x] for ai in a],
+                        dtype=np.uint64)
+        assert (got == want).all()
+
     def test_minhash_signature_approximates_jaccard(self):
         from ontoray.extras.dedup import _minhash_params, jaccard, minhash_signature
         a, b = _minhash_params(256)

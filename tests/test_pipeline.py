@@ -41,6 +41,33 @@ class TestByteIdentity:
         eng_urls = [r["url"] for r in small_engine.docs.take_all()]
         assert len(eng_urls) == len(set(eng_urls))
 
+    @pytest.mark.parametrize("strategy", ["broadcast_winners", "shuffle"])
+    def test_url_dedup_exact_duplicate_records(self, ray_session, strategy):
+        """Byte-identical records (same url, same warc_ts, same bytes) tie on
+        the order key; exactly ONE row must survive (ADVICE r1)."""
+        import numpy as np
+        import ray.data as rd
+        from ontoray.stages.ingest import extract_docs
+        from ontoray.text.clean import clean_text
+        ts = np.array(["2024-01-01T00:00:00"] * 5 + ["2024-01-02T00:00:00"],
+                      dtype="datetime64[us]")
+        pages = pa.table({
+            "url": pa.array(["http://a/x", "http://a/x", "http://a/x",
+                             "http://b/y", "http://c/z", "http://a/x"], pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array([b""] * 6, pa.binary()),
+            "text": pa.array(["Same bytes here.", "Same bytes here.", "Same bytes here.",
+                              "B doc.", "C doc.", "Later different row."], pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+        })
+        docs = extract_docs(rd.from_arrow(pages), dedup_strategy=strategy).take_all()
+        by_url: dict = {}
+        for r in docs:
+            by_url.setdefault(r["url"], []).append(r["doc_text"])
+        assert sorted(len(v) for v in by_url.values()) == [1, 1, 1], by_url
+        # First-wins: the tied earliest records beat the later distinct row.
+        assert by_url["http://a/x"] == [clean_text("Same bytes here.")]
+
 
 class TestTriples:
     def test_triples_pr(self, small_engine, small_oracle):

@@ -148,6 +148,19 @@ class TestConsistency:
                  {"src": "c", "rel": "SUBCLASS_OF", "dst": "a"}]
         assert find_subclass_cycles(edges) == ["a", "b"]
 
+    def test_cycle_through_second_parent(self):
+        """Multi-parent hierarchy: a cycle via a NON-first parent edge must be
+        found (a single-parent dict dropped it — ADVICE r1)."""
+        from ontoray.evaluation.consistency import export_owl, find_subclass_cycles
+        edges = [{"src": "a", "rel": "SUBCLASS_OF", "dst": "b"},
+                 {"src": "a", "rel": "SUBCLASS_OF", "dst": "root"},
+                 {"src": "b", "rel": "SUBCLASS_OF", "dst": "a"}]
+        assert find_subclass_cycles(edges) == ["a", "b"]
+        owl = export_owl([{"name": "a"}, {"name": "b"}, {"name": "root"}], edges)
+        # One subClassOf axiom PER parent edge.
+        assert owl.count('rdf:resource="#b"') == 1
+        assert owl.count('rdf:resource="#root"') == 1
+
 
 class TestDistributedReachability:
     def test_matches_driver_bfs(self, ray_session, small_engine):
