@@ -103,6 +103,12 @@ class AliasData:
     # Per-concept char multisets of name_norms — a cheap true upper bound on
     # SequenceMatcher.ratio (quick_ratio) prunes the fuzzy-match loop.
     char_counts: list = field(default_factory=list)
+    # Vectorized forms of the same pruning data: (n, 256) byte-count matrix
+    # and norm lengths — one np.minimum per MENTION instead of a Python loop
+    # over concepts (ASCII fast path; char_counts stays as the fallback).
+    char_mat: np.ndarray | None = None
+    norm_lens: np.ndarray | None = None
+    norm_index: dict = field(default_factory=dict)   # name_norm -> [indices]
 
     def exact_index(self, name_norm: str):
         idx = self.surface_map.get(name_norm)
@@ -133,9 +139,19 @@ def build_alias_data(dim: int = 64, extra_concepts: list[dict] | None = None) ->
         parent[child] = par
     from collections import Counter
     char_counts = [Counter(nn) for nn in name_norms]
+    char_mat = np.zeros((len(name_norms), 256), dtype=np.int32)
+    for i, nn in enumerate(name_norms):
+        if nn.isascii():
+            char_mat[i] = np.bincount(np.frombuffer(nn.encode(), np.uint8),
+                                      minlength=256)
+    norm_lens = np.array([len(nn) for nn in name_norms], dtype=np.int64)
+    norm_index: dict[str, list[int]] = {}
+    for i, nn in enumerate(name_norms):
+        norm_index.setdefault(nn, []).append(i)
     return AliasData(names=names, name_norms=name_norms, categories=categories,
                      embeddings=embeddings, tech=tech, surface_map=surface_map,
-                     parent=parent, char_counts=char_counts)
+                     parent=parent, char_counts=char_counts, char_mat=char_mat,
+                     norm_lens=norm_lens, norm_index=norm_index)
 
 
 def gazetteer_phrases(alias: AliasData) -> tuple[str, ...]:

@@ -62,6 +62,7 @@ class PipelineConfig:
     num_blocks: int | None = None     # None = 2x cluster CPUs
     extractor_actors: bool = False    # pin extraction to an actor pool (default: tasks)
     resolve_mode: str = "auto"        # edge endpoint resolution: broadcast | join | auto
+    sort_mode: str = "partitioned"    # final node/edge order: partitioned | global
     url_dedup_strategy: str = "broadcast_winners"  # or "shuffle" (see stages/ingest.py)
     embed_dim: int = 64               # char-ngram hash embedding dimension
     checkpoint_dir: str | None = None # stage-checkpoint root (None = no checkpointing)

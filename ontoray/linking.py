@@ -55,26 +55,47 @@ def find_matches(name: str, alias: AliasData, *, name_norm: str | None = None,
 
     # 2. Lexical on normalized names: exact (1.0) else SequenceMatcher >= 0.8.
     # Two true upper bounds prune the quadratic matcher: length ratio, then
-    # the char-multiset bound (difflib quick_ratio) against precomputed alias
-    # counters.
-    from collections import Counter
-    nn_counts = Counter(nn)
+    # the char-multiset bound (difflib quick_ratio).  ASCII fast path runs
+    # both bounds as ONE vectorized np.minimum over the precomputed
+    # (n_concepts, 256) byte-count matrix; only survivors hit SequenceMatcher.
     la = len(nn)
-    for i, existing_norm in enumerate(alias.name_norms):
-        if nn == existing_norm:
+    if alias.char_mat is not None and alias.norm_index is not None and nn.isascii():
+        for i in alias.norm_index.get(nn, ()):
             matches.append((alias.names[i], 1.0, "lexical_exact_normalized", 1.0))
-            continue
-        lb = len(existing_norm)
-        if not la or not lb or (2.0 * min(la, lb)) / (la + lb) < 0.8:
-            continue
-        if alias.char_counts:
-            ec = alias.char_counts[i]
-            common = sum(min(c, ec.get(ch, 0)) for ch, c in nn_counts.items())
-            if (2.0 * common) / (la + lb) < 0.8:
+        if la:
+            lb = alias.norm_lens
+            denom = la + lb
+            ok = (2.0 * np.minimum(la, lb)) / denom >= 0.8
+            if ok.any():
+                v = np.bincount(np.frombuffer(nn.encode(), np.uint8),
+                                minlength=256).astype(np.int32)
+                common = np.minimum(alias.char_mat, v).sum(axis=1)
+                ok &= (2.0 * common) / denom >= 0.8
+            for i in np.flatnonzero(ok):
+                existing_norm = alias.name_norms[int(i)]
+                if existing_norm == nn:
+                    continue
+                r = SequenceMatcher(None, nn, existing_norm).ratio()
+                if r >= 0.8:
+                    matches.append((alias.names[int(i)], r, "lexical_similar_normalized", r))
+    else:
+        from collections import Counter
+        nn_counts = Counter(nn)
+        for i, existing_norm in enumerate(alias.name_norms):
+            if nn == existing_norm:
+                matches.append((alias.names[i], 1.0, "lexical_exact_normalized", 1.0))
                 continue
-        r = SequenceMatcher(None, nn, existing_norm).ratio()
-        if r >= 0.8:
-            matches.append((alias.names[i], r, "lexical_similar_normalized", r))
+            lb = len(existing_norm)
+            if not la or not lb or (2.0 * min(la, lb)) / (la + lb) < 0.8:
+                continue
+            if alias.char_counts:
+                ec = alias.char_counts[i]
+                common = sum(min(c, ec.get(ch, 0)) for ch, c in nn_counts.items())
+                if (2.0 * common) / (la + lb) < 0.8:
+                    continue
+            r = SequenceMatcher(None, nn, existing_norm).ratio()
+            if r >= 0.8:
+                matches.append((alias.names[i], r, "lexical_similar_normalized", r))
     # Surface-alias table: known alternate spellings map exactly.
     idx = alias.surface_map.get(nn)
     if idx is not None and alias.name_norms[idx] != nn:

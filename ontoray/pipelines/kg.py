@@ -16,7 +16,7 @@ from typing import Any
 from ontoray.aliases import AliasData, build_alias_data, gazetteer_phrases
 from ontoray.config import PipelineConfig
 from ontoray.stages.chunking import make_chunks
-from ontoray.stages.curation import curate, graph_stats
+from ontoray.stages.curation import curate_and_stats, graph_stats
 from ontoray.stages.extraction import (ChunkAndExtract, chunk_and_extract_batch,
                                         dedup_triples, split_combined)
 from ontoray.stages.graph import build_edges, build_nodes
@@ -63,12 +63,16 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
     # from_arrow input starts at 1).
     n_blocks = cfg.num_blocks or max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
+    import time
+    stage_walls: dict[str, float] = {}
+
     def stage(name: str, build, reused: bool = False):
         """Checkpoint-or-build.  A completed stage (manifest fingerprint match
         + _SUCCESS) is read back instead of recomputed.  Without a checkpoint
         dir, stages consumed by MULTIPLE downstream consumers are pinned with
         ``materialize()`` so lineage is not re-executed per consumer; with a
         checkpoint dir they stream to Parquet instead (the 100-TB path)."""
+        t0 = time.perf_counter()
         if ckpt is not None and ckpt.is_complete(name, fingerprint):
             return ckpt.load(name)
         ds = build()
@@ -76,6 +80,7 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
             ds = ckpt.save(name, ds, fingerprint)
         elif reused:
             ds = ds.materialize()
+        stage_walls[name] = round(time.perf_counter() - t0, 3)
         return ds
 
     # Input parallelism: a single-file read or from_arrow input is ONE block,
@@ -111,15 +116,21 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
     combined = stage("extraction", build_extraction, reused=True)
     mentions, triples = split_combined(combined)
     chunks = make_chunks(docs, cfg.chunk_size, cfg.chunk_overlap)  # lazy view
-    # Consumed once in-pipeline (edges); bench/test consumers re-execute the
-    # cheap dedup over the materialized extraction output.
-    triples_dd = stage("triples_dedup", lambda: dedup_triples(triples))
 
+    # The entity-scale tail runs vocabulary-bounded data through several
+    # all-to-alls whose cost is coordination, not bytes — independent chains
+    # are overlapped on driver threads (each .materialize() gets its own
+    # streaming executor; Ray schedules both against the same CPU pool).
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
     props = collect_props(triples)
+    stage_walls["props"] = round(time.perf_counter() - t0, 3)
+    # The linker gets the whole machine to itself (pre-spawned actors + the
+    # distinct-mention shuffle saturate it; concurrent shuffles measured to
+    # inflate both sides' walls more than the overlap saves).
     entities = stage("entities", lambda: link_entities(mentions, alias, cfg, props),
                      reused=True)
-
-    nodes = stage("nodes", lambda: build_nodes(entities, alias), reused=True)
 
     # Endpoint resolution: broadcast the (surface -> node) map while the
     # canonical-entity table is small; switch to the partitioned hash join
@@ -129,23 +140,54 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         # Broadcast is faster until the resolution dict threatens driver /
         # worker heap (~100 bytes/entry); beyond that, partitioned hash join.
         resolve_mode = "join" if entities.count() > 1_000_000 else "broadcast"
-    edges = stage("edges", lambda: build_edges(entities, triples_dd, alias,
-                                               num_partitions=n_blocks,
-                                               resolve_mode=resolve_mode), reused=True)
+
+    # Three independent chains off the materialized entities + extraction
+    # output: nodes (shuffle-free), edges (rollup shuffle over the RAW triple
+    # rows — the associative (src, rel, dst) rollup makes pre-dedup input
+    # equivalent, so the edge chain does not wait for the triple-key dedup),
+    # and the triple-key dedup itself.
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_td = ex.submit(stage, "triples_dedup", lambda: dedup_triples(triples), True)
+        f_nodes = ex.submit(stage, "nodes",
+                            lambda: build_nodes(entities, alias, cfg.sort_mode), True)
+        f_edges = ex.submit(stage, "edges",
+                            lambda: build_edges(entities, triples, alias,
+                                                num_partitions=n_blocks,
+                                                resolve_mode=resolve_mode,
+                                                sort_mode=cfg.sort_mode), True)
+        triples_dd = f_td.result()
+        nodes = f_nodes.result()
+        edges = f_edges.result()
 
     stats: dict = {}
     if curate_graph:
-        nodes, edges, removed = curate(nodes, edges, cfg.curation_root,
-                                       cfg.degree_threshold, cfg.max_hierarchy_depth)
+        t0 = time.perf_counter()
+        nodes, edges, removed, fused_stats = curate_and_stats(
+            nodes, edges, cfg.curation_root, cfg.degree_threshold,
+            cfg.max_hierarchy_depth)
         if ckpt is not None:
             nodes = ckpt.save("nodes_curated", nodes, fingerprint)
             edges = ckpt.save("edges_curated", edges, fingerprint)
         else:
-            # graph_stats and callers scan these repeatedly.
-            nodes = nodes.materialize()
-            edges = edges.materialize()
+            # graph_stats and callers scan these repeatedly — pin both, in
+            # parallel (independent filter chains over materialized inputs).
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_n = ex.submit(nodes.materialize)
+                f_e = ex.submit(edges.materialize)
+                nodes = f_n.result()
+                edges = f_e.result()
         stats.update(removed)
-    stats.update(graph_stats(nodes, edges))
+        stage_walls["curate"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        if fused_stats is None:      # large branch: stats over the curated tables
+            fused_stats = graph_stats(nodes, edges)
+        stats.update(fused_stats)
+        stage_walls["graph_stats"] = round(time.perf_counter() - t0, 3)
+    else:
+        t0 = time.perf_counter()
+        stats.update(graph_stats(nodes, edges))
+        stage_walls["graph_stats"] = round(time.perf_counter() - t0, 3)
+    stats["stage_walls"] = stage_walls
 
     return KGResult(docs=docs, chunks=chunks, mentions=mentions, triples=triples,
                     triples_dedup=triples_dd, entities=entities, nodes=nodes,

@@ -19,9 +19,26 @@ phase, not the reduce.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def stable_hash_column(key_col) -> np.ndarray:
+    """Process-stable vectorized uint64 hash of an Arrow string column —
+    polars' fixed-seed xxhash, zero-copy from Arrow.  (The previous
+    ``pd.util.hash_pandas_object(col.to_pandas())`` materialized every key as
+    a Python str first; at ~10^6 rows per shuffle that was the dominant cost
+    of the bucketize step.)"""
+    import os
+    # One polars thread per Ray worker: the default pool sizes itself to ALL
+    # machine cores, and 32+ concurrent map tasks each spawning a full pool
+    # oversubscribes the node (must be set before the first polars import).
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+    if isinstance(key_col, pa.ChunkedArray):
+        key_col = key_col.combine_chunks()
+    s = pl.Series("k", pa.chunked_array([key_col])).fill_null("")
+    return s.hash().to_numpy()
 
 
 def _with_bucket(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
@@ -31,9 +48,9 @@ def _with_bucket(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Table
         key_col = pc.cast(batch.column(keys[0]), pa.string())
     else:
         key_col = pc.binary_join_element_wise(
-            *[pc.cast(batch.column(k), pa.string()) for k in keys], "\x1f")
-    h = pd.util.hash_pandas_object(key_col.to_pandas().astype("string").fillna(""),
-                                   index=False).to_numpy()
+            *[pc.cast(batch.column(k), pa.string()) for k in keys], "\x1f",
+            null_handling="replace", null_replacement="")
+    h = stable_hash_column(key_col)
     return batch.append_column("__bucket",
                                pa.array((h % num_buckets).astype(np.int64), pa.int64()))
 

@@ -1,21 +1,35 @@
-"""Curation operators: orphan removal + low-degree pruning.
+"""Curation operators: orphan removal + low-degree pruning + graph stats.
 
 Reference src/curation/graph_cleaner.py:25-77 — (C1) learned nodes with no
 SUBCLASS_OF* path to 'ElectronicComponent' are deleted; (C2) learned nodes
-with total degree <= 1 are deleted.
+with total degree <= 1 are deleted.  Structural stats mirror reference
+schema_org_graph_builder.py:126-141 and evaluation/final_ontology_analyzer.py:
+32-127.
 
-The reachability fixpoint runs over the *ontology class graph* (nodes ×
-subclass edges), which is orders of magnitude smaller than the corpus — the
-deduplicated subclass pairs are collected to the driver for a bounded BFS and
-the resulting keep-set is broadcast back into vectorized filters.  At a node
-count too large for the driver this becomes the iterative
-``edges.semi_join(reachable)`` loop documented in SURVEY C1.
+Two execution branches, threshold-gated on the edge count:
+
+* small (<= ``LARGE_EDGE_THRESHOLD``): ONE collect of the edge triple columns
+  and ONE collect of the node (name, source) columns drive reachability,
+  degree pruning AND the curated-graph stats in a single driver fold —
+  strictly fewer scans than separate distributed passes at this size.
+* large: iterative semi-join reachability (frontier-bounded), distributed
+  two-sided degree counts, and hash-join anti/semi filters — node names and
+  the removed set are never collected to the driver (they are
+  corpus-proportional); only ontology-scale sets (reachable frontier,
+  subclass pairs for the depth walk) cross the driver boundary.
+
+Branch equality is pytest-asserted (same fixture, forced thresholds).
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+LARGE_EDGE_THRESHOLD = 5_000_000
+
+
+# --- reachability -----------------------------------------------------------
 
 
 def _reachable_names(subclass_pairs: list[tuple[str, str]], root: str,
@@ -71,9 +85,11 @@ def _degree_table(edges_ds, exclude: pa.Array):
     from ontoray.stages.agg import hash_aggregate
 
     def endpoints(batch: pa.Table) -> pa.Table:
-        bad = pc.or_(pc.is_in(batch.column("src"), value_set=exclude),
-                     pc.is_in(batch.column("dst"), value_set=exclude))
-        b = batch.filter(pc.invert(bad))
+        b = batch
+        if len(exclude):
+            bad = pc.or_(pc.is_in(b.column("src"), value_set=exclude),
+                         pc.is_in(b.column("dst"), value_set=exclude))
+            b = b.filter(pc.invert(bad))
         return pa.table({"name": pa.concat_arrays(
             [b.column("src").combine_chunks(), b.column("dst").combine_chunks()])})
 
@@ -85,89 +101,75 @@ def _degree_table(edges_ds, exclude: pa.Array):
                           rename={"name_count_sum": "degree"})
 
 
-def curate(nodes_ds, edges_ds, root: str = "ElectronicComponent",
-           degree_threshold: int = 1, max_depth: int = 12):
-    """Returns (nodes_ds, edges_ds, removed_counts) after C1 + C2.
+# --- driver folds (shared by the small branch and graph_stats) --------------
+# All set algebra stays in Arrow kernels (is_in / value_counts / index_in);
+# only ontology-scale structures (subclass pairs, the depth-walk parent map)
+# are materialized into Python.
 
-    The reachability fixpoint collects only the SUBCLASS_OF pairs and the
-    learned-node names (ontology-scale); degrees are computed distributed
-    (two-sided bucketed count) rather than by shipping the edge table to the
-    driver."""
-    from ontoray.util import column_lists
-    sp = column_lists(edges_ds.filter(expr="rel == 'SUBCLASS_OF'"), ["src", "dst"])
-    sub_pairs = list(zip(sp["src"], sp["dst"]))
+_EMPTY_STR = pa.array([], pa.string())
+
+
+def _fold_curation(edges_t: pa.Table, learned_arr: pa.Array, root: str,
+                   degree_threshold: int, max_depth: int) -> tuple[pa.Array, pa.Array]:
+    """(orphans, low_degree) as Arrow string arrays, from the collected edge
+    table and the learned-node-name array."""
+    sub = edges_t.filter(pc.equal(edges_t.column("rel"), "SUBCLASS_OF"))
+    sub_pairs = list(zip(sub.column("src").to_pylist(), sub.column("dst").to_pylist()))
     reach = _reachable_names(sub_pairs, root, max_depth)
+    reach_arr = pa.array(sorted(reach), pa.string())
+    orphans = learned_arr.filter(
+        pc.invert(pc.is_in(learned_arr, value_set=reach_arr)))
 
-    learned = set(column_lists(
-        nodes_ds.filter(expr="source == 'learned_from_dataset'"), ["name"])["name"])
-    orphans = learned - reach
-
-    orphan_arr = pa.array(sorted(orphans)) if orphans else pa.array([], pa.string())
-    dg = column_lists(_degree_table(edges_ds, orphan_arr), ["name", "degree"])
-    degree = dict(zip(dg["name"], dg["degree"]))
-    low_degree = {n for n in (learned - orphans) if degree.get(n, 0) <= degree_threshold}
-
-    removed = orphans | low_degree
-    gone = pa.array(sorted(removed)) if removed else pa.array([], pa.string())
-
-    # DETACH DELETE semantics: only rows touching a *deleted* node go; edges
-    # to literal endpoints (attribute values that never became nodes) stay.
-    def filter_nodes(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.invert(pc.is_in(batch.column("name"), value_set=gone)))
-
-    def filter_edges(batch: pa.Table) -> pa.Table:
-        bad = pc.or_(pc.is_in(batch.column("src"), value_set=gone),
-                     pc.is_in(batch.column("dst"), value_set=gone))
-        return batch.filter(pc.invert(bad))
-
-    out_nodes = nodes_ds.map_batches(filter_nodes, batch_format="pyarrow")
-    out_edges = edges_ds.map_batches(filter_edges, batch_format="pyarrow")
-    return out_nodes, out_edges, {"orphans_removed": len(orphans),
-                                  "low_degree_removed": len(low_degree)}
+    src, dst = edges_t.column("src"), edges_t.column("dst")
+    bad = pc.or_(pc.is_in(src, value_set=orphans), pc.is_in(dst, value_set=orphans))
+    keep = pc.invert(bad)
+    endpoints = pa.concat_arrays([src.filter(keep).combine_chunks(),
+                                  dst.filter(keep).combine_chunks()])
+    vc = pc.value_counts(endpoints)
+    survivors = learned_arr.filter(pc.invert(pc.is_in(learned_arr, value_set=orphans)))
+    idx = pc.index_in(survivors, value_set=vc.field("values"))
+    deg = pc.coalesce(pc.take(vc.field("counts"), idx), pa.scalar(0, pa.int64()))
+    low = survivors.filter(pc.less_equal(deg, degree_threshold))
+    return orphans, low
 
 
-def graph_stats(nodes_ds, edges_ds, root: str = "Thing", max_depth: int = 12) -> dict:
-    """Structural stats (reference schema_org_graph_builder.py:126-141 and
-    evaluation/final_ontology_analyzer.py:32-127): counts, density, degree
-    stats, relation-type histogram, max SUBCLASS_OF depth to the root."""
-    from ontoray.util import column_lists
-
-    n_nodes = nodes_ds.count()
-    n_edges = edges_ds.count()
+def _fold_stats(edges_t: pa.Table, node_names_arr: pa.Array, root: str = "Thing",
+                max_depth: int = 12) -> dict:
+    """Structural stats from the collected (curated) edge table + node names."""
+    n_nodes = len(node_names_arr)
+    n_edges = edges_t.num_rows
     density = n_edges / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 0.0
-
-    node_names = set(column_lists(nodes_ds, ["name"])["name"])
+    rel_vc = pc.value_counts(edges_t.column("rel"))
+    rel_hist = dict(zip(rel_vc.field("values").to_pylist(),
+                        rel_vc.field("counts").to_pylist()))
+    endpoints = pa.concat_arrays([edges_t.column("src").combine_chunks(),
+                                  edges_t.column("dst").combine_chunks()])
+    vc = pc.value_counts(endpoints)
+    counts = vc.field("counts")
+    # Degree names include literal endpoints (attribute values that never
+    # became nodes); orphan counting is over NODES only.
+    n_connected = int(pc.sum(pc.cast(
+        pc.is_in(vc.field("values"), value_set=node_names_arr), pa.int64())).as_py()
+        or 0)
+    deg_sum = int(pc.sum(counts).as_py() or 0)
+    deg_max = int(pc.max(counts).as_py() or 0) if len(counts) else 0
+    sub = edges_t.filter(pc.equal(edges_t.column("rel"), "SUBCLASS_OF"))
     parent: dict[str, str] = {}
-    if n_edges <= 5_000_000:
-        # Summary stats over a driver-sized edge table: one collection, one
-        # fold — cheaper than several distributed scans.
-        from collections import Counter
-        cl = column_lists(edges_ds, ["src", "rel", "dst"])
-        rel_hist = dict(Counter(cl["rel"]))
-        degree_c: Counter = Counter(cl["src"])
-        degree_c.update(cl["dst"])
-        # Degree names include literal endpoints (attribute values that never
-        # became nodes); orphan counting is over NODES only.
-        n_connected = sum(1 for n in degree_c if n in node_names)
-        deg_sum = sum(degree_c.values())
-        deg_max = max(degree_c.values()) if degree_c else 0
-        for s, r, d in zip(cl["src"], cl["rel"], cl["dst"]):
-            if r == "SUBCLASS_OF":
-                parent.setdefault(s, d)
-    else:
-        from ray.data.aggregate import Count
-        rel_hist = {r["rel"]: r["n"] for r in
-                    edges_ds.groupby("rel").aggregate(Count(alias_name="n")).take_all()}
-        deg = _degree_table(edges_ds, pa.array([], pa.string())).materialize()
-        node_arr = pa.array(sorted(node_names))
-        n_connected = deg.map_batches(
-            lambda b: b.filter(pc.is_in(b.column("name"), value_set=node_arr)),
-            batch_format="pyarrow").count()
-        deg_sum = deg.sum("degree") if deg.count() else 0
-        deg_max = deg.max("degree") if deg.count() else 0
-        sp = column_lists(edges_ds.filter(expr="rel == 'SUBCLASS_OF'"), ["src", "dst"])
-        for s, d in zip(sp["src"], sp["dst"]):
-            parent.setdefault(s, d)
+    for s, d in zip(sub.column("src").to_pylist(), sub.column("dst").to_pylist()):
+        parent.setdefault(s, d)
+    return {
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "density": density,
+        "rel_histogram": dict(sorted(rel_hist.items())),
+        "max_subclass_depth": _depth_walk(parent, root, max_depth),
+        "avg_degree": (deg_sum / n_connected) if n_connected else 0.0,
+        "max_degree": deg_max,
+        "n_orphan_nodes": n_nodes - n_connected,
+    }
+
+
+def _depth_walk(parent: dict[str, str], root: str, max_depth: int) -> int:
     max_d = 0
     for name in parent:
         d, cur = 0, name
@@ -176,13 +178,183 @@ def graph_stats(nodes_ds, edges_ds, root: str = "Thing", max_depth: int = 12) ->
             d += 1
         if cur == root:
             max_d = max(max_d, d)
+    return max_d
 
+
+# --- fused curate + stats ---------------------------------------------------
+
+
+def curate_and_stats(nodes_ds, edges_ds, root: str = "ElectronicComponent",
+                     degree_threshold: int = 1, max_depth: int = 12,
+                     stats_root: str = "Thing",
+                     large_threshold: int = LARGE_EDGE_THRESHOLD):
+    """Returns (nodes_ds, edges_ds, removed_counts, stats_or_None).
+
+    Small branch computes the curated-graph stats from the SAME collected
+    columns that drive curation (stats != None); large branch returns
+    stats=None — the caller materializes the curated outputs and calls
+    ``graph_stats`` on them (several distributed scans)."""
+    n_edges = edges_ds.count()
+    if n_edges <= large_threshold:
+        from ontoray.util import collect_table
+        edges_t = collect_table(edges_ds, ["src", "rel", "dst"])
+        nodes_t = collect_table(nodes_ds, ["name", "source"])
+        if edges_t is None:
+            edges_t = pa.table({"src": _EMPTY_STR, "rel": _EMPTY_STR, "dst": _EMPTY_STR})
+        names = (nodes_t.column("name").combine_chunks()
+                 if nodes_t is not None else _EMPTY_STR)
+        learned_arr = (nodes_t.filter(pc.equal(nodes_t.column("source"),
+                                               "learned_from_dataset"))
+                       .column("name").combine_chunks()
+                       if nodes_t is not None else _EMPTY_STR)
+        orphans, low = _fold_curation(edges_t, learned_arr, root,
+                                      degree_threshold, max_depth)
+        gone = pa.concat_arrays([orphans, low])
+        bad = pc.or_(pc.is_in(edges_t.column("src"), value_set=gone),
+                     pc.is_in(edges_t.column("dst"), value_set=gone))
+        kept_t = edges_t.filter(pc.invert(bad))
+        names_kept = names.filter(pc.invert(pc.is_in(names, value_set=gone)))
+        stats = _fold_stats(kept_t, names_kept, stats_root, max_depth)
+        out_nodes, out_edges = _filter_removed_broadcast(nodes_ds, edges_ds, gone)
+        removed = {"orphans_removed": len(orphans), "low_degree_removed": len(low)}
+        return out_nodes, out_edges, removed, stats
+    out_nodes, out_edges, removed = curate_distributed(
+        nodes_ds, edges_ds, root, degree_threshold, max_depth)
+    return out_nodes, out_edges, removed, None
+
+
+def _filter_removed_broadcast(nodes_ds, edges_ds, removed):
+    """DETACH DELETE semantics via a broadcast removed-set: only rows touching
+    a *deleted* node go; edges to literal endpoints (attribute values that
+    never became nodes) stay.  ``removed``: set or Arrow string array."""
+    if isinstance(removed, (pa.Array, pa.ChunkedArray)):
+        gone = removed.combine_chunks() if isinstance(removed, pa.ChunkedArray) else removed
+    else:
+        gone = pa.array(sorted(removed)) if removed else pa.array([], pa.string())
+
+    def filter_nodes(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch.column("name"), value_set=gone)))
+
+    def filter_edges(batch: pa.Table) -> pa.Table:
+        bad = pc.or_(pc.is_in(batch.column("src"), value_set=gone),
+                     pc.is_in(batch.column("dst"), value_set=gone))
+        return batch.filter(pc.invert(bad))
+
+    return (nodes_ds.map_batches(filter_nodes, batch_format="pyarrow"),
+            edges_ds.map_batches(filter_edges, batch_format="pyarrow"))
+
+
+def curate_distributed(nodes_ds, edges_ds, root: str = "ElectronicComponent",
+                       degree_threshold: int = 1, max_depth: int = 12,
+                       num_partitions: int = 64):
+    """C1+C2 without collecting corpus-proportional sets: orphans, the
+    low-degree set and the removed-set filters all stay Datasets (hash-join
+    anti/semi); the driver only sees the ontology-scale reachable frontier.
+
+    Returns (nodes_ds, edges_ds, removed_counts)."""
+    from ontoray.stages.joins import hash_join
+
+    reach = reachable_distributed(edges_ds, root, max_depth)
+    reach_arr = pa.array(sorted(reach))
+
+    def not_reached(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(
+            pc.is_in(batch.column("name"), value_set=reach_arr)))
+
+    learned_ds = (nodes_ds.filter(expr="source == 'learned_from_dataset'")
+                  .select_columns(["name"]))
+    orphans_ds = learned_ds.map_batches(
+        not_reached, batch_format="pyarrow").materialize()
+
+    # Degrees over edges not touching an orphan (two anti-joins), then
+    # low-degree learned survivors via left join + coalesce-0 filter.
+    e1 = hash_join(edges_ds.select_columns(["src", "dst"]), orphans_ds,
+                   "src", "name", how="left_anti", num_partitions=num_partitions)
+    e2 = hash_join(e1, orphans_ds, "dst", "name", how="left_anti",
+                   num_partitions=num_partitions)
+    deg = _degree_table(e2, pa.array([], pa.string())).materialize()
+    survivors = hash_join(learned_ds, orphans_ds, "name", "name",
+                          how="left_anti", num_partitions=num_partitions)
+    with_deg = hash_join(survivors, deg, "name", "name", how="left",
+                         right_cols=["degree"], num_partitions=num_partitions)
+
+    def low_filter(batch: pa.Table) -> pa.Table:
+        d = pc.coalesce(batch.column("degree"), pa.scalar(0, pa.int64()))
+        return batch.filter(pc.less_equal(d, degree_threshold)).select(["name"])
+
+    low_ds = with_deg.map_batches(low_filter, batch_format="pyarrow").materialize()
+    gone_ds = orphans_ds.union(low_ds).materialize()
+
+    out_nodes = hash_join(nodes_ds, gone_ds, "name", "name", how="left_anti",
+                          num_partitions=num_partitions)
+    mid = hash_join(edges_ds, gone_ds, "src", "name", how="left_anti",
+                    num_partitions=num_partitions)
+    out_edges = hash_join(mid, gone_ds, "dst", "name", how="left_anti",
+                          num_partitions=num_partitions)
+    return out_nodes, out_edges, {"orphans_removed": orphans_ds.count(),
+                                  "low_degree_removed": low_ds.count()}
+
+
+# --- standalone operators (public API) --------------------------------------
+
+
+def curate(nodes_ds, edges_ds, root: str = "ElectronicComponent",
+           degree_threshold: int = 1, max_depth: int = 12,
+           large_threshold: int = LARGE_EDGE_THRESHOLD):
+    """Returns (nodes_ds, edges_ds, removed_counts) after C1 + C2 —
+    threshold-gated between the driver-fold and distributed branches."""
+    out_nodes, out_edges, removed, _stats = curate_and_stats(
+        nodes_ds, edges_ds, root, degree_threshold, max_depth,
+        large_threshold=large_threshold)
+    return out_nodes, out_edges, removed
+
+
+def graph_stats(nodes_ds, edges_ds, root: str = "Thing", max_depth: int = 12,
+                large_threshold: int = LARGE_EDGE_THRESHOLD,
+                num_partitions: int = 64) -> dict:
+    """Structural stats (counts, density, degree stats, relation histogram,
+    max SUBCLASS_OF depth to the root).  Small branch: one collect + fold.
+    Large branch: distributed histogram/degree/connected-count — node names
+    are NEVER collected (n_connected is a semi-join count); only the
+    ontology-scale subclass pairs reach the driver for the depth walk."""
+    n_edges = edges_ds.count()
+    if n_edges <= large_threshold:
+        from ontoray.util import collect_table
+        edges_t = collect_table(edges_ds, ["src", "rel", "dst"])
+        if edges_t is None:
+            edges_t = pa.table({"src": _EMPTY_STR, "rel": _EMPTY_STR, "dst": _EMPTY_STR})
+        nodes_t = collect_table(nodes_ds, ["name"])
+        names = (nodes_t.column("name").combine_chunks()
+                 if nodes_t is not None else _EMPTY_STR)
+        return _fold_stats(edges_t, names, root, max_depth)
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+    from ontoray.util import column_lists
+
+    n_nodes = nodes_ds.count()
+    density = n_edges / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 0.0
+    rel_hist = {r["rel"]: r["n"] for r in hash_aggregate(
+        edges_ds.select_columns(["rel"]), ["rel"],
+        partial_aggs=[("rel", "count")],
+        aggs=[("rel_count", "sum")], rename={"rel_count_sum": "n"},
+        num_buckets=8).take_all()}
+    deg = _degree_table(edges_ds, pa.array([], pa.string())).materialize()
+    n_connected = hash_join(deg.select_columns(["name"]),
+                            nodes_ds.select_columns(["name"]), "name", "name",
+                            how="left_semi", num_partitions=num_partitions).count()
+    deg_sum = deg.sum("degree") if deg.count() else 0
+    deg_max = deg.max("degree") if deg.count() else 0
+    sp = column_lists(edges_ds.filter(expr="rel == 'SUBCLASS_OF'"), ["src", "dst"])
+    parent: dict[str, str] = {}
+    for s, d in zip(sp["src"], sp["dst"]):
+        parent.setdefault(s, d)
     return {
         "n_nodes": n_nodes,
         "n_edges": n_edges,
         "density": density,
         "rel_histogram": dict(sorted(rel_hist.items())),
-        "max_subclass_depth": max_d,
+        "max_subclass_depth": _depth_walk(parent, root, max_depth),
         "avg_degree": (deg_sum / n_connected) if n_connected else 0.0,
         "max_degree": deg_max,
         "n_orphan_nodes": n_nodes - n_connected,

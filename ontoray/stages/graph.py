@@ -5,7 +5,10 @@ Replaces the reference's Neo4j MERGE sink (src/schema_org_graph_builder.py:
 deterministic priority (Baseline beats learned, then min status), edge MERGE
 ≡ groupby(src, rel, dst) rollup, and the dynamic relation-type sanitizer
 ([^a-zA-Z0-9_] → _, uppercased; src/schema_org_graph_builder.py:84) as a
-vectorized column op.  Final tables are globally sorted (A6 sort-materialize).
+vectorized column op.  Final tables are deterministically partitioned and
+sorted within partition by default (``sort_mode='partitioned'``; the 100-TB
+replacement for A6's global sort-materialize), with ``sort_mode='global'``
+retained for totally ordered output.
 
 Endpoint resolution (surface form -> node name) is a hash-partitioned
 left-outer ``Dataset.join`` on the raw surface form — scale path for a
@@ -39,6 +42,12 @@ NODE_SCHEMA = pa.schema([
 def sanitize_rel(rel: str) -> str:
     """Neo4j relation-type sanitizer, reference schema_org_graph_builder.py:84."""
     return _SANITIZE.sub("_", rel).upper()
+
+
+def _sanitize_rel_col(col) -> pa.Array:
+    """Vectorized sanitize_rel over an Arrow string column."""
+    return pc.utf8_upper(pc.replace_substring_regex(col, r"[^a-zA-Z0-9_]",
+                                                    replacement="_"))
 
 
 def baseline_nodes_table(alias: AliasData) -> pa.Table:
@@ -108,17 +117,52 @@ def _decode_node_rows(batch: pa.Table) -> pa.Table:
     }).cast(NODE_SCHEMA)
 
 
-def build_nodes(entities_ds, alias: AliasData):
-    import ray.data as rd
+def _finish_sorted(ds, keys: list[str], sort_mode: str):
+    """Final table ordering.  ``global`` = full range-partitioned sort (one
+    extra all-to-all).  ``partitioned`` (default) sorts each output block
+    in place: blocks are already deterministically partitioned by the
+    upstream bucket hash, so output is deterministic, resumable per
+    partition, and a consumer needing total order does a cheap k-way merge —
+    the 100-TB replacement for the reference's global sort-materialize
+    (VERDICT r1 #1b)."""
+    if sort_mode == "global":
+        return ds.sort(keys)
+
+    def _sort_block(t: pa.Table) -> pa.Table:
+        return t.sort_by([(k, "ascending") for k in keys])
+
+    return ds.map_batches(_sort_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def merge_nodes_by_name(nodes_union_ds):
+    """General MERGE-by-name (A6) for inputs that may carry several rows per
+    name: order-encoded min-key dedup (Baseline beats learned, then higher
+    n_mentions) with a vectorized reduce."""
     from ontoray.stages.agg import hash_aggregate
-    learned = entities_ds.map_batches(tasks_to_nodes, batch_format="pyarrow")
-    base = rd.from_arrow(baseline_nodes_table(alias))
-    encoded = learned.union(base).map_batches(_encode_node_rows, batch_format="pyarrow")
+    encoded = nodes_union_ds.map_batches(_encode_node_rows, batch_format="pyarrow")
     return (hash_aggregate(encoded, ["name"],
                            partial_aggs=[("k", "min")],
                            aggs=[("k_min", "min")], rename={"k_min_min": "k"})
-            .map_batches(_decode_node_rows, batch_format="pyarrow")
-            .sort("name"))
+            .map_batches(_decode_node_rows, batch_format="pyarrow"))
+
+
+def build_nodes(entities_ds, alias: AliasData, sort_mode: str = "partitioned"):
+    """Node table from entity decisions.  Learned node names are DISTINCT by
+    construction (entities carry one row per canonical mention), so the MERGE
+    reduces to dropping learned rows that collide with a Baseline name
+    (Baseline priority always wins) — NO shuffle; the general
+    ``merge_nodes_by_name`` aggregate stays available for non-distinct
+    inputs and is asserted equivalent in tests."""
+    import ray.data as rd
+    base_names = pa.array(list(alias.parent.keys()), pa.string())
+
+    def learned_rows(batch: pa.Table) -> pa.Table:
+        t = tasks_to_nodes(batch)
+        return t.filter(pc.invert(pc.is_in(t.column("name"), value_set=base_names)))
+
+    learned = entities_ds.map_batches(learned_rows, batch_format="pyarrow")
+    base = rd.from_arrow(baseline_nodes_table(alias))
+    return _finish_sorted(learned.union(base), ["name"], sort_mode)
 
 
 def resolution_table(entities_ds):
@@ -155,20 +199,41 @@ def resolution_table(entities_ds):
     ).map_batches(decode, batch_format="pyarrow")
 
 
-def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions: int = 16,
-                resolve_mode: str = "broadcast"):
-    """Edge table: taxonomic task edges + baseline hierarchy + resolved
-    non-taxonomic triples, deduplicated on (src, rel, dst) and sorted.
+def resolution_map(entities_ds) -> dict[str, str]:
+    """Driver-side fold equivalent of ``resolution_table`` for broadcast mode:
+    since broadcast mode by definition fits the map in memory, build it with
+    ONE collect of the (vocabulary-bounded) entities instead of a bucket
+    shuffle + collect.  Same (mapped-first, then n_mentions desc, then
+    lexicographic resolved) winner per surface form; equality with the
+    distributed table is covered by the broadcast-vs-join edge test."""
+    from ontoray.util import column_lists
+    cl = column_lists(entities_ds, ["name", "name_norm", "target", "decision", "n_mentions"])
+    best: dict[str, tuple] = {}
+    for name, nn, target, dec, n_m in zip(cl["name"], cl["name_norm"], cl["target"],
+                                          cl["decision"], cl["n_mentions"]):
+        mapped = dec in (MAP_EXACT, MAP_SIMILAR) and target
+        resolved = target if mapped else name
+        key = (0 if mapped else 1, _INV - (n_m or 0), resolved)
+        cur = best.get(nn)
+        if cur is None or key < cur:
+            best[nn] = key
+    return {nn: k[2] for nn, k in best.items()}
 
-    ``resolve_mode='broadcast'`` ships the (name_norm → node) resolution map
-    to every task via ``ray.put`` — correct while the canonical-entity
-    vocabulary fits in memory (it is vocabulary-bounded, not corpus-bounded).
-    ``resolve_mode='join'`` is the unbounded-scale path: two partitioned hash
-    joins (ontoray.stages.joins.hash_join) on the normalized endpoint.
+
+def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions: int = 16,
+                resolve_mode: str = "broadcast", sort_mode: str = "partitioned"):
+    """Edge table: taxonomic task edges + baseline hierarchy + resolved
+    non-taxonomic triples, deduplicated on (src, rel, dst) and sorted
+    (globally or within partition per ``sort_mode``).
+
+    ``resolve_mode='broadcast'`` builds the (name_norm → node) resolution map
+    with one driver fold and ships it via ``ray.put`` — correct while the
+    canonical-entity vocabulary fits in memory (it is vocabulary-bounded, not
+    corpus-bounded).  ``resolve_mode='join'`` is the unbounded-scale path:
+    the distributed ``resolution_table`` + two partitioned hash joins
+    (ontoray.stages.joins.hash_join) on the normalized endpoint.
     """
     import ray.data as rd
-
-    res = resolution_table(entities_ds)
 
     # Task + baseline subclass edges.
     def task_edges(batch: pa.Table) -> pa.Table:
@@ -199,12 +264,29 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
     tedges = entities_ds.map_batches(task_edges, batch_format="pyarrow")
 
     # Non-taxonomic triples: resolve both endpoints surface -> node name.
-    nt = (triples_dedup_ds
-          .map_batches(lambda b: b.filter(pc.invert(pc.equal(b.column("pred_norm"), "subclass_of"))),
-                       batch_format="pyarrow"))
+    # Accepts pre-deduplicated rows (n_obs), fused pre-aggregated rows (n) or
+    # raw per-occurrence rows (neither) — the (src, rel, dst) rollup below
+    # makes them equivalent (sum/max are associative), which lets the caller
+    # feed raw extraction output and run the triple-key dedup OFF the edge
+    # critical path.
+    tcols = triples_dedup_ds.schema().names
+    n_col = "n_obs" if "n_obs" in tcols else ("n" if "n" in tcols else None)
+
+    def prep_nt(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.invert(pc.equal(b.column("pred_norm"), "subclass_of")))
+        n = (b.column(n_col).cast(pa.int64()) if n_col
+             else pa.array([1] * b.num_rows, pa.int64()))
+        return pa.table({"subj_norm": b.column("subj_norm"),
+                         "pred_norm": b.column("pred_norm"),
+                         "obj_norm": b.column("obj_norm"),
+                         "conf": b.column("conf"),
+                         "n_obs": n})
+
+    nt = triples_dedup_ds.map_batches(prep_nt, batch_format="pyarrow")
 
     if resolve_mode == "join":
         from ontoray.stages.joins import hash_join
+        res = resolution_table(entities_ds)
 
         def _rename(to: str):
             def fn(b: pa.Table) -> pa.Table:
@@ -222,8 +304,7 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
             n = batch.num_rows
             return pa.table({
                 "src": src.cast(pa.string()),
-                "rel": pa.array([sanitize_rel(r) for r in batch.column("pred_norm").to_pylist()],
-                                pa.string()),
+                "rel": _sanitize_rel_col(batch.column("pred_norm")),
                 "dst": dst.cast(pa.string()),
                 "taxonomic": pa.array([False] * n, pa.bool_()),
                 "conf": batch.column("conf").cast(pa.float32()),
@@ -233,20 +314,25 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
         ntedges = nt.map_batches(finish_nt, batch_format="pyarrow")
     else:
         import ray
-        from ontoray.util import column_lists
-        cl = column_lists(res, ["surface", "resolved"])
-        res_map = dict(zip(cl["surface"], cl["resolved"]))
-        res_ref = ray.put(res_map)
+        rmap = resolution_map(entities_ds)
+        # Broadcast as parallel key/value arrays: the per-batch lookup is then
+        # a vectorized index_in + take instead of a per-row dict.get loop.
+        keys = sorted(rmap)
+        res_ref = ray.put((pa.array(keys, pa.string()),
+                           pa.array([rmap[k] for k in keys], pa.string())))
 
         def finish_bc(batch: pa.Table) -> pa.Table:
-            rmap = ray.get(res_ref)
-            subs = batch.column("subj_norm").to_pylist()
-            objs = batch.column("obj_norm").to_pylist()
+            rkeys, rvals = ray.get(res_ref)
+
+            def resolve(col):
+                idx = pc.index_in(col, value_set=rkeys)
+                return pc.coalesce(pc.take(rvals, idx), col).cast(pa.string())
+
             n = batch.num_rows
             return pa.table({
-                "src": pa.array([rmap.get(s, s) for s in subs], pa.string()),
-                "rel": pa.array([sanitize_rel(r) for r in batch.column("pred_norm").to_pylist()], pa.string()),
-                "dst": pa.array([rmap.get(o, o) for o in objs], pa.string()),
+                "src": resolve(batch.column("subj_norm")),
+                "rel": _sanitize_rel_col(batch.column("pred_norm")),
+                "dst": resolve(batch.column("obj_norm")),
                 "taxonomic": pa.array([False] * n, pa.bool_()),
                 "conf": batch.column("conf"),
                 "n": batch.column("n_obs"),
@@ -273,4 +359,5 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
         return batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
                                 pc.cast(batch.column("taxonomic"), pa.bool_()))
 
-    return deduped.map_batches(_int_to_bool, batch_format="pyarrow").sort(["src", "rel", "dst"])
+    return _finish_sorted(deduped.map_batches(_int_to_bool, batch_format="pyarrow"),
+                          ["src", "rel", "dst"], sort_mode)

@@ -6,8 +6,8 @@ pattern: add ``bucket = stable_hash(key) % B`` to both sides, tag each side,
 union, ``groupby(bucket)`` (one hash shuffle), and merge each bucket in
 ``map_groups``.  Arrow-native padding (typed null columns) keeps integer
 columns integers across the union; the per-bucket merge output is cast back
-to the exact combined schema.  Hashing is fixed-key siphash
-(``pd.util.hash_pandas_object``) on the stringified key — process-stable.
+to the exact combined schema.  Hashing is polars' fixed-seed xxhash on the
+stringified key — vectorized, zero-copy from Arrow, process-stable.
 """
 
 from __future__ import annotations
@@ -18,8 +18,9 @@ import pyarrow as pa
 
 
 def _stable_bucket(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> pa.Array:
-    s = pd.Series(col.to_pylist(), dtype="object").astype(str)
-    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    from ontoray.stages.agg import stable_hash_column
+    import pyarrow.compute as pc
+    h = stable_hash_column(pc.cast(col, pa.string()))
     return pa.array((h % num_partitions).astype(np.int64), pa.int64())
 
 
@@ -30,7 +31,9 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
 
     Output columns: all left columns plus the right side's ``right_cols``
     (default: every non-key right column), suffixed on name collision.
-    ``how`` ∈ {inner, left}.
+    ``how`` ∈ {inner, left, left_anti, left_semi}.  The anti/semi forms
+    return LEFT columns only (existence filter — the scale path for
+    removed-set filtering where the set is too large to broadcast).
     """
     def _arrow_types(schema) -> dict:
         out = {}
@@ -49,7 +52,10 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     ltypes = _arrow_types(lschema)
     rtypes = _arrow_types(rschema)
     lcols = list(lschema.names)
-    rcols = right_cols if right_cols is not None else [c for c in rschema.names if c != right_on]
+    if how in ("left_anti", "left_semi"):
+        rcols = []
+    else:
+        rcols = right_cols if right_cols is not None else [c for c in rschema.names if c != right_on]
     rename = {c: (c + suffix if c in lcols else c) for c in rcols}
 
     out_fields = [(c, ltypes[c]) for c in lcols] + [(rename[c], rtypes[c]) for c in rcols]
@@ -85,14 +91,23 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     r_tagged = right_ds.map_batches(pad_right, batch_format="pyarrow")
     unioned = l_tagged.union(r_tagged)
 
-    pd_how = {"inner": "inner", "left": "left"}[how]
+    pd_how = {"inner": "inner", "left": "left",
+              "left_anti": "left_anti", "left_semi": "left_semi"}[how]
     renamed_rcols = [rename[c] for c in rcols]
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         # Split sides BEFORE pandas conversion so each side's own columns
         # carry no nulls and integer dtypes survive the merge.
-        lf = g.filter(pc.equal(g.column("__side"), "L")).select(lcols).to_pandas()
+        lt = g.filter(pc.equal(g.column("__side"), "L")).select(lcols)
+        if how in ("left_anti", "left_semi"):
+            # Arrow-native existence filter — no pandas round-trip.
+            keys = (g.filter(pc.equal(g.column("__side"), "R"))
+                    .column(rkey_name).combine_chunks())
+            hit = pc.is_in(lt.column(left_on), value_set=pc.unique(keys))
+            mask = pc.invert(hit) if how == "left_anti" else hit
+            return lt.filter(mask)
+        lf = lt.to_pandas()
         rf = (g.filter(pc.equal(g.column("__side"), "R"))
               .select([rkey_name] + renamed_rcols).to_pandas())
         merged = lf.merge(rf, how=pd_how, left_on=left_on, right_on=rkey_name)

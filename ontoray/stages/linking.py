@@ -43,11 +43,13 @@ ENTITY_SCHEMA = pa.schema([
 ])
 
 
-def distinct_mentions(mentions_ds):
+def distinct_mentions(mentions_ds, num_buckets: int = 64):
     """mention rows -> (mention, n_mentions) via two-phase bucketed hash
     aggregation (A1; the per-batch combiner collapses the hot mention before
     the shuffle, so post-partial rows per key are bounded by the block count —
-    the head-entity skew defense).
+    the head-entity skew defense).  ``num_buckets`` also sets the output
+    block count, so the downstream consumer's parallelism is provisioned
+    here instead of by an extra repartition all-to-all.
 
     Accepts raw (…, mention) rows (counted once each) or pre-aggregated
     (mention, n) rows from the fused extractor."""
@@ -58,12 +60,12 @@ def distinct_mentions(mentions_ds):
             mentions_ds.select_columns(["mention", "n"]), ["mention"],
             partial_aggs=[("n", "sum")],
             aggs=[("n_sum", "sum")],
-            rename={"n_sum_sum": "n_mentions"})
+            rename={"n_sum_sum": "n_mentions"}, num_buckets=num_buckets)
     return hash_aggregate(
         mentions_ds.select_columns(["mention"]), ["mention"],
         partial_aggs=[("mention", "count")],
         aggs=[("mention_count", "sum")],
-        rename={"mention_count_sum": "n_mentions"})
+        rename={"mention_count_sum": "n_mentions"}, num_buckets=num_buckets)
 
 
 class LinkerActor:
@@ -115,13 +117,16 @@ def collect_props(triples_ds) -> dict[str, dict[str, str]]:
     patterns only fire on spec-shaped sentences), so the grouped result is
     small enough to collect and broadcast; at larger scales this becomes a
     hash join on subj before the linker."""
-    from ray.data.aggregate import Min
-
-    props_ds = (triples_ds
-                .filter(expr="extractor == 'pattern'")
-                .groupby(["subj", "pred"])
-                .aggregate(Min("obj", alias_name="value")))
+    from ontoray.stages.agg import hash_aggregate
     from ontoray.util import column_lists
+
+    props_ds = hash_aggregate(
+        triples_ds.filter(expr="extractor == 'pattern'")
+        .select_columns(["subj", "pred", "obj"]),
+        ["subj", "pred"],
+        partial_aggs=[("obj", "min")],
+        aggs=[("obj_min", "min")], rename={"obj_min_min": "value"},
+        num_buckets=16)
     cl = column_lists(props_ds, ["subj", "pred", "value"])
     out: dict[str, dict[str, str]] = {}
     for s, p, v in zip(cl["subj"], cl["pred"], cl["value"]):
@@ -134,8 +139,11 @@ def link_entities(mentions_ds, alias_data, cfg: PipelineConfig, props: dict | No
 
     The pool pre-spawns (autoscaling from 1 never catches up on a stage whose
     work arrives all at once after a shuffle), but leaves half the CPUs for
-    upstream operators so the stage cannot deadlock the streaming executor."""
-    dm = distinct_mentions(mentions_ds).repartition(cfg.linker_concurrency * 4)
+    upstream operators so the stage cannot deadlock the streaming executor.
+    Block-count provisioning happens inside the distinct aggregation's bucket
+    count — no extra repartition all-to-all."""
+    dm = distinct_mentions(mentions_ds,
+                           num_buckets=max(32, cfg.linker_concurrency * 4))
     alias_ref = ray.put(alias_data)
     props_ref = ray.put(props or {})
     cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -15,7 +15,16 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
+
+# Ray's parquet path resolution probes `fsspec.implementations.http`, whose
+# import FAILS in this environment (no aiohttp).  A failed import is retried
+# on every call, and two driver threads resolving paths concurrently race on
+# the partially-initialized module ("cannot import name HTTPFileSystem").
+# Stage save/load are the only read/write_parquet calls issued from pipeline
+# overlap threads — serialize just those.
+_PARQUET_IO_LOCK = threading.Lock()
 
 
 class CheckpointManager:
@@ -52,7 +61,8 @@ class CheckpointManager:
 
     def load(self, stage: str):
         import ray.data as rd
-        return rd.read_parquet(os.path.join(self._dir(stage), "data"))
+        with _PARQUET_IO_LOCK:
+            return rd.read_parquet(os.path.join(self._dir(stage), "data"))
 
     def save(self, stage: str, ds, fingerprint: str = "", extra: dict | None = None):
         """Write ds to the stage checkpoint; returns a fresh Dataset reading it
@@ -64,10 +74,12 @@ class CheckpointManager:
         data_dir = os.path.join(d, "data")
         os.makedirs(data_dir, exist_ok=True)
         t0 = time.perf_counter()
-        ds.write_parquet(data_dir)
+        with _PARQUET_IO_LOCK:
+            ds.write_parquet(data_dir)
         wall = time.perf_counter() - t0
         files = sorted(os.listdir(data_dir))
-        out = rd.read_parquet(data_dir)
+        with _PARQUET_IO_LOCK:
+            out = rd.read_parquet(data_dir)
         manifest = {
             "stage": stage,
             "fingerprint": fingerprint,

@@ -115,9 +115,44 @@ class TestGraph:
         assert eng_e == set(small_oracle["edges"])
 
     def test_edges_sorted_and_deduped(self, small_engine):
+        # Default sort_mode='partitioned': every output block is sorted in
+        # place (deterministic, resumable); global totals stay deduped.
+        import pyarrow.compute as pc
+        blocks = list(small_engine.edges.iter_batches(batch_size=None,
+                                                      batch_format="pyarrow"))
+        for b in blocks:
+            key = [(b.column("src")[i].as_py(), b.column("rel")[i].as_py(),
+                    b.column("dst")[i].as_py()) for i in range(b.num_rows)]
+            assert key == sorted(key)
         rows = [(r["src"], r["rel"], r["dst"]) for r in small_engine.edges.take_all()]
+        assert len(rows) == len(set(rows))
+
+    def test_edges_global_sort_mode(self, ray_session, small_corpus):
+        import ray.data as rd
+        from ontoray.config import PipelineConfig
+        from ontoray.pipelines.kg import run_kg_pipeline
+        sub = small_corpus.slice(0, 200)
+        res = run_kg_pipeline(rd.from_arrow(sub), cfg=PipelineConfig(sort_mode="global"),
+                              curate_graph=False)
+        rows = [(r["src"], r["rel"], r["dst"]) for r in res.edges.take_all()]
         assert rows == sorted(rows)
         assert len(rows) == len(set(rows))
+
+    def test_build_nodes_matches_general_merge(self, ray_session, small_engine):
+        """Shuffle-free distinct-input node build == the general A6
+        MERGE-by-name aggregate over the same union."""
+        import ray.data as rd
+        from ontoray.aliases import build_alias_data
+        from ontoray.stages.graph import (baseline_nodes_table, build_nodes,
+                                          merge_nodes_by_name, tasks_to_nodes)
+        alias = build_alias_data()
+        fast = build_nodes(small_engine.entities, alias)
+        learned = small_engine.entities.map_batches(tasks_to_nodes, batch_format="pyarrow")
+        general = merge_nodes_by_name(
+            learned.union(rd.from_arrow(baseline_nodes_table(alias))))
+        key = lambda r: (r["name"], r["source"], r["status"], r["parent_class"],
+                         r["n_mentions"])
+        assert sorted(map(key, fast.take_all())) == sorted(map(key, general.take_all()))
 
     def test_rel_types_sanitized(self, small_engine):
         import re
@@ -127,6 +162,26 @@ class TestGraph:
     def test_curation_removed_counts(self, small_engine, small_oracle):
         assert small_engine.stats["orphans_removed"] == small_oracle["removed"]["orphans_removed"]
         assert small_engine.stats["low_degree_removed"] == small_oracle["removed"]["low_degree_removed"]
+
+    def test_curation_branches_equal(self, ray_session, small_corpus):
+        """Driver-fold (small) and distributed (large) curation + stats
+        branches produce identical curated graphs, counts and stats."""
+        import ray.data as rd
+        from ontoray.pipelines.kg import run_kg_pipeline
+        from ontoray.stages.curation import curate, graph_stats
+        res = run_kg_pipeline(rd.from_arrow(small_corpus.slice(0, 300)),
+                              curate_graph=False)
+        nodes = res.nodes.materialize()
+        edges = res.edges.materialize()
+        n1, e1, r1 = curate(nodes, edges, large_threshold=10**9)
+        n2, e2, r2 = curate(nodes, edges, large_threshold=0)
+        assert r1 == r2
+        assert ({r["name"] for r in n1.take_all()} == {r["name"] for r in n2.take_all()})
+        key = lambda r: (r["src"], r["rel"], r["dst"])
+        assert sorted(map(key, e1.take_all())) == sorted(map(key, e2.take_all()))
+        s1 = graph_stats(nodes, edges, large_threshold=10**9)
+        s2 = graph_stats(nodes, edges, large_threshold=0)
+        assert s1 == s2
 
     def test_join_mode_matches_broadcast(self, ray_session, small_corpus):
         """Edge endpoint resolution: partitioned hash-join path == broadcast."""
