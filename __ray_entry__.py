@@ -58,7 +58,18 @@ def _q_kg_chunks(sf_dir: str):
 
 
 def _q_kg_triples_norm(sf_dir: str):
-    return _kg_result(sf_dir).triples_dedup
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def round_conf(batch: pa.Table) -> pa.Table:
+        # Match the DuckDB mirror's DOUBLE arithmetic: float32 pattern confs
+        # like 0.9 are not exactly representable; round(·, 6) lands both
+        # engines on the identical double.
+        i = batch.schema.get_field_index("conf")
+        return batch.set_column(i, "conf",
+                                pc.round(pc.cast(batch.column("conf"), pa.float64()), 6))
+
+    return _kg_result(sf_dir).triples_dedup.map_batches(round_conf, batch_format="pyarrow")
 
 
 def _q_kg_entities(sf_dir: str):
@@ -296,6 +307,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": Q.SQL_KG_MENTIONS,
         "kg_mention_counts": Q.SQL_KG_MENTION_COUNTS,
         "kg_triples": Q.SQL_KG_TRIPLES,
+        "kg_chunks": Q.SQL_KG_CHUNKS,
+        "kg_triples_norm": Q.SQL_KG_TRIPLES_NORM,
+        "kg_mention_sources": Q.SQL_KG_MENTION_SOURCES,
+        "events_session": Q.SQL_EVENTS_SESSION,
+        "text_langid": Q.SQL_TEXT_LANGID,
         "doc_stats": __import__("ontoray.extras.textstats", fromlist=["sql_doc_stats"]).sql_doc_stats(),
         "token_counts_by_source": Q.SQL_TOKEN_COUNTS,
         "lang_counts": Q.SQL_LANG_COUNTS,

@@ -25,7 +25,10 @@ from ontoray.text.normalize import normalize_concept_name
 
 def oracle_docs(pages: pa.Table, lang: str = "en") -> dict[str, str]:
     """url -> cleaned doc text; first-wins per url by the engine's ordering
-    min (warc_ts, crc32(raw bytes), len(raw)) over the RAW row."""
+    min (warc_ts, crc32(text), len(text), cleaned_doc).  The key is text-only
+    (never html bytes) so the engine's winner pass can prune the wide html
+    column; the cleaned doc as final tuple element mirrors the engine's
+    min(doc_text) tie aggregate for byte-identical-key rows."""
     import zlib
     cols = pages.column_names
     rows = pages.to_pylist()
@@ -34,9 +37,9 @@ def oracle_docs(pages: pa.Table, lang: str = "en") -> dict[str, str]:
         if r.get("lang") != lang:
             continue
         text = r.get("text") or ""
-        raw = text.encode() if text else (bytes(r["html"]) if "html" in cols and r.get("html") else b"")
-        if not text and raw:
-            text = html_to_text(raw)
+        raw = text.encode() if text else b""
+        if not text and "html" in cols and r.get("html"):
+            text = html_to_text(bytes(r["html"]))
         doc = clean_text(text)
         ts = r.get("warc_ts")
         key = (ts, zlib.crc32(raw), len(raw), doc)

@@ -168,9 +168,10 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         if ckpt is not None:
             nodes = ckpt.save("nodes_curated", nodes, fingerprint)
             edges = ckpt.save("edges_curated", edges, fingerprint)
-        else:
-            # graph_stats and callers scan these repeatedly — pin both, in
-            # parallel (independent filter chains over materialized inputs).
+        elif fused_stats is None:
+            # Large branch: the outputs are lazy join-filter chains that
+            # callers scan repeatedly — pin both, in parallel.  (The small
+            # branch returns driver-backed from_arrow datasets already.)
             with ThreadPoolExecutor(max_workers=2) as ex:
                 f_n = ex.submit(nodes.materialize)
                 f_e = ex.submit(edges.materialize)

@@ -130,6 +130,104 @@ def _sql_triples_body() -> str:
 SQL_KG_TRIPLES = f"{_CLEANED_CTE} {_sql_triples_body()}"
 
 
+# --- kg_chunks (recursive-CTE mirror of the greedy word-merge chunker) ------
+
+# The chunker (ontoray/text/chunk.py, LangChain RecursiveCharacterTextSplitter
+# semantics at chunk_size=1000 / overlap=100) operates on post-clean text,
+# which contains no newlines — so it reduces to a greedy word merge with a
+# trailing-overlap carry.  That is exactly expressible as a recursive CTE over
+# per-word prefix sums: S(i) = sum of len(word_j)+1 for j<=i, join length of
+# words a..b = S(b)-S(a-1)-1.  Each chunk k starting after prefix `sa` ends at
+# e = max i with S(i) <= sa+1001; the next chunk keeps the longest suffix
+# within the overlap budget that still admits the overflowing word:
+# sa' = min S(j) >= max(S(e)-101, S(e)+D-1000) with D = len(word e+1), else
+# S(e) (empty carry).  ASSUMPTION (documented): no single word reaches
+# chunk_size (a >=1000-char word takes the splitter's character-level
+# recursion, which this mirror does not model).  Verified exact against
+# split_text on randomized + adversarial boundary fixtures in tests.
+_CHUNK_CTES = """
+docs AS (SELECT doc_id, ct FROM cleaned WHERE ct <> ''),
+wordlen AS (
+  SELECT doc_id, unnest(generate_series(1, len(string_split(ct, ' ')))) AS i,
+         unnest(list_transform(string_split(ct, ' '), w -> length(w))) AS wl
+  FROM docs
+),
+prefix AS (
+  SELECT doc_id, i, sum(wl + 1) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS s
+  FROM wordlen
+),
+nwords AS (SELECT doc_id, max(i) AS n FROM prefix GROUP BY doc_id),
+rec AS (
+  SELECT doc_id, 0 AS chunk_id, CAST(0 AS BIGINT) AS sa FROM nwords
+  UNION ALL
+  SELECT doc_id, chunk_id + 1, sa2 FROM (
+    SELECT r.doc_id, r.chunk_id,
+      (SELECT max(p.s) FROM prefix p WHERE p.doc_id = r.doc_id AND p.s <= r.sa + 1001) AS se,
+      (SELECT max(p.i) FROM prefix p WHERE p.doc_id = r.doc_id AND p.s <= r.sa + 1001) AS e,
+      n.n FROM rec r JOIN nwords n USING (doc_id)
+  ) t,
+  LATERAL (SELECT CASE WHEN t.e >= t.n THEN NULL
+           ELSE (SELECT p.s FROM prefix p WHERE p.doc_id = t.doc_id AND p.i = t.e + 1) - t.se - 1 END AS d) dd,
+  LATERAL (SELECT coalesce(
+      (SELECT min(p.s) FROM prefix p WHERE p.doc_id = t.doc_id
+         AND p.s >= greatest(t.se - 101, t.se + dd.d - 1000) AND p.s < t.se), t.se) AS sa2) nx
+  WHERE t.e < t.n
+),
+chunks AS MATERIALIZED (
+  SELECT r.doc_id, r.chunk_id,
+    substr(d.ct, CAST(r.sa + 1 AS INTEGER),
+           CAST((SELECT max(p.s) FROM prefix p WHERE p.doc_id = r.doc_id AND p.s <= r.sa + 1001) - r.sa - 1 AS INTEGER)) AS chunk_text
+  FROM rec r JOIN docs d USING (doc_id)
+)"""
+
+def _recursive_cleaned_cte(where: str = "") -> str:
+    return (f"WITH RECURSIVE pages AS ({sql_pages_cte()}), "
+            f"cleaned AS (SELECT doc_id, {sql_clean_expr('text')} AS ct "
+            f"FROM pages{where})")
+
+
+_RECURSIVE_CLEANED_CTE = _recursive_cleaned_cte()
+
+SQL_KG_CHUNKS = (f"{_RECURSIVE_CLEANED_CTE}, {_CHUNK_CTES} "
+                 f"SELECT CAST(doc_id AS VARCHAR) AS url, "
+                 f"CAST(chunk_id AS INTEGER) AS chunk_id, chunk_text "
+                 f"FROM chunks")
+
+
+# --- kg_triples_norm (chunk-level extraction + normalizer + rollup) ---------
+
+def _sql_triples_norm_query() -> str:
+    from ontoray.text.normalize import sql_norm_expr
+    stops = ", ".join(f"'{w}'" for w in sorted(ENDPOINT_STOP))
+    parts = []
+    for _name, pat, spec, _tag, conf in TRIPLE_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        for sg, pred, og in spec:
+            parts.append(
+                f"SELECT s.z[1] AS subj, '{pred}' AS pred, s.z[2] AS obj, "
+                f"CAST({conf!r} AS DOUBLE) AS conf "
+                f"FROM chunks c, unnest(list_zip("
+                f"regexp_extract_all(c.chunk_text, '{sql_pat}', {sg}), "
+                f"regexp_extract_all(c.chunk_text, '{sql_pat}', {og}))) AS s(z)")
+    union = " UNION ALL ".join(parts)
+    # The KG pipeline extracts over the en-filtered, url-deduped corpus; the
+    # derived pages here carry no warc_ts (one row per doc_id, urls unique),
+    # so only the language filter needs mirroring.
+    en_cte = _recursive_cleaned_cte(" WHERE lang = 'en'")
+    return (
+        f"{en_cte}, {_CHUNK_CTES}, "
+        f"raw AS ({union}), "
+        f"filt AS (SELECT * FROM raw WHERE subj <> '' AND obj <> '' "
+        f"AND subj NOT IN ({stops}) AND obj NOT IN ({stops})) "
+        f"SELECT {sql_norm_expr('subj')} AS subj_norm, lower(pred) AS pred_norm, "
+        f"{sql_norm_expr('obj')} AS obj_norm, "
+        f"round(max(conf), 6) AS conf, count(*) AS n_obs "
+        f"FROM filt GROUP BY 1, 2, 3")
+
+
+SQL_KG_TRIPLES_NORM = _sql_triples_norm_query()
+
+
 # --- text stats / token counts / lang counts -------------------------------
 
 def q_doc_stats(sf_dir: str):
@@ -263,6 +361,52 @@ SQL_EVENTS_WINDOW = (
 
 
 # --- quality filter over doc stats ------------------------------------------
+
+# --- session windows (gap-based sessionization mirror) ----------------------
+
+SQL_EVENTS_SESSION = (
+    "SELECT user_id, session_id, count(*) AS n_events, "
+    "min(ts_us) AS session_start_us, max(ts_us) AS session_end_us FROM ("
+    "  SELECT user_id, ts_us, CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_us "
+    "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM ("
+    "    SELECT user_id, epoch_us(ts) AS ts_us, "
+    "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)) "
+    "GROUP BY user_id, session_id")
+
+
+# --- language id (stopword-profile argmax mirror) ----------------------------
+
+def _sql_langid_query() -> str:
+    from ontoray.extras.textstats import STOP_PROFILES
+    cols = []
+    for lang in sorted(STOP_PROFILES):
+        stopw = ", ".join(f"'{w}'" for w in sorted(STOP_PROFILES[lang]))
+        cols.append(f"length(list_filter(regexp_extract_all(text, '[a-z0-9]+'), "
+                    f"w -> w IN ({stopw}))) AS n_{lang}")
+    langs = sorted(STOP_PROFILES)
+    mx = "greatest(" + ", ".join(f"n_{l}" for l in langs) + ")"
+    # Python picks the FIRST language (alphabetical scan, strict >) reaching
+    # the max, and 'und' when no profile scores at all.
+    pick = " ".join(f"WHEN n_{l} = {mx} THEN '{l}'" for l in langs[:-1])
+    return (f"SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' "
+            f"ELSE (CASE {pick} ELSE '{langs[-1]}' END) END AS lang_pred "
+            f"FROM (SELECT doc_id, {', '.join(cols)} FROM documents)")
+
+
+SQL_TEXT_LANGID = _sql_langid_query()
+
+
+# --- mention sources (salted collect-distinct mirror) ------------------------
+
+SQL_KG_MENTION_SOURCES = (
+    f"{_CLEANED_CTE}, m AS ({_sql_mentions_body()}) "
+    f"SELECT mention, list(doc ORDER BY doc) AS docs, count(*) AS n_distinct_capped "
+    f"FROM ("
+    f"  SELECT mention, doc, row_number() OVER (PARTITION BY mention ORDER BY doc) AS rn"
+    f"  FROM (SELECT DISTINCT mention, CAST(doc_id AS VARCHAR) AS doc FROM m)"
+    f") WHERE rn <= 5 GROUP BY mention")
+
 
 def q_quality_filter(sf_dir: str, min_tokens: int = 20, max_stop: float = 0.5):
     from ontoray.extras.textstats import doc_stats_batch

@@ -109,6 +109,15 @@ def _degree_table(edges_ds, exclude: pa.Array):
 _EMPTY_STR = pa.array([], pa.string())
 
 
+def _split_table(t: pa.Table, n_splits: int = 16) -> list[pa.Table]:
+    """Slice a driver-side table into blocks for ``ray.data.from_arrow`` so
+    downstream consumers keep parallelism (one block per slice)."""
+    if t.num_rows == 0:
+        return [t]
+    per = max(1, -(-t.num_rows // n_splits))
+    return [t.slice(i, per) for i in range(0, t.num_rows, per)]
+
+
 def _fold_curation(edges_t: pa.Table, learned_arr: pa.Array, root: str,
                    degree_threshold: int, max_depth: int) -> tuple[pa.Array, pa.Array]:
     """(orphans, low_degree) as Arrow string arrays, from the collected edge
@@ -196,26 +205,39 @@ def curate_and_stats(nodes_ds, edges_ds, root: str = "ElectronicComponent",
     ``graph_stats`` on them (several distributed scans)."""
     n_edges = edges_ds.count()
     if n_edges <= large_threshold:
+        import ray.data as rd
         from ontoray.util import collect_table
-        edges_t = collect_table(edges_ds, ["src", "rel", "dst"])
-        nodes_t = collect_table(nodes_ds, ["name", "source"])
+        # Collect the FULL tables once (vocabulary-bounded by the same
+        # threshold that picked this branch): one scan each drives curation,
+        # the curated-graph stats AND the curated outputs — no distributed
+        # re-filter passes, no extra materialize barriers.
+        edges_t = collect_table(edges_ds, edges_ds.schema().names)
+        nodes_t = collect_table(nodes_ds, nodes_ds.schema().names)
         if edges_t is None:
-            edges_t = pa.table({"src": _EMPTY_STR, "rel": _EMPTY_STR, "dst": _EMPTY_STR})
-        names = (nodes_t.column("name").combine_chunks()
-                 if nodes_t is not None else _EMPTY_STR)
+            edges_t = pa.table({"src": _EMPTY_STR, "rel": _EMPTY_STR,
+                                "dst": _EMPTY_STR})
+        if nodes_t is None:
+            nodes_t = pa.table({"name": _EMPTY_STR, "source": _EMPTY_STR})
         learned_arr = (nodes_t.filter(pc.equal(nodes_t.column("source"),
                                                "learned_from_dataset"))
-                       .column("name").combine_chunks()
-                       if nodes_t is not None else _EMPTY_STR)
+                       .column("name").combine_chunks())
         orphans, low = _fold_curation(edges_t, learned_arr, root,
                                       degree_threshold, max_depth)
         gone = pa.concat_arrays([orphans, low])
         bad = pc.or_(pc.is_in(edges_t.column("src"), value_set=gone),
                      pc.is_in(edges_t.column("dst"), value_set=gone))
         kept_t = edges_t.filter(pc.invert(bad))
-        names_kept = names.filter(pc.invert(pc.is_in(names, value_set=gone)))
-        stats = _fold_stats(kept_t, names_kept, stats_root, max_depth)
-        out_nodes, out_edges = _filter_removed_broadcast(nodes_ds, edges_ds, gone)
+        kept_nodes_t = nodes_t.filter(pc.invert(
+            pc.is_in(nodes_t.column("name"), value_set=gone)))
+        stats = _fold_stats(kept_t, kept_nodes_t.column("name").combine_chunks(),
+                            stats_root, max_depth)
+        # Driver-side final sort (vocabulary-bounded): the curated tables come
+        # out GLOBALLY sorted at no distributed cost in this branch.
+        kept_nodes_t = kept_nodes_t.sort_by([("name", "ascending")])
+        kept_sorted = kept_t.sort_by([("src", "ascending"), ("rel", "ascending"),
+                                      ("dst", "ascending")])
+        out_nodes = rd.from_arrow(_split_table(kept_nodes_t))
+        out_edges = rd.from_arrow(_split_table(kept_sorted))
         removed = {"orphans_removed": len(orphans), "low_degree_removed": len(low)}
         return out_nodes, out_edges, removed, stats
     out_nodes, out_edges, removed = curate_distributed(

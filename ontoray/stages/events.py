@@ -52,7 +52,10 @@ def session_windows(events_ds, gap_s: int = 1800, key: str = "user_id"):
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts", kind="mergesort")
         ts = g["ts"].astype("int64")
-        new_session = (ts.diff() > gap_s * _US).fillna(True)
+        d = ts.diff()
+        # First row must open session 0: the NaN diff compares False (not
+        # NaN) against the gap, so mark it explicitly rather than fillna.
+        new_session = d.isna() | (d > gap_s * _US)
         sid = new_session.cumsum() - 1
         out = g.assign(__sid=sid.values, __ts=ts.values).groupby("__sid").agg(
             n_events=("ts", "size"),

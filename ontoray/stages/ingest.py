@@ -9,10 +9,12 @@ deterministic replacement for the reference's arrival-order MERGE semantics,
 SURVEY O8/A6).
 
 First-wins dedup is SHUFFLE-FREE on the corpus: a side pass aggregates only
-(url, 24-byte order key) rows — key = (warc_ts, crc32(raw bytes), len) — and
-keeps just the urls with duplicates (dup-rate-bounded, tiny); that winner map
-is broadcast and the main text pipeline filters locally.  The corpus text
-never enters an all-to-all.  At 10^12 urls the winner map stays dup-bounded;
+(url, 40-char order key) rows — key = (warc_ts, crc32(text), len(text)),
+text-only so the pass reads four skinny columns and never the wide ``html``
+one — and keeps just the urls with duplicates (dup-rate-bounded, tiny); that
+winner map is broadcast and the main text pipeline filters locally.  The
+corpus text never enters an all-to-all.  At 10^12 urls the winner map stays
+dup-bounded;
 if even that outgrows broadcast, the same winner table semi-joins via
 stages/joins.hash_join, or the corpus is laid out hash-partitioned by url at
 ingest making dedup partition-local.  Rows that TIE on the winning key
@@ -54,20 +56,18 @@ def clean_batch(batch: pa.Table) -> pa.Table:
 
 
 def _winner_keys(batch: pa.Table) -> pa.Table:
-    """40-char order key over the RAW row bytes: (warc_ts, crc32, len).
-    Only rows with empty ``text`` touch the wide ``html`` column."""
+    """40-char order key over the pre-extracted TEXT bytes:
+    (warc_ts, crc32(text), len(text)).  Deliberately text-only so the winner
+    pass never touches the wide ``html`` column — its read prunes to four
+    skinny columns (at web scale ``html`` dominates the corpus bytes).  Rows
+    that tie on this key (e.g. several empty-text captures of one url with
+    different html) route through the keyed tie aggregate, whose
+    min(doc_text) break is deterministic and mirrored by the oracle."""
     ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
     texts = batch.column("text").to_pylist()
-    html_col = batch.column("html") if "html" in batch.column_names else None
     keys = []
-    for i, (t, x) in enumerate(zip(ts, texts)):
-        if x:
-            raw = x.encode()
-        elif html_col is not None:
-            h = html_col[i].as_py()
-            raw = bytes(h) if h else b""
-        else:
-            raw = b""
+    for t, x in zip(ts, texts):
+        raw = x.encode() if x else b""
         keys.append(f"{t:020d}{zlib.crc32(raw):010d}{len(raw):010d}")
     return pa.table({"url": batch.column("url"), "k": pa.array(keys, pa.string())})
 
@@ -83,8 +83,11 @@ def compute_dup_winners(pages_ds, lang: str = "en") -> tuple[dict[str, str], dic
     from ontoray.stages.agg import hash_aggregate
     from ontoray.util import column_lists
 
-    keyed = (pages_ds.map_batches(filter_lang, batch_format="pyarrow",
-                                  fn_kwargs={"lang": lang}, zero_copy_batch=True)
+    cols = [c for c in ("url", "warc_ts", "text", "lang")
+            if c in pages_ds.schema().names]
+    keyed = (pages_ds.select_columns(cols)
+             .map_batches(filter_lang, batch_format="pyarrow",
+                          fn_kwargs={"lang": lang}, zero_copy_batch=True)
              .map_batches(_winner_keys, batch_format="pyarrow"))
     # Per (url, key) multiplicity first so the per-url reduce can carry the
     # winner key's own count (the tie detector) alongside the url total.

@@ -68,3 +68,40 @@ def normalize_eval(s) -> str:
     if not isinstance(s, str):
         s = str(s)
     return s.lower().strip()
+
+
+def sql_singular_case(w: str) -> str:
+    """ANSI-SQL CASE expression computing ``singular_noun(w)`` (NULL when the
+    word looks singular) — generated from the same rule table so engine and
+    DuckDB oracle share one source of truth.  ``w`` is a SQL expression."""
+    irr = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_IRREGULAR.items()))
+    return (
+        f"CASE"
+        f" WHEN length({w}) < 3 THEN NULL"
+        f" WHEN {w} IN ({', '.join(repr(k) for k in sorted(_IRREGULAR))})"
+        f" THEN (CASE {w} {irr} END)"
+        f" WHEN {w} LIKE '%ies' AND length({w}) > 4"
+        f" THEN substr({w}, 1, length({w}) - 3) || 'y'"
+        f" WHEN {w} LIKE '%ves' AND length({w}) > 4"
+        f" THEN (CASE WHEN {w} LIKE '%knives' OR {w} LIKE '%wives' OR {w} LIKE '%lives'"
+        f"       THEN substr({w}, 1, length({w}) - 3) || 'fe'"
+        f"       ELSE substr({w}, 1, length({w}) - 3) || 'f' END)"
+        f" WHEN {w} LIKE '%es' AND length({w}) > 3"
+        f" THEN (CASE WHEN regexp_matches(substr({w}, 1, length({w}) - 2), '(s|x|z|ch|sh)$')"
+        f"       THEN substr({w}, 1, length({w}) - 2)"
+        f"       ELSE substr({w}, 1, length({w}) - 1) END)"
+        f" WHEN {w} LIKE '%s' AND NOT ({w} LIKE '%ss' OR {w} LIKE '%us' OR {w} LIKE '%is')"
+        f" THEN substr({w}, 1, length({w}) - 1)"
+        f" ELSE NULL END"
+    )
+
+
+def sql_norm_expr(col: str) -> str:
+    """ANSI-SQL expression for ``normalize_concept_name(col)``: lower+trim,
+    then singularize the LAST space-separated token (reference M9)."""
+    base = f"lower(trim({col}))"
+    last = f"regexp_extract({base}, '([^ ]*)$', 1)"
+    sing = sql_singular_case(last)
+    head = f"substr({base}, 1, length({base}) - length({last}))"
+    return (f"(CASE WHEN ({sing}) IS NULL THEN {base}"
+            f" ELSE {head} || ({sing}) END)")

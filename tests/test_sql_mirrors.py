@@ -1,0 +1,110 @@
+"""DuckDB-mirror parity tests (no Ray): the SQL strings served by
+``oracle_sql()`` must reproduce the shared Python kernels bit-for-bit on
+adversarial fixtures — this is what makes the driver's hash gate meaningful."""
+
+import random
+
+import duckdb
+import pytest
+
+CHUNK_SQL = """
+WITH RECURSIVE
+cleaned AS (SELECT doc_id, ct FROM my_docs),
+{chunk_ctes}
+SELECT doc_id, chunk_id, chunk_text FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+
+def _run_chunk_sql(docs):
+    from ontoray.queries import _CHUNK_CTES
+    con = duckdb.connect()
+    con.execute("CREATE TABLE my_docs(doc_id BIGINT, ct VARCHAR)")
+    con.executemany("INSERT INTO my_docs VALUES (?, ?)", docs)
+    rows = con.execute(CHUNK_SQL.format(chunk_ctes=_CHUNK_CTES)).fetchall()
+    out = {}
+    for did, cid, txt in rows:
+        out.setdefault(did, []).append((cid, txt))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+class TestSqlChunker:
+    def test_randomized_docs(self):
+        from ontoray.text.chunk import split_text
+        rng = random.Random(7)
+        vocab = ["capacitor", "resistor", "x", "antenna", "microcontroller",
+                 "a" * 50, "b" * 99, "c" * 150, "word", "of", "the"]
+        docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 500))))
+                for i in range(30)]
+        docs += [(100, ""), (101, "single"), (102, "d" * 999),
+                 (103, "e" * 999 + " tail words here")]
+        got = _run_chunk_sql(docs)
+        for did, ct in docs:
+            want = list(enumerate(split_text(ct, 1000, 100)))
+            assert got.get(did, []) == want, did
+
+    def test_overlap_boundaries(self):
+        """Word lengths around the 100-char overlap and 899/999-char
+        second-clause boundaries of the pop loop."""
+        from ontoray.text.chunk import split_text
+        rng = random.Random(11)
+        sizes = [1, 2, 3, 50, 99, 100, 101, 120, 450, 500, 890, 899, 900, 950, 998, 999]
+        docs = [(i, " ".join("w" * rng.choice(sizes)
+                             for _ in range(rng.randint(1, 25))))
+                for i in range(40)]
+        got = _run_chunk_sql(docs)
+        for did, ct in docs:
+            assert got.get(did, []) == list(enumerate(split_text(ct, 1000, 100))), did
+
+
+class TestSqlNormalizer:
+    def test_matches_python(self):
+        from ontoray.text.normalize import normalize_concept_name, sql_norm_expr
+        con = duckdb.connect()
+        expr = sql_norm_expr("w")
+        words = ["capacitors", "Resistors ", "chip antennas", "glasses", "knives",
+                 "wives", "Antennae", "bus", "buses", "glass", "analysis", "analyses",
+                 "matrices", "people", "men", "dies", "device", "devices", "boxes",
+                 "churches", "dishes", "is", "as", "flies", "a b c resistors",
+                 "basis", "lives", "waves", "caves", "es", "ies", "ves", "ss", "x",
+                 "", "  spaced out parts  ", "foo bars", "quizzes", "double  spaces"]
+        for w in words:
+            got = con.execute(f"SELECT {expr} FROM (SELECT ? AS w)", [w]).fetchone()[0]
+            assert got == normalize_concept_name(w), w
+
+    def test_singular_rules_hypothesis_style(self):
+        from ontoray.text.normalize import normalize_concept_name, sql_norm_expr
+        rng = random.Random(3)
+        con = duckdb.connect()
+        expr = sql_norm_expr("w")
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        suffixes = ["s", "es", "ies", "ves", "ss", "us", "is", "xes", "ches", "shes", ""]
+        for _ in range(300):
+            stem = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+            w = stem + rng.choice(suffixes)
+            got = con.execute(f"SELECT {expr} FROM (SELECT ? AS w)", [w]).fetchone()[0]
+            assert got == normalize_concept_name(w), w
+
+
+class TestSqlLangId:
+    def test_matches_python_classifier(self):
+        from ontoray.extras.textstats import STOP_PROFILES, TOKEN_RE
+        from ontoray.queries import SQL_TEXT_LANGID
+        texts = [
+            "the cat and the dog of it", "der hund und die katze ist ein tier",
+            "le chat est un animal et la porte", "el perro y la casa es una cosa",
+            "zzz qqq www", "", "de la the und",  # cross-language ties
+            "the der le el", "und the",
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        list(enumerate(texts)))
+        sql = dict(con.execute(SQL_TEXT_LANGID).fetchall())
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t)
+            best, best_n = "und", 0
+            for lang in sorted(STOP_PROFILES):
+                n = sum(1 for w in toks if w in STOP_PROFILES[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            assert sql[i] == best, (i, t, sql[i], best)
