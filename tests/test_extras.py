@@ -90,6 +90,78 @@ class TestDedup:
         pairs = embedding_neardup(rd.from_arrow(tbl), 16, threshold=0.95).take_all()
         assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 1)}
 
+    def test_minhash_distributed_verify_matches_driver(self, ray_session):
+        """Inflated dup-rate fixture: the hash-join + map_batches verify path
+        (driver_max_pairs=0) must equal the collect-and-verify short path."""
+        import ray.data as rd
+        from ontoray.extras.dedup import minhash_dedup
+        base = ("the quick brown fox jumps over the lazy dog and then runs far "
+                "away into the deep dark forest tonight")
+        texts = []
+        for i in range(40):
+            words = base.split()
+            words[i % len(words)] = f"tok{i % 7}"
+            texts.append(" ".join(words))
+        tbl = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        ds = rd.from_arrow(tbl).repartition(4)
+        fast = minhash_dedup(ds, threshold=0.6)
+        dist = minhash_dedup(ds, threshold=0.6, driver_max_pairs=0)
+        key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])
+        fast_rows = sorted(map(key, fast.to_pylist()))
+        dist_rows = sorted(map(key, dist.take_all()))
+        assert fast_rows and fast_rows == dist_rows
+
+    def test_simhash_pairs_match_bruteforce(self, ray_session):
+        """Banded candidates + popcount verify == brute-force Hamming <= 3
+        (exact by pigeonhole with 4 bands)."""
+        import ray.data as rd
+        from ontoray.extras.dedup import simhash64, simhash_candidate_pairs
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+        texts = [base]
+        for i in range(12):
+            words = base.split()
+            words[i] = f"mut{i}"
+            texts.append(" ".join(words))
+        texts.append("completely different content about nothing in particular here")
+        tbl = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in simhash_candidate_pairs(
+                   rd.from_arrow(tbl).repartition(3), max_hamming=3).take_all()}
+        sigs = [simhash64(t) for t in texts]
+        want = {}
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                h = ((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).bit_count()
+                if h <= 3:
+                    want[(i, j)] = h
+        assert got == want and want  # fixture must produce at least one pair
+
+    def test_embedding_banded_lsh_skew(self, ray_session):
+        """Hub-bucket fixture: many near-identical vectors; every true pair
+        reported exactly ONCE despite colliding in all bands, and auto_planes
+        grows with corpus size."""
+        import ray.data as rd
+        from ontoray.extras.dedup import auto_planes, embedding_neardup
+        rng = np.random.default_rng(9)
+        base = rng.standard_normal(16)
+        n_hub = 12
+        vecs = [base + 1e-4 * rng.standard_normal(16) for _ in range(n_hub)]
+        vecs += [rng.standard_normal(16) for _ in range(20)]
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        out = embedding_neardup(rd.from_arrow(tbl).repartition(3), 16,
+                                threshold=0.999, bands=4, tile=4).take_all()
+        pairs = [(r["vec_a"], r["vec_b"]) for r in out]
+        assert len(pairs) == len(set(pairs)), "cross-band duplicates must collapse"
+        hub_pairs = {(i, j) for i in range(n_hub) for j in range(i + 1, n_hub)}
+        assert hub_pairs <= set(pairs)  # identical-direction vectors always collide
+        assert auto_planes(10**9) >= 20 and auto_planes(100) == 8
+
 
 class TestANN:
     def test_brute_force_topk_matches_numpy(self, ray_session):
