@@ -228,6 +228,13 @@ def _q_jsonld_export(sf_dir: str):
     return _kg_result(sf_dir).entities.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_jsonld_validation(sf_dir: str):
+    """Schema.org validation of the JSON-LD export, distributed (reference
+    schema_org_validator analog)."""
+    from ontoray.evaluation.validator import validate_jsonld_ds
+    return validate_jsonld_ds(_q_jsonld_export(sf_dir))
+
+
 def _q_saturation(sf_dir: str):
     """Mention extraction runs DISTRIBUTED (per-chunk mention lists emitted
     from map_batches); only the inherently sequential seeded cumulative fold
@@ -315,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_confidence_topk": _q_confidence_topk,
         "kg_mention_contexts": _q_mention_contexts,
         "kg_jsonld_export": _q_jsonld_export,
+        "kg_jsonld_validation": _q_jsonld_validation,
         "kg_saturation": _q_saturation,
         "kg_mention_sources": _q_mention_sources,
         # Streaming-shaped windowed aggregates over the events log

@@ -25,6 +25,54 @@ from ontoray.stages.linking import collect_props, link_entities
 from ontoray.state.checkpoint import CheckpointManager
 
 
+def _docs_stage_partitioned(ckpt: CheckpointManager, pages_ds, cfg: PipelineConfig,
+                            fingerprint: str):
+    """Docs stage with PER-PARTITION resume (north_rule lineage contract):
+    output is url-hash-partitioned parquet with atomic per-partition markers;
+    a killed run recomputes only the unmarked partitions — the input is
+    pre-filtered to those urls, so the clean/dedup work (not just the write)
+    is pruned.  Url-hash partitioning keeps every row of a url in one
+    partition, so the first-wins dedup stays exact on any subset of
+    partitions."""
+    import zlib
+
+    import pyarrow as pa
+
+    from ontoray.stages.ingest import extract_docs
+
+    if ckpt.is_complete("docs", fingerprint):
+        return ckpt.load("docs")
+    n_parts = cfg.docs_partitions
+    done = ckpt.begin_partitioned("docs", fingerprint)
+    missing = sorted(set(range(n_parts)) - done)
+
+    def part_ids(urls: list[str]) -> list[int]:
+        return [zlib.crc32(u.encode()) % n_parts for u in urls]
+
+    if missing != list(range(n_parts)):
+        missing_set = set(missing)
+
+        def keep_missing(batch: pa.Table) -> pa.Table:
+            parts = part_ids(batch.column("url").to_pylist())
+            return batch.filter(pa.array([p in missing_set for p in parts],
+                                         pa.bool_()))
+
+        pages_sub = pages_ds.map_batches(keep_missing, batch_format="pyarrow")
+    else:
+        pages_sub = pages_ds
+
+    docs = extract_docs(pages_sub, dedup_strategy=cfg.url_dedup_strategy)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", pa.array(part_ids(batch.column("url").to_pylist()),
+                               pa.int64()))
+
+    return ckpt.save_partitioned(
+        "docs", docs.map_batches(add_part, batch_format="pyarrow"),
+        "__part", fingerprint)
+
+
 @dataclass
 class KGResult:
     docs: Any
@@ -93,7 +141,13 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         n_inputs = 0
     if n_inputs < max(4, n_blocks // 4):
         pages_ds = pages_ds.repartition(n_blocks)
-    docs = stage("docs", lambda: extract_docs(pages_ds, dedup_strategy=cfg.url_dedup_strategy))
+    if ckpt is not None:
+        t0 = time.perf_counter()
+        docs = _docs_stage_partitioned(ckpt, pages_ds, cfg, fingerprint)
+        stage_walls["docs"] = round(time.perf_counter() - t0, 3)
+    else:
+        docs = stage("docs", lambda: extract_docs(pages_ds,
+                                                  dedup_strategy=cfg.url_dedup_strategy))
 
     # Fused hot path: chunk + mention + triple extraction in ONE pass over
     # docs — one barrier instead of three (chunks/mentions/triples remain

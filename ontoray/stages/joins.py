@@ -91,28 +91,27 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     r_tagged = right_ds.map_batches(pad_right, batch_format="pyarrow")
     unioned = l_tagged.union(r_tagged)
 
-    pd_how = {"inner": "inner", "left": "left",
-              "left_anti": "left_anti", "left_semi": "left_semi"}[how]
+    arrow_how = {"inner": "inner", "left": "left outer"}.get(how)
     renamed_rcols = [rename[c] for c in rcols]
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        # Split sides BEFORE pandas conversion so each side's own columns
-        # carry no nulls and integer dtypes survive the merge.
+        # Split sides so each side's own columns carry no padding nulls.
         lt = g.filter(pc.equal(g.column("__side"), "L")).select(lcols)
         if how in ("left_anti", "left_semi"):
-            # Arrow-native existence filter — no pandas round-trip.
+            # Arrow-native existence filter.
             keys = (g.filter(pc.equal(g.column("__side"), "R"))
                     .column(rkey_name).combine_chunks())
             hit = pc.is_in(lt.column(left_on), value_set=pc.unique(keys))
             mask = pc.invert(hit) if how == "left_anti" else hit
             return lt.filter(mask)
-        lf = lt.to_pandas()
-        rf = (g.filter(pc.equal(g.column("__side"), "R"))
-              .select([rkey_name] + renamed_rcols).to_pandas())
-        merged = lf.merge(rf, how=pd_how, left_on=left_on, right_on=rkey_name)
-        merged = merged.reindex(columns=[c for c, _ in out_fields])
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        # Arrow-native per-bucket join (the pandas round-trip cost a full
+        # object conversion per bucket — VERDICT r1 #10).
+        rt = g.filter(pc.equal(g.column("__side"), "R")).select(
+            [rkey_name] + renamed_rcols)
+        merged = lt.join(rt, keys=[left_on], right_keys=[rkey_name],
+                         join_type=arrow_how)
+        return merged.select([c for c, _ in out_fields])
 
     joined = unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 

@@ -100,3 +100,105 @@ class CheckpointManager:
     def manifest(self, stage: str) -> dict:
         with open(os.path.join(self._dir(stage), "manifest.json")) as f:
             return json.load(f)
+
+    # --- per-partition (intra-stage) resume --------------------------------
+
+    def begin_partitioned(self, stage: str, fingerprint: str) -> set[int]:
+        """Open (or resume) a partitioned stage attempt.  Markers from an
+        attempt with a DIFFERENT (or empty) fingerprint are stale — the whole
+        stage is invalidated rather than silently resumed.  Returns the set
+        of partitions already completed by a matching attempt."""
+        d = self._dir(stage)
+        attempt = os.path.join(d, "attempt.json")
+        prev = None
+        if os.path.exists(attempt):
+            try:
+                with open(attempt) as f:
+                    prev = json.load(f).get("fingerprint")
+            except Exception:
+                prev = None
+        if not fingerprint or prev != fingerprint:
+            if prev is not None or os.path.exists(d):
+                self.invalidate(stage)
+        os.makedirs(d, exist_ok=True)
+        with open(attempt, "w") as f:
+            json.dump({"fingerprint": fingerprint, "started_at": time.time()}, f)
+        return self.completed_partitions(stage)
+
+    def completed_partitions(self, stage: str) -> set[int]:
+        """Partition ids whose ``part-XXXXX._OK`` marker landed (each marker
+        is written atomically AFTER its data file — a crash mid-stage leaves
+        exactly the finished partitions marked)."""
+        ok_dir = os.path.join(self._dir(stage), "parts_ok")
+        if not os.path.isdir(ok_dir):
+            return set()
+        return {int(f[5:10]) for f in os.listdir(ok_dir)
+                if f.startswith("part-") and f.endswith("._OK")}
+
+    def save_partitioned(self, stage: str, ds, part_col: str,
+                         fingerprint: str = "", extra: dict | None = None):
+        """Write ``ds`` as one parquet file PER VALUE of ``part_col`` with an
+        atomic per-partition completion marker (tmp + rename), so a killed run
+        resumes by recomputing ONLY the unmarked partitions (the caller
+        filters its input to ``missing`` before building ``ds``).  One keyed
+        shuffle co-locates each partition — the price of resumable output.
+
+        Returns a Dataset reading the full stage directory."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        d = self._dir(stage)
+        data_dir = os.path.join(d, "data")
+        ok_dir = os.path.join(d, "parts_ok")
+        os.makedirs(data_dir, exist_ok=True)
+        os.makedirs(ok_dir, exist_ok=True)
+        already = self.completed_partitions(stage)
+        t0 = time.perf_counter()
+
+        def write_partition(g: pa.Table) -> pa.Table:
+            part = g.column(part_col)[0].as_py()
+            out = g.drop_columns([part_col])
+            final = os.path.join(data_dir, f"part-{part:05d}.parquet")
+            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(out, tmp)
+            os.replace(tmp, final)
+            # Marker lands ONLY after the data rename (ordered, atomic); kept
+            # out of data/ so parquet readers never see it.
+            marker = os.path.join(ok_dir, f"part-{part:05d}._OK")
+            tmp_m = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp_m, "w") as f:
+                f.write("ok\n")
+            os.replace(tmp_m, marker)
+            return pa.table({"part": pa.array([part], pa.int64()),
+                             "rows": pa.array([out.num_rows], pa.int64())})
+
+        acks = (ds.groupby(part_col)
+                .map_groups(write_partition, batch_format="pyarrow").take_all())
+        written = sorted(r["part"] for r in acks)
+        wall = time.perf_counter() - t0
+
+        with _PARQUET_IO_LOCK:
+            out_ds = rd.read_parquet(
+                [os.path.join(data_dir, f) for f in sorted(os.listdir(data_dir))
+                 if f.endswith(".parquet")])
+        manifest = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "rows": out_ds.count(),
+            "partitions": sorted(already | set(written)),
+            "n_partitions": len(already | set(written)),
+            "written_partitions": written,     # lineage: THIS run's recompute scope
+            "resumed_partitions": sorted(already),
+            "wall_s": wall,
+            "written_at": time.time(),
+        }
+        if extra:
+            manifest.update(extra)
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write("ok\n")
+        return out_ds

@@ -281,6 +281,46 @@ class TestResume:
         assert m["fingerprint"] == "fpA"
         assert m["rows"] > 0 and m["n_partitions"] >= 1 and m["partitions"]
 
+    def test_partition_level_resume(self, ray_session, small_corpus, tmp_path):
+        """Kill-mid-stage resume recomputes ONLY the missing url-hash
+        partitions (lineage in manifest.written_partitions) and reproduces
+        byte-identical docs (north_rule per-partition lineage contract)."""
+        import os
+        import ray.data as rd
+        from ontoray.config import PipelineConfig
+        from ontoray.pipelines.kg import run_kg_pipeline
+        from ontoray.state.checkpoint import CheckpointManager
+        sub = small_corpus.slice(0, 300)
+        cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ckpp"), docs_partitions=8)
+        r1 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="fp1")
+        d1 = sorted((r["url"], r["doc_text"]) for r in r1.docs.take_all())
+        ck = CheckpointManager(cfg.checkpoint_dir)
+        m1 = ck.manifest("docs")
+        assert m1["written_partitions"] == list(range(8))
+        assert m1["resumed_partitions"] == []
+
+        # Simulate a crash mid-docs: two partitions and the completion
+        # markers vanish; downstream stages invalidated as usual.
+        dd = os.path.join(cfg.checkpoint_dir, "docs")
+        os.remove(os.path.join(dd, "_SUCCESS"))
+        os.remove(os.path.join(dd, "manifest.json"))
+        for p in (2, 5):
+            os.remove(os.path.join(dd, "data", f"part-{p:05d}.parquet"))
+            os.remove(os.path.join(dd, "parts_ok", f"part-{p:05d}._OK"))
+        for s in ("extraction", "triples_dedup", "entities", "nodes", "edges",
+                  "nodes_curated", "edges_curated"):
+            ck.invalidate(s)
+
+        r2 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="fp1")
+        m2 = ck.manifest("docs")
+        assert m2["written_partitions"] == [2, 5]          # recompute scope
+        assert m2["resumed_partitions"] == sorted(set(range(8)) - {2, 5})
+        d2 = sorted((r["url"], r["doc_text"]) for r in r2.docs.take_all())
+        assert d1 == d2
+
+        # A different fingerprint must NOT resume stale partitions.
+        assert ck.begin_partitioned("docs", "fp-other") == set()
+
     def test_fingerprint_mismatch_recomputes(self, ray_session, small_corpus, tmp_path):
         import ray.data as rd
         from ontoray.config import PipelineConfig

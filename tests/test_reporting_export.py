@@ -162,6 +162,82 @@ class TestConsistency:
         assert owl.count('rdf:resource="#root"') == 1
 
 
+class TestSchemaValidator:
+    def test_export_validates(self, ray_session, small_engine):
+        """The pipeline's own JSON-LD export must validate (reference
+        schema_org_validator analog)."""
+        from ontoray.evaluation.validator import validate_objects
+        from ontoray.stages.export import entities_to_jsonld
+        objs = entities_to_jsonld(small_engine.entities.take_all())
+        assert objs
+        report = validate_objects(objs)
+        assert report["total_objects"] == len(objs)
+        assert report["valid_objects"] == len(objs), report["errors"][:3]
+        assert report["validation_rate"] == 100.0
+
+    def test_validator_catches_defects(self):
+        from ontoray.evaluation.validator import validate_object, validate_objects
+        bad = {"@context": "https://example.com/", "@type": "Product",
+               "name": "", "description": None, "elec:weird": 1}
+        r = validate_object(bad)
+        assert not r["valid"]
+        assert any("Missing required property 'name'" in e for e in r["errors"])
+        assert any("non-standard @context" in w for w in r["warnings"])
+        assert any("undefined namespace 'elec'" in w for w in r["warnings"])
+        assert any("Empty values" in w for w in r["warnings"])
+        good = {"@context": "https://schema.org/", "@type": "Product",
+                "name": "Thing", "description": "d", "category": "c",
+                "manufacturer": "m"}
+        rep = validate_objects([good, bad])
+        assert rep["valid_objects"] == 1 and rep["total_objects"] == 2
+        assert rep["validation_rate"] == 50.0
+
+    def test_distributed_matches_pure(self, ray_session, small_engine):
+        import json
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.evaluation.validator import (validate_jsonld_ds,
+                                                  validate_objects,
+                                                  validation_report)
+        from ontoray.stages.export import entities_to_jsonld
+        objs = entities_to_jsonld(small_engine.entities.take_all())
+        tbl = pa.table({"jsonld": pa.array([json.dumps(o, sort_keys=True) for o in objs],
+                                           pa.string())})
+        rep = validation_report(validate_jsonld_ds(rd.from_arrow(tbl).repartition(3)))
+        pure = validate_objects(objs)
+        assert rep["total_objects"] == pure["total_objects"]
+        assert rep["valid_objects"] == pure["valid_objects"]
+        assert rep["n_errors"] == len(pure["errors"])
+        assert rep["n_warnings"] == len(pure["warnings"])
+        assert rep["validation_rate"] == pure["validation_rate"]
+
+
+class TestGraphCompare:
+    def test_compare_vs_gold(self, ray_session, small_engine, small_oracle):
+        """Structural comparison harness (reference evaluation/graph.py
+        analog): engine graph vs the oracle graph as gold — exact overlap."""
+        from ontoray.evaluation.graph_compare import compare_graph_datasets
+        gold_nodes = set(small_oracle["nodes"])
+        gold_edges = {(s, d) for s, _r, d in small_oracle["edges"]}
+        rep = compare_graph_datasets(small_engine.nodes, small_engine.edges,
+                                     gold_nodes, gold_edges)
+        assert rep["generated_ontology"]["nodes"] == rep["gold_standard"]["nodes"]
+        assert rep["node_overlap"]["f1"] == 1.0
+        assert rep["edge_overlap"]["f1"] == 1.0
+        assert 0 <= rep["generated_ontology"]["density"] <= 1
+
+    def test_overlap_math(self):
+        from ontoray.evaluation.graph_compare import compare_graphs
+        rep = compare_graphs(
+            gen_nodes={"A", "b", "x"}, gen_edges={("A", "b")},
+            gold_nodes={"a", "B", "c"}, gold_edges={("a", "b"), ("b", "c")})
+        assert rep["node_overlap"]["precision"] == round(2 / 3, 4)
+        assert rep["node_overlap"]["recall"] == round(2 / 3, 4)
+        # gen edge (a,b) valid in gold too -> tp=1
+        assert rep["edge_overlap"]["precision"] == 1.0
+        assert rep["edge_overlap"]["recall"] == 0.5
+
+
 class TestDistributedReachability:
     def test_matches_driver_bfs(self, ray_session, small_engine):
         from ontoray.stages.curation import _reachable_names, reachable_distributed
