@@ -330,8 +330,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session": _q_events_session,
         # Quality filtering
         "quality_filter": Q.q_quality_filter,
-        # Relational breadth (J7 join, A5 agg, A11 top-k)
+        # Relational breadth (J7 join, A5 agg, A11 top-k, O2 per-group top-k)
         "orders_by_nation": Q.q_orders_by_nation,
+        "orders_by_region": Q.q_orders_by_region,
+        "lineitem_pricing": Q.q_lineitem_pricing,
+        "top_parts_per_brand": Q.q_top_parts_per_brand,
         "topk_parts": Q.q_topk_parts,
     }
 
@@ -347,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_chunks": Q.SQL_KG_CHUNKS,
         "kg_triples_norm": Q.SQL_KG_TRIPLES_NORM,
         "kg_mention_sources": Q.SQL_KG_MENTION_SOURCES,
+        "kg_mention_contexts": Q.SQL_KG_MENTION_CONTEXTS,
         "events_session": Q.SQL_EVENTS_SESSION,
         "text_langid": Q.SQL_TEXT_LANGID,
         "doc_stats": __import__("ontoray.extras.textstats", fromlist=["sql_doc_stats"]).sql_doc_stats(),
@@ -357,5 +361,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window": Q.SQL_EVENTS_WINDOW,
         "quality_filter": Q.sql_quality_filter(),
         "orders_by_nation": Q.SQL_ORDERS_BY_NATION,
+        "orders_by_region": Q.SQL_ORDERS_BY_REGION,
+        "lineitem_pricing": Q.SQL_LINEITEM_PRICING,
+        "top_parts_per_brand": Q.SQL_TOP_PARTS_PER_BRAND,
         "topk_parts": Q.SQL_TOPK_PARTS,
     }

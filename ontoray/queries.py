@@ -325,6 +325,140 @@ SQL_ORDERS_BY_NATION = ("SELECT n_name, count(*) AS n_orders FROM orders "
                         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")
 
 
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing rollup over the LARGEST table — the wide
+    two-phase aggregate exercised at its real scale path (per-batch partial
+    sums before the bucket shuffle)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def cents(col) -> pa.Array:
+        # Exact, order-independent money math: per-row floor(x*100 + 0.5)
+        # cents as int64 (float sums are not associative, so a distributed
+        # partial-sum vs DuckDB's single-pass sum would differ in the last
+        # bits at 1e9 magnitudes; integer cents are exact on both sides).
+        return pc.cast(pc.floor(pc.add(pc.multiply(pc.cast(col, pa.float64()),
+                                                   pa.scalar(100.0)),
+                                       pa.scalar(0.5))), pa.int64())
+
+    def derive(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_c": cents(batch.column("l_quantity")),
+            "price_c": cents(batch.column("l_extendedprice")),
+            "disc_c": cents(disc),
+            "one": pa.array([1] * batch.num_rows, pa.int64()),
+        })
+
+    out = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        partial_aggs=[("qty_c", "sum"), ("price_c", "sum"), ("disc_c", "sum"),
+                      ("one", "sum")],
+        aggs=[("qty_c_sum", "sum"), ("price_c_sum", "sum"), ("disc_c_sum", "sum"),
+              ("one_sum", "sum")],
+        rename={"qty_c_sum_sum": "qty_c", "price_c_sum_sum": "price_c",
+                "disc_c_sum_sum": "disc_c", "one_sum_sum": "count_order"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pc.divide(pc.cast(batch.column("qty_c"), pa.float64()),
+                                 pa.scalar(100.0)),
+            "sum_base_price": pc.divide(pc.cast(batch.column("price_c"), pa.float64()),
+                                        pa.scalar(100.0)),
+            "sum_disc_price": pc.divide(pc.cast(batch.column("disc_c"), pa.float64()),
+                                        pa.scalar(100.0)),
+            "count_order": batch.column("count_order"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+_CENTS = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+SQL_LINEITEM_PRICING = (
+    "SELECT l_returnflag, l_linestatus, "
+    f"sum({_CENTS.format(x='l_quantity')}) / 100.0 AS sum_qty, "
+    f"sum({_CENTS.format(x='l_extendedprice')}) / 100.0 AS sum_base_price, "
+    f"sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) / 100.0 AS sum_disc_price, "
+    "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+
+def q_top_parts_per_brand(sf_dir: str, k: int = 2):
+    """Per-group top-k (O2 at group granularity): 2 priciest parts per brand,
+    deterministic tie-break on p_partkey."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["p_retailprice", "p_partkey"],
+                          ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False).cast(pa.schema([
+            ("p_brand", pa.string()), ("p_partkey", pa.int64()),
+            ("p_retailprice", pa.float64())]))
+
+    return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
+
+
+SQL_TOP_PARTS_PER_BRAND = (
+    "SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey, p_retailprice FROM ("
+    "  SELECT p_brand, p_partkey, p_retailprice, row_number() OVER ("
+    "PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part"
+    ") WHERE rn <= 2")
+
+
+def q_orders_by_region(sf_dir: str):
+    """Broadcast small-side join pattern (no shuffle for the dimension
+    tables): region ⋈ nation collapses to a driver map shipped via ray.put;
+    only orders ⋈ customer uses the partitioned hash join."""
+    import ray
+    import ray.data as rd
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"]).take_all()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"]).take_all()
+    rmap = {r["r_regionkey"]: r["r_name"] for r in region}
+    n2r = {n["n_nationkey"]: rmap[n["n_regionkey"]] for n in nation}
+    n2r_ref = ray.put(n2r)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j = hash_join(orders, cust, "o_custkey", "c_custkey", how="inner")
+
+    def to_region(batch: pa.Table) -> pa.Table:
+        m = ray.get(n2r_ref)
+        return pa.table({"r_name": pa.array(
+            [m[k] for k in batch.column("c_nationkey").to_pylist()], pa.string())})
+
+    return hash_aggregate(
+        j.map_batches(to_region, batch_format="pyarrow"), ["r_name"],
+        partial_aggs=[("r_name", "count")],
+        aggs=[("r_name_count", "sum")], rename={"r_name_count_sum": "n_orders"})
+
+
+SQL_ORDERS_BY_REGION = (
+    "SELECT r_name, count(*) AS n_orders FROM orders "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name")
+
+
 def q_topk_parts(sf_dir: str, k: int = 5):
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"])
@@ -361,6 +495,35 @@ SQL_EVENTS_WINDOW = (
 
 
 # --- quality filter over doc stats ------------------------------------------
+
+# --- kg_mention_contexts (J6 provenance join mirror) ------------------------
+
+def _sql_mention_contexts_query(limit_docs: int = 200) -> str:
+    """Chunk-level mention extraction joined back to chunk text over the
+    first ``limit_docs`` docs (documents.parquet is doc_id-ordered, so the
+    engine's Dataset.limit equals the ORDER BY doc_id LIMIT here)."""
+    stopw = ", ".join(f"'{w}'" for w in sorted(CONCEPT_STOPWORDS))
+    lim_cte = _recursive_cleaned_cte(
+        f" WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id"
+        f" LIMIT {limit_docs})")
+    uni = (f"SELECT DISTINCT doc_id, chunk_id, tok AS mention FROM "
+           f"(SELECT doc_id, chunk_id, "
+           f"unnest(regexp_extract_all(chunk_text, '{TOKEN_PATTERN}')) AS tok "
+           f"FROM chunks) WHERE tok NOT IN ({stopw})")
+    phrase_parts = [
+        f"SELECT doc_id, chunk_id, '{p}' AS mention FROM chunks "
+        f"WHERE contains(chunk_text, '{p}')"
+        for p in GAZETTEER
+    ]
+    body = " UNION ".join([uni] + phrase_parts)
+    return (f"{lim_cte}, {_CHUNK_CTES}, m AS ({body}) "
+            f"SELECT CAST(m.doc_id AS VARCHAR) AS url, "
+            f"CAST(m.chunk_id AS INTEGER) AS chunk_id, m.mention, c.chunk_text "
+            f"FROM m JOIN chunks c ON m.doc_id = c.doc_id AND m.chunk_id = c.chunk_id")
+
+
+SQL_KG_MENTION_CONTEXTS = _sql_mention_contexts_query()
+
 
 # --- session windows (gap-based sessionization mirror) ----------------------
 

@@ -238,6 +238,35 @@ class TestGraphCompare:
         assert rep["edge_overlap"]["recall"] == 0.5
 
 
+class TestQuerySuite:
+    def test_suite_on_engine_graph(self, ray_session, small_engine):
+        """Reference multi_db_evaluator analog: every functional check runs
+        without error on the materialized graph and the hierarchy checks
+        return results."""
+        from ontoray.evaluation.query_suite import run_query_suite
+        s = run_query_suite(small_engine.nodes, small_engine.edges)
+        assert s["errors"] == 0
+        assert s["success_rate"] == 100.0
+        assert s["results"]["count_nodes"] > 0
+        assert s["results"]["subclass_edges"] > 0
+        assert s["results"]["children_of_root"] > 0
+        assert s["resultful_rate"] >= 50.0
+
+    def test_error_and_empty_accounting(self, ray_session, small_engine):
+        from ontoray.evaluation.query_suite import run_query_suite
+
+        def boom(n, e):
+            raise RuntimeError("nope")
+
+        s = run_query_suite(small_engine.nodes, small_engine.edges,
+                            suite=[("ok", lambda n, e: n.count()),
+                                   ("empty", lambda n, e: 0),
+                                   ("err", boom)])
+        assert s["successful"] == 1 and s["empty_result"] == 1 and s["errors"] == 1
+        assert round(s["success_rate"], 2) == round(200 / 3, 2)
+        assert round(s["resultful_rate"], 2) == round(100 / 3, 2)
+
+
 class TestDistributedReachability:
     def test_matches_driver_bfs(self, ray_session, small_engine):
         from ontoray.stages.curation import _reachable_names, reachable_distributed

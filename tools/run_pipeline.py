@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=2048)
     p.add_argument("--linker-concurrency", type=int, default=None)
     p.add_argument("--extractor-concurrency", type=int, default=None)
+    p.add_argument("--evaluate", action="store_true",
+                   help="run the functional query suite + Schema.org "
+                        "validation over the built graph and add the scores "
+                        "to the summary")
     args = p.parse_args(argv)
 
     import logging
@@ -68,11 +72,29 @@ def main(argv=None) -> int:
     pages = rd.read_parquet(args.input)
     result = run_kg_pipeline(pages, cfg=cfg, curate_graph=not args.no_curation,
                              fingerprint=args.fingerprint)
-    summary = write_graph_outputs(result, args.output, summary_extra={
+    extra = {
         **run_summary(result.entities),
         "wall_s": round(time.perf_counter() - t0, 2),
         "fingerprint": args.fingerprint,
-    })
+    }
+    if args.evaluate:
+        import pyarrow as pa
+
+        from ontoray.evaluation.query_suite import run_query_suite
+        from ontoray.evaluation.validator import (validate_jsonld_ds,
+                                                  validation_report)
+        from ontoray.stages.export import entities_to_jsonld
+
+        extra["query_suite"] = run_query_suite(result.nodes, result.edges)
+
+        def fmt(batch: pa.Table) -> pa.Table:
+            objs = entities_to_jsonld(batch.to_pylist())
+            return pa.table({"jsonld": pa.array(
+                [json.dumps(o, sort_keys=True) for o in objs], pa.string())})
+
+        extra["jsonld_validation"] = validation_report(
+            validate_jsonld_ds(result.entities.map_batches(fmt, batch_format="pyarrow")))
+    summary = write_graph_outputs(result, args.output, summary_extra=extra)
     print(json.dumps(summary, default=str))
     ray.shutdown()
     return 0
