@@ -196,6 +196,35 @@ class TestANN:
         all_ids = brute.column("vec_id").to_pylist()
         assert set(lsh.column("vec_id").to_pylist()) <= set(all_ids)
 
+    def test_lsh_multiprobe_improves_recall(self, ray_session):
+        """Multi-probe scans the query bucket + least-confident Hamming-1
+        neighbors: candidate superset of single-probe, recall vs brute-force
+        monotonically non-decreasing in probes."""
+        import ray.data as rd
+        from ontoray.extras.ann import brute_force_topk, lsh_topk, query_vector
+        rng = np.random.default_rng(8)
+        q = query_vector(16)
+        # Plant the true top-10 as near-duplicates of the query: their codes
+        # differ from the query's only on low-|margin| planes — exactly the
+        # flips multi-probe explores first.
+        planted = [q + 0.08 * rng.standard_normal(16) for _ in range(10)]
+        noise = [rng.standard_normal(16) for _ in range(390)]
+        vecs = np.array(planted + noise, dtype=np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(400)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        })
+        ds = rd.from_arrow(tbl)
+        truth = set(brute_force_topk(ds, q, k=10).column("vec_id").to_pylist())
+        recalls = []
+        for p in (1, 4, 8):
+            got = set(lsh_topk(ds, q, k=10, n_planes=6, probes=p)
+                      .column("vec_id").to_pylist())
+            recalls.append(len(got & truth))
+        assert recalls == sorted(recalls)
+        assert recalls[-1] > recalls[0] or recalls[0] == len(truth)
+        assert recalls[-1] >= 7
+
 
 class TestTextStats:
     def test_doc_stats(self, ray_session, docs_table):
