@@ -195,23 +195,50 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         # worker heap (~100 bytes/entry); beyond that, partitioned hash join.
         resolve_mode = "join" if entities.count() > 1_000_000 else "broadcast"
 
-    # Three independent chains off the materialized entities + extraction
-    # output: nodes (shuffle-free), edges (rollup shuffle over the RAW triple
-    # rows — the associative (src, rel, dst) rollup makes pre-dedup input
-    # equivalent, so the edge chain does not wait for the triple-key dedup),
-    # and the triple-key dedup itself.
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        f_td = ex.submit(stage, "triples_dedup", lambda: dedup_triples(triples), True)
-        f_nodes = ex.submit(stage, "nodes",
-                            lambda: build_nodes(entities, alias, cfg.sort_mode), True)
-        f_edges = ex.submit(stage, "edges",
-                            lambda: build_edges(entities, triples, alias,
-                                                num_partitions=n_blocks,
-                                                resolve_mode=resolve_mode,
-                                                sort_mode=cfg.sort_mode), True)
-        triples_dd = f_td.result()
-        nodes = f_nodes.result()
-        edges = f_edges.result()
+    if resolve_mode == "broadcast":
+        # FUSED plan: one corpus-scale shuffle (bucket by subj_norm) yields
+        # BOTH the triple-key dedup table and the per-bucket edge partials;
+        # a second, edge-vocabulary-scale rollup finishes the edges.  The
+        # shuffle-free node build overlaps on a driver thread.
+        from ontoray.stages.graph import fused_dedup_and_edges
+
+        def fused():
+            need = ckpt is None or not (
+                ckpt.is_complete("triples_dedup", fingerprint)
+                and ckpt.is_complete("edges", fingerprint))
+            td_v = ed_v = None
+            if need:
+                td_v, ed_v = fused_dedup_and_edges(
+                    triples, entities, alias, num_buckets=n_blocks,
+                    sort_mode=cfg.sort_mode)
+            td = stage("triples_dedup", lambda: td_v, True)
+            ed = stage("edges", lambda: ed_v, True)
+            return td, ed
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_nodes = ex.submit(stage, "nodes",
+                                lambda: build_nodes(entities, alias, cfg.sort_mode),
+                                True)
+            f_te = ex.submit(fused)
+            nodes = f_nodes.result()
+            triples_dd, edges = f_te.result()
+    else:
+        # Partitioned-join resolution (vocabulary beyond broadcast): separate
+        # dedup / edge chains, overlapped with the node build.
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_td = ex.submit(stage, "triples_dedup",
+                             lambda: dedup_triples(triples), True)
+            f_nodes = ex.submit(stage, "nodes",
+                                lambda: build_nodes(entities, alias, cfg.sort_mode),
+                                True)
+            f_edges = ex.submit(stage, "edges",
+                                lambda: build_edges(entities, triples, alias,
+                                                    num_partitions=n_blocks,
+                                                    resolve_mode=resolve_mode,
+                                                    sort_mode=cfg.sort_mode), True)
+            triples_dd = f_td.result()
+            nodes = f_nodes.result()
+            edges = f_edges.result()
 
     stats: dict = {}
     if curate_graph:

@@ -199,6 +199,163 @@ def resolution_table(entities_ds):
     ).map_batches(decode, batch_format="pyarrow")
 
 
+def _task_edges_batch(batch: pa.Table) -> pa.Table:
+    """Entity decisions -> taxonomic (name SUBCLASS_OF parent) edge rows."""
+    mask = pc.and_(
+        pc.is_in(batch.column("decision"), value_set=pa.array([EXTEND, UNCERTAIN])),
+        pc.is_valid(batch.column("parent_class")))
+    t = batch.filter(mask)
+    n = t.num_rows
+    return pa.table({
+        "src": t.column("name"),
+        "rel": pa.array(["SUBCLASS_OF"] * n, pa.string()),
+        "dst": t.column("parent_class"),
+        "taxonomic": pa.array([True] * n, pa.bool_()),
+        "conf": t.column("confidence"),
+        "n": pa.array([1] * n, pa.int64()),
+    })
+
+
+def _baseline_edges_table(alias: AliasData) -> pa.Table:
+    base_pairs = [(c, p) for c, p in alias.parent.items() if p]
+    return pa.table({
+        "src": pa.array([c for c, _ in base_pairs], pa.string()),
+        "rel": pa.array(["SUBCLASS_OF"] * len(base_pairs), pa.string()),
+        "dst": pa.array([p for _, p in base_pairs], pa.string()),
+        "taxonomic": pa.array([True] * len(base_pairs), pa.bool_()),
+        "conf": pa.array([1.0] * len(base_pairs), pa.float32()),
+        "n": pa.array([1] * len(base_pairs), pa.int64()),
+    })
+
+
+def fused_dedup_and_edges(triples_ds, entities_ds, alias: AliasData,
+                          num_buckets: int = 64, sort_mode: str = "partitioned"):
+    """ONE corpus-scale shuffle produces BOTH canonical outputs: the
+    triple-key dedup table and the edge table.
+
+    Raw (pre-aggregated) triples bucket by hash(subj_norm); every row of a
+    (subj_norm, pred_norm, obj_norm) key shares subj_norm, so a per-bucket
+    group_by IS the global dedup.  The same bucket pass also emits a partial
+    EDGE rollup (endpoints resolved via the broadcast map, relation
+    sanitized); a second, edge-vocabulary-scale rollup merges those partials
+    with the task/baseline subclass edges — sum/max are associative, so the
+    result equals build_edges over dedup_triples (pytest-asserted).  Compared
+    to running dedup_triples and build_edges separately this removes one full
+    all-to-all over the corpus-proportional triple rows.
+
+    Broadcast resolution only (the fused path targets the
+    vocabulary-fits-in-memory regime; callers needing the partitioned-join
+    resolution use the separate build_edges).  Returns
+    (triples_dedup_ds, edges_ds) — both lazy views over one materialized
+    combined table."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate, stable_hash_column
+
+    rmap = resolution_map(entities_ds)
+    rk = sorted(rmap)
+    res_ref = ray.put((pa.array(rk, pa.string()),
+                       pa.array([rmap[k] for k in rk], pa.string())))
+
+    tcols = triples_ds.schema().names
+    n_col = "n_obs" if "n_obs" in tcols else ("n" if "n" in tcols else None)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = (batch.column(n_col).cast(pa.int64()) if n_col
+             else pa.array([1] * batch.num_rows, pa.int64()))
+        t = pa.table({"subj_norm": batch.column("subj_norm"),
+                      "pred_norm": batch.column("pred_norm"),
+                      "obj_norm": batch.column("obj_norm"),
+                      "conf": batch.column("conf").cast(pa.float32()),
+                      "n": n})
+        h = stable_hash_column(t.column("subj_norm"))
+        return t.append_column("__bucket",
+                               pa.array((h % num_buckets).astype(np.int64), pa.int64()))
+
+    def reduce_both(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        td = g.group_by(["subj_norm", "pred_norm", "obj_norm"]).aggregate(
+            [("conf", "max"), ("n", "sum")])
+        nt = g.filter(pc.invert(pc.equal(g.column("pred_norm"), "subclass_of")))
+        rkeys, rvals = ray.get(res_ref)
+
+        def resolve(col):
+            idx = pc.index_in(col, value_set=rkeys)
+            return pc.coalesce(pc.take(rvals, idx), col).cast(pa.string())
+
+        et = pa.table({"src": resolve(nt.column("subj_norm")),
+                       "rel": _sanitize_rel_col(nt.column("pred_norm")),
+                       "dst": resolve(nt.column("obj_norm")),
+                       "conf": nt.column("conf"),
+                       "n": nt.column("n")})
+        ea = et.group_by(["src", "rel", "dst"]).aggregate(
+            [("conf", "max"), ("n", "sum")])
+        n_t, n_e = td.num_rows, ea.num_rows
+        return pa.table({
+            "kind": pa.array(["t"] * n_t + ["e"] * n_e, pa.string()),
+            "a": pa.concat_arrays([td.column("subj_norm").combine_chunks(),
+                                   ea.column("src").combine_chunks()]),
+            "b": pa.concat_arrays([td.column("pred_norm").combine_chunks(),
+                                   ea.column("rel").combine_chunks()]),
+            "c": pa.concat_arrays([td.column("obj_norm").combine_chunks(),
+                                   ea.column("dst").combine_chunks()]),
+            "conf": pa.concat_arrays([td.column("conf_max").combine_chunks(),
+                                      ea.column("conf_max").combine_chunks()]),
+            "n": pa.concat_arrays([td.column("n_sum").combine_chunks(),
+                                   ea.column("n_sum").combine_chunks()]),
+        })
+
+    combined = (triples_ds.map_batches(bucketize, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(reduce_both, batch_format="pyarrow")).materialize()
+
+    def td_view(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), "t"))
+        return pa.table({"subj_norm": t.column("a"), "pred_norm": t.column("b"),
+                         "obj_norm": t.column("c"), "conf": t.column("conf"),
+                         "n_obs": t.column("n")})
+
+    triples_dd = combined.map_batches(td_view, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    def edge_parts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), "e"))
+        n = t.num_rows
+        return pa.table({"src": t.column("a"), "rel": t.column("b"),
+                         "dst": t.column("c"),
+                         "taxonomic": pa.array([0] * n, pa.int8()),
+                         "conf": t.column("conf"), "n": t.column("n")})
+
+    eparts = combined.map_batches(edge_parts, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    tedges = entities_ds.map_batches(_task_edges_batch, batch_format="pyarrow")
+    base_edges = rd.from_arrow(_baseline_edges_table(alias))
+
+    def _bool_to_int(batch: pa.Table) -> pa.Table:
+        return batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
+                                pc.cast(batch.column("taxonomic"), pa.int8()))
+
+    all_edges = (tedges.union(base_edges)
+                 .map_batches(_bool_to_int, batch_format="pyarrow")
+                 .union(eparts))
+    deduped = hash_aggregate(
+        all_edges, ["src", "rel", "dst"],
+        partial_aggs=[("taxonomic", "max"), ("conf", "max"), ("n", "sum")],
+        aggs=[("taxonomic_max", "max"), ("conf_max", "max"), ("n_sum", "sum")],
+        rename={"taxonomic_max_max": "taxonomic", "conf_max_max": "confidence",
+                "n_sum_sum": "n_obs"})
+
+    def _int_to_bool(batch: pa.Table) -> pa.Table:
+        return batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
+                                pc.cast(batch.column("taxonomic"), pa.bool_()))
+
+    edges = _finish_sorted(deduped.map_batches(_int_to_bool, batch_format="pyarrow"),
+                           ["src", "rel", "dst"], sort_mode)
+    return triples_dd, edges
+
+
 def resolution_map(entities_ds) -> dict[str, str]:
     """Driver-side fold equivalent of ``resolution_table`` for broadcast mode:
     since broadcast mode by definition fits the map in memory, build it with
@@ -235,33 +392,8 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
     """
     import ray.data as rd
 
-    # Task + baseline subclass edges.
-    def task_edges(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.is_in(batch.column("decision"), value_set=pa.array([EXTEND, UNCERTAIN])),
-            pc.is_valid(batch.column("parent_class")))
-        t = batch.filter(mask)
-        n = t.num_rows
-        return pa.table({
-            "src": t.column("name"),
-            "rel": pa.array(["SUBCLASS_OF"] * n, pa.string()),
-            "dst": t.column("parent_class"),
-            "taxonomic": pa.array([True] * n, pa.bool_()),
-            "conf": t.column("confidence"),
-            "n": pa.array([1] * n, pa.int64()),
-        })
-
-    base_pairs = [(c, p) for c, p in alias.parent.items() if p]
-    base_edges = rd.from_arrow(pa.table({
-        "src": pa.array([c for c, _ in base_pairs], pa.string()),
-        "rel": pa.array(["SUBCLASS_OF"] * len(base_pairs), pa.string()),
-        "dst": pa.array([p for _, p in base_pairs], pa.string()),
-        "taxonomic": pa.array([True] * len(base_pairs), pa.bool_()),
-        "conf": pa.array([1.0] * len(base_pairs), pa.float32()),
-        "n": pa.array([1] * len(base_pairs), pa.int64()),
-    }))
-
-    tedges = entities_ds.map_batches(task_edges, batch_format="pyarrow")
+    tedges = entities_ds.map_batches(_task_edges_batch, batch_format="pyarrow")
+    base_edges = rd.from_arrow(_baseline_edges_table(alias))
 
     # Non-taxonomic triples: resolve both endpoints surface -> node name.
     # Accepts pre-deduplicated rows (n_obs), fused pre-aggregated rows (n) or

@@ -163,6 +163,25 @@ class TestGraph:
         assert small_engine.stats["orphans_removed"] == small_oracle["removed"]["orphans_removed"]
         assert small_engine.stats["low_degree_removed"] == small_oracle["removed"]["low_degree_removed"]
 
+    def test_fused_shuffle_matches_separate_paths(self, ray_session, small_engine):
+        """fused_dedup_and_edges (one corpus-scale shuffle for BOTH outputs)
+        == dedup_triples + build_edges run separately."""
+        from ontoray.aliases import build_alias_data
+        from ontoray.stages.extraction import dedup_triples
+        from ontoray.stages.graph import build_edges, fused_dedup_and_edges
+        alias = build_alias_data()
+        td_f, ed_f = fused_dedup_and_edges(small_engine.triples,
+                                           small_engine.entities, alias)
+        td_s = dedup_triples(small_engine.triples)
+        ed_s = build_edges(small_engine.entities, small_engine.triples, alias,
+                           resolve_mode="broadcast")
+        tkey = lambda r: (r["subj_norm"], r["pred_norm"], r["obj_norm"],
+                          round(r["conf"], 6), r["n_obs"])
+        assert sorted(map(tkey, td_f.take_all())) == sorted(map(tkey, td_s.take_all()))
+        ekey = lambda r: (r["src"], r["rel"], r["dst"], r["taxonomic"],
+                          round(r["confidence"], 6), r["n_obs"])
+        assert sorted(map(ekey, ed_f.take_all())) == sorted(map(ekey, ed_s.take_all()))
+
     def test_curation_branches_equal(self, ray_session, small_corpus):
         """Driver-fold (small) and distributed (large) curation + stats
         branches produce identical curated graphs, counts and stats."""
