@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_sources": _q_mention_sources,
         # Streaming-shaped windowed aggregates over the events log
         "events_window": Q.q_events_window,
+        "events_hopping": Q.q_events_hopping,
         "events_session": _q_events_session,
         # Quality filtering
         "quality_filter": Q.q_quality_filter,
@@ -359,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
         "events_window": Q.SQL_EVENTS_WINDOW,
+        "events_hopping": Q.SQL_EVENTS_HOPPING,
         "quality_filter": Q.sql_quality_filter(),
         "orders_by_nation": Q.SQL_ORDERS_BY_NATION,
         "orders_by_region": Q.SQL_ORDERS_BY_REGION,

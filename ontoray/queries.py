@@ -494,6 +494,29 @@ SQL_EVENTS_WINDOW = (
     "FROM events GROUP BY event_type, epoch_us(ts) // CAST(3600000000 AS BIGINT)")
 
 
+def q_events_hopping(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
+    import ray.data as rd
+    from ontoray.stages.events import hopping_window
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    out = hopping_window(ds, window_s, slide_s)
+
+    def round_val(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.set_column(batch.schema.get_field_index("max_value"), "max_value",
+                                pc.round(batch.column("max_value"), 6))
+    return out.map_batches(round_val, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOPPING = (
+    "SELECT event_type, window_id, count(*) AS n_events, "
+    "round(max(value), 6) AS max_value FROM ("
+    "  SELECT event_type, value, unnest(generate_series("
+    "(epoch_us(ts) - 3600000000) // CAST(900000000 AS BIGINT) + 1, "
+    "epoch_us(ts) // CAST(900000000 AS BIGINT))) AS window_id FROM events"
+    ") GROUP BY event_type, window_id")
+
+
 # --- quality filter over doc stats ------------------------------------------
 
 # --- kg_mention_contexts (J6 provenance join mirror) ------------------------

@@ -45,6 +45,48 @@ def tumbling_window(events_ds, window_s: int = 3600, key: str = "event_type"):
     return out
 
 
+def hopping_window(events_ds, window_s: int = 3600, slide_s: int = 900,
+                   key: str = "event_type"):
+    """(key, window_id, n_events, max_value) for overlapping windows of
+    ``window_s`` sliding by ``slide_s``: window w covers
+    [w*slide, w*slide + window); an event at ts belongs to windows
+    (ts-window)//slide + 1 .. ts//slide.  The explode factor is
+    window_s/slide_s (bounded, e.g. 4 for 1h/15min), pre-aggregated in-batch
+    like the tumbling case."""
+    import numpy as np
+
+    from ontoray.stages.agg import hash_aggregate
+
+    w_us = window_s * _US
+    s_us = slide_s * _US
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        lo = (ts_us - w_us) // s_us + 1
+        hi = ts_us // s_us
+        reps = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts_us)), reps)
+        # window id per exploded row: lo[i], lo[i]+1, ..., hi[i]
+        offsets = np.concatenate([np.arange(r) for r in reps]) if len(reps) else \
+            np.array([], dtype=np.int64)
+        win = np.repeat(lo, reps) + offsets
+        t = batch.take(pa.array(idx, pa.int64()))
+        return pa.table({
+            key: t.column(key),
+            "window_id": pa.array(win, pa.int64()),
+            "value": t.column("value"),
+            "one": pa.array(np.ones(len(win), dtype=np.int64)),
+        })
+
+    return hash_aggregate(
+        events_ds.select_columns([key, "ts", "value"]).map_batches(
+            explode, batch_format="pyarrow"),
+        [key, "window_id"],
+        partial_aggs=[("one", "sum"), ("value", "max")],
+        aggs=[("one_sum", "sum"), ("value_max", "max")],
+        rename={"one_sum_sum": "n_events", "value_max_max": "max_value"})
+
+
 def session_windows(events_ds, gap_s: int = 1800, key: str = "user_id"):
     """Gap-based sessionization per key: (key, session_id, n_events,
     session_start_us, session_end_us).  Each key's events are grouped, sorted

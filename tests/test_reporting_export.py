@@ -127,6 +127,29 @@ class TestEvents:
         assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 2
 
 
+class TestHoppingWindow:
+    def test_event_lands_in_every_covering_window(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.stages.events import hopping_window
+        base = np.datetime64("2024-01-01T10:30:00", "us")
+        ds = rd.from_arrow(pa.table({
+            "event_type": pa.array(["c", "c"], pa.string()),
+            "ts": pa.array(np.array([base, base + np.timedelta64(20, "m")],
+                                    dtype="datetime64[us]"), pa.timestamp("us")),
+            "value": pa.array([1.0, 5.0], pa.float64()),
+        }))
+        rows = {r["window_id"]: r for r in hopping_window(
+            ds, window_s=3600, slide_s=900).take_all()}
+        # Each event belongs to exactly window/slide = 4 windows.
+        total = sum(r["n_events"] for r in rows.values())
+        assert total == 8
+        # Overlap: windows covering both events see max 5.0 and n=2.
+        both = [r for r in rows.values() if r["n_events"] == 2]
+        assert both and all(r["max_value"] == 5.0 for r in both)
+
+
 class TestConsistency:
     def test_owl_export_and_cycles(self, ray_session, small_engine):
         from ontoray.evaluation.consistency import (check_consistency, export_owl,
