@@ -25,11 +25,10 @@ from ontoray.text.normalize import normalize_concept_name
 
 def oracle_docs(pages: pa.Table, lang: str = "en") -> dict[str, str]:
     """url -> cleaned doc text; first-wins per url by the engine's ordering
-    min (warc_ts, crc32(text), len(text), cleaned_doc).  The key is text-only
-    (never html bytes) so the engine's winner pass can prune the wide html
-    column; the cleaned doc as final tuple element mirrors the engine's
-    min(doc_text) tie aggregate for byte-identical-key rows."""
-    import zlib
+    min (warc_ts, cleaned_doc).  The key is METADATA-ONLY (earliest capture
+    wins) so the engine's winner pass never reads the content columns; the
+    cleaned doc as final tuple element mirrors the engine's min(doc_text)
+    tie aggregate for same-timestamp captures."""
     cols = pages.column_names
     rows = pages.to_pylist()
     best: dict[str, tuple] = {}
@@ -37,16 +36,15 @@ def oracle_docs(pages: pa.Table, lang: str = "en") -> dict[str, str]:
         if r.get("lang") != lang:
             continue
         text = r.get("text") or ""
-        raw = text.encode() if text else b""
         if not text and "html" in cols and r.get("html"):
             text = html_to_text(bytes(r["html"]))
         doc = clean_text(text)
         ts = r.get("warc_ts")
-        key = (ts, zlib.crc32(raw), len(raw), doc)
+        key = (ts, doc)
         cur = best.get(r["url"])
         if cur is None or key < cur:
             best[r["url"]] = key
-    return {url: key[3] for url, key in best.items()}
+    return {url: key[1] for url, key in best.items()}
 
 
 def oracle_chunks(docs: dict[str, str], chunk_size=1000, chunk_overlap=100):

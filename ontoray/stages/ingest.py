@@ -9,22 +9,21 @@ deterministic replacement for the reference's arrival-order MERGE semantics,
 SURVEY O8/A6).
 
 First-wins dedup is SHUFFLE-FREE on the corpus: a side pass aggregates only
-(url, 40-char order key) rows — key = (warc_ts, crc32(text), len(text)),
-text-only so the pass reads four skinny columns and never the wide ``html``
-one — and keeps just the urls with duplicates (dup-rate-bounded, tiny); that
-winner map is broadcast and the main text pipeline filters locally.  The
-corpus text never enters an all-to-all.  At 10^12 urls the winner map stays
+(url, 20-char order key) rows — key = zero-padded warc_ts, metadata-only so
+the pass reads three skinny columns and never the content columns — and
+keeps just the urls with duplicates (dup-rate-bounded, tiny); that winner
+map is broadcast and the main text pipeline filters locally.  The corpus
+text never enters an all-to-all.  At 10^12 urls the winner map stays
 dup-bounded;
 if even that outgrows broadcast, the same winner table semi-joins via
 stages/joins.hash_join, or the corpus is laid out hash-partitioned by url at
 ingest making dedup partition-local.  Rows that TIE on the winning key
-(byte-identical duplicate records, or a ~2^-32 crc collision) are routed
-through a tiny keyed min-aggregate so exactly one row survives per url.
+(same url captured twice at one timestamp) route through a tiny keyed
+min-aggregate over the cleaned text so exactly one row survives per url,
+deterministically.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -55,63 +54,71 @@ def clean_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+_KEY_WIDTH = 20
+
+
 def _winner_keys(batch: pa.Table) -> pa.Table:
-    """40-char order key over the pre-extracted TEXT bytes:
-    (warc_ts, crc32(text), len(text)).  Deliberately text-only so the winner
-    pass never touches the wide ``html`` column — its read prunes to four
-    skinny columns (at web scale ``html`` dominates the corpus bytes).  Rows
-    that tie on this key (e.g. several empty-text captures of one url with
-    different html) route through the keyed tie aggregate, whose
-    min(doc_text) break is deterministic and mirrored by the oracle."""
+    """20-char order key: zero-padded warc_ts (earliest capture wins).
+    Deliberately METADATA-ONLY so the winner pass reads just
+    (url, warc_ts, lang) — no text and never the wide ``html`` column (at
+    web scale the content columns dominate the corpus bytes).  Rows that tie
+    on the key (same url captured twice with one timestamp) route through
+    the keyed tie aggregate, whose min(cleaned_text) break is deterministic
+    and mirrored by the oracle."""
     ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
-    texts = batch.column("text").to_pylist()
-    keys = []
-    for t, x in zip(ts, texts):
-        raw = x.encode() if x else b""
-        keys.append(f"{t:020d}{zlib.crc32(raw):010d}{len(raw):010d}")
+    keys = [f"{t or 0:020d}" for t in ts]
     return pa.table({"url": batch.column("url"), "k": pa.array(keys, pa.string())})
 
 
 def compute_dup_winners(pages_ds, lang: str = "en") -> tuple[dict[str, str], dict[str, str]]:
     """(winners, ties) for urls with MORE THAN ONE row (tiny, dup-bounded).
 
-    ``winners`` maps url -> winning 40-char key; ``ties`` is the subset whose
-    winning key is shared by >= 2 rows (byte-identical duplicate records, e.g.
-    the same crawl record stored twice) — those urls cannot be deduplicated by
-    a batch-local key filter and are routed through a keyed min-aggregate
-    instead.  Aggregates only (url, key) rows — no corpus text all-to-all."""
-    from ontoray.stages.agg import hash_aggregate
+    ``winners`` maps url -> winning 20-char (warc_ts) key; ``ties`` is the
+    subset whose winning key is shared by >= 2 rows (the same url captured
+    twice at one timestamp) — those urls cannot be deduplicated by a
+    batch-local key filter and are routed through a keyed min-aggregate whose
+    min(cleaned_text) break is deterministic.  Aggregates only (url, key)
+    rows — no corpus content is read or shuffled here."""
+    from ontoray.stages.agg import _with_bucket
     from ontoray.util import column_lists
 
-    cols = [c for c in ("url", "warc_ts", "text", "lang")
+    cols = [c for c in ("url", "warc_ts", "lang")
             if c in pages_ds.schema().names]
     keyed = (pages_ds.select_columns(cols)
              .map_batches(filter_lang, batch_format="pyarrow",
                           fn_kwargs={"lang": lang}, zero_copy_batch=True)
              .map_batches(_winner_keys, batch_format="pyarrow"))
-    # Per (url, key) multiplicity first so the per-url reduce can carry the
-    # winner key's own count (the tie detector) alongside the url total.
-    per_key = hash_aggregate(keyed, ["url", "k"],
-                             partial_aggs=[("k", "count")],
-                             aggs=[("k_count", "sum")], rename={"k_count_sum": "nk"})
 
-    def enc(batch: pa.Table) -> pa.Table:
-        v = [f"{k}{n:010d}" for k, n in zip(batch.column("k").to_pylist(),
-                                            batch.column("nk").to_pylist())]
-        return pa.table({"url": batch.column("url"),
-                         "v": pa.array(v, pa.string()),
-                         "nk": batch.column("nk")})
+    # ONE url-bucketed exchange; the two-level aggregation (per-(url,key)
+    # multiplicity — the tie detector — then the per-url winner) runs
+    # entirely inside the vectorized reduce, and the n>=2 filter applies
+    # there too, so only dup-bounded rows reach the driver.
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["url", "k"]).aggregate([("k", "count")])
+        return g.rename_columns(["url", "k", "c"])
 
-    agg = hash_aggregate(per_key.map_batches(enc, batch_format="pyarrow"), ["url"],
-                         partial_aggs=[("v", "min"), ("nk", "sum")],
-                         aggs=[("v_min", "min"), ("nk_sum", "sum")],
-                         rename={"v_min_min": "v", "nk_sum_sum": "n"})
-    dups = agg.filter(expr="n >= 2")
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        per_key = (g.group_by(["url", "k"]).aggregate([("c", "sum")])
+                   .rename_columns(["url", "k", "c"]))
+        v = pc.binary_join_element_wise(
+            per_key.column("k"),
+            pc.utf8_lpad(pc.cast(per_key.column("c"), pa.string()), 10, "0"), "")
+        enc = pa.table({"url": per_key.column("url"), "v": v,
+                        "c": per_key.column("c")})
+        out = (enc.group_by(["url"]).aggregate([("v", "min"), ("c", "sum")])
+               .rename_columns(["url", "v", "n"]))
+        return out.filter(pc.greater_equal(out.column("n"), 2)).select(["url", "v"])
+
+    dups = (keyed.map_batches(partial, batch_format="pyarrow")
+            .map_batches(lambda b: _with_bucket(b, ["url"], 64),
+                         batch_format="pyarrow")
+            .groupby("__bucket").map_groups(reduce_bucket, batch_format="pyarrow"))
     cl = column_lists(dups, ["url", "v"])
     winners: dict[str, str] = {}
     ties: dict[str, str] = {}
     for u, v in zip(cl["url"], cl["v"]):
-        k, nk = v[:40], int(v[40:])
+        k, nk = v[:_KEY_WIDTH], int(v[_KEY_WIDTH:])
         winners[u] = k
         if nk >= 2:
             ties[u] = k
@@ -119,7 +126,7 @@ def compute_dup_winners(pages_ds, lang: str = "en") -> tuple[dict[str, str], dic
 
 
 def _shuffle_dedup(docs_ds):
-    """Alternative first-wins path: encode (warc_ts, crc, len, text) into one
+    """Alternative first-wins path: encode (warc_ts, cleaned_text) into one
     lexicographically ordered key and min-aggregate — shuffles the cleaned
     text once.  Wins when the corpus re-read for the winner pass is more
     expensive than one text shuffle (fast local object store, cold storage)."""
@@ -133,7 +140,7 @@ def _shuffle_dedup(docs_ds):
         return pa.table({"url": batch.column("url"), "k": pa.array(ks, pa.string())})
 
     def decode(batch: pa.Table) -> pa.Table:
-        text = pc.utf8_slice_codeunits(batch.column("k"), 41, 2**31 - 1)
+        text = pc.utf8_slice_codeunits(batch.column("k"), 21, 2**31 - 1)
         return pa.table({"url": batch.column("url"), "doc_text": text})
 
     return hash_aggregate(
@@ -147,12 +154,13 @@ def extract_docs(pages_ds, *, lang: str = "en", dedup_urls: bool | None = None,
                  dedup_strategy: str = "broadcast_winners"):
     """pages Dataset -> docs Dataset (url, doc_text).
 
-    Per-url first-wins = min (warc_ts, crc32(raw), len(raw)).  Default
-    strategy 'broadcast_winners' is shuffle-free: a side aggregate over tiny
-    key rows finds winners for DUPLICATED urls only and the broadcast winner
-    map filters locally (no corpus bytes cross the network — the multi-node
-    choice).  'shuffle' min-aggregates the cleaned text in one all-to-all
-    (single read; can win on a single node's shm object store)."""
+    Per-url first-wins = min warc_ts, ties broken by min cleaned text.
+    Default strategy 'broadcast_winners' is shuffle-free: a metadata-only
+    side aggregate (url, warc_ts — no content columns read) finds winners
+    for DUPLICATED urls only and the broadcast winner map filters locally
+    (no corpus bytes cross the network — the multi-node choice).  'shuffle'
+    min-aggregates the cleaned text in one all-to-all (single read; can win
+    on a single node's shm object store)."""
     import ray
 
     if dedup_urls is None:
