@@ -45,6 +45,14 @@ def _docs_stage_partitioned(ckpt: CheckpointManager, pages_ds, cfg: PipelineConf
     n_parts = cfg.docs_partitions
     done = ckpt.begin_partitioned("docs", fingerprint)
     missing = sorted(set(range(n_parts)) - done)
+    if not missing:
+        # Every partition marker landed; only the seal is missing.
+        import ray.data as rd
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "doc_text": pa.array([], pa.string()),
+                          "__part": pa.array([], pa.int64())})
+        return ckpt.save_partitioned("docs", rd.from_arrow(empty), "__part",
+                                     fingerprint, keep_part_col=True)
 
     def part_ids(urls: list[str]) -> list[int]:
         return [zlib.crc32(u.encode()) % n_parts for u in urls]
@@ -68,9 +76,63 @@ def _docs_stage_partitioned(ckpt: CheckpointManager, pages_ds, cfg: PipelineConf
             "__part", pa.array(part_ids(batch.column("url").to_pylist()),
                                pa.int64()))
 
+    # __part kept in the files so downstream partitioned stages (extraction)
+    # inherit the lineage and can prune their recompute at FILE granularity.
     return ckpt.save_partitioned(
         "docs", docs.map_batches(add_part, batch_format="pyarrow"),
-        "__part", fingerprint)
+        "__part", fingerprint, keep_part_col=True)
+
+
+def _extraction_stage_partitioned(ckpt: CheckpointManager, docs, cfg: PipelineConfig,
+                                  fingerprint: str, alias: AliasData):
+    """Extraction with per-partition resume: consumes the docs checkpoint's
+    url-hash partition files, recomputes ONLY unmarked partitions (reading
+    only those FILES — input pruning at the storage layer), and writes
+    per-partition extraction output with atomic markers.  Output rows carry
+    no provenance (the fused extractor pre-aggregates), so attribution runs
+    per __part group within each batch — exact regardless of block mixing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontoray.aliases import gazetteer_phrases
+    from ontoray.stages.extraction import chunk_and_extract_batch
+
+    if ckpt.is_complete("extraction", fingerprint):
+        return ckpt.load("extraction")
+    n_parts = cfg.docs_partitions
+    done = ckpt.begin_partitioned("extraction", fingerprint)
+    missing = sorted(set(range(n_parts)) - done)
+    gaz = gazetteer_phrases(alias)
+    src = (docs if len(missing) == n_parts
+           else (ckpt.load_partitions("docs", missing) if missing else None))
+    if src is None:
+        # Nothing to recompute (crash landed after the last data-bearing
+        # partition's marker, or the only missing partitions are empty) —
+        # just re-seal the stage.
+        import ray.data as rd
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "doc_text": pa.array([], pa.string())})
+        t = chunk_and_extract_batch(empty, gaz, cfg.chunk_size, cfg.chunk_overlap)
+        t = t.append_column("__part", pa.array([], pa.int64()))
+        return ckpt.save_partitioned("extraction", rd.from_arrow(t), "__part",
+                                     fingerprint)
+
+    def fused_with_part(batch: pa.Table) -> pa.Table:
+        parts = batch.column("__part")
+        outs = []
+        for pv in pc.unique(parts).to_pylist():
+            sub = batch.filter(pc.equal(parts, pv))
+            t = chunk_and_extract_batch(sub, gaz, cfg.chunk_size, cfg.chunk_overlap)
+            outs.append(t.append_column(
+                "__part", pa.array([pv] * t.num_rows, pa.int64())))
+        if not outs:
+            t = chunk_and_extract_batch(batch, gaz, cfg.chunk_size, cfg.chunk_overlap)
+            return t.append_column("__part", pa.array([], pa.int64()))
+        return pa.concat_tables(outs)
+
+    ds = src.map_batches(fused_with_part, batch_format="pyarrow",
+                         batch_size=cfg.batch_size)
+    return ckpt.save_partitioned("extraction", ds, "__part", fingerprint)
 
 
 @dataclass
@@ -167,7 +229,12 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
                            chunk_size=cfg.chunk_size, chunk_overlap=cfg.chunk_overlap),
             **kwargs)
 
-    combined = stage("extraction", build_extraction, reused=True)
+    if ckpt is not None:
+        t0 = time.perf_counter()
+        combined = _extraction_stage_partitioned(ckpt, docs, cfg, fingerprint, alias)
+        stage_walls["extraction"] = round(time.perf_counter() - t0, 3)
+    else:
+        combined = stage("extraction", build_extraction, reused=True)
     mentions, triples = split_combined(combined)
     chunks = make_chunks(docs, cfg.chunk_size, cfg.chunk_overlap)  # lazy view
 

@@ -135,8 +135,23 @@ class CheckpointManager:
         return {int(f[5:10]) for f in os.listdir(ok_dir)
                 if f.startswith("part-") and f.endswith("._OK")}
 
+    def load_partitions(self, stage: str, parts):
+        """Dataset over a SUBSET of a partitioned stage's files — file-level
+        input pruning for downstream per-partition recompute.  Returns None
+        when none of the requested partitions has a file (empty partitions
+        never write one — they stay nominally 'missing' but carry no rows)."""
+        import ray.data as rd
+        data_dir = os.path.join(self._dir(stage), "data")
+        files = [os.path.join(data_dir, f"part-{p:05d}.parquet") for p in sorted(parts)]
+        files = [f for f in files if os.path.exists(f)]
+        if not files:
+            return None
+        with _PARQUET_IO_LOCK:
+            return rd.read_parquet(files)
+
     def save_partitioned(self, stage: str, ds, part_col: str,
-                         fingerprint: str = "", extra: dict | None = None):
+                         fingerprint: str = "", extra: dict | None = None,
+                         keep_part_col: bool = False):
         """Write ``ds`` as one parquet file PER VALUE of ``part_col`` with an
         atomic per-partition completion marker (tmp + rename), so a killed run
         resumes by recomputing ONLY the unmarked partitions (the caller
@@ -160,7 +175,7 @@ class CheckpointManager:
 
         def write_partition(g: pa.Table) -> pa.Table:
             part = g.column(part_col)[0].as_py()
-            out = g.drop_columns([part_col])
+            out = g if keep_part_col else g.drop_columns([part_col])
             final = os.path.join(data_dir, f"part-{part:05d}.parquet")
             tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
             pq.write_table(out, tmp)

@@ -337,6 +337,26 @@ class TestResume:
         d2 = sorted((r["url"], r["doc_text"]) for r in r2.docs.take_all())
         assert d1 == d2
 
+        # Extraction inherits the partition lineage: kill two of ITS
+        # partitions; the rerun recomputes only those (reading only the
+        # matching docs FILES) and the graph is identical.
+        e1 = sorted((r["src"], r["rel"], r["dst"]) for r in r2.edges.take_all())
+        ed = os.path.join(cfg.checkpoint_dir, "extraction")
+        os.remove(os.path.join(ed, "_SUCCESS"))
+        os.remove(os.path.join(ed, "manifest.json"))
+        for p in (1, 6):
+            os.remove(os.path.join(ed, "data", f"part-{p:05d}.parquet"))
+            os.remove(os.path.join(ed, "parts_ok", f"part-{p:05d}._OK"))
+        for s in ("triples_dedup", "entities", "nodes", "edges",
+                  "nodes_curated", "edges_curated"):
+            ck.invalidate(s)
+        r3 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="fp1")
+        m3 = ck.manifest("extraction")
+        assert m3["written_partitions"] == [1, 6]
+        assert m3["resumed_partitions"] == sorted(set(range(8)) - {1, 6})
+        e3 = sorted((r["src"], r["rel"], r["dst"]) for r in r3.edges.take_all())
+        assert e1 == e3
+
         # A different fingerprint must NOT resume stale partitions.
         assert ck.begin_partitioned("docs", "fp-other") == set()
 
