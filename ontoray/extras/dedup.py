@@ -14,7 +14,10 @@ Scale shapes:
 * embedding near-dup — banded sign-projection LSH (corpus-sized planes bound
   bucket population, bands restore recall) → tiled within-bucket cosine.
 
-All hashes are crc32/fixed-seed (process-stable).
+Token/shingle hashes are md5-derived (process-stable, and bit-identical to
+DuckDB's ``md5()`` so the SQL oracles reproduce signatures exactly); minhash
+permutation params are fixed-seed numpy RNG embedded as literals in the
+generated SQL.
 """
 
 from __future__ import annotations
@@ -260,10 +263,12 @@ def minhash_dedup(ds, threshold: float = 0.8, num_hashes: int = 64, bands: int =
 
 
 def simhash64(text: str) -> int:
+    """64-bit simhash over token md5-64s (md5 rather than crc so the DuckDB
+    oracle reproduces the signature bit-for-bit — DuckDB has no crc32)."""
     toks = _TOKEN_RE.findall(text)
     acc = np.zeros(64, dtype=np.int64)
     for w in toks:
-        h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+        h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
         bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8),
                              bitorder="little")
         acc += np.where(bits == 1, 1, -1)
@@ -272,6 +277,49 @@ def simhash64(text: str) -> int:
         if acc[i] > 0:
             sig |= (1 << i)
     return sig - (1 << 64) if sig >= (1 << 63) else sig  # two's-complement int64
+
+
+def _sql_simhash_sigs(table: str = "documents") -> str:
+    """Shared CTE body computing (doc_id, simhash) exactly as ``simhash64``:
+    per-token md5-64, +1/-1 per bit, sign -> bit, two's-complement BIGINT
+    (bit 63's weight is the literal -2^63)."""
+    pows = ", ".join(
+        f"({b}, ({-(1 << 63) if b == 63 else (1 << b)})::BIGINT)" for b in range(64))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM {table}
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM toks
+    ), bits(bit, pw) AS (VALUES {pows}),
+    acc AS (
+      SELECT doc_id, bit, pw,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS a
+      FROM hashed CROSS JOIN bits GROUP BY doc_id, bit, pw
+    ), sig AS (
+      SELECT doc_id, CAST(sum(CASE WHEN a > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
+      FROM acc GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+    FROM {table} d LEFT JOIN sig s USING (doc_id)"""
+
+
+def sql_simhash(table: str = "documents") -> str:
+    """DuckDB mirror of the ``dedup_simhash`` query (``simhash_batch``)."""
+    return _sql_simhash_sigs(table)
+
+
+def sql_simhash_pairs(table: str = "documents", max_hamming: int = 3) -> str:
+    """DuckDB mirror of ``simhash_candidate_pairs``: the banded engine path is
+    EXACT for Hamming <= 3 (pigeonhole over 4x16-bit bands), so brute-force
+    all-pairs Hamming filtering is its oracle.  bit_count(xor) on BIGINT
+    counts two's-complement bits — identical to the engine's uint64 popcount."""
+    return f"""
+    WITH sigs AS ({_sql_simhash_sigs(table)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

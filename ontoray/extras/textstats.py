@@ -10,7 +10,6 @@ DuckDB oracle reproduces them bit-for-bit.
 from __future__ import annotations
 
 import re
-import zlib
 
 import pyarrow as pa
 
@@ -89,15 +88,22 @@ class LangId:
         })
 
 
+def _md5_32(s: str) -> int:
+    """First 32 bits of md5 — chosen over crc32 because DuckDB ships md5()
+    (and not crc32), so the SQL oracle reproduces the hash bit-for-bit."""
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
 def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
-    """Rolling-hash (Rabin-Karp over token crc32s) document fingerprint:
+    """Rolling-hash (Rabin-Karp over token md5-32s) document fingerprint:
     min-hash of all ``window``-token windows — stable int64 per doc."""
     ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     fps = []
     B, M = 1_000_003, (1 << 61) - 1
     for t in texts:
-        hs = [zlib.crc32(w.encode()) for w in TOKEN_RE.findall(t)]
+        hs = [_md5_32(w) for w in TOKEN_RE.findall(t)]
         if len(hs) < window:
             hs = hs + [0] * (window - len(hs))
         power = pow(B, window - 1, M)
@@ -114,3 +120,34 @@ def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
         "doc_id": pa.array(ids, pa.int64()),
         "fingerprint": pa.array(fps, pa.int64()),
     })
+
+
+def sql_text_fingerprint(table: str = "documents", window: int = 8) -> str:
+    """DuckDB mirror of ``fingerprint_batch``: token md5-32s, zero-padded to
+    ``window``, Rabin-Karp fold per window via list_reduce in HUGEINT mod
+    2^61-1, min across windows."""
+    M = (1 << 61) - 1
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS l FROM {table}
+    ), hashed AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(l[i]), 1, 8))::UBIGINT
+              for i in range(1, len(l) + 1)] AS hl0
+      FROM toks
+    ), padded AS (
+      SELECT doc_id,
+             CASE WHEN len(hl0) >= {window} THEN hl0
+                  ELSE hl0 || [0::UBIGINT for i in range(1, {window} - len(hl0) + 1)]
+             END AS hl
+      FROM hashed
+    ), wins AS (
+      SELECT doc_id,
+             [list_reduce(hl[i:i + {window - 1}],
+                          (a, b) -> ((a::HUGEINT * 1000003 + b) % {M})::UBIGINT)
+              for i in range(1, len(hl) - {window} + 2)] AS ws
+      FROM padded
+    )
+    SELECT doc_id, CAST(list_aggregate(ws, 'min') AS BIGINT) AS fingerprint
+    FROM wins
+    """
