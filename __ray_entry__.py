@@ -361,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": __import__("ontoray.extras.dedup", fromlist=["sql_simhash"]).sql_simhash(),
         "dedup_simhash_pairs": __import__("ontoray.extras.dedup", fromlist=["sql_simhash_pairs"]).sql_simhash_pairs(),
         "text_fingerprint": __import__("ontoray.extras.textstats", fromlist=["sql_text_fingerprint"]).sql_text_fingerprint(),
+        "multimodal_image_features": __import__("ontoray.extras.multimodal", fromlist=["sql_image_features"]).sql_image_features(),
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
         "events_window": Q.SQL_EVENTS_WINDOW,
         "events_hopping": Q.SQL_EVENTS_HOPPING,

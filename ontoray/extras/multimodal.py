@@ -14,9 +14,8 @@ These stages are the pattern for any heavy per-record model stage: state in
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
-import numpy as np
 import pyarrow as pa
 
 IMAGE_FEATURE_SCHEMA = pa.schema([
@@ -47,11 +46,13 @@ class DecodeImage:
             raise NotImplementedError(
                 "image decode requires an imaging library not present in this "
                 "environment; run with fake=True for the deterministic stub")
-        h = zlib.crc32(raw)
+        # md5-32 of the payload bytes (not crc32: DuckDB ships md5(), so the
+        # fake decode has an exact SQL oracle — sql_image_features below).
+        h = int(hashlib.md5(raw).hexdigest()[:8], 16)
         width = 64 + (h & 0x3FF)
         height = 64 + ((h >> 10) & 0x3FF)
         mean_luma = ((h >> 20) & 0xFF) / 255.0
-        phash = int(np.int64((h * 2654435761) & 0x7FFFFFFFFFFFFFFF))
+        phash = (h * 2654435761) & 0x7FFFFFFFFFFFFFFF
         return width, height, mean_luma, phash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -74,6 +75,28 @@ class DecodeImage:
             "mean_luma": pa.array(luma, pa.float32()),
             "phash": pa.array(ph, pa.int64()),
         }).cast(IMAGE_FEATURE_SCHEMA)
+
+
+def sql_image_features(table: str = "documents") -> str:
+    """DuckDB mirror of the ``multimodal_image_features`` query: payload =
+    utf-8 bytes of ``text`` (md5(VARCHAR) hashes those same bytes), url =
+    'doc-' || doc_id, then the identical md5-32 bit-twiddles as ``_decode``.
+    All products fit UBIGINT exactly: h < 2^32, h * 2654435761 < 2^64."""
+    return f"""
+    WITH h AS (
+      SELECT 'doc-' || doc_id AS url,
+             ('0x' || substr(md5(coalesce(text, '')), 1, 8))::UBIGINT AS hv,
+             octet_length(encode(coalesce(text, ''))) AS n_bytes
+      FROM {table}
+    )
+    SELECT url,
+           (64 + (hv & 1023))::INTEGER AS width,
+           (64 + ((hv >> 10) & 1023))::INTEGER AS height,
+           n_bytes::BIGINT AS n_bytes,
+           ((((hv >> 20) & 255)::DOUBLE) / 255.0)::FLOAT AS mean_luma,
+           ((hv * 2654435761) & 9223372036854775807)::BIGINT AS phash
+    FROM h
+    """
 
 
 def decode_images(ds, fake: bool = False, payload_col: str = "payload",

@@ -281,6 +281,26 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             DecodeImage(fake=False)._decode(b"bytes")
 
+    def test_fake_decode_sql_mirror(self):
+        """The md5-32 fake decode must match sql_image_features bit-for-bit,
+        including empty text and multi-byte utf-8 (octet_length vs len)."""
+        import duckdb
+        from ontoray.extras.multimodal import DecodeImage, sql_image_features
+        texts = ["hello world", "", "café résumé 中文",
+                 "x" * 999, "line\nbreak\ttab"]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+        sql_rows = con.execute(
+            sql_image_features() + " ORDER BY url").fetchall()
+        dec = DecodeImage(fake=True)
+        for (url, w, h, nb, luma, ph), (i, t) in zip(sql_rows, enumerate(texts)):
+            ew, eh, eluma, eph = dec._decode(t.encode())
+            assert url == f"doc-{i}"
+            assert (w, h, nb, ph) == (ew, eh, len(t.encode()), eph)
+            import numpy as np
+            assert np.float32(luma) == np.float32(eluma)
+
 
 class TestHashJoin:
     def test_inner_and_left(self, ray_session):
