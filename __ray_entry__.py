@@ -358,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_by_source": Q.SQL_TOKEN_COUNTS,
         "lang_counts": Q.SQL_LANG_COUNTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
+        "dedup_minhash": __import__("ontoray.extras.dedup", fromlist=["sql_minhash_pairs"]).sql_minhash_pairs(threshold=0.8),
         "dedup_simhash": __import__("ontoray.extras.dedup", fromlist=["sql_simhash"]).sql_simhash(),
         "dedup_simhash_pairs": __import__("ontoray.extras.dedup", fromlist=["sql_simhash_pairs"]).sql_simhash_pairs(),
         "text_fingerprint": __import__("ontoray.extras.textstats", fromlist=["sql_text_fingerprint"]).sql_text_fingerprint(),

@@ -90,7 +90,11 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
         grams = [" ".join(toks)] if toks else [""]
     else:
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.int64))
+    # md5-32 per gram (first 4 digest bytes == first 8 hex chars) — not crc32,
+    # so the DuckDB oracle (sql_minhash_pairs) reproduces shingle sets exactly.
+    return np.unique(np.array(
+        [int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big") for g in grams],
+        dtype=np.int64))
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
@@ -119,7 +123,12 @@ class MinHashBands:
             for bi in range(self.bands):
                 chunk = sig[bi * self.rows:(bi + 1) * self.rows]
                 band_ids.append(bi)
-                band_hashes.append(zlib.crc32(chunk.tobytes()))
+                # md5-64 of the chunk bytes: the shuffle key stays 8 bytes but
+                # collision probability drops to 2^-64, so band-hash equality
+                # is exact band equality for all practical purposes (the SQL
+                # oracle joins on the raw minhash values).
+                band_hashes.append(int.from_bytes(
+                    hashlib.md5(chunk.tobytes()).digest()[:8], "big", signed=False) >> 1)
                 doc_ids.append(did)
         return pa.table({
             "band_id": pa.array(band_ids, pa.int32()),
@@ -195,7 +204,10 @@ def _verify_pairs_batch(batch: pa.Table, threshold: float, k: int) -> pa.Table:
         if j >= threshold:
             out_a.append(a)
             out_b.append(b)
-            out_j.append(round(j, 6))
+            # Unrounded IEEE double: len(A∩B)/len(A∪B) is the identical
+            # division in DuckDB, so the oracle matches bit-for-bit (a
+            # round(·, 6) would diverge at half-even ties like 1/128).
+            out_j.append(j)
     return pa.table({"doc_a": pa.array(out_a, pa.int64()),
                      "doc_b": pa.array(out_b, pa.int64()),
                      "jaccard": pa.array(out_j, pa.float64())})
@@ -237,7 +249,7 @@ def minhash_dedup(ds, threshold: float = 0.8, num_hashes: int = 64, bands: int =
             a, b = r["doc_a"], r["doc_b"]
             j = jaccard(texts.get(a, ""), texts.get(b, ""), k)
             if j >= threshold:
-                rows.append({"doc_a": a, "doc_b": b, "jaccard": round(j, 6)})
+                rows.append({"doc_a": a, "doc_b": b, "jaccard": j})
         rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
         return pa.Table.from_pylist(rows) if rows else _EMPTY_PAIRS
 
@@ -257,6 +269,67 @@ def minhash_dedup(ds, threshold: float = 0.8, num_hashes: int = 64, bands: int =
                        "doc_b", "doc_id", how="inner")
     return with_b.map_batches(_verify_pairs_batch, batch_format="pyarrow",
                               fn_kwargs={"threshold": threshold, "k": k})
+
+
+def sql_minhash_pairs(table: str = "documents", threshold: float = 0.8,
+                      num_hashes: int = 64, bands: int = 16, k: int = 3,
+                      seed: int = 7) -> str:
+    """DuckDB mirror of ``minhash_dedup``: verified near-dup pairs.
+
+    Reproduces the engine exactly — md5-32 shingle hashes over token
+    ``k``-grams, the (a·x+b) mod 2^61-1 permutation family (the fixed-seed
+    a/b literals are embedded below; products are exact in HUGEINT), banded
+    candidate generation by raw minhash-chunk equality, and the unrounded
+    c/(na+nb-c) Jaccard verify.  The engine's band-hash is an md5-64 of the
+    same chunk, so its bucket equality == this mirror's value equality up to
+    a 2^-64 collision."""
+    assert num_hashes % bands == 0 and k == 3, "mirror generated for k=3"
+    rows = num_hashes // bands
+    a, b = _minhash_params(num_hashes, seed)
+    perm_vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                          for j in range(num_hashes))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[a-z0-9]+') AS l
+      FROM {table}
+    ), grams AS (
+      SELECT doc_id, coalesce(array_to_string(l, ' '), '') AS g
+      FROM toks WHERE len(l) < {k}
+      UNION ALL
+      SELECT doc_id, array_to_string(l[i:i+{k - 1}], ' ') AS g
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) - {k - 2})) AS i
+            FROM toks WHERE len(l) >= {k})
+    ), sh AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::UBIGINT AS h
+      FROM grams
+    ), perms(j, a, b) AS (VALUES {perm_vals}),
+    sig AS (
+      SELECT doc_id, perms.j,
+             CAST(min((a::HUGEINT * h + b) % 2305843009213693951) AS BIGINT) AS mh
+      FROM sh CROSS JOIN perms GROUP BY doc_id, perms.j
+    ), bandsig AS (
+      SELECT doc_id, j // {rows} AS band, list(mh ORDER BY j) AS s
+      FROM sig GROUP BY doc_id, j // {rows}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bandsig x JOIN bandsig y
+        ON x.band = y.band AND x.s = y.s AND x.doc_id < y.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS nc
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           c.nc::DOUBLE / (za.n + zb.n - c.nc) AS jaccard
+    FROM common c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WHERE c.nc::DOUBLE / (za.n + zb.n - c.nc) >= {threshold!r}
+    """
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -38,7 +38,7 @@ class TestDedup:
         for r in pairs:               # reported jaccard is the true jaccard
             t_a = docs_table["text"][r["doc_a"]].as_py()
             t_b = docs_table["text"][r["doc_b"]].as_py()
-            assert abs(r["jaccard"] - round(jaccard(t_a, t_b), 6)) < 1e-9
+            assert r["jaccard"] == jaccard(t_a, t_b)  # unrounded IEEE double
 
     def test_mulmod61_exact_vs_python_ints(self):
         """uint64 Mersenne-fold arithmetic == arbitrary-precision (a*x) mod p

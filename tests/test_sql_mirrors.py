@@ -108,3 +108,55 @@ class TestSqlLangId:
                 if n > best_n:
                     best, best_n = lang, n
             assert sql[i] == best, (i, t, sql[i], best)
+
+
+class TestSqlMinhash:
+    def test_pairs_match_engine_semantics(self):
+        """sql_minhash_pairs vs an in-process replay of the engine's exact
+        semantics (md5-32 shingles, mod-p signatures, banded candidates,
+        unrounded Jaccard) on a fixture with near-dups, empties, ties."""
+        import numpy as np
+        from ontoray.extras.dedup import (_minhash_params, jaccard,
+                                          minhash_signature, sql_minhash_pairs)
+        rng = random.Random(3)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+                 "theta", "iota", "kappa"]
+        docs = []
+        for i in range(40):
+            base = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+            docs.append((i, " ".join(base)))
+            if rng.random() < 0.5:
+                mut = list(base)
+                for _ in range(rng.randint(0, 3)):
+                    if mut:
+                        mut[rng.randrange(len(mut))] = rng.choice(vocab)
+                docs.append((100 + i, " ".join(mut)))
+        docs += [(900, ""), (901, "one"), (902, "one two"), (903, "one two"),
+                 (904, "UPPER CASE only"), (905, "")]
+
+        a, b = _minhash_params(64, 7)
+        sigs = {d: minhash_signature(t, a, b, 3) for d, t in docs}
+        ids = [d for d, _ in docs]
+        cands = set()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                da, db = sorted((ids[x], ids[y]))
+                sa, sb = sigs[da], sigs[db]
+                if any(np.array_equal(sa[bi * 4:(bi + 1) * 4],
+                                      sb[bi * 4:(bi + 1) * 4])
+                       for bi in range(16)):
+                    cands.add((da, db))
+        texts = dict(docs)
+        eng = {}
+        for da, db in cands:
+            j = jaccard(texts[da], texts[db], 3)
+            if j >= 0.5:
+                eng[(da, db)] = j
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?,?)", docs)
+        got = {(r[0], r[1]): r[2]
+               for r in con.execute(sql_minhash_pairs(threshold=0.5)).fetchall()}
+        assert got == eng
+        assert len(got) > 10  # fixture actually exercises the near-dup path
