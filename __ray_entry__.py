@@ -142,7 +142,11 @@ def _q_embed_neardup(sf_dir: str):
     from ontoray.extras.dedup import embedding_neardup
     dim = Q._embedding_dim(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    rows = embedding_neardup(ds, dim, threshold=0.9).take_all()
+    # threshold 0.45: the synthetic embeddings are near-orthogonal (max
+    # off-diagonal cosine ~0.51 at sf0.01), so the old 0.9 returned zero rows
+    # and the oracle check was vacuous; at 0.45 the seeded LSH finds 4 true
+    # pairs at sf0.01 — a non-empty, non-trivial hash comparison.
+    rows = embedding_neardup(ds, dim, threshold=0.45).take_all()
     # Near-dup pairs are a tiny result; collect so the schema is stable even
     # when every LSH bucket verifies to zero pairs (Ray drops empty blocks).
     return pa.table({
@@ -361,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": __import__("ontoray.extras.dedup", fromlist=["sql_minhash_pairs"]).sql_minhash_pairs(threshold=0.8),
         "dedup_simhash": __import__("ontoray.extras.dedup", fromlist=["sql_simhash"]).sql_simhash(),
         "dedup_simhash_pairs": __import__("ontoray.extras.dedup", fromlist=["sql_simhash_pairs"]).sql_simhash_pairs(),
+        "embed_neardup": __import__("ontoray.extras.dedup", fromlist=["sql_embedding_neardup"]).sql_embedding_neardup(threshold=0.45),
         "text_fingerprint": __import__("ontoray.extras.textstats", fromlist=["sql_text_fingerprint"]).sql_text_fingerprint(),
         "multimodal_image_features": __import__("ontoray.extras.multimodal", fromlist=["sql_image_features"]).sql_image_features(),
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),

@@ -540,6 +540,64 @@ def auto_planes(n_rows: int, target_bucket: int = 512, floor: int = 8) -> int:
     return max(floor, math.ceil(math.log2(n_rows / target_bucket)))
 
 
+def sql_embedding_neardup(dim: int = 64, threshold: float = 0.5,
+                          n_planes: int = 8, bands: int = 4, seed: int = 11,
+                          table: str = "embeddings") -> str:
+    """DuckDB mirror of ``embedding_neardup`` (banded sign-LSH + cosine
+    verify).  The seeded gaussian planes are embedded as literals (%.17g
+    round-trips float64 exactly), bucketing replays sign(v·plane) per band,
+    and the verify replays normalize-then-dot.  Floating sums here run in a
+    different order than numpy's matmul — the round(·, 6) on the output and
+    the >0 sign margin make that immaterial for non-adversarial vectors.
+
+    sf-independent as served: every test sf dir has dim=64 and a row count
+    that lands auto_planes at its floor of 8."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for band in range(bands):
+        planes = rng.standard_normal((dim, n_planes))
+        for d in range(dim):
+            for p in range(n_planes):
+                rows.append(f"({band},{p},{d + 1},{planes[d, p]:.17g})")
+    plane_vals = ",".join(rows)
+    return f"""
+    WITH planes(band, p, d, w) AS (VALUES {plane_vals}),
+    vecs AS (SELECT vec_id, embedding FROM {table}),
+    dots AS (
+      SELECT v.vec_id, pl.band, pl.p,
+             sum(v.embedding[pl.d]::DOUBLE * pl.w) AS dp
+      FROM vecs v CROSS JOIN planes pl
+      GROUP BY v.vec_id, pl.band, pl.p
+    ), buckets AS (
+      SELECT vec_id, band,
+             sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, band
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), norms AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN 1.0 ELSE sqrt(s) END AS nrm
+      FROM (SELECT v.vec_id, sum(v.embedding[r.i]::DOUBLE * v.embedding[r.i]::DOUBLE) AS s
+            FROM vecs v CROSS JOIN range(1, {dim + 1}) r(i) GROUP BY v.vec_id)
+    ), paircos AS (
+      SELECT c.vec_a, c.vec_b,
+             sum((ea.embedding[r.i]::DOUBLE / na.nrm) *
+                 (eb.embedding[r.i]::DOUBLE / nb.nrm)) AS cs
+      FROM cand c
+      JOIN vecs ea ON ea.vec_id = c.vec_a
+      JOIN vecs eb ON eb.vec_id = c.vec_b
+      JOIN norms na ON na.vec_id = c.vec_a
+      JOIN norms nb ON nb.vec_id = c.vec_b
+      CROSS JOIN range(1, {dim + 1}) r(i)
+      GROUP BY c.vec_a, c.vec_b
+    )
+    SELECT vec_a, vec_b, round(cs, 6) AS cosine
+    FROM paircos WHERE cs >= {threshold!r}
+    """
+
+
 def embedding_neardup(ds, dim: int, threshold: float = 0.95, n_planes: int | None = None,
                       bands: int = 4, seed: int = 11, concurrency: int = 4,
                       tile: int = 4096):

@@ -160,3 +160,56 @@ class TestSqlMinhash:
                for r in con.execute(sql_minhash_pairs(threshold=0.5)).fetchall()}
         assert got == eng
         assert len(got) > 10  # fixture actually exercises the near-dup path
+
+
+class TestSqlEmbeddingNeardup:
+    def test_pairs_match_engine_replay(self):
+        """sql_embedding_neardup vs a numpy replay of BandedSignLSH + cosine
+        verify on a fixture with PLANTED near-duplicates (the sf tables are
+        near-orthogonal, so this is where the non-empty path is proven)."""
+        import numpy as np
+        from ontoray.extras.dedup import sql_embedding_neardup
+        dim, n_planes, bands, seed, th = 16, 8, 4, 11, 0.9
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((30, dim))
+        rows = [(i, base[i]) for i in range(30)]
+        for j in range(8):            # planted near-dups of vecs 0..7
+            rows.append((100 + j, base[j] + 0.05 * rng.standard_normal(dim)))
+        rows.append((200, np.zeros(dim)))  # zero vector (norm guard)
+        ids = np.array([r[0] for r in rows])
+        v = np.array([r[1] for r in rows], dtype=np.float64)
+
+        prng = np.random.default_rng(seed)
+        planes = [prng.standard_normal((dim, n_planes)) for _ in range(bands)]
+        w = 1 << np.arange(n_planes)
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[])")
+        con.executemany("INSERT INTO embeddings VALUES (?, ?)",
+                        [(int(i), [float(np.float32(x)) for x in vec])
+                         for i, vec in rows])
+        # engine replay: reads float32 parquet, so quantize before the math
+        v32 = np.array([[np.float32(x) for x in vec] for _, vec in rows],
+                       dtype=np.float64)
+        norms = np.linalg.norm(v32, axis=1)
+        norms[norms == 0] = 1.0
+        vn = v32 / norms[:, None]
+        sims = vn @ vn.T
+        eng = {}
+        for P in planes:
+            buckets = ((v32 @ P) > 0).dot(w)
+            for bk in np.unique(buckets):
+                idx = np.flatnonzero(buckets == bk)
+                for x in range(len(idx)):
+                    for y in range(x + 1, len(idx)):
+                        i, j = idx[x], idx[y]
+                        if sims[i, j] >= th:
+                            a, b = sorted((int(ids[i]), int(ids[j])))
+                            eng[(a, b)] = round(float(sims[i, j]), 6)
+        sql = sql_embedding_neardup(dim=dim, threshold=th, n_planes=n_planes,
+                                    bands=bands, seed=seed)
+        got = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+        assert set(got) == set(eng)
+        for k in got:
+            assert abs(got[k] - eng[k]) < 2e-6, (k, got[k], eng[k])
+        assert len(got) >= 6   # planted dups actually found
