@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": Q.q_events_window,
         "events_hopping": Q.q_events_hopping,
         "events_session": _q_events_session,
+        "events_asof": Q.q_events_asof,
         # Quality filtering
         "quality_filter": Q.q_quality_filter,
         # Relational breadth (J7 join, A5 agg, A11 top-k, O2 per-group top-k)
@@ -371,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
         "events_window": Q.SQL_EVENTS_WINDOW,
         "events_hopping": Q.SQL_EVENTS_HOPPING,
+        "events_asof": Q.SQL_EVENTS_ASOF,
         "quality_filter": Q.sql_quality_filter(),
         "orders_by_nation": Q.SQL_ORDERS_BY_NATION,
         "orders_by_region": Q.SQL_ORDERS_BY_REGION,

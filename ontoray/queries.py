@@ -613,3 +613,31 @@ def sql_quality_filter(min_tokens: int = 20, max_stop: float = 0.5) -> str:
     from ontoray.extras.textstats import sql_doc_stats
     return (f"SELECT doc_id, n_tokens, stopword_ratio FROM ({sql_doc_stats()}) "
             f"WHERE n_tokens >= {min_tokens} AND stopword_ratio <= {max_stop}")
+
+
+# --- as-of join over the events log (custom operator: Ray Data lacks one) ---
+
+def q_events_asof(sf_dir: str, left_type: str = "purchase",
+                  right_type: str = "click"):
+    """Each purchase matched to the user's most recent prior (inclusive)
+    click — backward as-of join, the classic event-attribution shape."""
+    import ray.data as rd
+    from ontoray.stages.events import asof_join
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    left = ds.filter(expr=f"event_type == '{left_type}'")
+    right = ds.filter(expr=f"event_type == '{right_type}'")
+    return asof_join(left, right, key="user_id")
+
+
+SQL_EVENTS_ASOF = (
+    "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events "
+    "WHERE event_type = 'purchase'), "
+    "c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events "
+    "WHERE event_type = 'click'), "
+    "j AS (SELECT p.event_id, p.user_id, p.ts_us, c.event_id AS match_id, "
+    "c.ts_us AS match_ts_us, row_number() OVER (PARTITION BY p.event_id "
+    "ORDER BY c.ts_us DESC, c.event_id DESC) AS rn "
+    "FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us) "
+    "SELECT event_id, user_id, ts_us, match_id, match_ts_us, "
+    "ts_us - match_ts_us AS gap_us FROM j WHERE rn = 1")

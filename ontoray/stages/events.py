@@ -112,3 +112,71 @@ def session_windows(events_ds, gap_s: int = 1800, key: str = "user_id"):
 
     return events_ds.select_columns([key, "ts"]).groupby(key).map_groups(
         sessionize, batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, key: str = "user_id"):
+    """Backward (inclusive) as-of join: each left event is matched to the
+    right event of the same ``key`` with the greatest ``ts <= left.ts``,
+    ties on ts broken by greatest event_id; unmatched left rows drop (inner).
+
+    Ray Data lacks a native as-of join; this is the documented composition —
+    ONE exchange: both sides are tagged and unioned, grouped by key, and each
+    group runs a vectorized sorted-merge (np.searchsorted of left timestamps
+    into the right side's (ts, event_id)-sorted log).  Partitioning
+    assumption: one key's rows fit one group — the same contract as
+    ``session_windows``; per-user event logs make that fair.  At larger
+    per-key volume the same kernel applies within (key, time-bucket) groups
+    with bucket-boundary carry-over of the latest right row.
+
+    Output: (event_id, <key>, ts_us, match_id, match_ts_us, gap_us), all
+    int64 (epoch micros, so the DuckDB mirror compares exactly).
+    """
+    import numpy as np
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                key: b.column(key),
+                "event_id": b.column("event_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "side": pa.array(np.full(b.num_rows, side, dtype=np.int8)),
+            })
+        return fn
+
+    both = (left_ds.select_columns([key, "event_id", "ts"])
+            .map_batches(tag(0), batch_format="pyarrow")
+            .union(right_ds.select_columns([key, "event_id", "ts"])
+                   .map_batches(tag(1), batch_format="pyarrow")))
+
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()), key: pa.array([], pa.int64()),
+        "ts_us": pa.array([], pa.int64()), "match_id": pa.array([], pa.int64()),
+        "match_ts_us": pa.array([], pa.int64()), "gap_us": pa.array([], pa.int64()),
+    })
+
+    def match(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        r = side == 1
+        lft = side == 0
+        if not r.any() or not lft.any():
+            return empty
+        order = np.lexsort((ids[r], ts[r]))      # right log by (ts, event_id)
+        rts, rids = ts[r][order], ids[r][order]
+        lts, lids = ts[lft], ids[lft]
+        pos = np.searchsorted(rts, lts, side="right") - 1
+        ok = pos >= 0
+        if not ok.any():
+            return empty
+        kv = g.column(key).to_numpy(zero_copy_only=False)[lft][ok]
+        return pa.table({
+            "event_id": pa.array(lids[ok], pa.int64()),
+            key: pa.array(kv, pa.int64()),
+            "ts_us": pa.array(lts[ok], pa.int64()),
+            "match_id": pa.array(rids[pos[ok]], pa.int64()),
+            "match_ts_us": pa.array(rts[pos[ok]], pa.int64()),
+            "gap_us": pa.array(lts[ok] - rts[pos[ok]], pa.int64()),
+        })
+
+    return both.groupby(key).map_groups(match, batch_format="pyarrow")

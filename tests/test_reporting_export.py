@@ -127,6 +127,73 @@ class TestEvents:
         assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 2
 
 
+class TestAsofJoin:
+    def test_backward_inclusive_with_ties(self, ray_session):
+        """Inclusive backward match, ties on ts broken by max event_id,
+        unmatched lefts dropped, keys never cross."""
+        import ray.data as rd
+        from ontoray.stages.events import asof_join
+        base = np.datetime64("2025-01-01T00:00:00", "us")
+
+        def t(m):
+            return base + np.timedelta64(m, "m")
+
+        def mk(rows):
+            return rd.from_arrow(pa.table({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(np.array([r[2] for r in rows],
+                                        dtype="datetime64[us]"), pa.timestamp("us")),
+            }))
+
+        # user 1: clicks at 0, 10, and TWO at minute 20 (ids 102, 103);
+        # user 2: click at 50 only.
+        right = mk([(100, 1, t(0)), (101, 1, t(10)), (102, 1, t(20)),
+                    (103, 1, t(20)), (200, 2, t(50))])
+        # lefts: before any click (dropped), exactly AT the tied ts
+        # (inclusive, picks id 103), after (picks 103), user 2 before its
+        # click (dropped), user 2 after (picks 200).
+        left = mk([(1, 1, t(-5)), (2, 1, t(20)), (3, 1, t(45)),
+                   (4, 2, t(40)), (5, 2, t(60))])
+        got = {r["event_id"]: r for r in asof_join(left, right).take_all()}
+        assert set(got) == {2, 3, 5}
+        assert got[2]["match_id"] == 103 and got[2]["gap_us"] == 0
+        assert got[3]["match_id"] == 103
+        assert got[3]["gap_us"] == 25 * 60 * 1_000_000
+        assert got[5]["match_id"] == 200 and got[5]["user_id"] == 2
+
+    def test_matches_sql_mirror(self, ray_session, tmp_path):
+        """Engine vs SQL_EVENTS_ASOF on a random events fixture."""
+        import random
+
+        import duckdb
+        from ontoray.queries import SQL_EVENTS_ASOF, q_events_asof
+        rng = random.Random(13)
+        base = np.datetime64("2025-01-01T00:00:00", "us")
+        n = 400
+        tbl = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(np.array(
+                [base + np.timedelta64(rng.randint(0, 10_000), "s")
+                 for _ in range(n)], dtype="datetime64[us]"), pa.timestamp("us")),
+            "user_id": pa.array([rng.randint(0, 8) for _ in range(n)], pa.int64()),
+            "event_type": pa.array([rng.choice(["click", "purchase", "view"])
+                                    for _ in range(n)], pa.string()),
+            "value": pa.array([0.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        })
+        import pyarrow.parquet as pq
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        eng = sorted(
+            tuple(r[k] for k in ("event_id", "user_id", "ts_us", "match_id",
+                                 "match_ts_us", "gap_us"))
+            for r in q_events_asof(str(tmp_path)).take_all())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+        sql = sorted(tuple(r) for r in con.execute(SQL_EVENTS_ASOF).fetchall())
+        assert eng == sql and len(eng) > 50
+
+
 class TestHoppingWindow:
     def test_event_lands_in_every_covering_window(self, ray_session):
         import numpy as np
