@@ -121,6 +121,15 @@ def _q_dedup_minhash(sf_dir: str):
     return minhash_dedup(ds, threshold=0.8)
 
 
+def _q_dedup_jaccard(sf_dir: str):
+    """Exact inverted-index n-gram Jaccard pairs (the no-false-negative
+    complement to the MinHash-LSH path)."""
+    import ray.data as rd
+    from ontoray.extras.dedup import jaccard_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return jaccard_pairs(ds, threshold=0.8)
+
+
 def _q_dedup_simhash(sf_dir: str):
     import ray.data as rd
     from ontoray.extras.dedup import simhash_batch
@@ -313,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": Q.q_lang_counts,
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embed_neardup": _q_embed_neardup,
@@ -364,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": Q.SQL_LANG_COUNTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "dedup_minhash": __import__("ontoray.extras.dedup", fromlist=["sql_minhash_pairs"]).sql_minhash_pairs(threshold=0.8),
+        "dedup_jaccard": __import__("ontoray.extras.dedup", fromlist=["sql_jaccard_pairs"]).sql_jaccard_pairs(threshold=0.8),
         "dedup_simhash": __import__("ontoray.extras.dedup", fromlist=["sql_simhash"]).sql_simhash(),
         "dedup_simhash_pairs": __import__("ontoray.extras.dedup", fromlist=["sql_simhash_pairs"]).sql_simhash_pairs(),
         "embed_neardup": __import__("ontoray.extras.dedup", fromlist=["sql_embedding_neardup"]).sql_embedding_neardup(threshold=0.45),

@@ -271,6 +271,26 @@ def minhash_dedup(ds, threshold: float = 0.8, num_hashes: int = 64, bands: int =
                               fn_kwargs={"threshold": threshold, "k": k})
 
 
+def _sql_shingle_ctes(table: str, k: int) -> str:
+    """CTE chain ``toks`` → ``grams`` → ``sh`` computing each document's
+    DISTINCT md5-32 shingle-hash set exactly as ``_shingles`` (token
+    ``k``-grams; <k tokens collapse to one join-all gram, '' when empty)."""
+    return f"""toks AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[a-z0-9]+') AS l
+      FROM {table}
+    ), grams AS (
+      SELECT doc_id, coalesce(array_to_string(l, ' '), '') AS g
+      FROM toks WHERE len(l) < {k}
+      UNION ALL
+      SELECT doc_id, array_to_string(l[i:i+{k - 1}], ' ') AS g
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) - {k - 2})) AS i
+            FROM toks WHERE len(l) >= {k})
+    ), sh AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::UBIGINT AS h
+      FROM grams
+    )"""
+
+
 def sql_minhash_pairs(table: str = "documents", threshold: float = 0.8,
                       num_hashes: int = 64, bands: int = 16, k: int = 3,
                       seed: int = 7) -> str:
@@ -289,20 +309,7 @@ def sql_minhash_pairs(table: str = "documents", threshold: float = 0.8,
     perm_vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
                           for j in range(num_hashes))
     return f"""
-    WITH toks AS (
-      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[a-z0-9]+') AS l
-      FROM {table}
-    ), grams AS (
-      SELECT doc_id, coalesce(array_to_string(l, ' '), '') AS g
-      FROM toks WHERE len(l) < {k}
-      UNION ALL
-      SELECT doc_id, array_to_string(l[i:i+{k - 1}], ' ') AS g
-      FROM (SELECT doc_id, l, unnest(range(1, len(l) - {k - 2})) AS i
-            FROM toks WHERE len(l) >= {k})
-    ), sh AS (
-      SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::UBIGINT AS h
-      FROM grams
-    ), perms(j, a, b) AS (VALUES {perm_vals}),
+    WITH {_sql_shingle_ctes(table, k)}, perms(j, a, b) AS (VALUES {perm_vals}),
     sig AS (
       SELECT doc_id, perms.j,
              CAST(min((a::HUGEINT * h + b) % 2305843009213693951) AS BIGINT) AS mh
@@ -329,6 +336,133 @@ def sql_minhash_pairs(table: str = "documents", threshold: float = 0.8,
     JOIN sizes za ON za.doc_id = c.doc_a
     JOIN sizes zb ON zb.doc_id = c.doc_b
     WHERE c.nc::DOUBLE / (za.n + zb.n - c.nc) >= {threshold!r}
+    """
+
+
+# --- exact n-gram Jaccard pairs (inverted shingle index, no LSH) ------------
+
+
+def jaccard_pairs(ds, threshold: float = 0.8, k: int = 3,
+                  max_df: int | None = None, num_partitions: int = 32):
+    """EXACT near-dup pairs (doc_a < doc_b, jaccard >= threshold) via an
+    inverted shingle index — the no-false-negative alternative to MinHash:
+    common counts flow through a (shingle → docs) groupby instead of
+    sampled signatures, so J(a,b) = c/(na+nb-c) is computed exactly.
+
+    Scale shape: only (doc_id, 8-byte shingle-hash) rows ever shuffle; the
+    pair expansion is quadratic in a shingle's document frequency, so
+    ``max_df`` drops stop-shingles above the cap (common counts become a
+    lower bound — the standard prefix-filter trade, mirrored IDENTICALLY in
+    ``sql_jaccard_pairs`` so the oracle stays exact).  Singleton shingles
+    (most of the vocabulary) are pruned by a distributed semi-join before
+    the expansion; Jaccard denominators always use the FULL per-doc set
+    sizes."""
+    import pandas as pd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            sh = _shingles(t or "", k)
+            ids.extend([did] * len(sh))
+            hs.extend(sh.tolist())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(hs, pa.int64())})
+
+    exploded = ds.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow").materialize()
+
+    sizes = hash_aggregate(
+        exploded, ["doc_id"], partial_aggs=[("h", "count")],
+        aggs=[("h_count", "sum")], rename={"h_count_sum": "n"})
+
+    df_filter = "df >= 2" if max_df is None else f"df >= 2 and df <= {max_df}"
+    kept = hash_aggregate(
+        exploded.select_columns(["h"]), ["h"], partial_aggs=[("h", "count")],
+        aggs=[("h_count", "sum")], rename={"h_count_sum": "df"},
+    ).filter(expr=df_filter).select_columns(["h"])
+
+    shared = hash_join(exploded, kept, "h", "h", how="left_semi",
+                       num_partitions=num_partitions)
+
+    def pairs_of(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b = [], []
+        for _h, sub in g.groupby("h", sort=False):
+            ids = sorted(sub["doc_id"].tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())})
+
+    # Bucket by shingle hash (low byte) rather than groupby(h): one exchange
+    # keyed on a small int, each group expands all its shingles' posting
+    # lists locally.
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = pc.cast(pc.bit_wise_and(batch.column("h"), 255), pa.int32())
+        return batch.append_column("__b", b)
+
+    pair_counts = hash_aggregate(
+        shared.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b").map_groups(pairs_of, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        partial_aggs=[("doc_a", "count")],
+        aggs=[("doc_a_count", "sum")], rename={"doc_a_count_sum": "c"})
+
+    def _sizes_as(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["doc_id", col])
+        return fn
+
+    with_a = hash_join(pair_counts,
+                       sizes.map_batches(_sizes_as("na"), batch_format="pyarrow"),
+                       "doc_a", "doc_id", how="inner", num_partitions=num_partitions)
+    with_b = hash_join(with_a,
+                       sizes.map_batches(_sizes_as("nb"), batch_format="pyarrow"),
+                       "doc_b", "doc_id", how="inner", num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = pc.cast(batch.column("c"), pa.float64())
+        union = pc.subtract(
+            pc.add(batch.column("na"), batch.column("nb")), batch.column("c"))
+        j = pc.divide(c, pc.cast(union, pa.float64()))
+        out = pa.table({"doc_a": batch.column("doc_a"),
+                        "doc_b": batch.column("doc_b"),
+                        "jaccard": j})
+        return out.filter(pc.greater_equal(j, threshold))
+
+    return with_b.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_jaccard_pairs(table: str = "documents", threshold: float = 0.8,
+                      k: int = 3, max_df: int | None = None) -> str:
+    """DuckDB mirror of ``jaccard_pairs``: identical shingle sets, identical
+    df pruning (including the optional ``max_df`` cap), identical unrounded
+    c/(na+nb-c) double."""
+    cap = "" if max_df is None else f" AND df <= {max_df}"
+    return f"""
+    WITH {_sql_shingle_ctes(table, k)},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (SELECT h FROM (SELECT h, count(*) AS df FROM sh GROUP BY h)
+             WHERE df >= 2{cap}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a
+      JOIN kept kk ON kk.h = a.h
+      JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.c::DOUBLE / (za.n + zb.n - p.c) AS jaccard
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    WHERE p.c::DOUBLE / (za.n + zb.n - p.c) >= {threshold!r}
     """
 
 

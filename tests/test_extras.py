@@ -40,6 +40,49 @@ class TestDedup:
             t_b = docs_table["text"][r["doc_b"]].as_py()
             assert r["jaccard"] == jaccard(t_a, t_b)  # unrounded IEEE double
 
+    def test_jaccard_pairs_exact_vs_bruteforce(self, ray_session, docs_table):
+        """Inverted-index pairs == brute-force all-pairs Jaccard (exact, no
+        LSH recall loss), including the unrounded double values."""
+        import ray.data as rd
+        from ontoray.extras.dedup import jaccard, jaccard_pairs
+        texts = docs_table["text"].to_pylist()
+        ids = docs_table["doc_id"].to_pylist()
+        want = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sorted((ids[i], ids[j]))
+                jj = jaccard(texts[ids.index(a)], texts[ids.index(b)])
+                if jj >= 0.5:
+                    want[(a, b)] = jj
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in jaccard_pairs(rd.from_arrow(docs_table),
+                                      threshold=0.5).take_all()}
+        assert got == want and len(got) >= 1
+
+    def test_jaccard_pairs_max_df_matches_sql(self, ray_session):
+        """The df-cap trade (drop stop-shingles) must agree between engine
+        and SQL mirror — a hot shingle shared by every doc is capped out."""
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.dedup import jaccard_pairs, sql_jaccard_pairs
+        common = "the quick brown fox jumps"
+        docs = [(i, f"{common} unique{i} tail{i} words{i} here{i}")
+                for i in range(6)]
+        docs += [(10, "alpha beta gamma delta eps zeta"),
+                 (11, "alpha beta gamma delta eps zeta")]
+        tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                        "text": pa.array([t for _, t in docs], pa.string())})
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in jaccard_pairs(rd.from_arrow(tbl), threshold=0.1,
+                                      max_df=4).take_all()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?,?)", docs)
+        sql = {(r[0], r[1]): r[2] for r in con.execute(
+            sql_jaccard_pairs(threshold=0.1, max_df=4)).fetchall()}
+        assert got == sql
+        assert (10, 11) in got and got[(10, 11)] == 1.0
+
     def test_mulmod61_exact_vs_python_ints(self):
         """uint64 Mersenne-fold arithmetic == arbitrary-precision (a*x) mod p
         (the naive product silently wrapped mod 2^64 — ADVICE r1)."""
