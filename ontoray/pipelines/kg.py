@@ -135,6 +135,61 @@ def _extraction_stage_partitioned(ckpt: CheckpointManager, docs, cfg: PipelineCo
     return ckpt.save_partitioned("extraction", ds, "__part", fingerprint)
 
 
+def _entities_stage_partitioned(ckpt: CheckpointManager, mentions, alias: AliasData,
+                                cfg: PipelineConfig, fingerprint: str, props: dict):
+    """Entity-linking stage with per-partition resume: partitions are
+    mention-hash classes (crc32(mention) % n), the SAME key the distinct
+    aggregation groups on — so restricting the input to missing partitions
+    is exact (a mention's every occurrence lands in one partition), and the
+    linker recomputes only those.  The entity name IS the mention, so the
+    output partition column is recomputed from the row itself."""
+    import zlib
+
+    import pyarrow as pa
+
+    from ontoray.stages.linking import link_entities
+
+    if ckpt.is_complete("entities", fingerprint):
+        return ckpt.load("entities")
+    n_parts = cfg.linker_partitions
+    done = ckpt.begin_partitioned("entities", fingerprint)
+    missing = sorted(set(range(n_parts)) - done)
+
+    def part_of(names: list[str]) -> list[int]:
+        return [zlib.crc32(m.encode()) % n_parts for m in names]
+
+    src = mentions
+    if missing and missing != list(range(n_parts)):
+        missing_set = set(missing)
+
+        def keep_missing(batch: pa.Table) -> pa.Table:
+            parts = part_of(batch.column("mention").to_pylist())
+            return batch.filter(pa.array([p in missing_set for p in parts],
+                                         pa.bool_()))
+
+        src = mentions.map_batches(keep_missing, batch_format="pyarrow")
+
+    if not missing:
+        # Every partition marker landed; only the seal is missing.
+        import ray.data as rd
+        from ontoray.stages.linking import ENTITY_SCHEMA
+        empty_cols = {f.name: pa.array([], f.type) for f in ENTITY_SCHEMA}
+        empty_cols["__part"] = pa.array([], pa.int64())
+        return ckpt.save_partitioned("entities", rd.from_arrow(pa.table(empty_cols)),
+                                     "__part", fingerprint)
+
+    ents = link_entities(src, alias, cfg, props)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", pa.array(part_of(batch.column("name").to_pylist()),
+                               pa.int64()))
+
+    return ckpt.save_partitioned(
+        "entities", ents.map_batches(add_part, batch_format="pyarrow"),
+        "__part", fingerprint)
+
+
 @dataclass
 class KGResult:
     docs: Any
@@ -250,8 +305,14 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
     # The linker gets the whole machine to itself (pre-spawned actors + the
     # distinct-mention shuffle saturate it; concurrent shuffles measured to
     # inflate both sides' walls more than the overlap saves).
-    entities = stage("entities", lambda: link_entities(mentions, alias, cfg, props),
-                     reused=True)
+    if ckpt is not None:
+        t0 = time.perf_counter()
+        entities = _entities_stage_partitioned(ckpt, mentions, alias, cfg,
+                                               fingerprint, props or {})
+        stage_walls["entities"] = round(time.perf_counter() - t0, 3)
+    else:
+        entities = stage("entities", lambda: link_entities(mentions, alias, cfg, props),
+                         reused=True)
 
     # Endpoint resolution: broadcast the (surface -> node) map while the
     # canonical-entity table is small; switch to the partitioned hash join

@@ -357,6 +357,35 @@ class TestResume:
         e3 = sorted((r["src"], r["rel"], r["dst"]) for r in r3.edges.take_all())
         assert e1 == e3
 
+        # The linker stage partitions on mention-hash: kill two of its
+        # partitions; the rerun relinks ONLY those mention classes (the
+        # distinct aggregation groups on the same key, so the restricted
+        # input is exact) and the entity table is identical.
+        ent1 = sorted(tuple(r[k] for k in ("name", "decision", "target",
+                                           "n_mentions"))
+                      for r in r3.entities.take_all())
+        nd = os.path.join(cfg.checkpoint_dir, "entities")
+        os.remove(os.path.join(nd, "_SUCCESS"))
+        os.remove(os.path.join(nd, "manifest.json"))
+        killed = []
+        for p in (0, 3):
+            f = os.path.join(nd, "data", f"part-{p:05d}.parquet")
+            if os.path.exists(f):
+                os.remove(f)
+                os.remove(os.path.join(nd, "parts_ok", f"part-{p:05d}._OK"))
+                killed.append(p)
+        assert killed, "fixture should populate partitions 0 and 3"
+        for s in ("nodes", "edges", "nodes_curated", "edges_curated"):
+            ck.invalidate(s)
+        r4 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="fp1")
+        m4 = ck.manifest("entities")
+        assert m4["written_partitions"] == killed
+        assert set(m4["resumed_partitions"]).isdisjoint(killed)
+        ent4 = sorted(tuple(r[k] for k in ("name", "decision", "target",
+                                           "n_mentions"))
+                      for r in r4.entities.take_all())
+        assert ent1 == ent4
+
         # A different fingerprint must NOT resume stale partitions.
         assert ck.begin_partitioned("docs", "fp-other") == set()
 
