@@ -130,6 +130,13 @@ def _q_dedup_jaccard(sf_dir: str):
     return jaccard_pairs(ds, threshold=0.8)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs -> keep/drop clusters: distributed connected components
+    (min-label propagation) over the exact Jaccard pair graph."""
+    from ontoray.extras.dedup import neardup_clusters
+    return neardup_clusters(_q_dedup_jaccard(sf_dir))
+
+
 def _q_dedup_simhash(sf_dir: str):
     import ray.data as rd
     from ontoray.extras.dedup import simhash_batch
@@ -163,6 +170,18 @@ def _q_embed_neardup(sf_dir: str):
         "vec_b": pa.array([r["vec_b"] for r in rows], pa.int64()),
         "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
     })
+
+
+_STRAT_RATES = {"en": 0.1, "de": 0.5, "zh": 0.25, "es": 1.0}  # fr -> default 0
+
+
+def _q_sample_stratified(sf_dir: str):
+    """Deterministic per-language hash downsampling (reproducible across
+    runs and cluster sizes — no RNG state, no shuffle)."""
+    import ray.data as rd
+    from ontoray.extras.textstats import stratified_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(ds, _STRAT_RATES)
 
 
 def _q_multimodal_image_features(sf_dir: str):
@@ -323,12 +342,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embed_neardup": _q_embed_neardup,
         "ann_topk": Q.q_ann_topk,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "sample_stratified": _q_sample_stratified,
         "multimodal_image_features": _q_multimodal_image_features,
         # Reporting / evaluation / export operators
         "kg_summary": _q_kg_summary,
@@ -375,11 +396,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "dedup_minhash": __import__("ontoray.extras.dedup", fromlist=["sql_minhash_pairs"]).sql_minhash_pairs(threshold=0.8),
         "dedup_jaccard": __import__("ontoray.extras.dedup", fromlist=["sql_jaccard_pairs"]).sql_jaccard_pairs(threshold=0.8),
+        "dedup_clusters": __import__("ontoray.extras.dedup", fromlist=["sql_neardup_clusters"]).sql_neardup_clusters(
+            __import__("ontoray.extras.dedup", fromlist=["sql_jaccard_pairs"]).sql_jaccard_pairs(threshold=0.8)),
         "dedup_simhash": __import__("ontoray.extras.dedup", fromlist=["sql_simhash"]).sql_simhash(),
         "dedup_simhash_pairs": __import__("ontoray.extras.dedup", fromlist=["sql_simhash_pairs"]).sql_simhash_pairs(),
         "embed_neardup": __import__("ontoray.extras.dedup", fromlist=["sql_embedding_neardup"]).sql_embedding_neardup(threshold=0.45),
         "text_fingerprint": __import__("ontoray.extras.textstats", fromlist=["sql_text_fingerprint"]).sql_text_fingerprint(),
         "multimodal_image_features": __import__("ontoray.extras.multimodal", fromlist=["sql_image_features"]).sql_image_features(),
+        "sample_stratified": __import__("ontoray.extras.textstats", fromlist=["sql_stratified_sample"]).sql_stratified_sample(_STRAT_RATES),
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
         "events_window": Q.SQL_EVENTS_WINDOW,
         "events_hopping": Q.SQL_EVENTS_HOPPING,

@@ -466,6 +466,135 @@ def sql_jaccard_pairs(table: str = "documents", threshold: float = 0.8,
     """
 
 
+# --- near-dup cluster assembly (distributed connected components) -----------
+
+
+def neardup_clusters(pairs_ds, max_rounds: int = 20,
+                     driver_max_edges: int = 100_000):
+    """Verified near-dup PAIRS → dedup CLUSTERS: connected components by
+    iterative min-label propagation, the step that turns pairwise fuzzy-dedup
+    output into keep/drop decisions (keep = the component's min doc_id).
+
+    Each round is one hash_join (labels ⋈ symmetric edges) + one min
+    aggregate; labels only ever decrease, so a component converges in
+    O(diameter) rounds (near-dup components are shallow — dup clusters, not
+    social graphs; ``max_rounds`` bounds pathological chains).  Convergence
+    is detected by the label-sum invariant: min-propagation strictly
+    decreases the sum until fixpoint, so an unchanged sum terminates without
+    a per-row diff join.  Output: (doc_id, cluster_id, keep) for every doc
+    appearing in >= 1 pair — docs in no pair are implicitly their own
+    cluster and never shuffle."""
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([batch.column("doc_a").combine_chunks(),
+                                     batch.column("doc_b").combine_chunks()]),
+            "dst": pa.concat_arrays([batch.column("doc_b").combine_chunks(),
+                                     batch.column("doc_a").combine_chunks()]),
+        })
+
+    edges = (pairs_ds.select_columns(["doc_a", "doc_b"])
+             .map_batches(symmetrize, batch_format="pyarrow").materialize())
+
+    # Small pair graphs (the common case after verification) skip the
+    # iterative exchanges: driver union-find, identical output
+    # (pytest-asserted equal to the distributed branch).
+    if edges.count() <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        seen: set[int] = set()
+        for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for s, d in zip(b.column("src").to_pylist(),
+                            b.column("dst").to_pylist()):
+                seen.add(s)
+                seen.add(d)
+                rs, rd_ = find(s), find(d)
+                if rs != rd_:
+                    # union by min keeps the root the component minimum
+                    lo, hi = (rs, rd_) if rs < rd_ else (rd_, rs)
+                    parent[hi] = lo
+        rows = sorted((d, find(d)) for d in seen)
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
+            "keep": pa.array([r[0] == r[1] for r in rows], pa.bool_()),
+        })
+
+    # label0[d] = min(d, min neighbor) — the self-label rides along as a
+    # (d, d) edge inside the same aggregate.
+    def with_self(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([batch.column("src").combine_chunks(),
+                                     batch.column("src").combine_chunks()]),
+            "dst": pa.concat_arrays([batch.column("dst").combine_chunks(),
+                                     batch.column("src").combine_chunks()]),
+        })
+
+    labels = hash_aggregate(
+        edges.map_batches(with_self, batch_format="pyarrow"), ["src"],
+        partial_aggs=[("dst", "min")], aggs=[("dst_min", "min")],
+        rename={"dst_min_min": "label"}).materialize()
+
+    def label_sum(ds) -> int:
+        s = 0
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            s += pc.sum(b.column("label")).as_py() or 0
+        return s
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_rounds):
+        # neighbor labels: edges ⋈ labels on dst, emitted keyed by src.
+        nbr = hash_join(edges, labels, "dst", "src", how="inner",
+                        right_cols=["label"])
+        both = labels.union(nbr.select_columns(["src", "label"]))
+        labels = hash_aggregate(
+            both, ["src"], partial_aggs=[("label", "min")],
+            aggs=[("label_min", "min")], rename={"label_min_min": "label"},
+        ).materialize()
+        cur = label_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("src"),
+            "cluster_id": batch.column("label"),
+            "keep": pc.equal(batch.column("src"), batch.column("label")),
+        })
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_neardup_clusters(pairs_sql: str) -> str:
+    """DuckDB mirror of ``jaccard_pairs`` (or any pair query) piped through
+    ``neardup_clusters``: recursive-CTE transitive closure, min reachable id
+    per doc."""
+    return f"""
+    WITH RECURSIVE pr AS ({pairs_sql}),
+    e AS (SELECT doc_a, doc_b FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+    r(doc, lab) AS (
+      SELECT DISTINCT doc_a, doc_a FROM e
+      UNION
+      SELECT e.doc_a, r.lab FROM e JOIN r ON r.doc = e.doc_b
+    )
+    SELECT doc AS doc_id, min(lab) AS cluster_id, min(lab) = doc AS keep
+    FROM r GROUP BY doc
+    """
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

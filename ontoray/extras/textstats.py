@@ -151,3 +151,48 @@ def sql_text_fingerprint(table: str = "documents", window: int = 8) -> str:
     SELECT doc_id, CAST(list_aggregate(ws, 'min') AS BIGINT) AS fingerprint
     FROM wins
     """
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+def stratified_sample(ds, rates: dict[str, float], key_col: str = "lang",
+                      id_col: str = "doc_id", default_rate: float = 0.0,
+                      salt: str = "strat1"):
+    """Per-stratum deterministic hash sampling: row kept iff
+    md5_32(salt:key:id) / 2^32 < rates[key].  The classic training-data
+    downsampler ("keep 10% of en, 50% of de, ...") — embarrassingly parallel,
+    no shuffle, no RNG state, reproducible across runs/cluster sizes, and
+    exactly DuckDB-mirrorable (sql_stratified_sample).
+
+    Rates are compared against a 32-bit uniform, so a rate r keeps
+    floor-accurate ~r of each stratum regardless of partitioning."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        mask = []
+        for k, i in zip(keys, ids):
+            r = rates.get(k, default_rate)
+            h = int(hashlib.md5(f"{salt}:{k}:{i}".encode()).hexdigest()[:8], 16)
+            mask.append(h < r * 4294967296.0)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_stratified_sample(rates: dict[str, float], table: str = "documents",
+                          key_col: str = "lang", id_col: str = "doc_id",
+                          default_rate: float = 0.0, salt: str = "strat1",
+                          cols: str = "doc_id, lang") -> str:
+    """DuckDB mirror of ``stratified_sample``: identical md5-32 threshold
+    per (stratum, id).  The comparison runs in DOUBLE on both sides."""
+    cases = " ".join(
+        f"WHEN {key_col} = '{k}' THEN {r!r}" for k, r in sorted(rates.items()))
+    return f"""
+    SELECT {cols} FROM {table}
+    WHERE ('0x' || substr(md5('{salt}:' || {key_col} || ':' || {id_col}), 1, 8))::UBIGINT
+          < (CASE {cases} ELSE {default_rate!r} END) * 4294967296.0
+    """

@@ -83,6 +83,30 @@ class TestDedup:
         assert got == sql
         assert (10, 11) in got and got[(10, 11)] == 1.0
 
+    def test_neardup_clusters_branches_equal(self, ray_session):
+        """Distributed min-label propagation == driver union-find, on a pair
+        graph with a chain (needing multi-round propagation), a triangle,
+        an isolated pair, and a star."""
+        import ray.data as rd
+        from ontoray.extras.dedup import neardup_clusters
+        pairs = [(5, 6), (6, 7), (7, 8), (8, 9),       # chain -> cluster 5
+                 (20, 21), (21, 22), (20, 22),          # triangle -> 20
+                 (30, 31),                              # pair -> 30
+                 (40, 41), (40, 42), (40, 43)]          # star -> 40
+        tbl = pa.table({"doc_a": pa.array([a for a, _ in pairs], pa.int64()),
+                        "doc_b": pa.array([b for _, b in pairs], pa.int64())})
+        want = {5: 5, 6: 5, 7: 5, 8: 5, 9: 5, 20: 20, 21: 20, 22: 20,
+                30: 30, 31: 30, 40: 40, 41: 40, 42: 40, 43: 40}
+        fast = neardup_clusters(rd.from_arrow(tbl))
+        dist = neardup_clusters(rd.from_arrow(tbl), driver_max_edges=0)
+        for out in (fast, dist):
+            rows = (out.take_all() if hasattr(out, "take_all")
+                    else out.to_pylist())
+            got = {r["doc_id"]: r["cluster_id"] for r in rows}
+            assert got == want
+            for r in rows:
+                assert r["keep"] == (r["doc_id"] == r["cluster_id"])
+
     def test_mulmod61_exact_vs_python_ints(self):
         """uint64 Mersenne-fold arithmetic == arbitrary-precision (a*x) mod p
         (the naive product silently wrapped mod 2^64 — ADVICE r1)."""
