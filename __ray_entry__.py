@@ -172,6 +172,15 @@ def _q_embed_neardup(sf_dir: str):
     })
 
 
+def _q_tfidf_top(sf_dir: str):
+    """Per-doc top-3 tf-idf keywords (distributed df join, no vocab
+    broadcast)."""
+    import ray.data as rd
+    from ontoray.extras.textstats import tfidf_top_terms
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
 _STRAT_RATES = {"en": 0.1, "de": 0.5, "zh": 0.25, "es": 1.0}  # fr -> default 0
 
 
@@ -350,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "sample_stratified": _q_sample_stratified,
+        "tfidf_top_terms": _q_tfidf_top,
         "multimodal_image_features": _q_multimodal_image_features,
         # Reporting / evaluation / export operators
         "kg_summary": _q_kg_summary,
@@ -404,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": __import__("ontoray.extras.textstats", fromlist=["sql_text_fingerprint"]).sql_text_fingerprint(),
         "multimodal_image_features": __import__("ontoray.extras.multimodal", fromlist=["sql_image_features"]).sql_image_features(),
         "sample_stratified": __import__("ontoray.extras.textstats", fromlist=["sql_stratified_sample"]).sql_stratified_sample(_STRAT_RATES),
+        "tfidf_top_terms": __import__("ontoray.extras.textstats", fromlist=["sql_tfidf_top"]).sql_tfidf_top(k=3),
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
         "events_window": Q.SQL_EVENTS_WINDOW,
         "events_hopping": Q.SQL_EVENTS_HOPPING,

@@ -196,3 +196,90 @@ def sql_stratified_sample(rates: dict[str, float], table: str = "documents",
     WHERE ('0x' || substr(md5('{salt}:' || {key_col} || ':' || {id_col}), 1, 8))::UBIGINT
           < (CASE {cases} ELSE {default_rate!r} END) * 4294967296.0
     """
+
+
+# --- tf-idf keyword extraction ----------------------------------------------
+
+def tfidf_top_terms(ds, k: int = 3, num_partitions: int = 16):
+    """Per-document top-``k`` terms by tf·idf — distributed keyword
+    extraction: (doc, term, tf) rows from an in-batch Counter combiner, a
+    vocabulary-scale df aggregate, a partitioned hash join (df never
+    broadcasts — the 100-TB vocabulary does not fit a driver dict), and a
+    per-doc top-k group sort.  score = round(tf * ln(N/df), 6), ties broken
+    by term asc — deterministic, and exactly mirrored by ``sql_tfidf_top``.
+    """
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    n_docs = ds.count()
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, ws, tfs = [], [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            for w, n in Counter(TOKEN_RE.findall(t or "")).items():
+                ids.append(did)
+                ws.append(w)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "w": pa.array(ws, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    tf = ds.select_columns(["doc_id", "text"]).map_batches(
+        term_counts, batch_format="pyarrow").materialize()
+
+    # df = docs containing the term (each (doc, term) appears once in tf).
+    df = hash_aggregate(tf.select_columns(["w"]), ["w"],
+                        partial_aggs=[("w", "count")],
+                        aggs=[("w_count", "sum")], rename={"w_count_sum": "df"},
+                        num_buckets=num_partitions)
+
+    joined = hash_join(tf, df, "w", "w", how="inner",
+                       num_partitions=num_partitions, right_cols=["df"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfs = batch.column("tf").to_pylist()
+        dfs = batch.column("df").to_pylist()
+        sc = [round(t * math.log(n_docs / d), 6) for t, d in zip(tfs, dfs)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "term": batch.column("w"),
+                         "score": pa.array(sc, pa.float64())})
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("score", "descending"),
+                                            ("term", "ascending")])
+        return g.take(idx[:k])
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+            .groupby("doc_id").map_groups(topk, batch_format="pyarrow"))
+
+
+def sql_tfidf_top(table: str = "documents", k: int = 3) -> str:
+    """DuckDB mirror of ``tfidf_top_terms``: identical tokenization, tf/df
+    counts, round(tf*ln(N/df), 6) scoring and (score desc, term asc) top-k."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[a-z0-9]+')) AS w
+      FROM {table}
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, count(*) AS df FROM tf GROUP BY w
+    ), n AS (SELECT count(*) AS n FROM {table}),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS score
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, score FROM ranked WHERE rn <= {k}
+    """

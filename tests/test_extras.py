@@ -293,6 +293,34 @@ class TestANN:
         assert recalls[-1] >= 7
 
 
+class TestTfidf:
+    def test_topk_with_ties_matches_sql(self, ray_session):
+        """Tied scores break deterministically on term asc; engine == SQL
+        mirror including the rounded double values."""
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import sql_tfidf_top, tfidf_top_terms
+        docs = [(0, "apple banana cherry apple banana cherry"),   # all tied
+                (1, "apple apple apple unique1 unique2"),
+                (2, "banana shared shared shared"),
+                (3, ""),                                          # no terms
+                (4, "zeta zeta alpha alpha")]
+        tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                        "text": pa.array([t for _, t in docs], pa.string())})
+        got = sorted((r["doc_id"], r["term"], r["score"]) for r in
+                     tfidf_top_terms(rd.from_arrow(tbl), k=2).take_all())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?,?)", docs)
+        sql = sorted(tuple(r) for r in con.execute(sql_tfidf_top(k=2)).fetchall())
+        assert got == sql
+        by_doc = {}
+        for d, t, s in got:
+            by_doc.setdefault(d, []).append(t)
+        assert by_doc[0] == ["apple", "banana"]   # tie -> term asc
+        assert 3 not in by_doc                    # empty doc emits nothing
+
+
 class TestTextStats:
     def test_doc_stats(self, ray_session, docs_table):
         import ray.data as rd
@@ -327,6 +355,35 @@ class TestTextStats:
         fps = out.column("fingerprint").to_pylist()
         assert fps[0] == fps[2]                       # deterministic
         assert fps[0] == fps[1]                       # content-driven, not offset-driven
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_mirrors_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import (sql_stratified_sample,
+                                              stratified_sample)
+        rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+        tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "lang": pa.array([r[1] for r in rows], pa.string())})
+        rates = {"en": 0.3, "de": 1.0}          # fr -> default 0
+        ds = rd.from_arrow(tbl)
+        got1 = sorted(r["doc_id"] for r in
+                      stratified_sample(ds, rates).take_all())
+        got2 = sorted(r["doc_id"] for r in
+                      stratified_sample(ds, rates).take_all())
+        assert got1 == got2                     # deterministic, no RNG state
+        langs = {r[0]: r[1] for r in rows}
+        assert all(langs[d] != "fr" for d in got1)
+        assert sum(1 for d in got1 if langs[d] == "de") == 100  # rate 1.0
+        n_en = sum(1 for d in got1 if langs[d] == "en")
+        assert 10 <= n_en <= 50                 # ~30% of 100
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, lang VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?,?)", rows)
+        sql = sorted(r[0] for r in con.execute(
+            sql_stratified_sample(rates)).fetchall())
+        assert sql == got1
 
 
 class TestMultimodal:
