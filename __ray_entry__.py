@@ -381,8 +381,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": Q.q_orders_by_nation,
         "orders_by_region": Q.q_orders_by_region,
         "lineitem_pricing": Q.q_lineitem_pricing,
+        "lineitem_quantiles": Q.q_lineitem_quantiles,
         "top_parts_per_brand": Q.q_top_parts_per_brand,
         "topk_parts": Q.q_topk_parts,
+        # Distributed prefix sum, broadcast anti-join, IVF ANN
+        "events_cumsum": Q.q_events_cumsum,
+        "docs_blocklist": Q.q_docs_blocklist,
+        "ann_ivf": Q.q_ann_ivf,
     }
 
 
@@ -423,6 +428,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_nation": Q.SQL_ORDERS_BY_NATION,
         "orders_by_region": Q.SQL_ORDERS_BY_REGION,
         "lineitem_pricing": Q.SQL_LINEITEM_PRICING,
+        "lineitem_quantiles": Q.SQL_LINEITEM_QUANTILES,
         "top_parts_per_brand": Q.SQL_TOP_PARTS_PER_BRAND,
         "topk_parts": Q.SQL_TOPK_PARTS,
+        "events_cumsum": Q.SQL_EVENTS_CUMSUM,
+        "docs_blocklist": Q.SQL_DOCS_BLOCKLIST,
     }

@@ -64,6 +64,95 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10, concurrency: int = 4):
     })
 
 
+class _AssignCentroid:
+    """Per-batch nearest-centroid assignment against a broadcast matrix."""
+
+    def __init__(self, cent_ref):
+        self.c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        self.cn = np.linalg.norm(self.c, axis=1)
+        self.cn[self.cn == 0] = 1.0
+
+    def _assign(self, batch: pa.Table) -> np.ndarray:
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms[:, None]) @ (self.c / self.cn[:, None]).T
+        return np.argmax(sims, axis=1), vecs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("cluster", pa.array([], pa.int64()))
+        assign, _ = self._assign(batch)
+        return batch.append_column("cluster", pa.array(assign.astype(np.int64)))
+
+
+class _CentroidPartial(_AssignCentroid):
+    """Lloyd-step combiner: per-batch (cluster, vector sum, count) partials —
+    k rows leave each batch regardless of batch size."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = len(self.c)
+        if batch.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "vsum": pa.array([], pa.list_(pa.float64())),
+                             "n": pa.array([], pa.int64())})
+        assign, vecs = self._assign(batch)
+        sums = np.zeros((k, vecs.shape[1]))
+        np.add.at(sums, assign, vecs)
+        cnt = np.bincount(assign, minlength=k)
+        keep = cnt > 0
+        return pa.table({
+            "cluster": pa.array(np.arange(k)[keep], pa.int64()),
+            "vsum": pa.array(list(sums[keep]), pa.list_(pa.float64())),
+            "n": pa.array(cnt[keep], pa.int64()),
+        })
+
+
+def ivf_build(ds, n_clusters: int = 16, iters: int = 3, concurrency: int = 4):
+    """IVF index build: deterministic k-means over the embedding column.
+
+    Init = the vectors with the ``n_clusters`` smallest vec_ids (seed-free
+    and reproducible).  Each Lloyd iteration is one streaming pass: centroids
+    broadcast via ``ray.put``, per-batch (cluster, sum, count) partials (k
+    rows per batch), folded on the driver (k x dim floats — centroid-scale,
+    not data-scale).  Returns (centroids ndarray, dataset with an int64
+    ``cluster`` column).  At fleet scale the assigned dataset is written as
+    cluster-partitioned parquet so a query's nprobe filter becomes a
+    partition prune instead of a full scan.
+    """
+    seed_rows = ds.sort("vec_id").limit(n_clusters).take_all()
+    cents = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+        partials = ds.map_batches(
+            _CentroidPartial, fn_constructor_args=(cref,),
+            batch_format="pyarrow", concurrency=(1, concurrency)).take_all()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(len(cents))
+        for r in partials:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            cnts[r["cluster"]] += r["n"]
+        nz = cnts > 0
+        cents[nz] = sums[nz] / cnts[nz][:, None]     # empty clusters keep seed
+
+    assigned = ds.map_batches(_AssignCentroid, fn_constructor_args=(ray.put(cents),),
+                              batch_format="pyarrow", concurrency=(1, concurrency))
+    return cents, assigned
+
+
+def ivf_topk(assigned, centroids: np.ndarray, query: np.ndarray, k: int = 10,
+             nprobe: int = 4, concurrency: int = 4):
+    """Scan only the ``nprobe`` clusters nearest the query (recall < 1 — the
+    documented IVF trade for a 1/nprobe-of-corpus scan at scale)."""
+    cn = np.linalg.norm(centroids, axis=1)
+    cn[cn == 0] = 1.0
+    sims = (centroids / cn[:, None]) @ (query / np.linalg.norm(query))
+    probes = sorted(int(i) for i in np.argsort(-sims)[:nprobe])
+    expr = " or ".join(f"cluster == {p}" for p in probes)
+    return brute_force_topk(assigned.filter(expr=f"({expr})"), query, k, concurrency)
+
+
 def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 11,
              concurrency: int = 4, probes: int = 1):
     """Bucketed variant: scan only rows whose sign-LSH bucket is within the

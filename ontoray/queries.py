@@ -641,3 +641,118 @@ SQL_EVENTS_ASOF = (
     "FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us) "
     "SELECT event_id, user_id, ts_us, match_id, match_ts_us, "
     "ts_us - match_ts_us AS gap_us FROM j WHERE rn = 1")
+
+
+# --- grouped exact quantiles (distributed value-histogram reduce) -----------
+
+def q_lineitem_quantiles(sf_dir: str):
+    """Exact discrete price quantiles per return flag over the largest fact
+    table — rows collapse to a per-flag price histogram before anything
+    shuffles (see extras.quantiles for the scale contract)."""
+    from fractions import Fraction
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_quantiles_disc
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "price_c": cents})
+
+    qs = {"p25": Fraction(1, 4), "p50": Fraction(1, 2), "p75": Fraction(3, 4),
+          "p90": Fraction(9, 10), "p99": Fraction(99, 100)}
+    out = grouped_quantiles_disc(ds.map_batches(derive, batch_format="pyarrow"),
+                                 "l_returnflag", "price_c", qs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {"l_returnflag": batch.column("l_returnflag")}
+        for name in sorted(qs):
+            cols[name] = pc.divide(pc.cast(batch.column(name), pa.float64()),
+                                   pa.scalar(100.0))
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+_QCENTS = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+SQL_LINEITEM_QUANTILES = (
+    "SELECT l_returnflag, "
+    + ", ".join(f"quantile_disc({_QCENTS}, {q}) / 100.0 AS p{int(q*100)}"
+                for q in (0.25, 0.5, 0.75, 0.9, 0.99))
+    + " FROM lineitem GROUP BY l_returnflag")
+
+
+# --- global running total (distributed prefix sum) --------------------------
+
+def q_events_cumsum(sf_dir: str):
+    import ray.data as rd
+
+    from ontoray.stages.events import running_total
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "value"])
+    return running_total(ds)
+
+
+SQL_EVENTS_CUMSUM = (
+    "SELECT event_id, epoch_us(ts) AS ts_us, "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER ("
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value "
+    "FROM events")
+
+
+# --- broadcast anti-join (blocklist filtering, the webtext staple) ----------
+
+def q_docs_blocklist(sf_dir: str, n_blocked: int = 2):
+    """Drop documents whose source is on a blocklist — here the 2 most
+    prolific sources, computed as a tiny aggregate and broadcast via
+    ``ray.put``: the anti-join costs ZERO shuffle of the corpus (the pattern
+    for every url/domain blocklist filter at crawl scale)."""
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    counts = hash_aggregate(
+        docs.select_columns(["source"]), ["source"],
+        partial_aggs=[("source", "count")],
+        aggs=[("source_count", "sum")], rename={"source_count_sum": "n"},
+        num_buckets=8).take_all()                      # source-vocabulary-scale
+    counts.sort(key=lambda r: (-r["n"], r["source"]))
+    blocked_ref = ray.put(frozenset(r["source"] for r in counts[:n_blocked]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        blocked = ray.get(blocked_ref)
+        mask = pc.invert(pc.is_in(batch.column("source"),
+                                  value_set=pa.array(sorted(blocked), pa.string())))
+        return batch.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_DOCS_BLOCKLIST = (
+    "SELECT doc_id, source FROM documents WHERE source NOT IN ("
+    "SELECT source FROM documents GROUP BY source "
+    "ORDER BY count(*) DESC, source LIMIT 2)")
+
+
+# --- IVF ANN (iterative k-means index; rows-only: not SQL-expressible) ------
+
+def q_ann_ivf(sf_dir: str, k: int = 10):
+    import ray.data as rd
+
+    from ontoray.extras.ann import ivf_build, ivf_topk, query_vector
+    dim = _embedding_dim(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cents, assigned = ivf_build(ds, n_clusters=16, iters=3)
+    return ivf_topk(assigned, cents, query_vector(dim), k=k, nprobe=4)

@@ -114,6 +114,82 @@ def session_windows(events_ds, gap_s: int = 1800, key: str = "user_id"):
         sessionize, batch_format="pandas")
 
 
+def running_total(events_ds, bucket_s: int = 86400):
+    """Global running total of ``value`` over the event log ordered by
+    (ts, event_id) — a distributed prefix sum.
+
+    Ray Data has no ordered-window operator; this is the documented
+    composition, ONE row exchange plus a tiny metadata pass:
+
+    1. derive (ts_us, event_id, value_c[int cents], time_bucket) per batch;
+    2. per-bucket partial sums via the two-phase ``hash_aggregate`` — the
+       result is timespan-bounded (one row per ``bucket_s`` of log), not
+       data-bounded;
+    3. driver computes EXCLUSIVE prefix offsets over the sorted bucket sums
+       (a cumsum over ~timespan/bucket_s rows) and broadcasts them once via
+       ``ray.put``;
+    4. ``groupby(bucket).map_groups`` sorts each bucket by (ts_us, event_id),
+       cumsums locally, and adds the bucket's broadcast offset.
+
+    Partitioning assumption: one time-bucket's rows fit one group — pick
+    ``bucket_s`` for the log's density (same contract as ``session_windows``).
+    Money math is exact int64 cents on both engines (float partial sums are
+    not associative across distributed partials); the output divides back to
+    a float at the boundary.
+
+    Output: (event_id, ts_us, running_value) — mirrors
+    ``SUM(value) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)``.
+    """
+    import numpy as np
+    import ray
+
+    from ontoray.stages.agg import hash_aggregate
+
+    b_us = bucket_s * _US
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "ts_us": ts_us,
+            "value_c": cents,
+            "bucket": pc.cast(pc.divide(ts_us, b_us), pa.int64()),
+        })
+
+    derived = events_ds.select_columns(["event_id", "ts", "value"]).map_batches(
+        derive, batch_format="pyarrow")
+
+    bucket_sums = hash_aggregate(
+        derived.select_columns(["bucket", "value_c"]), ["bucket"],
+        partial_aggs=[("value_c", "sum")],
+        aggs=[("value_c_sum", "sum")], rename={"value_c_sum_sum": "s"},
+        num_buckets=16).take_all()                       # timespan-bounded
+    bucket_sums.sort(key=lambda r: r["bucket"])
+    offsets, acc = {}, 0
+    for r in bucket_sums:
+        offsets[r["bucket"]] = acc
+        acc += r["s"]
+    off_ref = ray.put(offsets)
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)[g.column("bucket")[0].as_py()]
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        vc = g.column("value_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        run = np.cumsum(vc[order]) + off
+        return pa.table({
+            "event_id": pa.array(ids[order], pa.int64()),
+            "ts_us": pa.array(ts[order], pa.int64()),
+            "running_value": pa.array(run / 100.0, pa.float64()),
+        })
+
+    return derived.groupby("bucket").map_groups(scan_bucket, batch_format="pyarrow")
+
+
 def asof_join(left_ds, right_ds, key: str = "user_id"):
     """Backward (inclusive) as-of join: each left event is matched to the
     right event of the same ``key`` with the greatest ``ts <= left.ts``,

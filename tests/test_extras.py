@@ -541,3 +541,123 @@ class TestSaltedCollect:
         import zlib
         salts = {zlib.crc32(f"v{i:04d}".encode()) % 16 for i in range(500)}
         assert len(salts) == 16
+
+
+class TestQuantiles:
+    def test_grouped_quantiles_match_duckdb(self, ray_session):
+        """grouped_quantiles_disc == DuckDB quantile_disc on a skewed random
+        fixture (duplicates, negatives, singleton group)."""
+        import random
+
+        import duckdb
+        import ray.data as rd
+        from fractions import Fraction
+        from ontoray.extras.quantiles import grouped_quantiles_disc
+
+        rng = random.Random(17)
+        keys, vals = [], []
+        for k, n in (("A", 997), ("B", 240), ("C", 1)):
+            for _ in range(n):
+                keys.append(k)
+                vals.append(rng.choice([rng.randint(-50, 50),
+                                        rng.randint(0, 5)]))  # heavy dups
+        tbl = pa.table({"k": pa.array(keys, pa.string()),
+                        "v": pa.array(vals, pa.int64())})
+        qs = {"p25": Fraction(1, 4), "p50": Fraction(1, 2),
+              "p90": Fraction(9, 10), "p99": Fraction(99, 100)}
+        out = grouped_quantiles_disc(rd.from_arrow(tbl).repartition(8),
+                                     "k", "v", qs).take_all()
+        got = {r["k"]: (r["p25"], r["p50"], r["p90"], r["p99"]) for r in out}
+
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = {k: t for k, *t in map(tuple, con.execute(
+            "SELECT k, quantile_disc(v, 0.25), quantile_disc(v, 0.5), "
+            "quantile_disc(v, 0.9), quantile_disc(v, 0.99) FROM t GROUP BY k"
+        ).fetchall())}
+        want = {k: tuple(v) for k, v in
+                ((k, t) for k, t in want.items())}
+        assert set(got) == {"A", "B", "C"}
+        for k in got:
+            assert tuple(got[k]) == tuple(want[k]), k
+
+
+class TestRunningTotal:
+    def test_matches_window_sum(self, ray_session):
+        """Distributed prefix sum == pandas expanding sum over the globally
+        (ts, event_id)-ordered log, including ts ties straddling bucket
+        boundaries."""
+        import random
+
+        import ray.data as rd
+        from ontoray.stages.events import running_total
+
+        rng = random.Random(23)
+        day_us = 86_400_000_000
+        n = 500
+        # Timestamps cluster on exact bucket boundaries and duplicate values
+        # to exercise tie-breaks by event_id across groups.
+        ts = [rng.choice([rng.randrange(0, 3 * day_us),
+                          day_us, 2 * day_us, day_us - 1]) for _ in range(n)]
+        val = [round(rng.uniform(-5, 5), 2) for _ in range(n)]
+        tbl = pa.table({
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(val, pa.float64()),
+        })
+        out = running_total(rd.from_arrow(tbl).repartition(7),
+                            bucket_s=86400).take_all()
+        got = {r["event_id"]: r["running_value"] for r in out}
+
+        order = sorted(range(n), key=lambda i: (ts[i], i))
+        acc, want = 0, {}
+        for i in order:
+            acc += int(np.floor(val[i] * 100 + 0.5))
+            want[i] = acc / 100.0
+        assert len(got) == n
+        assert got == want
+
+
+class TestIvf:
+    def test_ivf_recall_and_exactness(self, ray_session):
+        """IVF top-k: every returned cosine is the true cosine, and nprobe=4
+        of 8 clusters on a clustered fixture recovers most of the true
+        top-10 (planted cluster around the query)."""
+        import ray.data as rd
+        from ontoray.extras.ann import (brute_force_topk, ivf_build, ivf_topk,
+                                        query_vector)
+        rng = np.random.default_rng(31)
+        q = query_vector(16)
+        planted = [q + 0.05 * rng.standard_normal(16) for _ in range(12)]
+        clusters = []
+        for c in range(6):
+            center = rng.standard_normal(16) * 2
+            clusters += [center + 0.1 * rng.standard_normal(16) for _ in range(60)]
+        vecs = np.array(planted + clusters, dtype=np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        })
+        ds = rd.from_arrow(tbl).repartition(4)
+        cents, assigned = ivf_build(ds, n_clusters=8, iters=3)
+        got = ivf_topk(assigned, cents, q, k=10, nprobe=4)
+        truth = brute_force_topk(ds, q, k=len(vecs))
+        true_cos = {r["vec_id"]: r["cosine"] for r in truth.to_pylist()}
+        top10 = set(truth.column("vec_id").to_pylist()[:10])
+        got_ids = got.column("vec_id").to_pylist()
+        for vid, cos in zip(got_ids, got.column("cosine").to_pylist()):
+            assert cos == true_cos[vid]            # scanned cosines are exact
+        assert len(set(got_ids) & top10) >= 8      # planted cluster found
+
+    def test_ivf_build_deterministic(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.ann import ivf_build
+        rng = np.random.default_rng(33)
+        vecs = rng.standard_normal((100, 8)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(100)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        })
+        c1, _ = ivf_build(rd.from_arrow(tbl).repartition(3), n_clusters=4, iters=2)
+        c2, _ = ivf_build(rd.from_arrow(tbl).repartition(5), n_clusters=4, iters=2)
+        assert np.allclose(c1, c2)

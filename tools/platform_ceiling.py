@@ -43,8 +43,9 @@ def work(args):
 def main() -> int:
     tasks = int(os.environ.get("CEILING_TASKS", "64"))
     per = int(os.environ.get("CEILING_DOCS_PER_TASK", "1500"))
+    lo, hi = (int(x) for x in os.environ.get("CEILING_PROCS", "8,32").split(","))
     out = {}
-    for nproc in (8, 32):
+    for nproc in (lo, hi):
         with mp.Pool(nproc) as p:
             p.map(work, [(0, 10)] * nproc)            # warm imports, untimed
             t0 = time.perf_counter()
@@ -53,7 +54,7 @@ def main() -> int:
         out[f"sec_{nproc}proc"] = round(dt, 2)
         out[f"docs_per_sec_{nproc}proc"] = round(tasks * per / dt, 1)
     out["metric"] = "platform_ceiling_efficiency"
-    out["value"] = round((out["sec_8proc"] / out["sec_32proc"]) / 4, 3)
+    out["value"] = round((out[f"sec_{lo}proc"] / out[f"sec_{hi}proc"]) / (hi / lo), 3)
     out["unit"] = "ratio"
     print(json.dumps(out))
     return 0
