@@ -388,6 +388,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": Q.q_events_cumsum,
         "docs_blocklist": Q.q_docs_blocklist,
         "ann_ivf": Q.q_ann_ivf,
+        # Count-distinct, broadcast range join, rolling window
+        "events_distinct_users": Q.q_events_distinct_users,
+        "lineitem_price_bands": Q.q_lineitem_price_bands,
+        "events_rolling": Q.q_events_rolling,
     }
 
 
@@ -433,4 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_parts": Q.SQL_TOPK_PARTS,
         "events_cumsum": Q.SQL_EVENTS_CUMSUM,
         "docs_blocklist": Q.SQL_DOCS_BLOCKLIST,
+        "events_distinct_users": Q.SQL_EVENTS_DISTINCT_USERS,
+        "lineitem_price_bands": Q.SQL_LINEITEM_PRICE_BANDS,
+        "events_rolling": Q.SQL_EVENTS_ROLLING,
     }

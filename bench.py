@@ -177,7 +177,7 @@ def _scaling_pair(lo: int, hi: int, rows: str) -> dict:
 def run_scaling() -> dict:
     """N-vs-4N scaling proxy, reported at TWO CPU pairs.
 
-    - 2 vs 8 CPUs (corpus ``GRAFT_SCALING_ROWS_SMALL``, default 100k pages):
+    - 2 vs 8 CPUs (corpus ``GRAFT_SCALING_ROWS_SMALL``, default 500k pages):
       the pair where a 4x CPU grant on this VM actually delivers ~4x hardware
       (memory bandwidth not yet saturated) — the closest single-box analog of
       adding nodes, each of which brings its own memory system.
@@ -191,7 +191,7 @@ def run_scaling() -> dict:
     reported alongside.  On a real N-vs-4N *cluster* each added node brings
     its own memory bandwidth, so the 2->8 number is the representative one.
     """
-    small = _scaling_pair(2, 8, os.environ.get("GRAFT_SCALING_ROWS_SMALL", "100000"))
+    small = _scaling_pair(2, 8, os.environ.get("GRAFT_SCALING_ROWS_SMALL", "500000"))
     time.sleep(5)
     big = _scaling_pair(8, 32, os.environ.get("GRAFT_SCALING_ROWS", "2000000"))
     return {

@@ -756,3 +756,69 @@ def q_ann_ivf(sf_dir: str, k: int = 10):
                          columns=["vec_id", "embedding"])
     cents, assigned = ivf_build(ds, n_clusters=16, iters=3)
     return ivf_topk(assigned, cents, query_vector(dim), k=k, nprobe=4)
+
+
+# --- exact grouped count-distinct (two-round vocabulary shuffle) ------------
+
+def q_events_distinct_users(sf_dir: str):
+    import ray.data as rd
+
+    from ontoray.stages.agg import count_distinct
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return count_distinct(ds, ["event_type"], "user_id", out_col="n_users")
+
+
+SQL_EVENTS_DISTINCT_USERS = (
+    "SELECT event_type, count(DISTINCT user_id) AS n_users "
+    "FROM events GROUP BY event_type")
+
+
+# --- broadcast range join (banding against a dimension-scale range table) ---
+
+PRICE_BANDS = [("budget", 0.0, 20_000.0), ("mid", 20_000.0, 60_000.0),
+               ("premium", 60_000.0, 1e18)]
+
+
+def q_lineitem_price_bands(sf_dir: str):
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import broadcast_range_join
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    banded = broadcast_range_join(ds, PRICE_BANDS, "l_extendedprice")
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table({"band": batch.column("band"),
+                         "one": pa.array([1] * batch.num_rows, pa.int64())})
+
+    return hash_aggregate(banded.map_batches(one, batch_format="pyarrow"),
+                          ["band"], partial_aggs=[("one", "sum")],
+                          aggs=[("one_sum", "sum")],
+                          rename={"one_sum_sum": "n_items"}, num_buckets=4)
+
+
+SQL_LINEITEM_PRICE_BANDS = (
+    "SELECT band, count(*) AS n_items FROM lineitem "
+    "JOIN (VALUES " + ", ".join(f"('{n}', {lo!r}, {hi!r})" for n, lo, hi in PRICE_BANDS)
+    + ") AS bands(band, lo, hi) "
+    "ON l_extendedprice >= lo AND l_extendedprice < hi GROUP BY band")
+
+
+# --- per-key rolling window sum ---------------------------------------------
+
+def q_events_rolling(sf_dir: str, n: int = 5):
+    import ray.data as rd
+
+    from ontoray.stages.events import rolling_window_sum
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+    return rolling_window_sum(ds, n=n)
+
+
+SQL_EVENTS_ROLLING = (
+    "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+    "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS 4 PRECEDING) / 100.0 AS rolling_sum FROM events")

@@ -90,3 +90,29 @@ def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
     return (ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(reduce_bucket, batch_format="pyarrow"))
+
+
+def count_distinct(ds, keys: list[str], distinct_col: str, out_col: str = "n_distinct",
+                   num_buckets: int = 64):
+    """Exact grouped COUNT(DISTINCT col) in two two-phase rounds with a
+    per-batch distinct combiner: round 1 reduces rows to the distinct
+    (keys, col) vocabulary (each batch emits each pair at most once, so the
+    shuffle moves vocabulary-scale rows, not data-scale); round 2 counts the
+    surviving pairs per key.  The pair dedup and the count reuse the same
+    bucketed vectorized reduce — no Python-per-group anywhere."""
+    pairs = hash_aggregate(
+        ds.select_columns(keys + [distinct_col]), keys + [distinct_col],
+        partial_aggs=[(distinct_col, "count")],
+        aggs=[(f"{distinct_col}_count", "sum")],
+        rename={f"{distinct_col}_count_sum": "__n"},
+        num_buckets=num_buckets).select_columns(keys + [distinct_col])
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.select(keys).append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    return hash_aggregate(
+        pairs.map_batches(one, batch_format="pyarrow"), keys,
+        partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": out_col},
+        num_buckets=num_buckets)

@@ -256,3 +256,49 @@ def asof_join(left_ds, right_ds, key: str = "user_id"):
         })
 
     return both.groupby(key).map_groups(match, batch_format="pyarrow")
+
+
+def rolling_window_sum(events_ds, n: int = 5, key: str = "user_id"):
+    """Per-key rolling sum of the last ``n`` values ordered by
+    (ts, event_id) — mirrors ``SUM(value) OVER (PARTITION BY key ORDER BY
+    ts, event_id ROWS n-1 PRECEDING)``.
+
+    One exchange (groupby key); each group sorts and computes the windowed
+    sum vectorized (cumsum minus shifted cumsum — O(rows), no per-window
+    loop).  Money math is exact int64 cents (associativity across the
+    distributed partials), divided back to float at the boundary.
+    Partitioning assumption: one key's events fit one group, the
+    ``session_windows`` contract.
+
+    Output: (key, event_id, ts_us, rolling_sum).
+    """
+    import numpy as np
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "value_c": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(batch.column("value"), pa.float64()), pa.scalar(100.0)),
+                pa.scalar(0.5))), pa.int64()),
+        })
+
+    def roll(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        vc = g.column("value_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        cum = np.cumsum(vc[order])
+        win = cum.copy()
+        win[n:] = cum[n:] - cum[:-n]
+        return pa.table({
+            key: g.column(key).take(pa.array(order, pa.int64())),
+            "event_id": pa.array(ids[order], pa.int64()),
+            "ts_us": pa.array(ts[order], pa.int64()),
+            "rolling_sum": pa.array(win / 100.0, pa.float64()),
+        })
+
+    return (events_ds.select_columns([key, "event_id", "ts", "value"])
+            .map_batches(derive, batch_format="pyarrow")
+            .groupby(key).map_groups(roll, batch_format="pyarrow"))

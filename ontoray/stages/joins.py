@@ -121,3 +121,36 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
         return batch.select(out_schema.names).cast(out_schema)
 
     return joined.map_batches(restore_schema, batch_format="pyarrow")
+
+
+def broadcast_range_join(ds, bands: list[tuple[str, float, float]], value_col: str,
+                         band_col: str = "band"):
+    """Inner range join against a SMALL banding dimension (price tiers, size
+    buckets, SLA classes): the band table is broadcast once via ``ray.put``
+    and each batch resolves its rows with one vectorized ``np.searchsorted``
+    — zero shuffle of the fact table, the standard plan when the range side
+    is dimension-scale.
+
+    ``bands``: [(name, lo, hi)] half-open [lo, hi), non-overlapping, sorted
+    ascending (asserted).  Rows matching no band are dropped (inner join).
+    """
+    import numpy as np
+    import ray
+
+    for (_, lo, hi), (_, lo2, _h) in zip(bands, bands[1:]):
+        assert lo < hi <= lo2, "bands must be sorted and non-overlapping"
+    names = [b[0] for b in bands]
+    los = np.array([b[1] for b in bands], dtype=np.float64)
+    his = np.array([b[2] for b in bands], dtype=np.float64)
+    bref = ray.put((names, los, his))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        names, los, his = ray.get(bref)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(los, v, side="right") - 1
+        ok = (idx >= 0) & (v < his[np.clip(idx, 0, len(his) - 1)])
+        t = batch.filter(pa.array(ok))
+        return t.append_column(band_col, pa.array(
+            [names[i] for i in idx[ok]], pa.string()))
+
+    return ds.map_batches(resolve, batch_format="pyarrow")

@@ -661,3 +661,81 @@ class TestIvf:
         c1, _ = ivf_build(rd.from_arrow(tbl).repartition(3), n_clusters=4, iters=2)
         c2, _ = ivf_build(rd.from_arrow(tbl).repartition(5), n_clusters=4, iters=2)
         assert np.allclose(c1, c2)
+
+
+class TestCountDistinct:
+    def test_matches_duckdb(self, ray_session):
+        """Two-round vocabulary-shuffle count-distinct == count(DISTINCT),
+        incl. a hot key repeated across every partition."""
+        import random
+
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.agg import count_distinct
+
+        rng = random.Random(41)
+        ks = [rng.choice(["click", "view", "purchase"]) for _ in range(2000)]
+        us = [rng.randint(0, 40) for _ in range(2000)]
+        ks += ["click"] * 500          # hot key
+        us += [7] * 500                # one duplicated user everywhere
+        tbl = pa.table({"event_type": pa.array(ks, pa.string()),
+                        "user_id": pa.array(us, pa.int64())})
+        out = count_distinct(rd.from_arrow(tbl).repartition(9),
+                             ["event_type"], "user_id", out_col="n").take_all()
+        got = {r["event_type"]: r["n"] for r in out}
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = dict(con.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM t GROUP BY event_type"
+        ).fetchall())
+        assert got == want
+
+
+class TestRangeJoin:
+    def test_band_edges(self, ray_session):
+        """Half-open [lo, hi) semantics at exact edges, drop below/above."""
+        import ray.data as rd
+        from ontoray.stages.joins import broadcast_range_join
+        bands = [("low", 0.0, 10.0), ("high", 10.0, 20.0)]
+        vals = [-1.0, 0.0, 9.999, 10.0, 19.999, 20.0, 100.0]
+        tbl = pa.table({"v": pa.array(vals, pa.float64())})
+        out = broadcast_range_join(rd.from_arrow(tbl).repartition(3),
+                                   bands, "v").take_all()
+        got = sorted((r["v"], r["band"]) for r in out)
+        assert got == [(0.0, "low"), (9.999, "low"), (10.0, "high"), (19.999, "high")]
+
+    def test_rejects_overlap(self, ray_session):
+        from ontoray.stages.joins import broadcast_range_join
+        with pytest.raises(AssertionError):
+            broadcast_range_join(None, [("a", 0.0, 5.0), ("b", 4.0, 9.0)], "v")
+
+
+class TestRollingWindow:
+    def test_matches_duckdb_window(self, ray_session):
+        import random
+
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.events import rolling_window_sum
+
+        rng = random.Random(43)
+        n = 400
+        tbl = pa.table({
+            "user_id": pa.array([rng.randint(0, 8) for _ in range(n)], pa.int64()),
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            # duplicate timestamps force the (ts, event_id) tie-break
+            "ts": pa.array([rng.randint(0, 50) * 1_000_000 for _ in range(n)],
+                           pa.timestamp("us")),
+            "value": pa.array([round(rng.uniform(-9, 9), 2) for _ in range(n)],
+                              pa.float64()),
+        })
+        out = rolling_window_sum(rd.from_arrow(tbl).repartition(6), n=5).take_all()
+        got = {r["event_id"]: r["rolling_sum"] for r in out}
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = dict(con.execute(
+            "SELECT event_id, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id ROWS 4 PRECEDING) / 100.0 "
+            "FROM t").fetchall())
+        assert len(got) == n
+        assert got == want
