@@ -193,6 +193,17 @@ def _q_sample_stratified(sf_dir: str):
     return stratified_sample(ds, _STRAT_RATES)
 
 
+def _q_sample_group_cap(sf_dir: str):
+    """Deterministic domain-cap sampling: at most 3 docs per source, chosen
+    by md5 rank (per-batch combiner bounds the exchange at n x groups x
+    blocks rows)."""
+    import ray.data as rd
+    from ontoray.extras.textstats import per_group_cap
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return per_group_cap(ds, n=3, key_col="source", id_col="doc_id")
+
+
 def _q_multimodal_image_features(sf_dir: str):
     """Binary-payload decode plumbing (deterministic fake decode): documents
     text bytes stand in for image payloads."""
@@ -356,9 +367,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embed_neardup": _q_embed_neardup,
         "ann_topk": Q.q_ann_topk,
+        "ann_topk_multi": Q.q_ann_topk_multi,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "sample_stratified": _q_sample_stratified,
+        "sample_group_cap": _q_sample_group_cap,
         "tfidf_top_terms": _q_tfidf_top,
         "multimodal_image_features": _q_multimodal_image_features,
         # Reporting / evaluation / export operators
@@ -423,8 +436,10 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": __import__("ontoray.extras.textstats", fromlist=["sql_text_fingerprint"]).sql_text_fingerprint(),
         "multimodal_image_features": __import__("ontoray.extras.multimodal", fromlist=["sql_image_features"]).sql_image_features(),
         "sample_stratified": __import__("ontoray.extras.textstats", fromlist=["sql_stratified_sample"]).sql_stratified_sample(_STRAT_RATES),
+        "sample_group_cap": __import__("ontoray.extras.textstats", fromlist=["sql_per_group_cap"]).sql_per_group_cap(3),
         "tfidf_top_terms": __import__("ontoray.extras.textstats", fromlist=["sql_tfidf_top"]).sql_tfidf_top(k=3),
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
+        "ann_topk_multi": Q.sql_ann_topk_multi("/root/testdata/sf0.01"),
         "events_window": Q.SQL_EVENTS_WINDOW,
         "events_hopping": Q.SQL_EVENTS_HOPPING,
         "events_asof": Q.SQL_EVENTS_ASOF,

@@ -64,6 +64,79 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10, concurrency: int = 4):
     })
 
 
+def query_matrix(m: int, dim: int, seed: int = 123) -> np.ndarray:
+    """Deterministic benchmark query matrix (m unit-norm float64 rows)."""
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((m, dim))
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+class BatchTopKMulti:
+    """Per-batch cosine top-k against a broadcast query MATRIX: one
+    (batch x dim) @ (dim x m) matmul scores every query at once; each query
+    emits only its local top-k, selected under the FINAL comparator
+    (-rounded cosine, vec_id) so the local->global merge is exact even
+    through 1e-6 ties at the cut."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qt = q.T                           # (dim, m)
+        self.qn = np.linalg.norm(q, axis=1)
+        self.qn[self.qn == 0] = 1.0
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = 1.0
+        # Norm division AFTER the dot product — the same op order as
+        # list_cosine_similarity (dot / (|v|*|q|)), like the single-query path.
+        sims = np.round((vecs @ self.qt) / (vn[:, None] * self.qn[None, :]), 6)
+        k = min(self.k, len(ids))
+        qids, vids, coss = [], [], []
+        for j in range(sims.shape[1]):
+            order = np.lexsort((ids, -sims[:, j]))[:k]
+            qids.extend([j] * k)
+            vids.extend(ids[order])
+            coss.extend(sims[order, j])
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "vec_id": pa.array(vids, pa.int64()),
+                         "cosine": pa.array(coss, pa.float64())})
+
+
+def brute_force_topk_multi(ds, queries: np.ndarray, k: int = 10,
+                           concurrency: int = 4):
+    """Batched-query exact cosine top-k: the query matrix is broadcast once
+    (``ray.put``), each batch does ONE matmul for all m queries and emits
+    m x k local rows; the global answer is a driver sort over
+    num_batches x m x k partials (query-count-scale, never corpus-scale).
+    Returns (query_id, vec_id, cosine) ordered by (query_id, -cosine,
+    vec_id)."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(BatchTopKMulti, fn_constructor_args=(qref, k),
+                              batch_format="pyarrow", concurrency=(1, concurrency))
+    rows = partials.take_all()
+    rows.sort(key=lambda r: (r["query_id"], -r["cosine"], r["vec_id"]))
+    out = []
+    last_q, taken = None, 0
+    for r in rows:
+        if r["query_id"] != last_q:
+            last_q, taken = r["query_id"], 0
+        if taken < k:
+            out.append(r)
+        taken += 1
+    return pa.table({
+        "query_id": pa.array([r["query_id"] for r in out], pa.int64()),
+        "vec_id": pa.array([r["vec_id"] for r in out], pa.int64()),
+        "cosine": pa.array([r["cosine"] for r in out], pa.float64()),
+    })
+
+
 class _AssignCentroid:
     """Per-batch nearest-centroid assignment against a broadcast matrix."""
 

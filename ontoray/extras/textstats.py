@@ -198,6 +198,76 @@ def sql_stratified_sample(rates: dict[str, float], table: str = "documents",
     """
 
 
+def per_group_cap(ds, n: int, key_col: str = "source", id_col: str = "doc_id",
+                  salt: str = "cap1"):
+    """Keep at most ``n`` rows per group, chosen deterministically — the
+    web-corpus "domain cap" curation step (at most n docs per host / source /
+    near-dup cluster).  Every row gets a uniform rank md5(salt:key:id); a
+    group's ``n`` lexicographically-smallest ranks survive.
+
+    Scale shape: the per-batch combiner keeps <= n rows per (group, batch)
+    BEFORE the exchange, so the shuffle moves at most n x groups x blocks
+    rows — never the corpus; the final per-group head-n runs in one
+    ``groupby(key).map_groups`` over those bounded groups.  Deterministic
+    across runs, cluster sizes and partitionings (rank depends only on row
+    identity), and exactly DuckDB-mirrorable (``sql_per_group_cap``:
+    row_number() over the same md5 rank).  Returns (key, id, rn) with
+    rn = 1..n in rank order."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        ranks = [hashlib.md5(f"{salt}:{k}:{i}".encode()).hexdigest()
+                 for k, i in zip(keys, ids)]
+        t = pa.table({key_col: pa.array(keys, batch.schema.field(key_col).type),
+                      id_col: pa.array(ids, batch.schema.field(id_col).type),
+                      "__rank": pa.array(ranks, pa.string())})
+        idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending"),
+                                            ("__rank", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        kept, seen, count = [], None, 0
+        for i, k in enumerate(t.column(key_col).to_pylist()):
+            if k != seen:
+                seen, count = k, 0
+            if count < n:
+                kept.append(i)
+            count += 1
+        return t.take(pa.array(kept, pa.int64()))
+
+    def head_n(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("__rank", "ascending"),
+                                            (id_col, "ascending")])
+        g = g.take(idx[:n]).drop_columns(["__rank"])
+        return g.append_column("rn", pa.array(range(1, g.num_rows + 1),
+                                              pa.int64()))
+
+    return (ds.select_columns([key_col, id_col])
+            .map_batches(local_topn, batch_format="pyarrow")
+            .groupby(key_col).map_groups(head_n, batch_format="pyarrow"))
+
+
+def sql_per_group_cap(n: int, table: str = "documents", key_col: str = "source",
+                      id_col: str = "doc_id", salt: str = "cap1") -> str:
+    """DuckDB mirror of ``per_group_cap``: identical md5 rank (hex-string
+    compare ≡ VARCHAR compare, both ASCII-lexicographic), id tiebreak,
+    row_number() head-n."""
+    return f"""
+    SELECT {key_col}, {id_col}, rn FROM (
+      SELECT {key_col}, {id_col},
+             row_number() OVER (
+               PARTITION BY {key_col}
+               ORDER BY md5('{salt}:' || {key_col} || ':' || {id_col}), {id_col}
+             ) AS rn
+      FROM {table})
+    WHERE rn <= {n}
+    """
+
+
 # --- tf-idf keyword extraction ----------------------------------------------
 
 def tfidf_top_terms(ds, k: int = 3, num_partitions: int = 16):

@@ -306,6 +306,44 @@ def sql_ann_topk(sf_dir: str, k: int = 10) -> str:
             f"FROM embeddings ORDER BY cosine DESC, vec_id LIMIT {k}")
 
 
+def q_ann_topk_multi(sf_dir: str, m: int = 4, k: int = 10):
+    """Batched-query exact cosine top-k: ONE broadcast query matrix, one
+    matmul per batch scores all m queries (the multi-query serving shape —
+    per-query scans would read the corpus m times)."""
+    import ray.data as rd
+    from ontoray.extras.ann import brute_force_topk_multi, query_matrix
+    dim = _embedding_dim(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk_multi(ds, query_matrix(m, dim), k=k)
+
+
+def sql_ann_topk_multi(sf_dir: str, m: int = 4, k: int = 10) -> str:
+    """DuckDB mirror of q_ann_topk_multi: the query matrix as a VALUES
+    literal, cross join + per-query row_number window.  Rounding happens
+    BEFORE ranking on both sides, so 1e-6 ties resolve identically
+    (vec_id tiebreak)."""
+    from ontoray.extras.ann import query_matrix
+    dim = _embedding_dim(sf_dir)
+    qm = query_matrix(m, dim)
+    vals = ", ".join(
+        "(" + str(j) + ", CAST([" + ", ".join(repr(float(x)) for x in qm[j])
+        + "] AS DOUBLE[]))" for j in range(m))
+    return f"""
+    WITH q(query_id, qv) AS (VALUES {vals}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+      FROM embeddings e CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+    SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= {k}
+    ORDER BY query_id, cosine DESC, vec_id
+    """
+
+
 # --- relational breadth (J7 hash join + A5 agg, A11 top-k) ------------------
 
 def q_orders_by_nation(sf_dir: str):

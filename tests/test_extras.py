@@ -248,6 +248,31 @@ class TestANN:
         expect = sorted(range(200), key=lambda i: (-sims[i], i))[:10]
         assert got == expect
 
+    def test_multi_query_topk_matches_per_query_numpy(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.ann import brute_force_topk_multi, query_matrix
+        rng = np.random.default_rng(9)
+        vecs = rng.standard_normal((250, 16)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(250)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        })
+        qm = query_matrix(3, 16)
+        out = brute_force_topk_multi(rd.from_arrow(tbl).repartition(5), qm, k=7)
+        v64 = vecs.astype(np.float64)
+        vn = np.linalg.norm(v64, axis=1)
+        rows = list(zip(out.column("query_id").to_pylist(),
+                        out.column("vec_id").to_pylist(),
+                        out.column("cosine").to_pylist()))
+        assert len(rows) == 3 * 7
+        for j in range(3):
+            sims = np.round((v64 @ qm[j]) / (vn * np.linalg.norm(qm[j])), 6)
+            expect = sorted(range(250), key=lambda i: (-sims[i], i))[:7]
+            got = [v for q, v, _ in rows if q == j]
+            assert got == expect
+            got_cos = [c for q, _, c in rows if q == j]
+            assert got_cos == [float(sims[i]) for i in expect]
+
     def test_lsh_topk_subset_of_brute(self, ray_session):
         import ray.data as rd
         from ontoray.extras.ann import brute_force_topk, lsh_topk, query_vector
@@ -386,6 +411,48 @@ class TestStratifiedSample:
         sql = sorted(r[0] for r in con.execute(
             sql_stratified_sample(rates)).fetchall())
         assert sql == got1
+
+
+class TestPerGroupCap:
+    def test_cap_matches_duckdb_and_partitioning_invariant(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import per_group_cap, sql_per_group_cap
+        rows = [(i, f"host-{i % 7}") for i in range(200)]
+        tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "source": pa.array([r[1] for r in rows], pa.string())})
+        got = sorted((r["source"], r["rn"], r["doc_id"]) for r in
+                     per_group_cap(rd.from_arrow(tbl), n=3).take_all())
+        assert len(got) == 21                       # 7 groups x cap 3
+        assert all(rn in (1, 2, 3) for _, rn, _ in got)
+        # Partitioning-invariant: a different block layout picks the SAME rows
+        # (rank is a pure function of row identity, not of placement).
+        got_rp = sorted((r["source"], r["rn"], r["doc_id"]) for r in
+                        per_group_cap(rd.from_arrow(tbl).repartition(13),
+                                      n=3).take_all())
+        assert got_rp == got
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?,?)", rows)
+        sql = sorted((r[0], r[2], r[1]) for r in con.execute(
+            sql_per_group_cap(3)).fetchall())
+        assert sql == got
+
+    def test_local_combiner_bounds_batch_output(self, ray_session):
+        # The per-batch combiner must emit <= n rows per (group, batch): feed
+        # one 1000-row single-group batch straight through the kernel.
+        import hashlib
+
+        import ray.data as rd
+        from ontoray.extras.textstats import per_group_cap
+        tbl = pa.table({"doc_id": pa.array(list(range(1000)), pa.int64()),
+                        "source": pa.array(["only"] * 1000, pa.string())})
+        out = per_group_cap(rd.from_arrow(tbl), n=5).take_all()
+        assert len(out) == 5
+        # The survivors are exactly the 5 smallest md5 ranks.
+        ranks = sorted((hashlib.md5(f"cap1:only:{i}".encode()).hexdigest(), i)
+                       for i in range(1000))
+        assert sorted(r["doc_id"] for r in out) == sorted(i for _, i in ranks[:5])
 
 
 class TestMultimodal:
@@ -689,6 +756,26 @@ class TestCountDistinct:
             "SELECT event_type, count(DISTINCT user_id) FROM t GROUP BY event_type"
         ).fetchall())
         assert got == want
+
+
+class TestHll:
+    def test_estimate_within_error_and_partitioning_invariant(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.sketches import approx_distinct
+        # 5000 distinct values, each appearing 1-3 times.
+        vals = [f"user-{i}" for i in range(5000) for _ in range(1 + i % 3)]
+        tbl = pa.table({"u": pa.array(vals, pa.string())})
+        est = approx_distinct(rd.from_arrow(tbl).repartition(8), "u", p=12)
+        assert abs(est - 5000) / 5000 < 0.05       # ~1.6% typical at p=12
+        est2 = approx_distinct(rd.from_arrow(tbl).repartition(3), "u", p=12)
+        assert est2 == est                          # merge is max: layout-free
+
+    def test_small_range_linear_counting(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.sketches import approx_distinct
+        tbl = pa.table({"u": pa.array([str(i % 37) for i in range(500)])})
+        est = approx_distinct(rd.from_arrow(tbl), "u", p=12)
+        assert est == 37                            # exact in the LC regime
 
 
 class TestRangeJoin:
