@@ -193,6 +193,19 @@ def _q_sample_stratified(sf_dir: str):
     return stratified_sample(ds, _STRAT_RATES)
 
 
+_WSAMP_RATE = 2e-4  # ~1 at n_chars=5000: long docs near-certain, short ones rare
+
+
+def _q_sample_weighted(sf_dir: str):
+    """Deterministic length-weighted Poisson sampling: inclusion probability
+    proportional to n_chars (unbiased token-mass sample, no shuffle)."""
+    import ray.data as rd
+    from ontoray.extras.textstats import weighted_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, _WSAMP_RATE)
+
+
 def _q_sample_group_cap(sf_dir: str):
     """Deterministic domain-cap sampling: at most 3 docs per source, chosen
     by md5 rank (per-batch combiner bounds the exchange at n x groups x
@@ -371,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "sample_stratified": _q_sample_stratified,
+        "sample_weighted": _q_sample_weighted,
         "sample_group_cap": _q_sample_group_cap,
         "tfidf_top_terms": _q_tfidf_top,
         "multimodal_image_features": _q_multimodal_image_features,
@@ -395,6 +409,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region": Q.q_orders_by_region,
         "lineitem_pricing": Q.q_lineitem_pricing,
         "lineitem_quantiles": Q.q_lineitem_quantiles,
+        "lineitem_quantiles_cont": Q.q_lineitem_quantiles_cont,
+        "custs_inactive": Q.q_custs_inactive,
+        "nations_with_both": Q.q_nations_with_both,
         "top_parts_per_brand": Q.q_top_parts_per_brand,
         "topk_parts": Q.q_topk_parts,
         # Distributed prefix sum, broadcast anti-join, IVF ANN
@@ -436,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": __import__("ontoray.extras.textstats", fromlist=["sql_text_fingerprint"]).sql_text_fingerprint(),
         "multimodal_image_features": __import__("ontoray.extras.multimodal", fromlist=["sql_image_features"]).sql_image_features(),
         "sample_stratified": __import__("ontoray.extras.textstats", fromlist=["sql_stratified_sample"]).sql_stratified_sample(_STRAT_RATES),
+        "sample_weighted": __import__("ontoray.extras.textstats", fromlist=["sql_weighted_sample"]).sql_weighted_sample(_WSAMP_RATE),
         "sample_group_cap": __import__("ontoray.extras.textstats", fromlist=["sql_per_group_cap"]).sql_per_group_cap(3),
         "tfidf_top_terms": __import__("ontoray.extras.textstats", fromlist=["sql_tfidf_top"]).sql_tfidf_top(k=3),
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
@@ -448,6 +466,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_region": Q.SQL_ORDERS_BY_REGION,
         "lineitem_pricing": Q.SQL_LINEITEM_PRICING,
         "lineitem_quantiles": Q.SQL_LINEITEM_QUANTILES,
+        "lineitem_quantiles_cont": Q.SQL_LINEITEM_QUANTILES_CONT,
+        "custs_inactive": Q.SQL_CUSTS_INACTIVE,
+        "nations_with_both": Q.SQL_NATIONS_WITH_BOTH,
         "top_parts_per_brand": Q.SQL_TOP_PARTS_PER_BRAND,
         "topk_parts": Q.SQL_TOPK_PARTS,
         "events_cumsum": Q.SQL_EVENTS_CUMSUM,

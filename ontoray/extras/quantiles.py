@@ -65,3 +65,60 @@ def grouped_quantiles_disc(ds, key: str, value_col: str,
         return pa.table(out)
 
     return hist.groupby(key).map_groups(reduce_group, batch_format="pyarrow")
+
+
+def grouped_quantiles_cont(ds, key: str, value_col: str,
+                           quantiles: dict[str, float],
+                           num_buckets: int = 64):
+    """Exact per-``key`` CONTINUOUS (interpolated) quantiles of integer
+    ``value_col`` — ANSI ``quantile_cont`` semantics: with the group's sorted
+    multiset v[0..n-1], pos = q*(n-1), result = v[floor(pos)]*(1-delta)
+    + v[min(floor(pos)+1, n-1)]*delta, delta = pos - floor(pos).
+
+    Same scale contract as :func:`grouped_quantiles_disc`: rows collapse to a
+    per-group (value -> count) histogram via the two-phase bucketed
+    aggregate, so only distinct-value vocabulary crosses the exchange; the
+    interpolation is a sorted cumulative walk per group.
+
+    Cross-engine exactness: every float step (q*(n-1), delta, the two
+    products and the sum) is a single IEEE-double operation replicated
+    verbatim by the SQL mirror (``queries.SQL_LINEITEM_QUANTILES_CONT``
+    spells out the same formula instead of calling DuckDB's builtin, whose
+    internal summation differs by ~1 ulp on some inputs).  ``quantiles``
+    maps output column name -> q as a Python float.  Returns one float64
+    column per quantile."""
+    import math
+
+    items = sorted(quantiles.items())
+
+    hist = hash_aggregate(
+        ds.select_columns([key, value_col]), [key, value_col],
+        partial_aggs=[(value_col, "count")],
+        aggs=[(f"{value_col}_count", "sum")],
+        rename={f"{value_col}_count_sum": "n"},
+        num_buckets=num_buckets)
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        vals = np.asarray(g.column(value_col).to_pylist(), dtype=np.int64)
+        cnts = np.asarray(g.column("n").to_pylist(), dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+
+        def value_at(rank: int) -> int:
+            # 0-based rank in the sorted multiset.
+            return int(vals[int(np.searchsorted(cum, rank, side="right"))])
+
+        out = {key: pa.array([g.column(key)[0].as_py()])}
+        for name, q in items:
+            pos = q * (n - 1)
+            lork = math.floor(pos)
+            delta = pos - lork
+            vlo = float(value_at(lork))
+            vhi = float(value_at(min(lork + 1, n - 1)))
+            out[name] = pa.array([vlo * (1.0 - delta) + vhi * delta],
+                                 pa.float64())
+        return pa.table(out)
+
+    return hist.groupby(key).map_groups(reduce_group, batch_format="pyarrow")

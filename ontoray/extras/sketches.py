@@ -75,3 +75,67 @@ def approx_distinct(ds, col: str, p: int = 12) -> int:
     for r in parts:
         merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
     return int(round(_estimate(merged)))
+
+
+# --- count-min sketch + heavy hitters ----------------------------------------
+
+def _cms_rows(values, depth: int, width: int) -> np.ndarray:
+    """(depth, width) count matrix for one batch (md5-derived row hashes)."""
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for v in values:
+        if v is None:
+            continue
+        dig = hashlib.md5(str(v).encode()).digest()
+        for d in range(depth):
+            idx = int.from_bytes(dig[d * 4:d * 4 + 4], "big") % width
+            cms[d, idx] += 1
+    return cms
+
+
+def _cms_estimate(cms: np.ndarray, v) -> int:
+    dig = hashlib.md5(str(v).encode()).digest()
+    width = cms.shape[1]
+    return int(min(cms[d, int.from_bytes(dig[d * 4:d * 4 + 4], "big") % width]
+                   for d in range(cms.shape[0])))
+
+
+def approx_heavy_hitters(ds, col: str, k: int = 10, depth: int = 4,
+                         width: int = 2048, candidates_per_block: int | None = None):
+    """Approximate top-k frequent values via a distributed count-min sketch.
+
+    The scale path beside the exact ``hash_aggregate`` count: exact top-k
+    must exchange the full value vocabulary; here each block emits (a) ONE
+    fixed-size (depth x width) int64 count matrix — merge is elementwise SUM,
+    associative and layout-free — and (b) its local top candidates (bounded
+    at ``candidates_per_block``, default 4k).  The driver folds block-count
+    sketches plus a bounded candidate union and ranks candidates by their
+    CMS estimate (>= true count, the classic one-sided CMS guarantee; a
+    global top-k item is locally heavy in at least one block, so the
+    candidate union covers it on skewed data — the regime heavy hitters are
+    for).  Deterministic md5 hashing: same estimates at any parallelism.
+
+    Returns list of (value, estimated_count) sorted by (-est, value)."""
+    cpb = candidates_per_block or 4 * k
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        vals = [v for v in batch.column(col).to_pylist() if v is not None]
+        cms = _cms_rows(vals, depth, width)
+        from collections import Counter
+        top = Counter(vals).most_common(cpb)
+        return pa.table({
+            "cms": pa.array([cms.tobytes()] + [None] * len(top), pa.binary()),
+            "cand": pa.array([None] + [str(v) for v, _ in top], pa.string()),
+        })
+
+    parts = ds.select_columns([col]).map_batches(
+        sketch, batch_format="pyarrow").take_all()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    cands: set[str] = set()
+    for r in parts:
+        if r["cms"] is not None:
+            merged += np.frombuffer(r["cms"], dtype=np.int64).reshape(depth, width)
+        elif r["cand"] is not None:
+            cands.add(r["cand"])
+    scored = sorted(((_cms_estimate(merged, c), c) for c in cands),
+                    key=lambda t: (-t[0], t[1]))
+    return [(c, est) for est, c in scored[:k]]

@@ -353,3 +353,49 @@ def sql_tfidf_top(table: str = "documents", k: int = 3) -> str:
     )
     SELECT doc_id, term, score FROM ranked WHERE rn <= {k}
     """
+
+
+# --- weighted (probability-proportional-to-size) sampling --------------------
+
+def weighted_sample(ds, rate: float, weight_col: str = "n_chars",
+                    id_col: str = "doc_id", salt: str = "wsamp1"):
+    """Deterministic Poisson sampling with per-row inclusion probability
+    proportional to ``weight_col``: row kept iff
+    md5_32(salt:id) < min(1, weight * rate) * 2^32.
+
+    The length-weighted variant of :func:`stratified_sample` (sample docs
+    proportionally to their token/char mass so the SAMPLE's token budget is
+    unbiased, not its doc count).  Embarrassingly parallel: no shuffle, no
+    RNG state, reproducible across runs/cluster sizes/partitionings, and
+    exactly DuckDB-mirrorable (``sql_weighted_sample`` — every float step is
+    the same single IEEE op on both engines: weight*rate, min, *2^32)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        mask = []
+        for i, w in zip(ids, ws):
+            h = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+            p = w * rate
+            if p > 1.0:
+                p = 1.0
+            mask.append(h < p * 4294967296.0)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_weighted_sample(rate: float, table: str = "documents",
+                        weight_col: str = "n_chars", id_col: str = "doc_id",
+                        salt: str = "wsamp1",
+                        cols: str = "doc_id, n_chars") -> str:
+    """DuckDB mirror of ``weighted_sample``: identical md5-32 uniform and
+    identical double ops (w*rate, LEAST with 1.0, *2^32)."""
+    return f"""
+    SELECT {cols} FROM {table}
+    WHERE ('0x' || substr(md5('{salt}:' || {id_col}), 1, 8))::UBIGINT
+          < LEAST({weight_col} * {rate!r}, 1.0) * 4294967296.0
+    """

@@ -860,3 +860,112 @@ SQL_EVENTS_ROLLING = (
     "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS 4 PRECEDING) / 100.0 AS rolling_sum FROM events")
+
+
+# --- continuous (interpolated) quantiles -------------------------------------
+
+def q_lineitem_quantiles_cont(sf_dir: str):
+    """Exact CONTINUOUS price quantiles per return flag — the interpolated
+    (ANSI quantile_cont) variant beside the discrete one; same histogram
+    scale contract."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_quantiles_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "price_c": cents})
+
+    qs = {"c50": 0.5, "c90": 0.9, "c99": 0.99}
+    out = grouped_quantiles_cont(ds.map_batches(derive, batch_format="pyarrow"),
+                                 "l_returnflag", "price_c", qs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {"l_returnflag": batch.column("l_returnflag")}
+        for name in sorted(qs):
+            cols[name] = pc.divide(batch.column(name), pa.scalar(100.0))
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_quantile_cont_col(q: float, name: str) -> str:
+    """Explicit ANSI quantile_cont over (v, rk, n) rows — the interpolation
+    spelled out so every double op matches the engine verbatim (DuckDB's
+    builtin quantile_cont sums in a different order and strays ~1 ulp on
+    some inputs, which would break hash comparison)."""
+    # CAST the quantile literal: DuckDB parses bare 0.9 as exact DECIMAL,
+    # which would compute a different (exact) delta than the engine's double.
+    qd = f"CAST({q!r} AS DOUBLE)"
+    pos = f"({qd} * (n - 1))"              # per-row inside aggregates
+    apos = f"({qd} * (any_value(n) - 1))"  # aggregate context outside them
+    lork = f"CAST(floor({pos}) AS BIGINT)"
+    delta = f"({apos} - floor({apos}))"
+    vlo = f"max(CASE WHEN rk = {lork} THEN v END)"
+    vhi = f"max(CASE WHEN rk = LEAST({lork} + 1, n - 1) THEN v END)"
+    return (f"(CAST({vlo} AS DOUBLE) * (1.0 - {delta})"
+            f" + CAST({vhi} AS DOUBLE) * {delta}) / 100.0 AS {name}")
+
+
+SQL_LINEITEM_QUANTILES_CONT = (
+    "WITH ranked AS ("
+    f"  SELECT l_returnflag, {_QCENTS} AS v,"
+    "   row_number() OVER (PARTITION BY l_returnflag"
+    f"                     ORDER BY {_QCENTS}) - 1 AS rk,"
+    "   count(*) OVER (PARTITION BY l_returnflag) AS n"
+    "  FROM lineitem) "
+    "SELECT l_returnflag, "
+    + ", ".join(_sql_quantile_cont_col(q, name)
+                for name, q in (("c50", 0.5), ("c90", 0.9), ("c99", 0.99)))
+    + " FROM ranked GROUP BY l_returnflag")
+
+
+# --- distributed set operations (INTERSECT / EXCEPT distinct) ----------------
+
+def q_custs_inactive(sf_dir: str):
+    """ANSI EXCEPT at table scale: customers with no order since 2000-01-01
+    (the synthetic foreign keys are dense, so the unfiltered except is
+    empty/vacuous).  Both sides collapse to per-batch distinct keys before
+    ONE vocabulary-scale exchange (stages/setops.py); the date predicate is
+    pushed into the parquet read so filtered row groups never leave
+    storage."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.setops import except_distinct
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderdate") >= datetime.datetime(2000, 1, 1))
+    return except_distinct(cust, recent, "c_custkey", "o_custkey")
+
+
+SQL_CUSTS_INACTIVE = (
+    "SELECT c_custkey FROM customer "
+    "EXCEPT SELECT o_custkey FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '2000-01-01'")
+
+
+def q_nations_with_both(sf_dir: str):
+    """ANSI INTERSECT: nation keys present in BOTH customer and supplier."""
+    import ray.data as rd
+
+    from ontoray.stages.setops import intersect_distinct
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+    return intersect_distinct(cust, supp, "c_nationkey", "s_nationkey",
+                              out_col="nationkey")
+
+
+SQL_NATIONS_WITH_BOTH = (
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "INTERSECT SELECT s_nationkey AS nationkey FROM supplier")

@@ -826,3 +826,150 @@ class TestRollingWindow:
             "FROM t").fetchall())
         assert len(got) == n
         assert got == want
+
+
+class TestQuantilesCont:
+    def test_matches_explicit_sql_and_near_duckdb_builtin(self, ray_session):
+        """grouped_quantiles_cont == the explicit-interpolation SQL mirror
+        bit-for-bit, and == DuckDB's builtin quantile_cont to ~1 ulp (the
+        builtin sums in a different order on some inputs — why the mirror
+        spells the formula out)."""
+        import random
+
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.quantiles import grouped_quantiles_cont
+
+        rng = random.Random(23)
+        keys, vals = [], []
+        for k, n in (("A", 997), ("B", 240), ("C", 1), ("D", 2)):
+            for _ in range(n):
+                keys.append(k)
+                vals.append(rng.choice([rng.randint(-10**9, 10**9),
+                                        rng.randint(0, 5)]))
+        tbl = pa.table({"k": pa.array(keys, pa.string()),
+                        "v": pa.array(vals, pa.int64())})
+        qs = {"c37": 0.37, "c50": 0.5, "c90": 0.9, "c999": 0.999}
+        out = grouped_quantiles_cont(rd.from_arrow(tbl).repartition(8),
+                                     "k", "v", qs).take_all()
+        got = {r["k"]: (r["c37"], r["c50"], r["c90"], r["c999"]) for r in out}
+
+        con = duckdb.connect()
+        con.register("t", tbl)
+        # Bit-exact vs the explicit ANSI interpolation (the mirror pattern).
+        def col(q, name):
+            qd = f"CAST({q!r} AS DOUBLE)"
+            pos = f"({qd} * (n - 1))"
+            apos = f"({qd} * (any_value(n) - 1))"
+            lork = f"CAST(floor({pos}) AS BIGINT)"
+            delta = f"({apos} - floor({apos}))"
+            vlo = f"max(CASE WHEN rk = {lork} THEN v END)"
+            vhi = f"max(CASE WHEN rk = LEAST({lork} + 1, n - 1) THEN v END)"
+            return (f"(CAST({vlo} AS DOUBLE) * (1.0 - {delta})"
+                    f" + CAST({vhi} AS DOUBLE) * {delta}) AS {name}")
+        sql = ("WITH ranked AS (SELECT k, v,"
+               " row_number() OVER (PARTITION BY k ORDER BY v) - 1 AS rk,"
+               " count(*) OVER (PARTITION BY k) AS n FROM t) "
+               "SELECT k, " + ", ".join(col(q, n) for n, q in
+                                        (("c37", 0.37), ("c50", 0.5),
+                                         ("c90", 0.9), ("c999", 0.999)))
+               + " FROM ranked GROUP BY k")
+        want = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+        assert set(got) == {"A", "B", "C", "D"}
+        for k in got:
+            assert tuple(got[k]) == want[k], k
+        # Semantic sanity vs the builtin: agree to ~1 ulp.
+        builtin = {r[0]: tuple(r[1:]) for r in con.execute(
+            "SELECT k, quantile_cont(v, 0.37), quantile_cont(v, 0.5), "
+            "quantile_cont(v, 0.9), quantile_cont(v, 0.999) FROM t GROUP BY k"
+        ).fetchall()}
+        for k in got:
+            for a, b in zip(got[k], builtin[k]):
+                assert a == pytest.approx(b, rel=1e-12), k
+
+
+class TestSetOps:
+    def _sides(self):
+        left = pa.table({"a": pa.array([1, 2, 2, 3, 4, 4, 4, 9], pa.int64())})
+        right = pa.table({"b": pa.array([2, 4, 5, 5, 6], pa.int64())})
+        return left, right
+
+    def test_except_and_intersect_match_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.setops import except_distinct, intersect_distinct
+        left, right = self._sides()
+        l_ds = rd.from_arrow(left).repartition(3)
+        r_ds = rd.from_arrow(right).repartition(2)
+        exc = sorted(r["a"] for r in
+                     except_distinct(l_ds, r_ds, "a", "b").take_all())
+        inter = sorted(r["common"] for r in
+                       intersect_distinct(l_ds, r_ds, "a", "b",
+                                          out_col="common").take_all())
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        assert exc == sorted(x[0] for x in con.execute(
+            "SELECT a FROM l EXCEPT SELECT b FROM r").fetchall())
+        assert inter == sorted(x[0] for x in con.execute(
+            "SELECT a FROM l INTERSECT SELECT b FROM r").fetchall())
+
+    def test_distinct_semantics_and_empty_result(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.setops import except_distinct, intersect_distinct
+        left, _ = self._sides()
+        l_ds = rd.from_arrow(left)
+        # X except X = empty; X intersect X = distinct(X) exactly once.
+        assert except_distinct(l_ds, l_ds, "a", "a").count() == 0
+        inter = sorted(r["a"] for r in
+                       intersect_distinct(l_ds, l_ds, "a", "a").take_all())
+        assert inter == [1, 2, 3, 4, 9]
+
+
+class TestWeightedSample:
+    def test_matches_duckdb_and_weight_monotone(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import sql_weighted_sample, weighted_sample
+        n = 4000
+        rows = [(i, 10 + (i * 37) % 5000) for i in range(n)]
+        tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "n_chars": pa.array([r[1] for r in rows], pa.int64())})
+        rate = 2e-4
+        got = sorted(r["doc_id"] for r in
+                     weighted_sample(rd.from_arrow(tbl).repartition(7),
+                                     rate).take_all())
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        want = sorted(x[0] for x in con.execute(
+            sql_weighted_sample(rate)).fetchall())
+        assert got == want and len(got) > 0
+        # Expected inclusion ~ sum(min(1, w*rate)): long docs overrepresented.
+        kept_w = {r[0]: r[1] for r in rows}
+        mean_kept = np.mean([kept_w[i] for i in got])
+        mean_all = np.mean([r[1] for r in rows])
+        assert mean_kept > mean_all * 1.2
+
+
+class TestHeavyHitters:
+    def test_topk_on_skewed_data_and_overestimate(self, ray_session):
+        from collections import Counter
+
+        import ray.data as rd
+        from ontoray.extras.sketches import approx_heavy_hitters
+        # Zipf-ish: item-j appears ~ 3000/j times, plus noise singletons.
+        vals = []
+        for j in range(1, 40):
+            vals.extend([f"item-{j:02d}"] * (3000 // j))
+        vals.extend(f"noise-{i}" for i in range(2000))
+        tbl = pa.table({"v": pa.array(vals, pa.string())})
+        truth = Counter(vals)
+        got = approx_heavy_hitters(rd.from_arrow(tbl).repartition(6),
+                                   "v", k=10)
+        # Exact top-10 recovered in order (heads dominate the sketch noise).
+        want = [v for v, _ in sorted(truth.items(),
+                                     key=lambda t: (-t[1], t[0]))[:10]]
+        assert [v for v, _ in got] == want
+        # CMS one-sided guarantee: estimate >= true count.
+        for v, est in got:
+            assert est >= truth[v]
