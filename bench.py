@@ -78,17 +78,19 @@ def run_bench() -> dict:
         return batch
     rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         _warm, batch_size=1).materialize()
-    # Dedup strategy: on ONE node the object store is shared memory, so the
-    # single-read text 'shuffle' beats the two-read metadata-only
-    # 'broadcast_winners' (A/B at 500k/32: 30.2 s vs 44.2 s e2e; both
-    # strategies are wired and equality-tested — a multi-node deployment
-    # flips back to broadcast_winners to keep corpus text out of the
-    # all-to-all; see BASELINE.md).
+    # Dedup strategy: 'broadcast_winners' (metadata-only winner pass, no
+    # corpus text in any all-to-all — the multi-node choice) also wins on
+    # this box since the block-coalesce fix (A/B at 500k/8 best-of-2:
+    # 47.2 s vs 61.2 s e2e for 'shuffle', whose text exchange is volume-
+    # bound) AND scales better (the text shuffle is object-store-bandwidth-
+    # bound, which a bigger CPU grant does not grow).  'shuffle' stays wired
+    # and equality-tested.
     cfg = PipelineConfig(
         extractor_concurrency=max(2, num_cpus // 2),
         linker_concurrency=max(2, num_cpus // 2),
         batch_size=2048,
-        url_dedup_strategy=os.environ.get("GRAFT_DEDUP_STRATEGY", "shuffle"),
+        url_dedup_strategy=os.environ.get("GRAFT_DEDUP_STRATEGY",
+                                          "broadcast_winners"),
     )
     # Best-of-N (default 2): first run also finishes warming the worker pool;
     # min approximates steady-state throughput on a long-lived cluster.

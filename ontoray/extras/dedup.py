@@ -179,7 +179,9 @@ def minhash_candidate_pairs(ds, num_hashes: int = 64, bands: int = 16, k: int = 
         return pd.DataFrame({"doc_a": pd.array(out_a, dtype="int64"),
                              "doc_b": pd.array(out_b, dtype="int64")})
 
+    from ontoray.stages.agg import default_coalesce
     pairs = (band_rows.map_batches(only_colliding, batch_format="pyarrow")
+             .repartition(default_coalesce())
              .groupby(["band_id", "band_hash"]).map_groups(pairs_of, batch_format="pandas"))
     # Distinct pairs (a pair can collide in several bands).
     return hash_aggregate(pairs, ["doc_a", "doc_b"],
@@ -407,8 +409,10 @@ def jaccard_pairs(ds, threshold: float = 0.8, k: int = 3,
         b = pc.cast(pc.bit_wise_and(batch.column("h"), 255), pa.int32())
         return batch.append_column("__b", b)
 
+    from ontoray.stages.agg import default_coalesce
     pair_counts = hash_aggregate(
         shared.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(default_coalesce())
         .groupby("__b").map_groups(pairs_of, batch_format="pandas"),
         ["doc_a", "doc_b"],
         partial_aggs=[("doc_a", "count")],
@@ -729,7 +733,9 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4):
                          "doc_b": pa.array(out_b, pa.int64()),
                          "hamming": pa.array(out_h, pa.int64())})
 
+    from ontoray.stages.agg import default_coalesce
     pairs = (rows.map_batches(only_colliding, batch_format="pyarrow")
+             .repartition(default_coalesce())
              .groupby(["band_id", "band_val"]).map_groups(pairs_of, batch_format="pandas"))
     # A pair can collide in several bands — dedup on the pair key.
     return hash_aggregate(pairs, ["doc_a", "doc_b"],
@@ -902,7 +908,9 @@ def embedding_neardup(ds, dim: int, threshold: float = 0.95, n_planes: int | Non
                          "vec_b": pa.array(out_b, pa.int64()),
                          "cosine": pa.array(out_s, pa.float64())})
 
-    pairs = (with_bucket.groupby(["band_id", "bucket"])
+    from ontoray.stages.agg import default_coalesce
+    pairs = (with_bucket.repartition(default_coalesce())
+             .groupby(["band_id", "bucket"])
              .map_groups(verify, batch_format="pyarrow"))
     from ontoray.stages.agg import hash_aggregate
     return hash_aggregate(pairs, ["vec_a", "vec_b"],

@@ -246,8 +246,10 @@ def per_group_cap(ds, n: int, key_col: str = "source", id_col: str = "doc_id",
         return g.append_column("rn", pa.array(range(1, g.num_rows + 1),
                                               pa.int64()))
 
+    from ontoray.stages.agg import default_coalesce
     return (ds.select_columns([key_col, id_col])
             .map_batches(local_topn, batch_format="pyarrow")
+            .repartition(default_coalesce())
             .groupby(key_col).map_groups(head_n, batch_format="pyarrow"))
 
 

@@ -110,8 +110,10 @@ def session_windows(events_ds, gap_s: int = 1800, key: str = "user_id"):
             out[[key, "session_id", "n_events", "session_start_us", "session_end_us"]],
             preserve_index=False)
 
-    return events_ds.select_columns([key, "ts"]).groupby(key).map_groups(
-        sessionize, batch_format="pandas")
+    from ontoray.stages.agg import default_coalesce
+    return (events_ds.select_columns([key, "ts"])
+            .repartition(default_coalesce())
+            .groupby(key).map_groups(sessionize, batch_format="pandas"))
 
 
 def running_total(events_ds, bucket_s: int = 86400):
@@ -187,7 +189,9 @@ def running_total(events_ds, bucket_s: int = 86400):
             "running_value": pa.array(run / 100.0, pa.float64()),
         })
 
-    return derived.groupby("bucket").map_groups(scan_bucket, batch_format="pyarrow")
+    from ontoray.stages.agg import default_coalesce
+    return (derived.repartition(default_coalesce())
+            .groupby("bucket").map_groups(scan_bucket, batch_format="pyarrow"))
 
 
 def asof_join(left_ds, right_ds, key: str = "user_id"):
@@ -255,7 +259,9 @@ def asof_join(left_ds, right_ds, key: str = "user_id"):
             "gap_us": pa.array(lts[ok] - rts[pos[ok]], pa.int64()),
         })
 
-    return both.groupby(key).map_groups(match, batch_format="pyarrow")
+    from ontoray.stages.agg import default_coalesce
+    return (both.repartition(default_coalesce())
+            .groupby(key).map_groups(match, batch_format="pyarrow"))
 
 
 def rolling_window_sum(events_ds, n: int = 5, key: str = "user_id"):
@@ -299,6 +305,8 @@ def rolling_window_sum(events_ds, n: int = 5, key: str = "user_id"):
             "rolling_sum": pa.array(win / 100.0, pa.float64()),
         })
 
+    from ontoray.stages.agg import default_coalesce
     return (events_ds.select_columns([key, "event_id", "ts", "value"])
             .map_batches(derive, batch_format="pyarrow")
+            .repartition(default_coalesce())
             .groupby(key).map_groups(roll, batch_format="pyarrow"))

@@ -307,7 +307,13 @@ def fused_dedup_and_edges(triples_ds, entities_ds, alias: AliasData,
                                    ea.column("n_sum").combine_chunks()]),
         })
 
+    # Coalesce before the corpus-scale exchange: extraction emits ~corpus/
+    # batch_size blocks (hundreds), and the sort shuffle costs super-linearly
+    # in input block count; the pre-aggregated triple rows coalesce to
+    # min(num_buckets, 32) blocks for ~free (task-based, no sort).
+    from ontoray.stages.agg import default_coalesce
     combined = (triples_ds.map_batches(bucketize, batch_format="pyarrow")
+                .repartition(default_coalesce(num_buckets))
                 .groupby("__bucket")
                 .map_groups(reduce_both, batch_format="pyarrow")).materialize()
 

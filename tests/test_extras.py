@@ -973,3 +973,32 @@ class TestHeavyHitters:
         # CMS one-sided guarantee: estimate >= true count.
         for v, est in got:
             assert est >= truth[v]
+
+
+class TestBloomAntiJoin:
+    def test_matches_exact_anti_join(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.joins import bloom_anti_join, hash_join
+        left = pa.table({"k": pa.array([f"u-{i}" for i in range(600)], pa.string()),
+                         "x": pa.array(list(range(600)), pa.int64())})
+        right = pa.table({"rk": pa.array([f"u-{i}" for i in range(0, 600, 3)],
+                                         pa.string())})
+        l_ds = rd.from_arrow(left).repartition(5)
+        r_ds = rd.from_arrow(right).repartition(2)
+        got = sorted(r["x"] for r in
+                     bloom_anti_join(l_ds, r_ds, "k", "rk").take_all())
+        want = sorted(r["x"] for r in
+                      hash_join(l_ds, r_ds, "k", "rk", how="left_anti").take_all())
+        assert got == want == [i for i in range(600) if i % 3 != 0]
+
+    def test_tiny_bloom_false_positives_still_exact(self, ray_session):
+        # 64-bit bloom saturates -> ~every left row is bloom-positive; the
+        # exact join must still re-admit all false positives.
+        import ray.data as rd
+        from ontoray.stages.joins import bloom_anti_join
+        left = pa.table({"k": pa.array([f"a-{i}" for i in range(300)], pa.string())})
+        right = pa.table({"rk": pa.array([f"a-{i}" for i in range(100)], pa.string())})
+        got = sorted(r["k"] for r in bloom_anti_join(
+            rd.from_arrow(left), rd.from_arrow(right), "k", "rk",
+            m_bits=64, k=2).take_all())
+        assert got == sorted(f"a-{i}" for i in range(100, 300))
