@@ -184,6 +184,17 @@ def _q_tfidf_top(sf_dir: str):
 _STRAT_RATES = {"en": 0.1, "de": 0.5, "zh": 0.25, "es": 1.0}  # fr -> default 0
 
 
+def _q_docs_split(sf_dir: str):
+    """Deterministic train/val/test assignment: split depends only on row
+    identity (md5 of the id), so it is stable across runs, cluster sizes and
+    incremental corpus growth — no shuffle, no RNG state."""
+    import ray.data as rd
+    from ontoray.extras.textstats import hash_split
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return hash_split(ds)
+
+
 def _q_sample_stratified(sf_dir: str):
     """Deterministic per-language hash downsampling (reproducible across
     runs and cluster sizes — no RNG state, no shuffle)."""
@@ -373,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_by_source": Q.q_token_counts_by_source,
         "lang_counts": Q.q_lang_counts,
         "dedup_exact": Q.q_dedup_exact,
+        "docs_decontaminate": Q.q_docs_decontaminate,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
@@ -384,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "sample_stratified": _q_sample_stratified,
+        "docs_split": _q_docs_split,
         "sample_weighted": _q_sample_weighted,
         "sample_group_cap": _q_sample_group_cap,
         "tfidf_top_terms": _q_tfidf_top,
@@ -422,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": Q.q_events_distinct_users,
         "lineitem_price_bands": Q.q_lineitem_price_bands,
         "events_rolling": Q.q_events_rolling,
+        "events_zscore": Q.q_events_zscore,
     }
 
 
@@ -443,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_by_source": Q.SQL_TOKEN_COUNTS,
         "lang_counts": Q.SQL_LANG_COUNTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
+        "docs_decontaminate": __import__("ontoray.extras.dedup", fromlist=["sql_decontaminate"]).sql_decontaminate(8),
         "dedup_minhash": __import__("ontoray.extras.dedup", fromlist=["sql_minhash_pairs"]).sql_minhash_pairs(threshold=0.8),
         "dedup_jaccard": __import__("ontoray.extras.dedup", fromlist=["sql_jaccard_pairs"]).sql_jaccard_pairs(threshold=0.8),
         "dedup_clusters": __import__("ontoray.extras.dedup", fromlist=["sql_neardup_clusters"]).sql_neardup_clusters(
@@ -453,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": __import__("ontoray.extras.textstats", fromlist=["sql_text_fingerprint"]).sql_text_fingerprint(),
         "multimodal_image_features": __import__("ontoray.extras.multimodal", fromlist=["sql_image_features"]).sql_image_features(),
         "sample_stratified": __import__("ontoray.extras.textstats", fromlist=["sql_stratified_sample"]).sql_stratified_sample(_STRAT_RATES),
+        "docs_split": __import__("ontoray.extras.textstats", fromlist=["sql_hash_split"]).sql_hash_split(),
         "sample_weighted": __import__("ontoray.extras.textstats", fromlist=["sql_weighted_sample"]).sql_weighted_sample(_WSAMP_RATE),
         "sample_group_cap": __import__("ontoray.extras.textstats", fromlist=["sql_per_group_cap"]).sql_per_group_cap(3),
         "tfidf_top_terms": __import__("ontoray.extras.textstats", fromlist=["sql_tfidf_top"]).sql_tfidf_top(k=3),
@@ -476,4 +492,5 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": Q.SQL_EVENTS_DISTINCT_USERS,
         "lineitem_price_bands": Q.SQL_LINEITEM_PRICE_BANDS,
         "events_rolling": Q.SQL_EVENTS_ROLLING,
+        "events_zscore": __import__("ontoray.extras.quantiles", fromlist=["sql_grouped_zscore"]).sql_grouped_zscore(),
     }

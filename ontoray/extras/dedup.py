@@ -917,3 +917,105 @@ def embedding_neardup(ds, dim: int, threshold: float = 0.95, n_planes: int | Non
                           partial_aggs=[("cosine", "max")],
                           aggs=[("cosine_max", "max")],
                           rename={"cosine_max_max": "cosine"})
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+_DECON_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _word_gram_hashes(text: str, n: int) -> np.ndarray:
+    """uint64 hashes (first 8 md5 bytes, big-endian) of the word ``n``-grams
+    of ``text``; tokens are the lowercase-alnum runs of ``[a-z0-9]+`` —
+    identical to the tfidf tokenizer and to the SQL mirror's
+    ``regexp_extract_all``.  int.from_bytes(digest[:8]) == the mirror's
+    ``substr(md5(g), 1, 16)`` hex prefix, so engine and SQL agree BY
+    CONSTRUCTION even on the (2^-64) collision path."""
+    ws = _DECON_TOKEN_RE.findall(text or "")
+    if len(ws) < n:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(len(ws) - n + 1, dtype=np.uint64)
+    for i in range(len(out)):
+        g = " ".join(ws[i:i + n])
+        out[i] = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+    return out
+
+
+def bench_gram_hashes(bench_ds, n: int = 8, text_col: str = "text") -> np.ndarray:
+    """Distinct n-gram hashes of a benchmark/eval corpus as ONE sorted uint64
+    array.  Per-batch unique runs distributed; the driver unions only the
+    deduplicated per-batch arrays.  This is benchmark-suite-scale (a 100k-doc
+    eval suite ~= 5e7 grams ~= 400 MB), NEVER training-corpus-scale — the
+    asymmetry every published decontamination setup (GPT-3 App. C, Gopher
+    A.3) relies on."""
+    def grams(batch: pa.Table) -> pa.Table:
+        hs = [_word_gram_hashes(t, n) for t in batch.column(text_col).to_pylist()]
+        u = (np.unique(np.concatenate(hs)) if hs
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({"h": pa.array(u, pa.uint64())})
+
+    parts = (bench_ds.select_columns([text_col])
+             .map_batches(grams, batch_format="pyarrow").take_all())
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.array([r["h"] for r in parts], dtype=np.uint64))
+
+
+def decontaminate(train_ds, bench_ds, n: int = 8, text_col: str = "text",
+                  out_cols: list[str] | None = None):
+    """Benchmark decontamination: drop every training document that shares
+    ANY word ``n``-gram with the benchmark set (the GPT-3/Gopher n-gram
+    overlap rule; 8 <= n <= 13 in the published setups).
+
+    Scale shape: the benchmark gram-hash set is built distributed, collected
+    once (benchmark-scale), sorted, and broadcast via ``ray.put``; each
+    training batch tests its grams with a vectorized ``searchsorted`` — the
+    training corpus is filtered in a single streaming pass with ZERO
+    shuffle.  If the benchmark set outgrows broadcast (> ~1e8 grams), layer
+    ``build_bloom`` in front the way ``bloom_anti_join`` does."""
+    import ray
+
+    bref = ray.put(bench_gram_hashes(bench_ds, n=n, text_col=text_col))
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bref)
+        mask = []
+        for t in batch.column(text_col).to_pylist():
+            hs = _word_gram_hashes(t, n)
+            if len(hs) == 0 or len(bench) == 0:
+                mask.append(True)
+                continue
+            idx = np.searchsorted(bench, hs)
+            idx[idx == len(bench)] = len(bench) - 1
+            mask.append(not bool(np.any(bench[idx] == hs)))
+        out = batch.filter(pa.array(mask, pa.bool_()))
+        return out.select(out_cols) if out_cols else out
+
+    return train_ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+def sql_decontaminate(n: int = 8, table: str = "documents",
+                      bench_pred: str = "doc_id % 13 = 0") -> str:
+    """DuckDB mirror of ``decontaminate`` with the benchmark split defined by
+    ``bench_pred``: identical tokenization (regexp_extract_all '[a-z0-9]+'),
+    identical gram key (md5 hex prefix == the engine's 8-byte prefix), EXISTS
+    semantics over the gram join."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[a-z0-9]+') AS ws
+      FROM {table}
+    ), pos AS (
+      SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - {n} + 1, 0) + 1)) AS i
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, substr(md5(array_to_string(ws[i:i+{n}-1], ' ')), 1, 16) AS h
+      FROM pos
+    ), bench AS (
+      SELECT DISTINCT h FROM grams WHERE {bench_pred}
+    ), dirty AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE NOT ({bench_pred}) AND h IN (SELECT h FROM bench)
+    )
+    SELECT d.doc_id, d.source FROM {table} d
+    WHERE NOT ({bench_pred}) AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    """

@@ -122,3 +122,100 @@ def grouped_quantiles_cont(ds, key: str, value_col: str,
         return pa.table(out)
 
     return hist.groupby(key).map_groups(reduce_group, batch_format="pyarrow")
+
+
+# --- grouped z-score normalization --------------------------------------------
+
+def grouped_zscore(ds, key: str = "event_type", value_col: str = "value",
+                   id_col: str = "event_id"):
+    """Per-group z-score feature normalization: z = (x - mean_g) / std_g
+    (population std), computed EXACTLY across any partitioning.
+
+    Scale shape: per-batch integer partials (n, sum_cents, sum_cents^2 —
+    int64 cents, the repo's money-math rule: float partial sums are not
+    associative across distributed partials, integer sums are) reduce via
+    ``hash_aggregate`` to one group-vocabulary-scale stats table, which
+    broadcasts back (normalization keys are low-cardinality by nature; swap
+    in ``hash_join`` if yours are not).  The corpus streams through twice but
+    never shuffles.  Mean/std derive from the SAME integers on both engines
+    with the SAME expression order, so ``sql_grouped_zscore`` matches
+    bit-for-bit.  int64 bound: |cents| <= 3e5 is safe to ~1e8 rows/group in
+    sumsq; shard the group key beyond that."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def cents_of(batch: pa.Table):
+        return pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column(value_col), pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = cents_of(batch)
+        t = pa.table({key: batch.column(key), "c": c,
+                      "cc": pc.multiply(c, c)})
+        g = t.group_by([key]).aggregate([("c", "count"), ("c", "sum"),
+                                         ("cc", "sum")])
+        return g.rename_columns([key, "n", "s", "ss"])
+
+    stats = hash_aggregate(
+        ds.select_columns([key, value_col]).map_batches(partial, batch_format="pyarrow"),
+        [key],
+        aggs=[("n", "sum"), ("s", "sum"), ("ss", "sum")],
+        rename={"n_sum": "n", "s_sum": "s", "ss_sum": "ss"},
+        num_buckets=8).take_all()                       # group-vocabulary-scale
+
+    lut = {}
+    for r in stats:
+        n, s, ss = r["n"], r["s"], r["ss"]
+        mean = float(s) / float(n)
+        var = max(float(ss) / float(n) - mean * mean, 0.0)
+        lut[r[key]] = (mean, var ** 0.5)
+    lref = ray.put(lut)
+
+    def zscore(batch: pa.Table) -> pa.Table:
+        table = ray.get(lref)
+        c = cents_of(batch).to_numpy(zero_copy_only=False).astype(np.float64)
+        ks = batch.column(key).to_pylist()
+        z = np.empty(len(ks), dtype=np.float64)
+        for i, k in enumerate(ks):
+            mean, std = table[k]
+            z[i] = 0.0 if std == 0.0 else (c[i] - mean) / std
+        return pa.table({id_col: batch.column(id_col),
+                         key: batch.column(key),
+                         "z": pa.array(np.round(z, 6), pa.float64())})
+
+    return ds.select_columns([id_col, key, value_col]).map_batches(
+        zscore, batch_format="pyarrow")
+
+
+def sql_grouped_zscore(table: str = "events", key: str = "event_type",
+                       value_col: str = "value", id_col: str = "event_id") -> str:
+    """DuckDB mirror of ``grouped_zscore``: identical int64-cents partials and
+    the identical double expression order (s::DOUBLE / n::DOUBLE, ss::DOUBLE /
+    n::DOUBLE - mean*mean, greatest(., 0), sqrt)."""
+    return f"""
+    WITH c AS (
+      SELECT {id_col}, {key},
+             CAST(floor(CAST({value_col} AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS c
+      FROM {table}
+    ), stats AS (
+      SELECT {key}, count(*) AS n,
+             sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS ss
+      FROM c GROUP BY {key}
+    ), ms AS (
+      SELECT {key},
+             s::DOUBLE / n::DOUBLE AS mean,
+             sqrt(greatest(ss::DOUBLE / n::DOUBLE
+                           - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE),
+                           0.0)) AS std
+      FROM stats
+    )
+    SELECT c.{id_col}, c.{key},
+           round(CASE WHEN ms.std = 0.0 THEN 0.0
+                      ELSE (c.c::DOUBLE - ms.mean) / ms.std END, 6) AS z
+    FROM c JOIN ms USING ({key})
+    """

@@ -401,3 +401,122 @@ def sql_weighted_sample(rate: float, table: str = "documents",
     WHERE ('0x' || substr(md5('{salt}:' || {id_col}), 1, 8))::UBIGINT
           < LEAST({weight_col} * {rate!r}, 1.0) * 4294967296.0
     """
+
+
+# --- deterministic train/val/test split --------------------------------------
+
+def hash_split(ds, fractions: list[tuple[str, float]] | None = None,
+               id_col: str = "doc_id", salt: str = "split1"):
+    """Assign every row a train/val/test split label deterministically:
+    u = md5_32(salt:id) / 2^32, label = first split whose cumulative fraction
+    exceeds u.  The split a row lands in depends only on its identity — stable
+    across runs, cluster sizes, partitionings, and INCREMENTAL corpus growth
+    (a new shard never reshuffles old rows between splits, the property a
+    training pipeline needs for reproducible eval sets).  Embarrassingly
+    parallel, no shuffle; exactly mirrored by ``sql_hash_split``."""
+    import hashlib
+
+    import pyarrow as pa
+
+    fractions = fractions or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    labels = [l for l, _ in fractions]
+    cums = []
+    c = 0.0
+    for _, f in fractions:
+        c += f
+        cums.append(c * 4294967296.0)
+    cums[-1] = float(2 ** 64)          # last split absorbs fp residue
+
+    def assign(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in batch.column(id_col).to_pylist():
+            h = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+            for lbl, cut in zip(labels, cums):
+                if h < cut:
+                    out.append(lbl)
+                    break
+        return batch.append_column("split", pa.array(out, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_hash_split(fractions: list[tuple[str, float]] | None = None,
+                   table: str = "documents", id_col: str = "doc_id",
+                   salt: str = "split1", cols: str = "doc_id, source") -> str:
+    """DuckDB mirror of ``hash_split``: identical md5-32 uniform and the same
+    DOUBLE cumulative thresholds (computed here, embedded as repr literals,
+    so both engines compare the same IEEE values)."""
+    fractions = fractions or [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    whens, c = [], 0.0
+    for lbl, f in fractions[:-1]:
+        c += f
+        whens.append(f"WHEN u < {c * 4294967296.0!r} THEN '{lbl}'")
+    default = fractions[-1][0]
+    return f"""
+    SELECT {cols}, CASE {' '.join(whens)} ELSE '{default}' END AS split FROM (
+      SELECT *, ('0x' || substr(md5('{salt}:' || {id_col}), 1, 8))::UBIGINT::DOUBLE AS u
+      FROM {table})
+    """
+
+
+# --- PII redaction ------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Python re and
+# DuckDB's RE2 (no lookaround, no backrefs; ASCII \b and \d agree).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(ds, text_col: str = "text"):
+    """Scrub emails / IPv4s / phone-shaped numbers from ``text_col`` (the
+    standard pre-training privacy pass).  Per-batch compiled-regex
+    substitution over the text column — embarrassingly parallel, no shuffle;
+    emits the redacted text plus ``n_redactions`` so downstream audits can
+    aggregate redaction rates without re-scanning.  Pattern-for-pattern
+    mirrored by ``sql_redact_pii`` (RE2-compatible subset only)."""
+    import re as _re
+
+    import pyarrow as pa
+
+    compiled = [(_re.compile(p), tok) for _, p, tok in PII_PATTERNS]
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out, counts = [], []
+        for t in texts:
+            t = t or ""
+            # Counts run per-pattern on the ORIGINAL text (a phone inside an
+            # email match still counts once as a phone); replacements chain in
+            # pattern order — both exactly as the SQL mirror computes them.
+            n = sum(len(rx.findall(t)) for rx, _ in compiled)
+            for rx, tok in compiled:
+                t = rx.sub(tok, t)
+            out.append(t)
+            counts.append(n)
+        batch = batch.drop_columns([text_col])
+        return (batch.append_column(text_col, pa.array(out, pa.string()))
+                     .append_column("n_redactions", pa.array(counts, pa.int64())))
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def sql_redact_pii(table: str = "documents", text_col: str = "text",
+                   cols: str = "doc_id") -> str:
+    """DuckDB mirror of ``redact_pii``: the same chained regexp_replace
+    (global) and per-pattern match counts."""
+    expr = f"coalesce({text_col}, '')"
+    n_terms = []
+    for _, p, tok in PII_PATTERNS:
+        pat = p.replace("'", "''")
+        # Counts per pattern on the ORIGINAL text; replacements chain (each
+        # regexp_replace wraps the previous) — both identical to the engine.
+        n_terms.append(f"len(regexp_extract_all({expr}, '{pat}'))")
+    rep = expr
+    for _, p, tok in PII_PATTERNS:
+        pat = p.replace("'", "''")
+        rep = f"regexp_replace({rep}, '{pat}', '{tok}', 'g')"
+    return (f"SELECT {cols}, {rep} AS {text_col}, "
+            f"({' + '.join(n_terms)})::BIGINT AS n_redactions FROM {table}")

@@ -969,3 +969,44 @@ def q_nations_with_both(sf_dir: str):
 SQL_NATIONS_WITH_BOTH = (
     "SELECT c_nationkey AS nationkey FROM customer "
     "INTERSECT SELECT s_nationkey AS nationkey FROM supplier")
+
+
+# --- benchmark decontamination (n-gram overlap rule) -------------------------
+
+def q_docs_decontaminate(sf_dir: str, n: int = 8):
+    """Drop training docs sharing any word 8-gram with the benchmark split
+    (doc_id % 13 == 0 simulates the held-out eval suite): benchmark gram
+    hashes broadcast once, training corpus filtered in one streaming pass —
+    zero shuffle (GPT-3 App. C / Gopher A.3 decontamination shape)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.extras.dedup import decontaminate
+
+    def split(bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 13 == 0) if bench else (ids % 13 != 0)
+            return batch.filter(pa.array(mask, pa.bool_()))
+        return f
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(train, bench, n=n,
+                         out_cols=["doc_id", "source"])
+
+
+# --- grouped z-score normalization -------------------------------------------
+
+def q_events_zscore(sf_dir: str):
+    """Per-event-type z-score of event values: exact int64-cents partials
+    (float partial sums are not associative across distributed partials),
+    group stats broadcast back — corpus streams twice, never shuffles."""
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_zscore
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return grouped_zscore(ds)

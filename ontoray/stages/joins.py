@@ -166,15 +166,21 @@ def _bloom_params(m_bits: int, k: int):
     return m_bits, k
 
 
-def _bloom_positions(values, m_bits: int, k: int):
-    """k md5-derived bit positions per value (deterministic, process-stable)."""
-    import hashlib
-    out = []
-    for v in values:
-        dig = hashlib.md5(str(v).encode()).digest()
-        out.append([int.from_bytes(dig[i * 4:i * 4 + 4], "big") % m_bits
-                    for i in range(k)])
-    return out
+def _bloom_positions(col, m_bits: int, k: int) -> "np.ndarray":
+    """(n, k) int64 bit positions — fully vectorized: ONE fixed-seed xxhash
+    per value (``stable_hash_column``, zero-copy from Arrow) split into two
+    32-bit halves, expanded to k positions by Kirsch-Mitzenmacher double
+    hashing (h1 + i*h2) mod m.  No Python per-row work."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import stable_hash_column
+
+    h = stable_hash_column(pc.cast(col, pa.string()))
+    h1 = (h >> np.uint64(32)).astype(np.int64)
+    h2 = ((h & np.uint64(0xFFFFFFFF)) | np.uint64(1)).astype(np.int64)
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m_bits
 
 
 def build_bloom(ds, col: str, m_bits: int = 1 << 23, k: int = 4):
@@ -189,14 +195,14 @@ def build_bloom(ds, col: str, m_bits: int = 1 << 23, k: int = 4):
 
     def sketch(batch: pa.Table) -> pa.Table:
         bits = np.zeros(m_bits // 64, dtype=np.uint64)
-        for ps in _bloom_positions(
-                (v for v in batch.column(col).to_pylist() if v is not None),
-                m_bits, k):
-            for p in ps:
-                bits[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+        col_vals = batch.column(col).combine_chunks()
+        col_vals = col_vals.drop_null() if col_vals.null_count else col_vals
+        if len(col_vals):
+            pos = _bloom_positions(col_vals, m_bits, k).ravel()
+            np.bitwise_or.at(bits, pos >> 6,
+                             np.uint64(1) << (pos & 63).astype(np.uint64))
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
-    import numpy as np
     merged = np.zeros(m_bits // 64, dtype=np.uint64)
     for r in ds.select_columns([col]).map_batches(
             sketch, batch_format="pyarrow").take_all():
@@ -225,16 +231,16 @@ def bloom_anti_join(left_ds, right_ds, left_on: str, right_on: str,
     m_bits, k = _bloom_params(m_bits, k)
     bref = ray.put(build_bloom(right_ds, right_on, m_bits, k))
 
-    def _mask(batch: pa.Table):
+    def _mask(batch: pa.Table) -> "np.ndarray":
         bits = ray.get(bref)
-        hit = []
-        for ps in _bloom_positions(batch.column(left_on).to_pylist(), m_bits, k):
-            hit.append(all(bits[p >> 6] & (np.uint64(1) << np.uint64(p & 63))
-                           for p in ps))
-        return hit
+        if batch.num_rows == 0:
+            return np.empty(0, dtype=bool)
+        pos = _bloom_positions(batch.column(left_on).combine_chunks(), m_bits, k)
+        got = (bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return got.all(axis=1)
 
     def keep_misses(batch: pa.Table) -> pa.Table:
-        return batch.filter(pa.array([not h for h in _mask(batch)], pa.bool_()))
+        return batch.filter(pa.array(~_mask(batch), pa.bool_()))
 
     def keep_hits(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.array(_mask(batch), pa.bool_()))

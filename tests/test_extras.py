@@ -1002,3 +1002,194 @@ class TestBloomAntiJoin:
             rd.from_arrow(left), rd.from_arrow(right), "k", "rk",
             m_bits=64, k=2).take_all())
         assert got == sorted(f"a-{i}" for i in range(100, 300))
+
+
+class TestDecontaminate:
+    def _docs(self):
+        # doc_id % 13 == 0 -> benchmark split (0, 13, 26).
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+        rows = [
+            (0, "b", bench_text),
+            (13, "b", "one two three four five six seven eight nine ten"),
+            (26, "b", "short doc"),                       # < n tokens: no grams
+            # Contaminated: embeds bench 8-gram "alpha ... theta" mid-text.
+            (1, "t", "xx alpha beta gamma delta epsilon zeta eta theta yy"),
+            # Contaminated via the SECOND bench doc's 8-gram.
+            (2, "t", "zz two three four five six seven eight nine ww"),
+            # Clean: 7-token overlap only (below n=8).
+            (3, "t", "alpha beta gamma delta epsilon zeta eta DIFFERENT more words"),
+            (4, "t", "totally unrelated content words go here and keep going fine"),
+            (5, "t", "tiny"),                             # < n tokens: clean
+        ]
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }), rows
+
+    def test_injected_overlap_matches_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.dedup import decontaminate, sql_decontaminate
+        tbl, rows = self._docs()
+        ds = rd.from_arrow(tbl).repartition(3)
+
+        def split(bench):
+            def f(b):
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                m = (ids % 13 == 0) if bench else (ids % 13 != 0)
+                return b.filter(pa.array(m, pa.bool_()))
+            return f
+        kept = sorted(r["doc_id"] for r in decontaminate(
+            ds.map_batches(split(False), batch_format="pyarrow"),
+            ds.map_batches(split(True), batch_format="pyarrow"),
+            n=8, out_cols=["doc_id", "source"]).take_all())
+        assert kept == [3, 4, 5]                      # 1 and 2 are dirty
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql = sorted(r[0] for r in con.execute(sql_decontaminate(8)).fetchall())
+        assert sql == kept
+
+    def test_case_and_punct_tokenization(self, ray_session):
+        # Tokenizer is lowercase-alnum runs: uppercase letters break tokens
+        # identically on both sides (engine regex vs SQL regexp_extract_all).
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.dedup import decontaminate, sql_decontaminate
+        rows = [(0, "b", "w1 w2 w3 w4 w5 w6 w7 w8"),
+                (1, "t", "W1 w2, w3; w4! w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8"),
+                (2, "t", "w1 w2 w3 w4 w5 w6 w7 w9")]
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        import ray.data as rd
+
+        def split(bench):
+            def f(b):
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                m = (ids % 13 == 0) if bench else (ids % 13 != 0)
+                return b.filter(pa.array(m, pa.bool_()))
+            return f
+        ds = rd.from_arrow(tbl)
+        kept = sorted(r["doc_id"] for r in decontaminate(
+            ds.map_batches(split(False), batch_format="pyarrow"),
+            ds.map_batches(split(True), batch_format="pyarrow"),
+            n=8, out_cols=["doc_id", "source"]).take_all())
+        assert kept == [2]                           # doc 1 matches despite punct
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        assert sorted(r[0] for r in con.execute(
+            sql_decontaminate(8)).fetchall()) == kept
+
+
+class TestHashSplit:
+    def test_fractions_determinism_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import hash_split, sql_hash_split
+        tbl = pa.table({"doc_id": pa.array(list(range(4000)), pa.int64()),
+                        "source": pa.array(["s"] * 4000, pa.string())})
+        got = {r["doc_id"]: r["split"] for r in
+               hash_split(rd.from_arrow(tbl).repartition(7)).take_all()}
+        from collections import Counter
+        c = Counter(got.values())
+        assert set(c) == {"train", "val", "test"}
+        assert abs(c["train"] / 4000 - 0.9) < 0.03      # hash-uniform
+        assert abs(c["val"] / 4000 - 0.05) < 0.02
+        # Partitioning-invariant: identical assignment on another layout.
+        got2 = {r["doc_id"]: r["split"] for r in
+                hash_split(rd.from_arrow(tbl).repartition(3)).take_all()}
+        assert got2 == got
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql = {r[0]: r[2] for r in con.execute(sql_hash_split()).fetchall()}
+        assert sql == got
+
+    def test_incremental_growth_stability(self, ray_session):
+        # Adding rows never reassigns existing rows (split is a pure function
+        # of the id) — the property that keeps eval sets frozen as the
+        # corpus grows.
+        import ray.data as rd
+        from ontoray.extras.textstats import hash_split
+        small = pa.table({"doc_id": pa.array(list(range(500)), pa.int64()),
+                          "source": pa.array(["s"] * 500, pa.string())})
+        big = pa.table({"doc_id": pa.array(list(range(1500)), pa.int64()),
+                        "source": pa.array(["s"] * 1500, pa.string())})
+        a = {r["doc_id"]: r["split"] for r in hash_split(rd.from_arrow(small)).take_all()}
+        b = {r["doc_id"]: r["split"] for r in hash_split(rd.from_arrow(big)).take_all()}
+        assert all(b[i] == a[i] for i in a)
+
+
+class TestRedactPii:
+    def test_fixture_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import redact_pii, sql_redact_pii
+        rows = [
+            (0, "mail bob.smith+x@example.co.uk now"),
+            (1, "server at 10.0.255.3 rebooted"),
+            (2, "call 555-123-4567 or 555 1234 5678 today"),
+            (3, "phone-in-email 555-123-4567@ex.com plus bare 555-123-4567"),
+            (4, "clean text with no identifiers at all"),
+            (5, None),
+        ]
+        tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows], pa.string())})
+        got = {r["doc_id"]: (r["text"], r["n_redactions"]) for r in
+               redact_pii(rd.from_arrow(tbl).repartition(2)).take_all()}
+        assert got[0] == ("mail <EMAIL> now", 1)
+        assert got[1] == ("server at <IP> rebooted", 1)
+        assert got[2] == ("call <PHONE> or <PHONE> today", 2)
+        # The email consumes the embedded phone in the TEXT, but counts run
+        # per-pattern on the original: 1 email + 2 phones.
+        assert got[3] == ("phone-in-email <EMAIL> plus bare <PHONE>", 3)
+        assert got[4] == ("clean text with no identifiers at all", 0)
+        assert got[5] == ("", 0)
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql = {r[0]: (r[1], r[2]) for r in con.execute(sql_redact_pii()).fetchall()}
+        assert sql == got
+
+
+class TestGroupedZscore:
+    def test_matches_numpy_and_sql_and_partitioning(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.quantiles import grouped_zscore, sql_grouped_zscore
+        rng = np.random.default_rng(4)
+        n = 600
+        vals = np.round(rng.uniform(0, 500, n), 2)
+        types = [f"t{i % 3}" for i in range(n)]
+        tbl = pa.table({"event_id": pa.array(list(range(n)), pa.int64()),
+                        "event_type": pa.array(types, pa.string()),
+                        "value": pa.array(vals, pa.float64())})
+        got = {r["event_id"]: r["z"] for r in
+               grouped_zscore(rd.from_arrow(tbl).repartition(7)).take_all()}
+        assert len(got) == n
+        # Population z-score over int cents, per group.
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        for t in ("t0", "t1", "t2"):
+            idx = [i for i in range(n) if types[i] == t]
+            c = cents[idx].astype(np.float64)
+            m, s = c.mean(), c.std()
+            for i in idx:
+                assert abs(got[i] - (cents[i] - m) / s) < 1e-5
+        # Partitioning-invariance (integer partials are associative).
+        got2 = {r["event_id"]: r["z"] for r in
+                grouped_zscore(rd.from_arrow(tbl).repartition(2)).take_all()}
+        assert got2 == got
+        con = duckdb.connect()
+        con.register("events", tbl)
+        sql = {r[0]: r[2] for r in con.execute(sql_grouped_zscore()).fetchall()}
+        assert sql == got
+
+    def test_constant_group_zero_std(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.quantiles import grouped_zscore
+        tbl = pa.table({"event_id": pa.array([1, 2, 3], pa.int64()),
+                        "event_type": pa.array(["x"] * 3, pa.string()),
+                        "value": pa.array([7.5, 7.5, 7.5], pa.float64())})
+        out = grouped_zscore(rd.from_arrow(tbl)).take_all()
+        assert [r["z"] for r in out] == [0.0, 0.0, 0.0]
