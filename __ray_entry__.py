@@ -385,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": Q.q_lang_counts,
         "dedup_exact": Q.q_dedup_exact,
         "docs_decontaminate": Q.q_docs_decontaminate,
+        "docs_repetition": Q.q_docs_repetition,
+        "docs_boilerplate": Q.q_docs_boilerplate,
+        "docs_decile": Q.q_docs_decile,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
@@ -436,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_bands": Q.q_lineitem_price_bands,
         "events_rolling": Q.q_events_rolling,
         "events_zscore": Q.q_events_zscore,
+        "events_rank": Q.q_events_rank,
     }
 
 
@@ -458,6 +462,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": Q.SQL_LANG_COUNTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "docs_decontaminate": __import__("ontoray.extras.dedup", fromlist=["sql_decontaminate"]).sql_decontaminate(8),
+        "docs_repetition": __import__("ontoray.extras.textstats", fromlist=["sql_repetition_stats"]).sql_repetition_stats(),
+        "docs_boilerplate": Q.sql_docs_boilerplate(),
+        "docs_decile": Q.sql_docs_decile(),
         "dedup_minhash": __import__("ontoray.extras.dedup", fromlist=["sql_minhash_pairs"]).sql_minhash_pairs(threshold=0.8),
         "dedup_jaccard": __import__("ontoray.extras.dedup", fromlist=["sql_jaccard_pairs"]).sql_jaccard_pairs(threshold=0.8),
         "dedup_clusters": __import__("ontoray.extras.dedup", fromlist=["sql_neardup_clusters"]).sql_neardup_clusters(
@@ -493,4 +500,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_price_bands": Q.SQL_LINEITEM_PRICE_BANDS,
         "events_rolling": Q.SQL_EVENTS_ROLLING,
         "events_zscore": __import__("ontoray.extras.quantiles", fromlist=["sql_grouped_zscore"]).sql_grouped_zscore(),
+        "events_rank": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_RANK"]).SQL_EVENTS_RANK,
     }

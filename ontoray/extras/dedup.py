@@ -1019,3 +1019,121 @@ def sql_decontaminate(n: int = 8, table: str = "documents",
     SELECT d.doc_id, d.source FROM {table} d
     WHERE NOT ({bench_pred}) AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
     """
+
+
+# --- corpus-level repeated-line (boilerplate) removal --------------------------
+
+def _line_hash64(line: str) -> int:
+    """First 8 md5 bytes (big-endian) of the line — identical to the SQL
+    mirror's ``substr(md5(line), 1, 16)`` hex prefix (the decontaminate
+    convention), so engine and oracle agree BY CONSTRUCTION."""
+    return int.from_bytes(hashlib.md5(line.encode()).digest()[:8], "big")
+
+
+def repeated_line_hashes(ds, text_col: str = "text", min_docs: int = 2,
+                         sep: str = "\n") -> np.ndarray:
+    """Sorted uint64 hashes of every non-empty line occurring in at least
+    ``min_docs`` DISTINCT documents (CCNet/C4-style boilerplate detection:
+    nav bars, cookie banners, license footers repeat across pages; counting
+    distinct docs — not occurrences — keeps intra-doc repetition from
+    promoting a line).
+
+    Scale shape: each doc contributes its DISTINCT line hashes once (per-row
+    set, per-batch Counter combiner), so only (hash, count) partials cross
+    the two-phase exchange — bounded by the corpus line vocabulary, never
+    the text.  The surviving boilerplate set is repeated-vocabulary-scale;
+    if it outgrows a broadcast (> ~1e8 lines), layer ``build_bloom`` in
+    front the way ``bloom_anti_join`` does."""
+    from collections import Counter
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update({_line_hash64(ln) for ln in (t or "").split(sep) if ln})
+        return pa.table({"h": pa.array(list(c.keys()), pa.uint64()),
+                         "nd": pa.array(list(c.values()), pa.int64())})
+
+    def keep_repeated(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater_equal(batch.column("nd"),
+                                             pa.scalar(min_docs)))
+
+    reps = hash_aggregate(
+        ds.select_columns([text_col]).map_batches(partials, batch_format="pyarrow"),
+        ["h"], aggs=[("nd", "sum")], rename={"nd_sum": "nd"},
+        num_buckets=16).map_batches(keep_repeated, batch_format="pyarrow").take_all()
+    return np.sort(np.array([r["h"] for r in reps], dtype=np.uint64))
+
+
+def remove_repeated_lines(ds, text_col: str = "text", min_docs: int = 2,
+                          sep: str = "\n", out_cols: list[str] | None = None):
+    """Drop every line that appears in >= ``min_docs`` distinct documents
+    from every document (empty lines are never counted or removed), emitting
+    the scrubbed ``text_col`` plus ``n_removed``.
+
+    Two streaming passes, zero text shuffle: pass 1 builds the boilerplate
+    hash set (:func:`repeated_line_hashes`), broadcast once via ``ray.put``;
+    pass 2 filters each doc's lines with a vectorized ``searchsorted``
+    membership test.  Exactly mirrored by :func:`sql_remove_repeated_lines`."""
+    import ray
+
+    rref = ray.put(repeated_line_hashes(ds, text_col=text_col,
+                                        min_docs=min_docs, sep=sep))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        reps = ray.get(rref)
+        texts, removed = [], []
+        for t in batch.column(text_col).to_pylist():
+            lines = (t or "").split(sep)
+            if len(reps):
+                hs = np.array([_line_hash64(ln) if ln else np.uint64(0)
+                               for ln in lines], dtype=np.uint64)
+                idx = np.searchsorted(reps, hs)
+                idx[idx == len(reps)] = len(reps) - 1
+                bad = (reps[idx] == hs) & np.array([bool(ln) for ln in lines])
+            else:
+                bad = np.zeros(len(lines), dtype=bool)
+            texts.append(sep.join(ln for ln, b in zip(lines, bad) if not b))
+            removed.append(int(bad.sum()))
+        batch = batch.drop_columns([text_col])
+        out = (batch.append_column(text_col, pa.array(texts, pa.string()))
+                    .append_column("n_removed", pa.array(removed, pa.int64())))
+        return out.select(out_cols) if out_cols else out
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def sql_remove_repeated_lines(min_docs: int = 2, table: str = "documents",
+                              text_col: str = "text", id_col: str = "doc_id",
+                              line_expr: str | None = None) -> str:
+    """DuckDB mirror of ``remove_repeated_lines``: identical line split,
+    md5-prefix line keys, distinct-doc counting, and order-preserving
+    reassembly.  ``line_expr``: optional SQL producing the LIST of lines from
+    a row (defaults to ``string_split(text, chr(10))``) so callers can mirror
+    a shared preprocessor."""
+    ls = line_expr or f"string_split(coalesce({text_col}, ''), chr(10))"
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, {ls} AS ls FROM {table}
+    ), pos AS (
+      SELECT {id_col}, ls, unnest(range(1, len(ls)+1)) AS i FROM t
+    ), lines AS (
+      SELECT {id_col}, i, ls[i] AS line,
+             substr(md5(ls[i]), 1, 16) AS h FROM pos
+    ), freq AS (
+      SELECT h FROM lines WHERE line <> ''
+      GROUP BY h HAVING count(DISTINCT {id_col}) >= {min_docs}
+    ), kept AS (
+      SELECT {id_col}, i, line FROM lines
+      WHERE line = '' OR h NOT IN (SELECT h FROM freq)
+    )
+    SELECT t.{id_col},
+           coalesce(a.txt, '') AS {text_col},
+           (len(t.ls) - coalesce(a.nk, 0))::BIGINT AS n_removed
+    FROM t LEFT JOIN (
+      SELECT {id_col}, string_agg(line, chr(10) ORDER BY i) AS txt,
+             count(*) AS nk
+      FROM kept GROUP BY {id_col}) a USING ({id_col})
+    """

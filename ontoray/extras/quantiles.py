@@ -219,3 +219,77 @@ def sql_grouped_zscore(table: str = "events", key: str = "event_type",
                       ELSE (c.c::DOUBLE - ms.mean) / ms.std END, 6) AS z
     FROM c JOIN ms USING ({key})
     """
+
+
+# --- quantile-bucket assignment (ntile-by-value) -------------------------------
+
+def grouped_quantile_buckets(ds, key: str, value_col: str, id_col: str,
+                             n_buckets: int = 10):
+    """Assign every row its within-group quantile bucket: bucket = number of
+    the group's ``quantile_disc`` cutpoints (q = 1/n .. (n-1)/n) that are
+    STRICTLY BELOW the row's value — 0 .. n_buckets-1.
+
+    This is ntile-by-VALUE (equal-value-mass buckets, ties land together),
+    the deterministic variant a distributed engine wants: unlike SQL
+    ``ntile()`` (equal-COUNT buckets, tie placement depends on row order,
+    which no parallel engine reproduces), the assignment is a pure function
+    of (value, group cutpoints) — stable across partitionings and engines.
+
+    Scale shape: cutpoints come from :func:`grouped_quantiles_disc` (rows
+    collapse to per-group value histograms; only vocabulary crosses the
+    exchange), are collected once (group-vocabulary-scale), broadcast via
+    ``ray.put``, and each batch assigns buckets with one vectorized
+    ``searchsorted`` — the corpus itself streams through untouched."""
+    from fractions import Fraction
+
+    import ray
+
+    qs = {f"q{i}": Fraction(i, n_buckets) for i in range(1, n_buckets)}
+    names = sorted(qs)
+    cut_rows = grouped_quantiles_disc(ds, key, value_col, qs).take_all()
+    cuts = {r[key]: np.sort(np.array([r[n] for n in names], dtype=np.int64))
+            for r in cut_rows}
+    cref = ray.put(cuts)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        table = ray.get(cref)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        keys = batch.column(key).to_pylist()
+        b = np.empty(len(keys), dtype=np.int64)
+        for i, k in enumerate(keys):
+            # count of cutpoints strictly below the value
+            b[i] = int(np.searchsorted(table[k], vals[i], side="left"))
+        return pa.table({id_col: batch.column(id_col),
+                         key: batch.column(key),
+                         "bucket": pa.array(b, pa.int64())})
+
+    return ds.select_columns([id_col, key, value_col]).map_batches(
+        assign, batch_format="pyarrow")
+
+
+def sql_grouped_quantile_buckets(table: str, key: str, value_col: str,
+                                 id_col: str, n_buckets: int = 10) -> str:
+    """DuckDB mirror of ``grouped_quantile_buckets``.  Cutpoints are spelled
+    out with the engine's own integer rank formula — value at 1-based sorted
+    rank ceil(n*i/n_buckets), computed as (n*i + n_buckets-1) // n_buckets in
+    integer arithmetic — rather than ``quantile_disc(v, i/n)``, whose float
+    q literal can land a hair off an exact rank boundary; the two engines
+    then agree bit-for-bit by construction."""
+    nb = n_buckets
+    return f"""
+    WITH ranked AS (
+      SELECT {key}, {value_col} AS v,
+             row_number() OVER (PARTITION BY {key} ORDER BY {value_col}) AS rn,
+             count(*) OVER (PARTITION BY {key}) AS n
+      FROM {table}
+    ), cuts AS (
+      SELECT {key}, q.i, min(v) AS cut
+      FROM ranked, (SELECT unnest(range(1, {nb})) AS i) q
+      WHERE rn = (n * q.i + {nb - 1}) // {nb}
+      GROUP BY {key}, q.i
+    )
+    SELECT t.{id_col}, t.{key},
+           sum(CASE WHEN t.{value_col} > c.cut THEN 1 ELSE 0 END)::BIGINT AS bucket
+    FROM {table} t JOIN cuts c USING ({key})
+    GROUP BY t.{id_col}, t.{key}
+    """

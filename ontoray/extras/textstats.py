@@ -520,3 +520,103 @@ def sql_redact_pii(table: str = "documents", text_col: str = "text",
         rep = f"regexp_replace({rep}, '{pat}', '{tok}', 'g')"
     return (f"SELECT {cols}, {rep} AS {text_col}, "
             f"({' + '.join(n_terms)})::BIGINT AS n_redactions FROM {table}")
+
+
+# --- Gopher-style repetition quality signals ----------------------------------
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signals from the Gopher quality rules
+    (Rae et al. 2021, A.1.1): the character fraction claimed by the single
+    most frequent word n-gram (n = 2, 3) and the duplicate-occurrence
+    fraction of word n-grams (n = 2, 5).
+
+    Definitions (identical on both engines, documented because Gopher leaves
+    tie-breaks unspecified):
+
+    - tokens = lowercase-alnum runs ``[a-z0-9]+`` (the repo's tokenizer);
+      ``total_chars`` = length of the space-joined token string.
+    - ``top{n}gram_frac`` = (count * len(gram_string)) / total_chars for the
+      most frequent n-gram; ties broken by (count, len, gram) descending.
+      0.0 when the doc has < n tokens or no characters.
+    - ``dup{n}gram_frac`` = 1 - distinct/total over the doc's n-gram
+      OCCURRENCES (Gopher's char-weighted variant needs overlap attribution;
+      the occurrence ratio is the standard simplification).  0.0 when < n
+      tokens.
+
+    Embarrassingly parallel per-batch transform — no shuffle; a Python loop
+    over docs is fine here because each doc does Counter work proportional
+    to its own token count (same cost class as tfidf's per-doc pass)."""
+    from collections import Counter
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        out = {"top2gram_frac": [], "top3gram_frac": [],
+               "dup2gram_frac": [], "dup5gram_frac": []}
+        for t in batch.column(text_col).to_pylist():
+            ws = TOKEN_RE.findall(t or "")
+            tc = len(" ".join(ws))
+            for n, col in ((2, "top2gram_frac"), (3, "top3gram_frac")):
+                if len(ws) < n or tc == 0:
+                    out[col].append(0.0)
+                    continue
+                c = Counter(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+                g, cnt = max(c.items(), key=lambda kv: (kv[1], len(kv[0]), kv[0]))
+                out[col].append((cnt * len(g)) / tc)
+            for n, col in ((2, "dup2gram_frac"), (5, "dup5gram_frac")):
+                total = len(ws) - n + 1
+                if total <= 0:
+                    out[col].append(0.0)
+                    continue
+                nd = len({" ".join(ws[i:i + n]) for i in range(total)})
+                out[col].append((total - nd) / total)
+        return pa.table({id_col: ids,
+                         **{k: pa.array(v, pa.float64()) for k, v in out.items()}})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow")
+
+
+def sql_repetition_stats(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB mirror of ``repetition_stats``: identical tokenization, gram
+    join, tie-break ordering, and single-division IEEE arithmetic (raw
+    doubles — no rounding — match bit-for-bit because both engines compute
+    one int/int division)."""
+    def grams(n: int) -> str:
+        return (f"SELECT {id_col}, array_to_string(ws[i:i+{n - 1}], ' ') AS g "
+                f"FROM (SELECT {id_col}, ws, "
+                f"unnest(range(1, greatest(nw-{n - 1},0)+1)) AS i FROM base)")
+
+    def top(n: int) -> str:
+        return (f"SELECT {id_col}, cnt, gl FROM ("
+                f"SELECT {id_col}, count(*) AS cnt, length(g) AS gl, "
+                f"row_number() OVER (PARTITION BY {id_col} "
+                f"ORDER BY count(*) DESC, length(g) DESC, g DESC) AS rn "
+                f"FROM g{n} GROUP BY {id_col}, g) t WHERE rn = 1")
+
+    def dup(n: int) -> str:
+        return (f"SELECT {id_col}, count(DISTINCT g) AS nd, count(*) AS nt "
+                f"FROM g{n} GROUP BY {id_col}")
+
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, regexp_extract_all(coalesce({text_col},''), '[a-z0-9]+') AS ws
+      FROM {table}
+    ), base AS (
+      SELECT {id_col}, ws, len(ws) AS nw, length(array_to_string(ws, ' ')) AS tc
+      FROM toks
+    ), g2 AS ({grams(2)}), g3 AS ({grams(3)}), g5 AS ({grams(5)}),
+    top2 AS ({top(2)}), top3 AS ({top(3)}),
+    dup2 AS ({dup(2)}), dup5 AS ({dup(5)})
+    SELECT b.{id_col},
+      CASE WHEN t2.cnt IS NULL OR b.tc = 0 THEN 0.0
+           ELSE (t2.cnt * t2.gl)::DOUBLE / b.tc::DOUBLE END AS top2gram_frac,
+      CASE WHEN t3.cnt IS NULL OR b.tc = 0 THEN 0.0
+           ELSE (t3.cnt * t3.gl)::DOUBLE / b.tc::DOUBLE END AS top3gram_frac,
+      CASE WHEN d2.nt IS NULL OR d2.nt = 0 THEN 0.0
+           ELSE (d2.nt - d2.nd)::DOUBLE / d2.nt::DOUBLE END AS dup2gram_frac,
+      CASE WHEN d5.nt IS NULL OR d5.nt = 0 THEN 0.0
+           ELSE (d5.nt - d5.nd)::DOUBLE / d5.nt::DOUBLE END AS dup5gram_frac
+    FROM base b LEFT JOIN top2 t2 USING ({id_col}) LEFT JOIN top3 t3 USING ({id_col})
+    LEFT JOIN dup2 d2 USING ({id_col}) LEFT JOIN dup5 d5 USING ({id_col})
+    """

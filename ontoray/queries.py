@@ -1010,3 +1010,93 @@ def q_events_zscore(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
     return grouped_zscore(ds)
+
+
+# --- Gopher repetition quality signals ----------------------------------------
+
+def q_docs_repetition(sf_dir: str):
+    """Per-doc repetition signals (Gopher A.1.1): top-2/3-gram character
+    fraction + duplicate-2/5-gram occurrence fraction — embarrassingly
+    parallel per-batch pass, no shuffle."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import repetition_stats
+    return repetition_stats(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                            columns=["doc_id", "text"]))
+
+
+# --- corpus-level boilerplate line removal ------------------------------------
+
+import re as _re
+_WRAP_TOK = _re.compile(r"[a-z0-9]+")
+# The shared preprocessor: wrap tokens into 3-word lines (the synthetic corpus
+# has no newlines; real crawls would skip this step).  DuckDB list expression
+# computing the identical wrapping:
+_SQL_WRAP_LINES = (
+    "list_transform(range(1, len(regexp_extract_all(coalesce(text,''), "
+    "'[a-z0-9]+'))+1, 3), i -> array_to_string(regexp_extract_all("
+    "coalesce(text,''), '[a-z0-9]+')[i:i+2], ' '))")
+
+
+def q_docs_boilerplate(sf_dir: str, min_docs: int = 5):
+    """CCNet/C4-style boilerplate removal: every line occurring in >=
+    ``min_docs`` distinct docs is scrubbed from all docs.  The line-hash
+    counts cross a two-phase metadata exchange; the repeated set broadcasts
+    once; the corpus streams through twice, never shuffles."""
+    import ray.data as rd
+
+    from ontoray.extras.dedup import remove_repeated_lines
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ts = []
+        for t in batch.column("text").to_pylist():
+            ws = _WRAP_TOK.findall(t or "")
+            ts.append("\n".join(" ".join(ws[i:i + 3])
+                                for i in range(0, len(ws), 3)))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(ts, pa.string())})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return remove_repeated_lines(docs.map_batches(wrap, batch_format="pyarrow"),
+                                 min_docs=min_docs)
+
+
+def sql_docs_boilerplate(min_docs: int = 5) -> str:
+    from ontoray.extras.dedup import sql_remove_repeated_lines
+    return sql_remove_repeated_lines(min_docs=min_docs,
+                                     line_expr=_SQL_WRAP_LINES)
+
+
+# --- within-group quantile buckets ---------------------------------------------
+
+def q_docs_decile(sf_dir: str):
+    """Length decile of each doc within its source group (ntile-by-value:
+    deterministic across partitionings, unlike SQL ntile's order-dependent
+    tie placement) — cutpoints from the exact distributed grouped quantiles,
+    broadcast once; assignment is one searchsorted per batch."""
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_quantile_buckets
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    return grouped_quantile_buckets(ds, "source", "n_chars", "doc_id")
+
+
+def sql_docs_decile() -> str:
+    from ontoray.extras.quantiles import sql_grouped_quantile_buckets
+    return sql_grouped_quantile_buckets("documents", "source", "n_chars",
+                                        "doc_id")
+
+
+# --- per-key rank window --------------------------------------------------------
+
+def q_events_rank(sf_dir: str):
+    """row_number() over (partition by event_type order by value desc) via
+    the (key, value-bucket) composition — no single-group-per-key
+    assumption; hot keys split across value ranges."""
+    import ray.data as rd
+
+    from ontoray.stages.events import grouped_rank
+    return grouped_rank(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                        columns=["event_id", "event_type", "value"]))

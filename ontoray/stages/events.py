@@ -310,3 +310,89 @@ def rolling_window_sum(events_ds, n: int = 5, key: str = "user_id"):
             .map_batches(derive, batch_format="pyarrow")
             .repartition(default_coalesce())
             .groupby(key).map_groups(roll, batch_format="pyarrow"))
+
+
+def grouped_rank(events_ds, key: str = "event_type", bucket_c: int = 10_000):
+    """Per-key dense ordering rank: mirrors ``row_number() OVER (PARTITION BY
+    key ORDER BY value_cents DESC, event_id)`` — the deterministic ranking a
+    leaderboard / per-group-priority pipeline needs.
+
+    Scale shape — NO "one key fits one group" assumption (unlike
+    ``session_windows``): rows are grouped by (key, value-RANGE-bucket), so a
+    single hot key splits across value buckets:
+
+    1. derive value cents (the repo's money rule) and ``bucket =
+       value_c // bucket_c`` per batch;
+    2. per-(key, bucket) counts via the two-phase ``hash_aggregate`` — the
+       histogram is (keys x value-range)-bounded, not row-bounded;
+    3. the driver computes each (key, bucket)'s EXCLUSIVE offset — the count
+       of rows of the same key in HIGHER value buckets — and broadcasts the
+       tiny map once;
+    4. ``groupby(key, bucket).map_groups`` sorts each group by
+       (value_c desc, event_id) and adds its offset.
+
+    Pick ``bucket_c`` so one (key, value-range) slice fits a group — the
+    documented partitioning contract for this operator.  Ordering uses the
+    DERIVED int64 cents on both engines (ordering raw doubles would tie-break
+    differently after rounding), so the SQL mirror is exact."""
+    import numpy as np
+    import ray
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            key: batch.column(key),
+            "event_id": batch.column("event_id"),
+            "value_c": cents,
+            "bucket": pc.cast(pc.divide(cents, bucket_c), pa.int64()),
+            "one": pa.array([1] * batch.num_rows, pa.int64()),
+        })
+
+    derived = events_ds.select_columns([key, "event_id", "value"]).map_batches(
+        derive, batch_format="pyarrow")
+
+    hist = hash_aggregate(
+        derived.select_columns([key, "bucket", "one"]), [key, "bucket"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n"}, num_buckets=16).take_all()
+    hist.sort(key=lambda r: (r[key], -r["bucket"]))   # higher buckets first
+    offsets, cur_key, acc = {}, object(), 0
+    for r in hist:
+        if r[key] != cur_key:
+            cur_key, acc = r[key], 0
+        offsets[(r[key], r["bucket"])] = acc
+        acc += r["n"]
+    off_ref = ray.put(offsets)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        k = g.column(key)[0].as_py()
+        b = g.column("bucket")[0].as_py()
+        off = ray.get(off_ref)[(k, b)]
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        vc = g.column("value_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -vc))
+        rnk = np.arange(1, len(ids) + 1, dtype=np.int64) + off
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return pa.table({
+            key: g.column(key),
+            "event_id": pa.array(ids, pa.int64()),
+            "rnk": pa.array(rnk[inv], pa.int64()),
+        })
+
+    return (derived.repartition(default_coalesce())
+            .groupby([key, "bucket"]).map_groups(rank_group, batch_format="pyarrow"))
+
+
+SQL_EVENTS_RANK = """
+SELECT event_type, event_id,
+       row_number() OVER (
+         PARTITION BY event_type
+         ORDER BY CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) DESC,
+                  event_id) AS rnk
+FROM events
+"""

@@ -1193,3 +1193,154 @@ class TestGroupedZscore:
                         "value": pa.array([7.5, 7.5, 7.5], pa.float64())})
         out = grouped_zscore(rd.from_arrow(tbl)).take_all()
         assert [r["z"] for r in out] == [0.0, 0.0, 0.0]
+
+
+class TestRepetitionStats:
+    def test_known_fractions_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import repetition_stats, sql_repetition_stats
+        texts = [
+            "a b a b a b c",          # top 2gram "a b" x3; dup2: 6 grams, 3 distinct
+            "x y z w v",              # all unique; < 5 tokens only for dup5? 5 tokens -> one 5gram
+            "q q q q q q",            # total repetition
+            "",                       # empty
+            "one",                    # single token: no 2grams
+        ]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        got = {r["doc_id"]: r for r in
+               repetition_stats(rd.from_arrow(tbl).repartition(2)).take_all()}
+        # doc 0: tokens 'a b a b a b c' -> joined len 13; top 2gram "a b" cnt 3 len 3
+        assert got[0]["top2gram_frac"] == 3 * 3 / 13
+        assert got[0]["dup2gram_frac"] == (6 - 3) / 6
+        assert got[0]["dup5gram_frac"] == 0.0      # 3 distinct 5-grams of 3
+        assert got[2]["dup2gram_frac"] == (5 - 1) / 5
+        assert got[2]["dup5gram_frac"] == (2 - 1) / 2
+        assert got[3]["top2gram_frac"] == 0.0 and got[3]["dup5gram_frac"] == 0.0
+        assert got[4]["top2gram_frac"] == 0.0
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        for row in con.execute(sql_repetition_stats()).fetchall():
+            did, t2, t3, d2, d5 = row
+            assert got[did]["top2gram_frac"] == t2
+            assert got[did]["top3gram_frac"] == t3
+            assert got[did]["dup2gram_frac"] == d2
+            assert got[did]["dup5gram_frac"] == d5
+
+    def test_tiebreak_matches_sql(self, ray_session):
+        # Two 2-grams tie at count 2; the longer gram (then lexicographically
+        # greater) must win on both engines.
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import repetition_stats, sql_repetition_stats
+        tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array(["aa bb aa bb longword zz longword zz"],
+                                         pa.string())})
+        eng = repetition_stats(rd.from_arrow(tbl)).take_all()[0]
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql = con.execute(sql_repetition_stats()).fetchone()
+        assert eng["top2gram_frac"] == sql[1]
+
+
+class TestRepeatedLineRemoval:
+    def _docs(self):
+        boiler = "subscribe to our newsletter"
+        footer = "all rights reserved"
+        rows = [
+            (0, f"unique intro zero\n{boiler}\ncontent zero\n{footer}"),
+            (1, f"{boiler}\nunique one\n{footer}"),
+            (2, f"unique two\n{boiler}"),
+            # doc 3 repeats its own line 4x — intra-doc repetition must NOT
+            # promote it (distinct-doc counting).
+            (3, "mine mine\nmine mine\nmine mine\nmine mine\nunique three"),
+            (4, f"unique four\n\n{footer}"),          # empty line preserved
+            (5, ""),                                  # empty doc
+        ]
+        return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                         "text": pa.array([r[1] for r in rows], pa.string())})
+
+    def test_semantics(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import remove_repeated_lines
+        got = {r["doc_id"]: r for r in remove_repeated_lines(
+            rd.from_arrow(self._docs()).repartition(3), min_docs=3).take_all()}
+        # boiler appears in docs 0,1,2 (3 docs) -> removed; footer in 0,1,4 -> removed
+        assert got[0]["text"] == "unique intro zero\ncontent zero"
+        assert got[0]["n_removed"] == 2
+        assert got[1]["text"] == "unique one" and got[1]["n_removed"] == 2
+        assert got[2]["text"] == "unique two" and got[2]["n_removed"] == 1
+        # intra-doc repetition survives
+        assert got[3]["text"].count("mine mine") == 4 and got[3]["n_removed"] == 0
+        # empty line preserved
+        assert got[4]["text"] == "unique four\n" and got[4]["n_removed"] == 1
+        assert got[5]["text"] == "" and got[5]["n_removed"] == 0
+
+    def test_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.dedup import remove_repeated_lines, sql_remove_repeated_lines
+        tbl = self._docs()
+        got = {r["doc_id"]: r for r in remove_repeated_lines(
+            rd.from_arrow(tbl), min_docs=2).take_all()}
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        for did, text, nrem in con.execute(
+                sql_remove_repeated_lines(min_docs=2)).fetchall():
+            assert got[did]["text"] == text
+            assert got[did]["n_removed"] == nrem
+
+
+class TestQuantileBuckets:
+    def test_partitioning_invariance_and_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.quantiles import (grouped_quantile_buckets,
+                                              sql_grouped_quantile_buckets)
+        rng = np.random.default_rng(7)
+        n = 3000
+        tbl = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array([f"s{i % 7}" for i in range(n)], pa.string()),
+            # heavy ties: only 40 distinct values
+            "n_chars": pa.array(rng.integers(0, 40, n), pa.int64()),
+        })
+        got = {r["doc_id"]: r["bucket"] for r in grouped_quantile_buckets(
+            rd.from_arrow(tbl).repartition(5), "source", "n_chars", "doc_id").take_all()}
+        got2 = {r["doc_id"]: r["bucket"] for r in grouped_quantile_buckets(
+            rd.from_arrow(tbl).repartition(2), "source", "n_chars", "doc_id").take_all()}
+        assert got == got2
+        assert set(got.values()) <= set(range(10))
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql = {r[0]: r[2] for r in con.execute(sql_grouped_quantile_buckets(
+            "documents", "source", "n_chars", "doc_id")).fetchall()}
+        assert sql == got
+
+
+class TestGroupedRank:
+    def test_matches_row_number_with_bucket_splits(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.events import grouped_rank
+        rng = np.random.default_rng(11)
+        n = 4000
+        tbl = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array([f"t{i % 3}" for i in range(n)], pa.string()),
+            # ties guaranteed: values quantize to 200 distinct cents
+            "value": pa.array(rng.integers(0, 200, n) / 100.0, pa.float64()),
+            "ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+        })
+        # bucket_c=30 cents forces ~7 value buckets per key — the offsets path
+        got = {r["event_id"]: r["rnk"] for r in grouped_rank(
+            rd.from_arrow(tbl).repartition(4), bucket_c=30).take_all()}
+        con = duckdb.connect()
+        con.register("events", tbl)
+        sql = {r[0]: r[1] for r in con.execute("""
+            SELECT event_id, row_number() OVER (
+              PARTITION BY event_type
+              ORDER BY CAST(floor(CAST(value AS DOUBLE)*100.0+0.5) AS BIGINT) DESC,
+                       event_id) AS rnk FROM events""").fetchall()}
+        assert got == sql
