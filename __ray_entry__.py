@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": Q.q_docs_repetition,
         "docs_boilerplate": Q.q_docs_boilerplate,
         "docs_decile": Q.q_docs_decile,
+        "docs_pack": Q.q_docs_pack,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
@@ -465,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": __import__("ontoray.extras.textstats", fromlist=["sql_repetition_stats"]).sql_repetition_stats(),
         "docs_boilerplate": Q.sql_docs_boilerplate(),
         "docs_decile": Q.sql_docs_decile(),
+        "docs_pack": __import__("ontoray.extras.textstats", fromlist=["sql_pack_sequences"]).sql_pack_sequences(seq_len=512),
         "dedup_minhash": __import__("ontoray.extras.dedup", fromlist=["sql_minhash_pairs"]).sql_minhash_pairs(threshold=0.8),
         "dedup_jaccard": __import__("ontoray.extras.dedup", fromlist=["sql_jaccard_pairs"]).sql_jaccard_pairs(threshold=0.8),
         "dedup_clusters": __import__("ontoray.extras.dedup", fromlist=["sql_neardup_clusters"]).sql_neardup_clusters(

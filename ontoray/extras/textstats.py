@@ -620,3 +620,102 @@ def sql_repetition_stats(table: str = "documents", text_col: str = "text",
     FROM base b LEFT JOIN top2 t2 USING ({id_col}) LEFT JOIN top3 t3 USING ({id_col})
     LEFT JOIN dup2 d2 USING ({id_col}) LEFT JOIN dup5 d5 USING ({id_col})
     """
+
+
+# --- LM sequence packing --------------------------------------------------------
+
+def pack_sequences(ds, seq_len: int = 512, id_col: str = "doc_id",
+                   text_col: str = "text", salt: str = "pack1"):
+    """Assign every document its training-sequence slot: documents are laid
+    out in a DETERMINISTIC pseudo-random order (md5 of the id — the
+    training-order shuffle an LM pipeline wants, stable across runs and
+    cluster sizes), token counts prefix-sum along that order, and each doc
+    lands in ``seq_id = tok_start // seq_len`` (the sequence where it
+    STARTS; the trainer's reader splits stragglers at the boundary).
+
+    Scale shape — a distributed ordered prefix sum with NO global sort: the
+    md5 order key's top byte forms 256 naturally-balanced ORDERED buckets;
+    per-bucket token sums cross one two-phase metadata exchange, the driver
+    cumsums 256 rows and broadcasts exclusive offsets, and each bucket sorts
+    locally by (hash, id) and adds its offset (the ``running_total``
+    composition, keyed by hash instead of time).
+
+    Output: (id_col, n_tokens, tok_start, seq_id) — exactly mirrored by
+    :func:`sql_pack_sequences` via a window cumsum over ``ORDER BY md5``."""
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = np.array([int.from_bytes(
+            hashlib.md5(f"{salt}:{i}".encode()).digest()[:8], "big")
+            for i in ids], dtype=np.uint64)
+        nt = [len(TOKEN_RE.findall(t or ""))
+              for t in batch.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "h": pa.array(hs, pa.uint64()),
+            "hb": pa.array((hs >> np.uint64(56)).astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+        })
+
+    derived = ds.select_columns([id_col, text_col]).map_batches(
+        derive, batch_format="pyarrow")
+
+    sums = hash_aggregate(
+        derived.select_columns(["hb", "n_tokens"]), ["hb"],
+        partial_aggs=[("n_tokens", "sum")],
+        aggs=[("n_tokens_sum", "sum")], rename={"n_tokens_sum_sum": "s"},
+        num_buckets=16).take_all()                       # <= 256 rows
+    sums.sort(key=lambda r: r["hb"])
+    offsets, acc = {}, 0
+    for r in sums:
+        offsets[r["hb"]] = acc
+        acc += r["s"]
+    off_ref = ray.put(offsets)
+
+    def scan(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)[g.column("hb")[0].as_py()]
+        ids = np.array(g.column(id_col).to_pylist(), dtype=np.int64)
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        starts = np.cumsum(nt[order]) - nt[order] + off
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        starts = starts[inv]
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "tok_start": pa.array(starts, pa.int64()),
+            "seq_id": pa.array(starts // seq_len, pa.int64()),
+        })
+
+    return (derived.repartition(default_coalesce())
+            .groupby("hb").map_groups(scan, batch_format="pyarrow"))
+
+
+def sql_pack_sequences(seq_len: int = 512, table: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       salt: str = "pack1") -> str:
+    """DuckDB mirror of ``pack_sequences``: the window cumsum over the same
+    md5 order (16-hex-char prefix comparison == the engine's uint64 prefix
+    comparison, both big-endian)."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col},
+             CAST(len(regexp_extract_all(coalesce({text_col}, ''), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             substr(md5('{salt}:' || {id_col}), 1, 16) AS h
+      FROM {table}
+    )
+    SELECT {id_col}, n_tokens,
+           (sum(n_tokens) OVER (ORDER BY h, {id_col} ROWS UNBOUNDED PRECEDING)
+            - n_tokens)::BIGINT AS tok_start,
+           ((sum(n_tokens) OVER (ORDER BY h, {id_col} ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // {seq_len})::BIGINT AS seq_id
+    FROM t
+    """

@@ -1100,3 +1100,17 @@ def q_events_rank(sf_dir: str):
     from ontoray.stages.events import grouped_rank
     return grouped_rank(rd.read_parquet(f"{sf_dir}/events.parquet",
                                         columns=["event_id", "event_type", "value"]))
+
+
+# --- LM sequence packing --------------------------------------------------------
+
+def q_docs_pack(sf_dir: str):
+    """Training-sequence packing: deterministic md5 shuffle order + token
+    prefix-sum binning into 512-token sequences — a distributed ordered
+    prefix sum over 256 hash-ordered buckets, no global sort."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import pack_sequences
+    return pack_sequences(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                          columns=["doc_id", "text"]),
+                          seq_len=512)

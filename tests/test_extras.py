@@ -1344,3 +1344,34 @@ class TestGroupedRank:
               ORDER BY CAST(floor(CAST(value AS DOUBLE)*100.0+0.5) AS BIGINT) DESC,
                        event_id) AS rnk FROM events""").fetchall()}
         assert got == sql
+
+
+class TestPackSequences:
+    def test_prefix_sum_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import pack_sequences, sql_pack_sequences
+        rng = np.random.default_rng(3)
+        n = 2500
+        texts = [" ".join("w" * 1 for _ in range(int(k))) for k in rng.integers(1, 60, n)]
+        tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        got = {r["doc_id"]: (r["n_tokens"], r["tok_start"], r["seq_id"])
+               for r in pack_sequences(rd.from_arrow(tbl).repartition(6),
+                                       seq_len=128).take_all()}
+        # Global invariant: sorting rows by tok_start tiles [0, total) exactly.
+        rows = sorted(got.values(), key=lambda t: t[1])
+        pos = 0
+        for nt, ts, sid in rows:
+            assert ts == pos and sid == pos // 128
+            pos += nt
+        # Partitioning invariance
+        got2 = {r["doc_id"]: (r["n_tokens"], r["tok_start"], r["seq_id"])
+                for r in pack_sequences(rd.from_arrow(tbl).repartition(2),
+                                        seq_len=128).take_all()}
+        assert got2 == got
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql = {r[0]: (r[1], r[2], r[3]) for r in
+               con.execute(sql_pack_sequences(seq_len=128)).fetchall()}
+        assert sql == got
