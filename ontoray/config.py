@@ -68,6 +68,7 @@ class PipelineConfig:
     checkpoint_dir: str | None = None # stage-checkpoint root (None = no checkpointing)
     docs_partitions: int = 32         # url-hash partitions for per-partition docs resume
     linker_partitions: int = 32       # mention-hash partitions for per-partition entities resume
+    edge_partitions: int = 32         # src-hash partitions for per-partition edges resume
 
     # Curation (reference src/curation/graph_cleaner.py:53,89).
     degree_threshold: int = 1

@@ -190,6 +190,64 @@ def _entities_stage_partitioned(ckpt: CheckpointManager, mentions, alias: AliasD
         "__part", fingerprint)
 
 
+def _edges_stage_partitioned(ckpt: CheckpointManager, cfg: PipelineConfig,
+                             fingerprint: str, build, full_ds=None):
+    """Edges stage with per-partition resume: output parquet is partitioned
+    by ``crc-stable hash(src) % edge_partitions`` (a pure function of the
+    final edge row) with atomic per-partition markers; within each file the
+    rows are sorted by (src, rel, dst) — a fully deterministic layout.
+
+    On partial resume, ``build(src_keep)`` reruns the edge build with a
+    vectorized src-partition membership filter applied BEFORE the rollup
+    exchange (see graph.build_edges): the corpus scan is unavoidable (edge
+    partitions are not aligned with extraction storage partitions) but all
+    shuffle/rollup/sort work is pruned to the missing partitions.  A fresh
+    run uses ``full_ds`` when the caller already holds the fused-plan edge
+    view (avoids a second corpus pass)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ontoray.stages.agg import stable_hash_column
+
+    if ckpt.is_complete("edges", fingerprint):
+        return ckpt.load("edges")
+    n_parts = cfg.edge_partitions
+    done = ckpt.begin_partitioned("edges", fingerprint)
+    missing = sorted(set(range(n_parts)) - done)
+
+    def part_of(col) -> "np.ndarray":
+        return (stable_hash_column(col) % np.uint64(n_parts)).astype(np.int64)
+
+    if not missing:
+        # Every partition marker landed; only the seal is missing.
+        import ray.data as rd
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "__part": pa.array([], pa.int64())})
+        return ckpt.save_partitioned("edges", rd.from_arrow(empty), "__part",
+                                     fingerprint, sort_keys=["src", "rel", "dst"])
+
+    fresh = len(missing) == n_parts
+    if fresh and full_ds is not None:
+        ds = full_ds
+    else:
+        missing_arr = np.array(missing, dtype=np.int64)
+
+        def src_keep(col):
+            return np.isin(part_of(col), missing_arr)
+
+        ds = build(None if fresh else src_keep)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__part", pa.array([], pa.int64()))
+        return batch.append_column(
+            "__part", pa.array(part_of(batch.column("src")), pa.int64()))
+
+    return ckpt.save_partitioned(
+        "edges", ds.map_batches(add_part, batch_format="pyarrow"), "__part",
+        fingerprint, sort_keys=["src", "rel", "dst"])
+
+
 @dataclass
 class KGResult:
     docs: Any
@@ -330,17 +388,36 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         # shuffle-free node build overlaps on a driver thread.
         from ontoray.stages.graph import fused_dedup_and_edges
 
+        def build_edges_bc(src_keep):
+            return build_edges(entities, triples, alias, num_partitions=n_blocks,
+                               resolve_mode="broadcast", sort_mode=cfg.sort_mode,
+                               src_keep=src_keep)
+
         def fused():
-            need = ckpt is None or not (
-                ckpt.is_complete("triples_dedup", fingerprint)
-                and ckpt.is_complete("edges", fingerprint))
-            td_v = ed_v = None
-            if need:
+            if ckpt is None:
                 td_v, ed_v = fused_dedup_and_edges(
                     triples, entities, alias, num_buckets=n_blocks,
                     sort_mode=cfg.sort_mode)
-            td = stage("triples_dedup", lambda: td_v, True)
-            ed = stage("edges", lambda: ed_v, True)
+                td = stage("triples_dedup", lambda: td_v, True)
+                ed = stage("edges", lambda: ed_v, True)
+                return td, ed
+            td_done = ckpt.is_complete("triples_dedup", fingerprint)
+            ed_done = ckpt.is_complete("edges", fingerprint)
+            ed_partial = (not ed_done) and bool(ckpt.completed_partitions("edges"))
+            if not td_done and not ed_done and not ed_partial:
+                # Fresh: ONE fused shuffle yields both outputs; the edge view
+                # lands partitioned (per-partition markers for resume).
+                td_v, ed_v = fused_dedup_and_edges(
+                    triples, entities, alias, num_buckets=n_blocks,
+                    sort_mode=cfg.sort_mode)
+                td = stage("triples_dedup", lambda: td_v, True)
+                ed = _edges_stage_partitioned(ckpt, cfg, fingerprint,
+                                              build_edges_bc, full_ds=ed_v)
+                return td, ed
+            # Resume: the chains separate — each side recomputes only what it
+            # is missing (edges prune to unmarked src-hash partitions).
+            td = stage("triples_dedup", lambda: dedup_triples(triples), True)
+            ed = _edges_stage_partitioned(ckpt, cfg, fingerprint, build_edges_bc)
             return td, ed
 
         with ThreadPoolExecutor(max_workers=2) as ex:
@@ -353,17 +430,24 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
     else:
         # Partitioned-join resolution (vocabulary beyond broadcast): separate
         # dedup / edge chains, overlapped with the node build.
+        def build_edges_join(src_keep=None):
+            return build_edges(entities, triples, alias, num_partitions=n_blocks,
+                               resolve_mode=resolve_mode, sort_mode=cfg.sort_mode,
+                               src_keep=src_keep)
+
+        def edges_stage():
+            if ckpt is not None:
+                return _edges_stage_partitioned(ckpt, cfg, fingerprint,
+                                                build_edges_join)
+            return stage("edges", build_edges_join, True)
+
         with ThreadPoolExecutor(max_workers=3) as ex:
             f_td = ex.submit(stage, "triples_dedup",
                              lambda: dedup_triples(triples), True)
             f_nodes = ex.submit(stage, "nodes",
                                 lambda: build_nodes(entities, alias, cfg.sort_mode),
                                 True)
-            f_edges = ex.submit(stage, "edges",
-                                lambda: build_edges(entities, triples, alias,
-                                                    num_partitions=n_blocks,
-                                                    resolve_mode=resolve_mode,
-                                                    sort_mode=cfg.sort_mode), True)
+            f_edges = ex.submit(edges_stage)
             triples_dd = f_td.result()
             nodes = f_nodes.result()
             edges = f_edges.result()

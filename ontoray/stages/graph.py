@@ -384,7 +384,8 @@ def resolution_map(entities_ds) -> dict[str, str]:
 
 
 def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions: int = 16,
-                resolve_mode: str = "broadcast", sort_mode: str = "partitioned"):
+                resolve_mode: str = "broadcast", sort_mode: str = "partitioned",
+                src_keep=None):
     """Edge table: taxonomic task edges + baseline hierarchy + resolved
     non-taxonomic triples, deduplicated on (src, rel, dst) and sorted
     (globally or within partition per ``sort_mode``).
@@ -395,6 +396,13 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
     corpus-bounded).  ``resolve_mode='join'`` is the unbounded-scale path:
     the distributed ``resolution_table`` + two partitioned hash joins
     (ontoray.stages.joins.hash_join) on the normalized endpoint.
+
+    ``src_keep``: optional vectorized predicate (Arrow string array of
+    RESOLVED edge sources → bool mask).  Per-partition resume passes the
+    src-hash partition membership test here, so only the missing partitions'
+    rows enter the rollup exchange — the corpus still streams (triple→edge
+    partition alignment does not exist at the storage layer), but everything
+    after the scan is pruned.
     """
     import ray.data as rd
 
@@ -486,6 +494,12 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
 
     all_edges = tedges.union(base_edges).union(ntedges).map_batches(
         _bool_to_int, batch_format="pyarrow")
+    if src_keep is not None:
+        def _keep(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            return batch.filter(pa.array(src_keep(batch.column("src")), pa.bool_()))
+        all_edges = all_edges.map_batches(_keep, batch_format="pyarrow")
     deduped = hash_aggregate(
         all_edges, ["src", "rel", "dst"],
         partial_aggs=[("taxonomic", "max"), ("conf", "max"), ("n", "sum")],

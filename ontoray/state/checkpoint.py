@@ -151,7 +151,8 @@ class CheckpointManager:
 
     def save_partitioned(self, stage: str, ds, part_col: str,
                          fingerprint: str = "", extra: dict | None = None,
-                         keep_part_col: bool = False):
+                         keep_part_col: bool = False,
+                         sort_keys: list[str] | None = None):
         """Write ``ds`` as one parquet file PER VALUE of ``part_col`` with an
         atomic per-partition completion marker (tmp + rename), so a killed run
         resumes by recomputing ONLY the unmarked partitions (the caller
@@ -176,6 +177,10 @@ class CheckpointManager:
         def write_partition(g: pa.Table) -> pa.Table:
             part = g.column(part_col)[0].as_py()
             out = g if keep_part_col else g.drop_columns([part_col])
+            if sort_keys:
+                # Deterministic within-file order (hash partition + local
+                # sort = a fully deterministic layout), sort_mode analog.
+                out = out.sort_by([(k, "ascending") for k in sort_keys])
             final = os.path.join(data_dir, f"part-{part:05d}.parquet")
             tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
             pq.write_table(out, tmp)

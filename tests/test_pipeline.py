@@ -472,3 +472,64 @@ class TestResumeRobustness:
         e2 = sorted((r["src"], r["rel"], r["dst"]) for r in r2.edges.take_all())
         assert e1 == e2
         assert ck.is_complete("extraction", "f1")   # rewritten atomically
+
+
+class TestEdgesPartitionResume:
+    def test_kill_mid_edges_recomputes_only_missing(self, ray_session, small_corpus, tmp_path):
+        """Kill-mid-edges resume: only the unmarked src-hash partitions are
+        rebuilt (manifest.written_partitions is the recompute scope) and the
+        resumed edge table is identical."""
+        import os
+        import ray.data as rd
+        from ontoray.config import PipelineConfig
+        from ontoray.pipelines.kg import run_kg_pipeline
+        from ontoray.state.checkpoint import CheckpointManager
+        sub = small_corpus.slice(0, 300)
+        cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "cke"), edge_partitions=8)
+        r1 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="fpe")
+        e1 = sorted((r["src"], r["rel"], r["dst"], r["n_obs"])
+                    for r in r1.edges.take_all())
+        ck = CheckpointManager(cfg.checkpoint_dir)
+        m1 = ck.manifest("edges")
+        assert m1["resumed_partitions"] == []
+        all_parts = set(m1["written_partitions"])
+        assert len(all_parts) >= 4            # src hashes spread over partitions
+
+        # Crash mid-edges: two partitions and the seal vanish; curated
+        # downstream tables invalidated as usual.
+        ed = os.path.join(cfg.checkpoint_dir, "edges")
+        os.remove(os.path.join(ed, "_SUCCESS"))
+        os.remove(os.path.join(ed, "manifest.json"))
+        killed = sorted(all_parts)[:2]
+        for p in killed:
+            os.remove(os.path.join(ed, "data", f"part-{p:05d}.parquet"))
+            os.remove(os.path.join(ed, "parts_ok", f"part-{p:05d}._OK"))
+        for s in ("nodes_curated", "edges_curated"):
+            ck.invalidate(s)
+
+        r2 = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg, fingerprint="fpe")
+        m2 = ck.manifest("edges")
+        assert m2["written_partitions"] == killed          # recompute scope
+        assert set(m2["resumed_partitions"]) == all_parts - set(killed)
+        e2 = sorted((r["src"], r["rel"], r["dst"], r["n_obs"])
+                    for r in r2.edges.take_all())
+        assert e1 == e2
+
+    def test_join_mode_partitioned_edges(self, ray_session, small_corpus, tmp_path):
+        """The partitioned-join resolve path shares the same partitioned edge
+        stage (fresh write + identical output to the broadcast path)."""
+        import ray.data as rd
+        from ontoray.config import PipelineConfig
+        from ontoray.pipelines.kg import run_kg_pipeline
+        sub = small_corpus.slice(0, 200)
+        cfg_b = PipelineConfig(checkpoint_dir=str(tmp_path / "ckb"),
+                               resolve_mode="broadcast", edge_partitions=8)
+        cfg_j = PipelineConfig(checkpoint_dir=str(tmp_path / "ckj"),
+                               resolve_mode="join", edge_partitions=8)
+        rb = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg_b, fingerprint="fb")
+        rj = run_kg_pipeline(rd.from_arrow(sub), cfg=cfg_j, fingerprint="fj")
+        eb = sorted((r["src"], r["rel"], r["dst"], r["n_obs"])
+                    for r in rb.edges.take_all())
+        ej = sorted((r["src"], r["rel"], r["dst"], r["n_obs"])
+                    for r in rj.edges.take_all())
+        assert eb == ej and len(eb) > 0
