@@ -135,6 +135,31 @@ class CheckpointManager:
         return {int(f[5:10]) for f in os.listdir(ok_dir)
                 if f.startswith("part-") and f.endswith("._OK")}
 
+    def rebase(self, stage: str, new_fingerprint: str, drop_parts) -> None:
+        """Re-target a completed partitioned stage at a NEW input fingerprint
+        while dropping only the named partitions — the surgical primitive
+        behind incremental (append-only) corpus updates: the seal and
+        manifest come off, attempt.json points at the new fingerprint, the
+        dropped partitions' data files + markers are deleted, and everything
+        else resumes as already-complete under the new attempt."""
+        d = self._dir(stage)
+        if not new_fingerprint:
+            raise ValueError("rebase requires a non-empty fingerprint")
+        if not os.path.isdir(d):
+            return                      # nothing checkpointed: full compute
+        for f in ("_SUCCESS", "manifest.json"):
+            p = os.path.join(d, f)
+            if os.path.exists(p):
+                os.remove(p)
+        with open(os.path.join(d, "attempt.json"), "w") as f:
+            json.dump({"fingerprint": new_fingerprint,
+                       "started_at": time.time(), "rebased": True}, f)
+        for p in drop_parts:
+            for path in (os.path.join(d, "data", f"part-{p:05d}.parquet"),
+                         os.path.join(d, "parts_ok", f"part-{p:05d}._OK")):
+                if os.path.exists(path):
+                    os.remove(path)
+
     def load_partitions(self, stage: str, parts):
         """Dataset over a SUBSET of a partitioned stage's files — file-level
         input pruning for downstream per-partition recompute.  Returns None
