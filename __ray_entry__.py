@@ -441,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": Q.q_events_rolling,
         "events_zscore": Q.q_events_zscore,
         "events_rank": Q.q_events_rank,
+        "events_seq": Q.q_events_seq,
+        "host_stats": Q.q_host_stats,
     }
 
 
@@ -503,4 +505,6 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": Q.SQL_EVENTS_ROLLING,
         "events_zscore": __import__("ontoray.extras.quantiles", fromlist=["sql_grouped_zscore"]).sql_grouped_zscore(),
         "events_rank": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_RANK"]).SQL_EVENTS_RANK,
+        "events_seq": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_SEQ"]).SQL_EVENTS_SEQ,
+        "host_stats": Q.sql_host_stats(),
     }

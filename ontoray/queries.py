@@ -1114,3 +1114,59 @@ def q_docs_pack(sf_dir: str):
     return pack_sequences(rd.read_parquet(f"{sf_dir}/documents.parquet",
                                           columns=["doc_id", "text"]),
                           seq_len=512)
+
+
+# --- host-level crawl aggregation ----------------------------------------------
+
+def q_host_stats(sf_dir: str):
+    """Domain-level crawl curation stats over the derived pages: docs and
+    character mass per host (the aggregation behind per-domain caps and
+    blocklists) — host parsed vectorized per batch, two-phase bucketed
+    aggregate on the host key."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.pages import pages_from_documents
+    from ontoray.stages.agg import hash_aggregate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            batch.column("url"), pattern=r"^https?://([^/]+)/.*$",
+            replacement=r"\1")
+        return pa.table({
+            "host": host.combine_chunks().cast(pa.string()),
+            "one": pa.array([1] * batch.num_rows, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+        })
+
+    pages = pages_from_documents(sf_dir)
+    return hash_aggregate(
+        pages.map_batches(derive, batch_format="pyarrow"), ["host"],
+        partial_aggs=[("one", "sum"), ("n_chars", "sum")],
+        aggs=[("one_sum", "sum"), ("n_chars_sum", "sum")],
+        rename={"one_sum_sum": "n_docs", "n_chars_sum_sum": "total_chars"},
+        num_buckets=16)
+
+
+def sql_host_stats() -> str:
+    from ontoray.pages import sql_pages_cte
+    return f"""
+    WITH pages AS ({sql_pages_cte()})
+    SELECT regexp_replace(url, '^https?://([^/]+)/.*$', '\\1') AS host,
+           count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS total_chars
+    FROM pages GROUP BY host
+    """
+
+
+# --- ordered per-key sequence build ---------------------------------------------
+
+def q_events_seq(sf_dir: str):
+    """Per-user ordered behavior string (group-concat ORDER BY ts) — the
+    sequence-building aggregation for session modeling."""
+    import ray.data as rd
+
+    from ontoray.stages.events import ordered_group_concat
+    return ordered_group_concat(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_id", "ts", "event_type"]))

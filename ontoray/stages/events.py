@@ -396,3 +396,48 @@ SELECT event_type, event_id,
                   event_id) AS rnk
 FROM events
 """
+
+
+def ordered_group_concat(events_ds, key: str = "user_id", val: str = "event_type",
+                         sep: str = ">"):
+    """Per-key ordered value concatenation — the behavior-sequence /
+    session-string builder (mirrors ``string_agg(val, sep ORDER BY ts,
+    event_id)``).  One exchange (groupby key); each group sorts by
+    (ts, event_id) and joins.  Partitioning assumption: one key's rows fit
+    one group (the ``session_windows`` contract).
+
+    Output: (key, seq, n_events)."""
+    import numpy as np
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            val: batch.column(val),
+        })
+
+    def concat(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        vals = g.column(val).to_pylist()
+        order = np.lexsort((ids, ts))
+        return pa.table({
+            key: pa.array([g.column(key)[0].as_py()]),
+            "seq": pa.array([sep.join(vals[i] for i in order)], pa.string()),
+            "n_events": pa.array([len(order)], pa.int64()),
+        })
+
+    from ontoray.stages.agg import default_coalesce
+    return (events_ds.select_columns([key, "event_id", "ts", val])
+            .map_batches(derive, batch_format="pyarrow")
+            .repartition(default_coalesce())
+            .groupby(key).map_groups(concat, batch_format="pyarrow"))
+
+
+SQL_EVENTS_SEQ = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+"""

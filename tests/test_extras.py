@@ -1375,3 +1375,25 @@ class TestPackSequences:
         sql = {r[0]: (r[1], r[2], r[3]) for r in
                con.execute(sql_pack_sequences(seq_len=128)).fetchall()}
         assert sql == got
+
+
+class TestOrderedGroupConcat:
+    def test_order_and_ties(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.events import SQL_EVENTS_SEQ, ordered_group_concat
+        # Same ts -> event_id breaks the tie; interleaved partitions.
+        tbl = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_id": pa.array([5, 3, 4, 1, 2], pa.int64()),
+            "ts": pa.array(np.array([100, 100, 50, 7, 7], dtype="datetime64[us]")),
+            "event_type": pa.array(["c", "b", "a", "x", "y"], pa.string()),
+        })
+        got = {r["user_id"]: (r["seq"], r["n_events"]) for r in
+               ordered_group_concat(rd.from_arrow(tbl).repartition(3)).take_all()}
+        assert got[1] == ("a>b>c", 3)      # ts 50 first, then id 3 before 5
+        assert got[2] == ("x>y", 2)
+        con = duckdb.connect()
+        con.register("events", tbl)
+        sql = {r[0]: (r[1], r[2]) for r in con.execute(SQL_EVENTS_SEQ).fetchall()}
+        assert sql == got
