@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": Q.q_quality_filter,
         # Relational breadth (J7 join, A5 agg, A11 top-k, O2 per-group top-k)
         "orders_by_nation": Q.q_orders_by_nation,
+        "orders_by_nation_skew": Q.q_orders_by_nation_skew,
         "orders_by_region": Q.q_orders_by_region,
         "lineitem_pricing": Q.q_lineitem_pricing,
         "lineitem_quantiles": Q.q_lineitem_quantiles,
@@ -490,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": Q.SQL_EVENTS_ASOF,
         "quality_filter": Q.sql_quality_filter(),
         "orders_by_nation": Q.SQL_ORDERS_BY_NATION,
+        "orders_by_nation_skew": Q.SQL_ORDERS_BY_NATION,
         "orders_by_region": Q.SQL_ORDERS_BY_REGION,
         "lineitem_pricing": Q.SQL_LINEITEM_PRICING,
         "lineitem_quantiles": Q.SQL_LINEITEM_QUANTILES,

@@ -1170,3 +1170,23 @@ def q_events_seq(sf_dir: str):
     return ordered_group_concat(
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "event_id", "ts", "event_type"]))
+
+
+# --- skew-aware join (hot-key broadcast hybrid) ----------------------------------
+
+def q_orders_by_nation_skew(sf_dir: str):
+    """Same rollup as orders_by_nation, planned through the skew-aware
+    hybrid join: the hottest custkeys map-side join against a broadcast of
+    their customer rows (no shuffle), the cold remainder takes the
+    partitioned hash join — the hot-url straggler defuser, exact by
+    construction (oracle-verified against the identical SQL)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ontoray.stages.joins import hash_join, skew_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j1 = skew_join(orders, cust, "o_custkey", "c_custkey", how="inner", hot_k=8)
+    j2 = hash_join(j1, nation, "c_nationkey", "n_nationkey", how="inner")
+    return j2.groupby("n_name").aggregate(Count(alias_name="n_orders"))

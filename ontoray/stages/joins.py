@@ -250,3 +250,102 @@ def bloom_anti_join(left_ds, right_ds, left_on: str, right_on: str,
     checked = hash_join(maybe, right_ds, left_on, right_on, how="left_anti",
                         num_partitions=num_partitions)
     return definite.union(checked)
+
+
+def skew_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner",
+              num_partitions: int = 16, right_cols: list[str] | None = None,
+              suffix: str = "_r", hot_k: int = 8):
+    """Skew-aware hybrid join: identical output to :func:`hash_join`, but the
+    hottest left keys never enter the shuffle.
+
+    A zipf-keyed fact table makes one bucket of a partitioned join a
+    straggler (the north_rule's wikipedia.org-scale hot-url case).  This
+    plan: (1) one streaming count-min pass over the left keys finds the top
+    ``hot_k`` heavy hitters (fixed-size sketches, no vocabulary exchange);
+    (2) the right side's rows for those keys are collected and broadcast —
+    the dimension-side contract: a hot key's RIGHT rows must be few, the
+    usual shape when the left is a fact stream; (3) hot left rows join
+    map-side against the broadcast (general multiplicity — each right match
+    replicates the left row, exactly inner/left semantics); (4) cold rows
+    take the normal partitioned ``hash_join``; (5) union.  The left streams
+    twice — the price for removing the hot bucket's straggler, the same
+    trade the salted aggregation makes.
+
+    ``how`` ∈ {inner, left}.  Which keys land in the hot set never affects
+    the result (pytest asserts equality with ``hash_join`` on a zipf
+    fixture), only the balance."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ontoray.extras.sketches import approx_heavy_hitters
+
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports how='inner'|'left'")
+
+    hot = [v for v, _ in approx_heavy_hitters(
+        left_ds.select_columns([left_on]), left_on, k=hot_k)]
+    if not hot:
+        return hash_join(left_ds, right_ds, left_on, right_on, how=how,
+                         num_partitions=num_partitions, right_cols=right_cols,
+                         suffix=suffix)
+
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    lcols = list(lschema.names)
+    rcols = right_cols if right_cols is not None else \
+        [c for c in rschema.names if c != right_on]
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols}
+    rtypes = {c: t for c, t in zip(rschema.names, rschema.types)}
+
+    hot_arr = pa.array(hot)
+
+    def right_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(right_on),
+                                     value_set=hot_arr.cast(batch.column(right_on).type)))
+
+    hot_rows = right_ds.map_batches(right_hot, batch_format="pyarrow").take_all()
+    hot_map: dict = {}
+    for r in hot_rows:
+        hot_map.setdefault(r[right_on], []).append({rename[c]: r[c] for c in rcols})
+    hot_ref = ray.put(hot_map)
+
+    def split(keep_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column(left_on),
+                         value_set=hot_arr.cast(batch.column(left_on).type))
+            return batch.filter(m if keep_hot else pc.invert(m))
+        return f
+
+    def join_hot(batch: pa.Table) -> pa.Table:
+        hmap = ray.get(hot_ref)
+        keys = batch.column(left_on).to_pylist()
+        out_parts = []
+        for k in set(keys):
+            sub = batch.filter(pc.equal(batch.column(left_on),
+                                        pa.scalar(k, batch.column(left_on).type)))
+            matches = hmap.get(k, [])
+            if not matches:
+                if how == "inner":
+                    continue
+                matches = [{rename[c]: None for c in rcols}]     # left: nulls
+            for m in matches:
+                t = sub
+                for c in rcols:
+                    t = t.append_column(
+                        rename[c],
+                        pa.array([m[rename[c]]] * t.num_rows, rtypes[c]))
+                out_parts.append(t)
+        if not out_parts:
+            t = batch.slice(0, 0)
+            for c in rcols:
+                t = t.append_column(rename[c], pa.array([], rtypes[c]))
+            return t
+        return pa.concat_tables(out_parts)
+
+    hot_joined = left_ds.map_batches(split(True), batch_format="pyarrow") \
+                        .map_batches(join_hot, batch_format="pyarrow")
+    cold = left_ds.map_batches(split(False), batch_format="pyarrow")
+    cold_joined = hash_join(cold, right_ds, left_on, right_on, how=how,
+                            num_partitions=num_partitions, right_cols=rcols,
+                            suffix=suffix)
+    return hot_joined.union(cold_joined)

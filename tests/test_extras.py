@@ -1397,3 +1397,44 @@ class TestOrderedGroupConcat:
         con.register("events", tbl)
         sql = {r[0]: (r[1], r[2]) for r in con.execute(SQL_EVENTS_SEQ).fetchall()}
         assert sql == got
+
+
+class TestSkewJoin:
+    def _fixture(self):
+        rng = np.random.default_rng(5)
+        # Zipf left keys: key 0 takes ~half the rows.
+        ks = rng.zipf(1.5, 4000) % 40
+        left = pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "lval": pa.array(np.arange(4000), pa.int64()),
+        })
+        # Right: most keys once, keys 0/1 twice (multiplicity), 37-39 absent.
+        rk = list(range(37)) + [0, 1]
+        right = pa.table({
+            "rk": pa.array(rk, pa.int64()),
+            "rval": pa.array([f"v{i}" for i in range(len(rk))], pa.string()),
+        })
+        return left, right
+
+    @staticmethod
+    def _norm(rows):
+        return sorted((r["k"], r["lval"], r.get("rval")) for r in rows)
+
+    def test_inner_equals_hash_join(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.joins import hash_join, skew_join
+        left, right = self._fixture()
+        l, r = rd.from_arrow(left).repartition(5), rd.from_arrow(right)
+        got = self._norm(skew_join(l, r, "k", "rk", how="inner", hot_k=4).take_all())
+        ref = self._norm(hash_join(l, r, "k", "rk", how="inner").take_all())
+        assert got == ref and len(got) > 4000    # duplicates expand rows
+
+    def test_left_equals_hash_join(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.joins import hash_join, skew_join
+        left, right = self._fixture()
+        l, r = rd.from_arrow(left).repartition(3), rd.from_arrow(right)
+        got = self._norm(skew_join(l, r, "k", "rk", how="left", hot_k=4).take_all())
+        ref = self._norm(hash_join(l, r, "k", "rk", how="left").take_all())
+        assert got == ref
+        assert any(v is None for _, _, v in got)  # unmatched keys survive
