@@ -313,11 +313,13 @@ def _q_jsonld_validation(sf_dir: str):
 
 def _q_saturation(sf_dir: str):
     """Mention extraction runs DISTRIBUTED (per-chunk mention lists emitted
-    from map_batches); only the inherently sequential seeded cumulative fold
-    stays on the driver (reference A8 semantics) — VERDICT #5."""
+    from map_batches); only the inherently sequential cumulative fold stays on
+    the driver (reference A8 semantics) — VERDICT #5.  The shuffle is the
+    md5-rank order (a pure per-row function, partitioning-independent), which
+    makes the whole curve mirrorable in SQL and hash-checked by the driver."""
     import pandas as pd
     import pyarrow as pa
-    from ontoray.evaluation.metrics import saturation_curve
+    from ontoray.evaluation.metrics import md5_shuffle_order, saturation_curve
     from ontoray.stages.chunking import make_chunks
     from ontoray.text.extract import extract_mentions
 
@@ -331,14 +333,20 @@ def _q_saturation(sf_dir: str):
     def mentions_per_chunk(batch: pa.Table) -> pa.Table:
         lists = [extract_mentions(t, Q.GAZETTEER)
                  for t in batch.column("chunk_text").to_pylist()]
-        return pa.table({"mentions": pa.array(lists, pa.list_(pa.string()))})
+        keys = [f"{u}:{c}" for u, c in zip(batch.column("url").to_pylist(),
+                                           batch.column("chunk_id").to_pylist())]
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "mentions": pa.array(lists, pa.list_(pa.string()))})
 
     chunks = make_chunks(Q._clean_docs_ds(sf_dir).map_batches(as_doc, batch_format="pyarrow"))
     per_chunk = chunks.map_batches(mentions_per_chunk, batch_format="pyarrow")
-    chunk_mentions = []
+    keys, chunk_mentions = [], []
     for b in per_chunk.iter_batches(batch_size=None, batch_format="pyarrow"):
+        keys.extend(b.column("key").to_pylist())
         chunk_mentions.extend(b.column("mentions").to_pylist())
-    return pd.DataFrame(saturation_curve(chunk_mentions, batch_size=10, seed=42))
+    curve = saturation_curve(chunk_mentions, batch_size=10,
+                             order=md5_shuffle_order(keys, seed=42))
+    return pd.DataFrame(curve, columns=["batch", "new_concepts", "total_seen"])
 
 
 def _q_mention_sources(sf_dir: str):
@@ -459,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_norm": Q.SQL_KG_TRIPLES_NORM,
         "kg_mention_sources": Q.SQL_KG_MENTION_SOURCES,
         "kg_mention_contexts": Q.SQL_KG_MENTION_CONTEXTS,
+        "kg_saturation": Q.SQL_KG_SATURATION,
         "events_session": Q.SQL_EVENTS_SESSION,
         "text_langid": Q.SQL_TEXT_LANGID,
         "doc_stats": __import__("ontoray.extras.textstats", fromlist=["sql_doc_stats"]).sql_doc_stats(),

@@ -77,13 +77,27 @@ def topk_coverage(ranked_names: list[str], gold_concepts: set[str],
     return out
 
 
+def md5_shuffle_order(keys: list[str], seed: int = 42) -> list[int]:
+    """Deterministic shuffle order: rank by md5(key || ':' || seed), ties by
+    key.  Unlike Fisher-Yates, this order is a pure per-row function, so it is
+    (a) identical no matter how the rows were partitioned and (b) expressible
+    in ANSI SQL (``ORDER BY md5(key || ':seed')``) — which is what lets the
+    saturation query be hash-checked against the DuckDB oracle."""
+    import hashlib
+    return sorted(range(len(keys)),
+                  key=lambda i: (hashlib.md5(f"{keys[i]}:{seed}".encode()).hexdigest(),
+                                 keys[i]))
+
+
 def saturation_curve(chunk_mentions: list[list[str]], batch_size: int = 10,
-                     seed: int = 42) -> list[dict]:
-    """Shuffle chunks (seeded), scan in batches of ``batch_size``, track
+                     seed: int = 42, order: list[int] | None = None) -> list[dict]:
+    """Shuffle chunks (seeded — or by an explicit precomputed ``order``, e.g.
+    ``md5_shuffle_order``), scan in batches of ``batch_size``, track
     cumulative new-vs-seen mention counts."""
-    import random
-    order = list(range(len(chunk_mentions)))
-    random.Random(seed).shuffle(order)
+    if order is None:
+        import random
+        order = list(range(len(chunk_mentions)))
+        random.Random(seed).shuffle(order)
     seen: set[str] = set()
     curve = []
     for start in range(0, len(order), batch_size):

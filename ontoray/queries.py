@@ -586,6 +586,45 @@ def _sql_mention_contexts_query(limit_docs: int = 200) -> str:
 SQL_KG_MENTION_CONTEXTS = _sql_mention_contexts_query()
 
 
+# --- kg_saturation (md5-rank shuffle + cumulative-distinct fold mirror) ------
+
+def _sql_saturation_query(batch_size: int = 10, seed: int = 42) -> str:
+    """Saturation curve in ANSI SQL: chunks ranked by md5(url:chunk_id:seed)
+    (the same pure per-row shuffle the engine uses — Fisher-Yates is not
+    SQL-expressible, md5-rank is), scanned in batches of ``batch_size``; a
+    mention is 'new' in the batch where its min-ranked chunk lands; the
+    cumulative window sum reproduces total_seen."""
+    stopw = ", ".join(f"'{w}'" for w in sorted(CONCEPT_STOPWORDS))
+    uni = (f"SELECT doc_id, chunk_id, tok AS mention FROM "
+           f"(SELECT doc_id, chunk_id, "
+           f"unnest(regexp_extract_all(chunk_text, '{TOKEN_PATTERN}')) AS tok "
+           f"FROM chunks) WHERE tok NOT IN ({stopw})")
+    phrase_parts = [
+        f"SELECT doc_id, chunk_id, '{p}' AS mention FROM chunks "
+        f"WHERE contains(chunk_text, '{p}')"
+        for p in GAZETTEER]
+    body = " UNION ALL ".join([uni] + phrase_parts)
+    key = f"CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)"
+    return (
+        f"{_RECURSIVE_CLEANED_CTE}, {_CHUNK_CTES}, "
+        f"m AS ({body}), "
+        f"ord AS (SELECT doc_id, chunk_id, "
+        f"(row_number() OVER (ORDER BY md5({key} || ':{seed}'), {key}) - 1) "
+        f"// {batch_size} AS batch FROM chunks), "
+        f"firstb AS (SELECT m.mention, min(o.batch) AS fb FROM m JOIN ord o "
+        f"ON m.doc_id = o.doc_id AND m.chunk_id = o.chunk_id GROUP BY m.mention), "
+        f"newc AS (SELECT fb AS batch, count(*) AS new_concepts FROM firstb GROUP BY fb), "
+        f"batches AS (SELECT DISTINCT batch FROM ord) "
+        f"SELECT CAST(b.batch AS BIGINT) AS batch, "
+        f"CAST(coalesce(n.new_concepts, 0) AS BIGINT) AS new_concepts, "
+        f"CAST(sum(coalesce(n.new_concepts, 0)) OVER "
+        f"(ORDER BY b.batch ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_seen "
+        f"FROM batches b LEFT JOIN newc n ON b.batch = n.batch")
+
+
+SQL_KG_SATURATION = _sql_saturation_query()
+
+
 # --- session windows (gap-based sessionization mirror) ----------------------
 
 SQL_EVENTS_SESSION = (

@@ -451,6 +451,32 @@ class TestEvalHarness:
         assert sum(c["new_concepts"] for c in curve) == 4
         assert curve == saturation_curve(chunks, batch_size=2, seed=1)
 
+    def test_md5_order_matches_duckdb_and_fold(self):
+        """The md5-rank shuffle (the SQL-mirrorable order behind
+        kg_saturation) must sort identically in Python and DuckDB, and the
+        first-batch/min-rank fold must equal the sequential scan."""
+        import duckdb
+        from ontoray.evaluation.metrics import md5_shuffle_order, saturation_curve
+        keys = [f"doc-{i}:{j}" for i in range(7) for j in range(3)]
+        mentions = [[f"m{(i * 13) % 9}", f"m{(i * 5) % 6}"] for i in range(len(keys))]
+        order = md5_shuffle_order(keys, seed=42)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(k VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+        sql_order = [r[0] for r in con.execute(
+            "SELECT k FROM t ORDER BY md5(k || ':42'), k").fetchall()]
+        assert [keys[i] for i in order] == sql_order
+        curve = saturation_curve(mentions, batch_size=4, order=order)
+        # min-first-batch reconstruction (what the SQL mirror computes)
+        first = {}
+        for pos, i in enumerate(order):
+            for m in mentions[i]:
+                first.setdefault(m, pos // 4)
+        for row in curve:
+            assert row["new_concepts"] == sum(
+                1 for b in first.values() if b == row["batch"])
+        assert curve[-1]["total_seen"] == len(first)
+
 
 class TestResumeRobustness:
     def test_missing_success_marker_forces_recompute(self, ray_session, small_corpus, tmp_path):
