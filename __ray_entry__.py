@@ -100,6 +100,14 @@ def _q_kg_degree_topk(sf_dir: str):
     return deg.sort(["degree", "name"], descending=[True, False]).limit(25)
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Concept-importance PageRank over the extracted triple graph —
+    iterative distributed graph analytics in exact int64 fixed-point (the
+    SQL mirror evaluates the identical recurrence, so this is hash-checked
+    despite being a 5-round iterative algorithm)."""
+    return Q.q_kg_pagerank_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_text_langid(sf_dir: str):
     import ray.data as rd
     from ontoray.extras.textstats import LangId
@@ -387,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_degree_topk": _q_kg_degree_topk,
+        "kg_pagerank": _q_kg_pagerank,
         # Training-data extras
         "doc_stats": Q.q_doc_stats,
         "token_counts_by_source": Q.q_token_counts_by_source,
@@ -468,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_sources": Q.SQL_KG_MENTION_SOURCES,
         "kg_mention_contexts": Q.SQL_KG_MENTION_CONTEXTS,
         "kg_saturation": Q.SQL_KG_SATURATION,
+        "kg_pagerank": Q.sql_kg_pagerank(),
         "events_session": Q.SQL_EVENTS_SESSION,
         "text_langid": Q.SQL_TEXT_LANGID,
         "doc_stats": __import__("ontoray.extras.textstats", fromlist=["sql_doc_stats"]).sql_doc_stats(),

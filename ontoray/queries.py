@@ -196,7 +196,10 @@ SQL_KG_CHUNKS = (f"{_RECURSIVE_CLEANED_CTE}, {_CHUNK_CTES} "
 
 # --- kg_triples_norm (chunk-level extraction + normalizer + rollup) ---------
 
-def _sql_triples_norm_query() -> str:
+def _sql_triples_norm_ctes() -> str:
+    """The full triples_norm CTE chain, ending in a ``tnorm`` CTE — reused by
+    the kg_triples_norm mirror and by graph-analytics mirrors over the same
+    triple graph (kg_pagerank)."""
     from ontoray.text.normalize import sql_norm_expr
     stops = ", ".join(f"'{w}'" for w in sorted(ENDPOINT_STOP))
     parts = []
@@ -218,14 +221,53 @@ def _sql_triples_norm_query() -> str:
         f"{en_cte}, {_CHUNK_CTES}, "
         f"raw AS ({union}), "
         f"filt AS (SELECT * FROM raw WHERE subj <> '' AND obj <> '' "
-        f"AND subj NOT IN ({stops}) AND obj NOT IN ({stops})) "
-        f"SELECT {sql_norm_expr('subj')} AS subj_norm, lower(pred) AS pred_norm, "
+        f"AND subj NOT IN ({stops}) AND obj NOT IN ({stops})), "
+        f"tnorm AS (SELECT {sql_norm_expr('subj')} AS subj_norm, "
+        f"lower(pred) AS pred_norm, "
         f"{sql_norm_expr('obj')} AS obj_norm, "
         f"round(max(conf), 6) AS conf, count(*) AS n_obs "
-        f"FROM filt GROUP BY 1, 2, 3")
+        f"FROM filt GROUP BY 1, 2, 3)")
 
 
-SQL_KG_TRIPLES_NORM = _sql_triples_norm_query()
+SQL_KG_TRIPLES_NORM = f"{_sql_triples_norm_ctes()} SELECT * FROM tnorm"
+
+
+# --- kg_pagerank (fixed-point power iteration over the triple graph) --------
+
+def sql_kg_pagerank(iters: int = 5) -> str:
+    """DuckDB mirror of stages.analytics.pagerank over the kg_triples_norm
+    graph: the identical integer recurrence unrolled as ``iters`` chained
+    CTEs — BIGINT floor division everywhere, so both engines land on the
+    same int64 fixed-point scores regardless of summation order."""
+    scale = 10**12
+    ctes = [
+        "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm)",
+        # DISTINCT-over-UNION-ALL, not UNION: inside a WITH RECURSIVE chain
+        # DuckDB 1.0 compiles a plain `a UNION b` CTE without the dedup.
+        "nodes AS (SELECT DISTINCT name FROM ("
+        "SELECT src AS name FROM trip UNION ALL SELECT dst FROM trip))",
+        "cnt AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS od FROM trip GROUP BY src)",
+        f"r0 AS (SELECT name, (SELECT {scale} // n FROM cnt) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT nd.name, "
+            f"(SELECT (15 * {scale}) // (100 * n) FROM cnt) "
+            f"+ CAST((85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes nd LEFT JOIN ("
+            f"  SELECT t.dst AS name, sum(p.r // d.od) AS c "
+            f"  FROM trip t JOIN r{k-1} p ON t.src = p.name "
+            f"  JOIN deg d ON d.src = t.src GROUP BY t.dst) s "
+            f"ON nd.name = s.name)")
+    return (f"{_sql_triples_norm_ctes()}, " + ", ".join(ctes) +
+            f" SELECT name, CAST(r AS BIGINT) AS rank FROM r{iters}")
+
+
+def q_kg_pagerank_from(triples_dedup_ds, iters: int = 5):
+    from ontoray.stages.analytics import pagerank
+    return pagerank(triples_dedup_ds, iters=iters,
+                    src_col="subj_norm", dst_col="obj_norm")
 
 
 # --- text stats / token counts / lang counts -------------------------------

@@ -1438,3 +1438,65 @@ class TestSkewJoin:
         ref = self._norm(hash_join(l, r, "k", "rk", how="left").take_all())
         assert got == ref
         assert any(v is None for _, _, v in got)  # unmatched keys survive
+
+
+class TestPagerank:
+    """Fixed-point PageRank: the engine must equal a sequential reference
+    fold of the identical integer recurrence, be partitioning-invariant, and
+    conserve/bound rank mass."""
+
+    def _edges(self):
+        import random
+        rng = random.Random(5)
+        names = [f"c{i}" for i in range(40)]
+        pairs = {(rng.choice(names), rng.choice(names)) for _ in range(160)}
+        # hub: many in-links, plus a dangling sink (no out-edges)
+        pairs |= {(n, "hub") for n in names[:15]}
+        pairs.add(("hub", "sink"))
+        return sorted(pairs)
+
+    def _reference(self, pairs, iters=5):
+        from ontoray.stages.analytics import SCALE
+        nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+        out = {}
+        for s, _ in pairs:
+            out[s] = out.get(s, 0) + 1
+        n = len(nodes)
+        base = (15 * SCALE) // (100 * n)
+        r = {m: SCALE // n for m in nodes}
+        for _ in range(iters):
+            inc = {m: 0 for m in nodes}
+            for s, d in pairs:
+                inc[d] += r[s] // out[s]
+            r = {m: base + (85 * inc[m]) // 100 for m in nodes}
+        return r
+
+    def test_matches_reference_and_partitioning(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.stages.analytics import pagerank
+        pairs = self._edges()
+        t = pa.table({"src": pa.array([s for s, _ in pairs]),
+                      "dst": pa.array([d for _, d in pairs])})
+        want = self._reference(pairs)
+        for nparts in (1, 7):
+            got = pagerank(rd.from_arrow(t).repartition(nparts))
+            gm = dict(zip(got.column("name").to_pylist(),
+                          got.column("rank").to_pylist()))
+            assert gm == want, nparts
+        # mass sanity: total rank stays within (damped) unit mass
+        from ontoray.stages.analytics import SCALE
+        assert 0 < sum(want.values()) <= SCALE
+
+    def test_duplicate_edges_collapse(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.stages.analytics import pagerank
+        pairs = self._edges()
+        dup = pairs + pairs[:50]          # duplicates must not double-count
+        t = pa.table({"src": pa.array([s for s, _ in dup]),
+                      "dst": pa.array([d for _, d in dup])})
+        got = pagerank(rd.from_arrow(t))
+        gm = dict(zip(got.column("name").to_pylist(),
+                      got.column("rank").to_pylist()))
+        assert gm == self._reference(pairs)
