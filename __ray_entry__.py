@@ -180,6 +180,16 @@ def _q_embed_neardup(sf_dir: str):
     })
 
 
+def _q_embed_centroids(sf_dir: str):
+    """Per-label embedding centroid (exact fixed-point vector aggregation —
+    the k-means / class-prototype building block)."""
+    import ray.data as rd
+    from ontoray.extras.ann import grouped_centroids
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return grouped_centroids(ds)
+
+
 def _q_tfidf_top(sf_dir: str):
     """Per-doc top-3 tf-idf keywords (distributed df join, no vocab
     broadcast)."""
@@ -412,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "embed_neardup": _q_embed_neardup,
+        "embed_centroids": _q_embed_centroids,
         "ann_topk": Q.q_ann_topk,
         "ann_topk_multi": Q.q_ann_topk_multi,
         "text_langid": _q_text_langid,
@@ -503,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted": __import__("ontoray.extras.textstats", fromlist=["sql_weighted_sample"]).sql_weighted_sample(_WSAMP_RATE),
         "sample_group_cap": __import__("ontoray.extras.textstats", fromlist=["sql_per_group_cap"]).sql_per_group_cap(3),
         "tfidf_top_terms": __import__("ontoray.extras.textstats", fromlist=["sql_tfidf_top"]).sql_tfidf_top(k=3),
+        "embed_centroids": __import__("ontoray.extras.ann", fromlist=["sql_grouped_centroids"]).sql_grouped_centroids(),
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
         "ann_topk_multi": Q.sql_ann_topk_multi("/root/testdata/sf0.01"),
         "events_window": Q.SQL_EVENTS_WINDOW,

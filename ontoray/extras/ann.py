@@ -254,3 +254,73 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, n_planes: int = 8, seed: int = 
     expr = " or ".join(f"bucket == {b}" for b in blist)
     mine = bucketed.filter(expr=f"({expr})")
     return brute_force_topk(mine, query, k, concurrency)
+
+
+CENT_SCALE = 10**6
+
+
+def grouped_centroids(ds, concurrency: int = 4):
+    """Per-label embedding centroid — the vector aggregation under k-means /
+    class prototypes, in EXACT arithmetic: components quantize to int64
+    fixed-point (floor(x*1e6 + 0.5), float64 widening first), per-batch
+    partials sum (label, pos) cells, one label×dim-scale exchange finishes.
+    Output long-form (label, pos, csum, n, mean_scaled) with
+    mean_scaled = floor(csum / n) (numpy floor_divide; the SQL mirror spells
+    floor division out since DuckDB's ``//`` truncates toward zero), so the
+    result is partitioning-invariant and hash-equal to the SQL mirror.  Float centroid = mean_scaled / 1e6 at the consumer."""
+    from ontoray.stages.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "csum": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        labels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        q = np.floor(vecs * CENT_SCALE + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        ulabels = np.unique(labels)
+        out_l, out_p, out_s, out_n = [], [], [], []
+        for lb in ulabels:
+            mask = labels == lb
+            s = q[mask].sum(axis=0)
+            out_l.extend([int(lb)] * dim)
+            out_p.extend(range(dim))
+            out_s.extend(int(x) for x in s)
+            out_n.extend([int(mask.sum())] * dim)
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "pos": pa.array(out_p, pa.int64()),
+                         "csum": pa.array(out_s, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "pos"],
+        partial_aggs=[("csum", "sum"), ("n", "sum")],
+        aggs=[("csum_sum", "sum"), ("n_sum", "sum")],
+        rename={"csum_sum_sum": "csum", "n_sum_sum": "n"}, num_buckets=16)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cs = batch.column("csum").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        mean = np.floor_divide(cs, np.where(n == 0, 1, n))
+        return batch.append_column("mean_scaled", pa.array(mean, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_grouped_centroids() -> str:
+    """DuckDB mirror of grouped_centroids (identical quantization + floor
+    division)."""
+    qexpr = "CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    return (
+        "SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos, "
+        f"CAST(sum({qexpr}) AS BIGINT) AS csum, count(*) AS n, "
+        # DuckDB's BIGINT // truncates toward zero; spell out floor division
+        # so negative sums match numpy's floor_divide.
+        f"CAST(sum({qexpr}) AS BIGINT) // count(*) "
+        f"- CASE WHEN CAST(sum({qexpr}) AS BIGINT) % count(*) <> 0 "
+        f"AND sum({qexpr}) < 0 THEN 1 ELSE 0 END AS mean_scaled "
+        "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos) "
+        "GROUP BY label, pos")

@@ -1500,3 +1500,31 @@ class TestPagerank:
         gm = dict(zip(got.column("name").to_pylist(),
                       got.column("rank").to_pylist()))
         assert gm == self._reference(pairs)
+
+
+class TestGroupedCentroids:
+    def test_matches_duckdb_and_partitioning(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.extras.ann import grouped_centroids, sql_grouped_centroids
+        rng = np.random.default_rng(9)
+        n, dim = 300, 5
+        t = pa.table({
+            "label": pa.array(rng.integers(0, 4, n), pa.int32()),
+            "embedding": pa.array([list(map(float, rng.standard_normal(dim) * 3))
+                                   for _ in range(n)],
+                                  pa.list_(pa.float32())),
+        })
+        con = duckdb.connect()
+        con.register("embeddings", t)
+        want = sorted(map(tuple, con.execute(
+            sql_grouped_centroids()).fetchall()))
+        for nparts in (1, 6):
+            got = grouped_centroids(rd.from_arrow(t).repartition(nparts)).take_all()
+            gt = sorted((r["label"], r["pos"], r["csum"], r["n"], r["mean_scaled"])
+                        for r in got)
+            assert gt == want, nparts
+        # negative sums exercise the floor-vs-truncate divide distinction
+        assert any(c < 0 for _, _, c, _, _ in want)
