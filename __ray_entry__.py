@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clean_docs": Q.q_kg_clean_docs,
         "kg_mentions": Q.q_kg_mentions,
         "kg_mention_counts": Q.q_kg_mention_counts,
+        "kg_cooccurrence": Q.q_kg_cooccurrence,
         "kg_triples": Q.q_kg_triples,
         # KG pipeline — rows-only (linker/graph semantics not SQL-expressible)
         "kg_chunks": _q_kg_chunks,
@@ -411,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_by_source": Q.q_token_counts_by_source,
         "lang_counts": Q.q_lang_counts,
         "dedup_exact": Q.q_dedup_exact,
+        "url_canonical": Q.q_url_canonical,
         "docs_decontaminate": Q.q_docs_decontaminate,
         "docs_repetition": Q.q_docs_repetition,
         "docs_boilerplate": Q.q_docs_boilerplate,
@@ -482,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_clean_docs": Q.SQL_KG_CLEAN_DOCS,
         "kg_mentions": Q.SQL_KG_MENTIONS,
         "kg_mention_counts": Q.SQL_KG_MENTION_COUNTS,
+        "kg_cooccurrence": Q.SQL_KG_COOCCURRENCE,
         "kg_triples": Q.SQL_KG_TRIPLES,
         "kg_chunks": Q.SQL_KG_CHUNKS,
         "kg_triples_norm": Q.SQL_KG_TRIPLES_NORM,
@@ -495,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_by_source": Q.SQL_TOKEN_COUNTS,
         "lang_counts": Q.SQL_LANG_COUNTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
+        "url_canonical": Q.sql_url_canonical(),
         "docs_decontaminate": __import__("ontoray.extras.dedup", fromlist=["sql_decontaminate"]).sql_decontaminate(8),
         "docs_repetition": __import__("ontoray.extras.textstats", fromlist=["sql_repetition_stats"]).sql_repetition_stats(),
         "docs_boilerplate": Q.sql_docs_boilerplate(),

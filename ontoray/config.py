@@ -64,6 +64,8 @@ class PipelineConfig:
     resolve_mode: str = "auto"        # edge endpoint resolution: broadcast | join | auto
     sort_mode: str = "partitioned"    # final node/edge order: partitioned | global
     url_dedup_strategy: str = "broadcast_winners"  # or "shuffle" (see stages/ingest.py)
+    canonicalize_urls: bool = False   # normalize urls (utm/fragment/port/case/www)
+                                      # BEFORE per-url dedup (text/urlnorm.py)
     embed_dim: int = 64               # char-ngram hash embedding dimension
     checkpoint_dir: str | None = None # stage-checkpoint root (None = no checkpointing)
     docs_partitions: int = 32         # url-hash partitions for per-partition docs resume

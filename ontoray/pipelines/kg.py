@@ -42,6 +42,18 @@ def _docs_stage_partitioned(ckpt: CheckpointManager, pages_ds, cfg: PipelineConf
 
     if ckpt.is_complete("docs", fingerprint):
         return ckpt.load("docs")
+    if cfg.canonicalize_urls:
+        # Canonicalize BEFORE the partition-membership filter: partitions are
+        # keyed by the url that ends up in the output (the canonical one), so
+        # pruning must hash the same form.
+        from ontoray.text.urlnorm import canonicalize_url_column
+
+        def _canon(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("url")
+            return batch.set_column(i, "url",
+                                    canonicalize_url_column(batch.column("url")))
+
+        pages_ds = pages_ds.map_batches(_canon, batch_format="pyarrow")
     n_parts = cfg.docs_partitions
     done = ckpt.begin_partitioned("docs", fingerprint)
     missing = sorted(set(range(n_parts)) - done)
@@ -69,6 +81,8 @@ def _docs_stage_partitioned(ckpt: CheckpointManager, pages_ds, cfg: PipelineConf
     else:
         pages_sub = pages_ds
 
+    # canonicalize=False: urls were already canonicalized above (the resume
+    # partition filter must see the same form the output is partitioned by).
     docs = extract_docs(pages_sub, dedup_strategy=cfg.url_dedup_strategy)
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -321,8 +335,9 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         docs = _docs_stage_partitioned(ckpt, pages_ds, cfg, fingerprint)
         stage_walls["docs"] = round(time.perf_counter() - t0, 3)
     else:
-        docs = stage("docs", lambda: extract_docs(pages_ds,
-                                                  dedup_strategy=cfg.url_dedup_strategy))
+        docs = stage("docs", lambda: extract_docs(
+            pages_ds, dedup_strategy=cfg.url_dedup_strategy,
+            canonicalize=cfg.canonicalize_urls))
 
     # Fused hot path: chunk + mention + triple extraction in ONE pass over
     # docs — one barrier instead of three (chunks/mentions/triples remain

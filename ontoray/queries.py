@@ -75,6 +75,40 @@ def _sql_mentions_body() -> str:
 SQL_KG_MENTIONS = f"{_CLEANED_CTE} {_sql_mentions_body()}"
 
 
+def q_kg_cooccurrence(sf_dir: str):
+    """Concept co-occurrence counts (SURVEY M17): per-doc DISTINCT mention
+    pairs emitted batch-locally (each doc's pair fan-out is bounded by its
+    own mention-set size, k·(k-1)/2 — no mention rows ever shuffle), then the
+    two-phase bucketed count.  At crawl scale a per-doc mention cap bounds
+    the quadratic fan-out for pathological pages."""
+    from itertools import combinations
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        m1, m2 = [], []
+        for text in batch.column("doc_text").to_pylist():
+            ms = sorted(set(extract_mentions(text, GAZETTEER)))
+            for x, y in combinations(ms, 2):
+                m1.append(x)
+                m2.append(y)
+        return pa.table({"m1": pa.array(m1, pa.string()),
+                         "m2": pa.array(m2, pa.string())})
+
+    ds = _clean_docs_ds(sf_dir).map_batches(pairs, batch_format="pyarrow")
+    return hash_aggregate(ds, ["m1", "m2"],
+                          partial_aggs=[("m1", "count")],
+                          aggs=[("m1_count", "sum")],
+                          rename={"m1_count_sum": "n_docs"})
+
+
+SQL_KG_COOCCURRENCE = (
+    f"{_CLEANED_CTE}, m AS ({_sql_mentions_body()}) "
+    f"SELECT a.mention AS m1, b.mention AS m2, count(*) AS n_docs "
+    f"FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.mention < b.mention "
+    f"GROUP BY 1, 2")
+
+
 def q_kg_mention_counts(sf_dir: str):
     from ontoray.stages.agg import hash_aggregate
     return hash_aggregate(
@@ -306,6 +340,61 @@ def q_lang_counts(sf_dir: str):
 
 
 SQL_LANG_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# --- url canonicalization ----------------------------------------------------
+
+def q_url_canonical(sf_dir: str):
+    """Crawl-side URL canonicalization (fragment / tracking-param / default-
+    port / case / www normalization).  The synthetic corpus' urls are already
+    clean, so the query DECORATES them deterministically (md5-salted utm
+    params, fragments, fbclid, uppercased scheme+host, injected www.) before
+    canonicalizing — the SQL mirror reproduces both the decoration and the
+    cleanup, which makes the hash check exercise every rule on real rows."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ontoray.text.urlnorm import canonicalize_url_column
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        out = []
+        for d, s in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("source").to_pylist()):
+            u = f"https://{s}.example.org/doc-{d}"
+            if d % 5 == 0:
+                u = "HTTPS://WWW." + u[8:]
+            m = d % 4
+            if m == 0:
+                u += "?utm_source=x&utm_campaign=" + hashlib.md5(str(d).encode()).hexdigest()
+            elif m == 1:
+                u += "#frag"
+            elif m == 2:
+                u += f"?id={d}&fbclid=abc"
+            out.append(u)
+        arr = pa.array(out, pa.string())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": arr,
+                         "canon_url": canonicalize_url_column(arr)})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return ds.map_batches(decorate, batch_format="pyarrow")
+
+
+def sql_url_canonical() -> str:
+    from ontoray.text.urlnorm import sql_canon_expr
+    return (
+        "WITH u0 AS (SELECT doc_id, 'https://' || source || '.example.org/doc-' "
+        "|| doc_id AS b FROM documents), "
+        "u1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+        "THEN 'HTTPS://WWW.' || substr(b, 9) ELSE b END AS b FROM u0), "
+        "u2 AS (SELECT doc_id, CASE doc_id % 4 "
+        "WHEN 0 THEN b || '?utm_source=x&utm_campaign=' || md5(CAST(doc_id AS VARCHAR)) "
+        "WHEN 1 THEN b || '#frag' "
+        "WHEN 2 THEN b || '?id=' || doc_id || '&fbclid=abc' "
+        "ELSE b END AS url FROM u1) "
+        f"SELECT doc_id, url, {sql_canon_expr('url')} AS canon_url FROM u2")
 
 
 # --- dedup ------------------------------------------------------------------

@@ -156,7 +156,8 @@ def _shuffle_dedup(docs_ds):
 
 
 def extract_docs(pages_ds, *, lang: str = "en", dedup_urls: bool | None = None,
-                 dedup_strategy: str = "broadcast_winners"):
+                 dedup_strategy: str = "broadcast_winners",
+                 canonicalize: bool = False):
     """pages Dataset -> docs Dataset (url, doc_text).
 
     Per-url first-wins = min warc_ts, ties broken by min cleaned text.
@@ -165,8 +166,24 @@ def extract_docs(pages_ds, *, lang: str = "en", dedup_urls: bool | None = None,
     for DUPLICATED urls only and the broadcast winner map filters locally
     (no corpus bytes cross the network — the multi-node choice).  'shuffle'
     min-aggregates the cleaned text in one all-to-all (single read; can win
-    on a single node's shm object store)."""
+    on a single node's shm object store).
+
+    ``canonicalize=True`` rewrites the url column through the crawl
+    normalizer (text/urlnorm.py: fragment/tracking-param/port/case/www)
+    BEFORE dedup, so ``http://WWW.Host/p?utm_…`` and ``https://host/p``
+    collapse to one document — a cheap vectorized map on every pass (the
+    winner side pass included), no extra exchange."""
     import ray
+
+    if canonicalize:
+        from ontoray.text.urlnorm import canonicalize_url_column
+
+        def _canon(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("url")
+            return batch.set_column(i, "url",
+                                    canonicalize_url_column(batch.column("url")))
+
+        pages_ds = pages_ds.map_batches(_canon, batch_format="pyarrow")
 
     if dedup_urls is None:
         dedup_urls = "warc_ts" in pages_ds.schema().names

@@ -68,6 +68,70 @@ class TestByteIdentity:
         # First-wins: the tied earliest records beat the later distinct row.
         assert by_url["http://a/x"] == [clean_text("Same bytes here.")]
 
+    @pytest.mark.parametrize("strategy", ["broadcast_winners", "shuffle"])
+    def test_url_canonicalize_collapses_variants(self, ray_session, strategy):
+        """With canonicalize=True, crawl variants of one page (tracking
+        params, fragment, case, www, default port) dedup to ONE doc keyed by
+        the canonical url; first-wins (min warc_ts) still decides content."""
+        import numpy as np
+        import ray.data as rd
+        from ontoray.stages.ingest import extract_docs
+        from ontoray.text.clean import clean_text
+        ts = np.array(["2024-01-03T00:00:00", "2024-01-01T00:00:00",
+                       "2024-01-02T00:00:00", "2024-01-01T00:00:00"],
+                      dtype="datetime64[us]")
+        pages = pa.table({
+            "url": pa.array(["https://host.org/p?utm_source=mail",
+                             "HTTPS://WWW.HOST.ORG:443/p#frag",
+                             "https://host.org/p",
+                             "https://other.org/q"], pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array([b""] * 4, pa.binary()),
+            "text": pa.array(["Late variant.", "Earliest capture.",
+                              "Middle variant.", "Other page."], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+        })
+        docs = extract_docs(rd.from_arrow(pages), dedup_strategy=strategy,
+                            canonicalize=True).take_all()
+        by_url = {r["url"]: r["doc_text"] for r in docs}
+        assert len(docs) == 2 and set(by_url) == {"https://host.org/p",
+                                                  "https://other.org/q"}
+        assert by_url["https://host.org/p"] == clean_text("Earliest capture.")
+
+    def test_url_canonicalize_checkpointed_resume(self, ray_session, tmp_path):
+        """canonicalize_urls under the checkpointed per-partition docs stage:
+        partition membership must hash the CANONICAL url (the output key), so
+        a resumed run reproduces the fresh run byte-for-byte."""
+        import numpy as np
+        import ray.data as rd
+        from ontoray.config import PipelineConfig
+        from ontoray.pipelines.kg import run_kg_pipeline
+        n = 40
+        ts = np.array(["2024-01-01T00:00:00"] * n, dtype="datetime64[us]")
+        pages = pa.table({
+            "url": pa.array([f"HTTPS://WWW.h{i % 7}.org/p{i}?utm_s=x"
+                             for i in range(n)], pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array([b""] * n, pa.binary()),
+            "text": pa.array([f"The resistor r{i} is a part." for i in range(n)],
+                             pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        })
+        cfg_plain = PipelineConfig(canonicalize_urls=True)
+        plain = sorted((r["url"], r["doc_text"]) for r in run_kg_pipeline(
+            rd.from_arrow(pages), cfg=cfg_plain, curate_graph=False).docs.take_all())
+        cfg_ckpt = PipelineConfig(canonicalize_urls=True,
+                                  checkpoint_dir=str(tmp_path / "ck"),
+                                  docs_partitions=4)
+        first = run_kg_pipeline(rd.from_arrow(pages), cfg=cfg_ckpt,
+                                curate_graph=False, fingerprint="t1")
+        resumed = run_kg_pipeline(rd.from_arrow(pages), cfg=cfg_ckpt,
+                                  curate_graph=False, fingerprint="t1")
+        for res in (first, resumed):
+            got = sorted((r["url"], r["doc_text"]) for r in res.docs.take_all())
+            assert got == plain
+        assert all(u.startswith("https://h") for u, _ in plain)  # canon applied
+
 
 class TestTriples:
     def test_triples_pr(self, small_engine, small_oracle):

@@ -213,3 +213,37 @@ class TestSqlEmbeddingNeardup:
         for k in got:
             assert abs(got[k] - eng[k]) < 2e-6, (k, got[k], eng[k])
         assert len(got) >= 6   # planted dups actually found
+
+
+class TestSqlUrlCanon:
+    def test_adversarial_urls(self):
+        import pyarrow as pa
+        from ontoray.text.urlnorm import canonicalize_url_column, sql_canon_expr
+        urls = [
+            "https://Example.COM/Path?id=3&utm_source=x&utm_campaign=abc#frag",
+            "HTTP://WWW.HOST.ORG:80/a?utm_x=1",
+            "https://www.host.org:443/",
+            "http://host:80",
+            "https://h/p?utm_a=1&utm_b=2",
+            "https://h/p?utm_a=1&real=2",
+            "https://h/p?a=1&fbclid=zzz",
+            "https://h/p?gclid=1",
+            "ftp://WeIrD/KeepCase?utm_q=1",
+            "not a url #frag",
+            "https://h/p?utm_a=1&utm_b=2&c=3#x",
+            "http://www.a.b:80/?utm_z=9",
+            "HTTPS://H:443/x",
+            "http://h:8080/x",
+            "https://h/p?utm_source=#y",
+            "",
+        ]
+        got = canonicalize_url_column(pa.array(urls, pa.string())).to_pylist()
+        con = duckdb.connect()
+        con.register("t", pa.table({"u": pa.array(urls)}))
+        want = [r[0] for r in con.execute(
+            f"SELECT {sql_canon_expr('u')} FROM t").fetchall()]
+        assert got == want
+        # the rules actually fire: lowered host, stripped www/port/utm/frag
+        assert got[0] == "https://example.com/Path?id=3"
+        assert got[1] == "http://host.org/a"
+        assert got[3] == "http://host"
