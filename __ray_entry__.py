@@ -108,6 +108,19 @@ def _q_kg_pagerank(sf_dir: str):
     return Q.q_kg_pagerank_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_components(sf_dir: str):
+    """Connected components of the concept graph — iterative min-label
+    propagation (driver union-find under 100k edges; hash_join+min rounds
+    above), hash-checked against a recursive-CTE min-reachable mirror."""
+    return Q.q_kg_components_from(_kg_result(sf_dir).triples_dedup)
+
+
+def _q_kg_triangles(sf_dir: str):
+    """Triangle census of the undirected concept graph (clustering signal):
+    vocabulary-bounded broadcast adjacency, per-edge intersection counts."""
+    return Q.q_kg_triangles_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_text_langid(sf_dir: str):
     import ray.data as rd
     from ontoray.extras.textstats import LangId
@@ -407,12 +420,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_components": _q_kg_components,
+        "kg_triangles": _q_kg_triangles,
         # Training-data extras
         "doc_stats": Q.q_doc_stats,
         "token_counts_by_source": Q.q_token_counts_by_source,
         "lang_counts": Q.q_lang_counts,
         "dedup_exact": Q.q_dedup_exact,
         "url_canonical": Q.q_url_canonical,
+        "hll_tokens_by_source": Q.q_hll_tokens_by_source,
+        "cms_heavy_tokens": Q.q_cms_heavy_tokens,
+        "embed_kmeans": Q.q_embed_kmeans,
         "docs_decontaminate": Q.q_docs_decontaminate,
         "docs_repetition": Q.q_docs_repetition,
         "docs_boilerplate": Q.q_docs_boilerplate,
@@ -492,6 +510,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_contexts": Q.SQL_KG_MENTION_CONTEXTS,
         "kg_saturation": Q.SQL_KG_SATURATION,
         "kg_pagerank": Q.sql_kg_pagerank(),
+        "kg_components": Q.SQL_KG_COMPONENTS,
+        "kg_triangles": Q.SQL_KG_TRIANGLES,
+        "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
+        "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),
+        "embed_kmeans": __import__("ontoray.extras.kmeans",
+                                   fromlist=["sql_kmeans"]).sql_kmeans(),
         "events_session": Q.SQL_EVENTS_SESSION,
         "text_langid": Q.SQL_TEXT_LANGID,
         "doc_stats": __import__("ontoray.extras.textstats", fromlist=["sql_doc_stats"]).sql_doc_stats(),

@@ -304,6 +304,140 @@ def q_kg_pagerank_from(triples_dedup_ds, iters: int = 5):
                     src_col="subj_norm", dst_col="obj_norm")
 
 
+# --- kg graph analytics: components + triangles ------------------------------
+
+def q_kg_components_from(triples_dedup_ds):
+    """Undirected connected components of the extracted concept graph
+    (duplicate-entity cluster discovery / topic islands): (name, component)
+    with component = member-minimum concept name.  Engine plan in
+    stages/analytics.connected_components; the mirror computes min-reachable
+    via a recursive CTE over the same distinct-edge set."""
+    from ontoray.stages.analytics import connected_components, distinct_edges
+    ep = distinct_edges(triples_dedup_ds, "subj_norm", "obj_norm")
+    return connected_components(ep)
+
+
+SQL_KG_COMPONENTS = (
+    f"{_sql_triples_norm_ctes()}, "
+    "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm), "
+    "und AS (SELECT src AS a, dst AS b FROM trip WHERE src <> dst "
+    "UNION SELECT dst, src FROM trip WHERE src <> dst), "
+    "nodes AS (SELECT DISTINCT name FROM ("
+    "SELECT src AS name FROM trip UNION ALL SELECT dst FROM trip)), "
+    "reach AS (SELECT name AS v, name AS w FROM nodes "
+    "UNION SELECT r.v, u.b FROM reach r JOIN und u ON u.a = r.w) "
+    "SELECT v AS name, min(w) AS component FROM reach GROUP BY v")
+
+
+def q_kg_triangles_from(triples_dedup_ds):
+    """Triangle census of the undirected concept graph — the clustering
+    signal graph_stats lacks: (n_nodes, n_edges_und, n_triangles) over
+    und-incident nodes.  Adjacency-forward counting with a vocabulary-
+    bounded broadcast (stages/analytics.triangle_census)."""
+    from ontoray.stages.analytics import triangle_census
+
+    def pairs(batch):
+        return pa.table({"src": batch.column("subj_norm"),
+                         "dst": batch.column("obj_norm")})
+
+    return triangle_census(
+        triples_dedup_ds.map_batches(pairs, batch_format="pyarrow"))
+
+
+SQL_KG_TRIANGLES = (
+    f"{_sql_triples_norm_ctes()}, "
+    "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm), "
+    "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM trip WHERE src <> dst), "
+    "unodes AS (SELECT DISTINCT x FROM ("
+    "SELECT a AS x FROM und UNION ALL SELECT b FROM und)), "
+    "tri AS (SELECT count(*) AS n FROM und e1 "
+    "JOIN und e2 ON e2.a = e1.b "
+    "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "deg AS (SELECT x, count(*) AS d FROM ("
+    "SELECT a AS x FROM und UNION ALL SELECT b FROM und) GROUP BY x) "
+    "SELECT (SELECT count(*) FROM unodes) AS n_nodes, "
+    "(SELECT count(*) FROM und) AS n_edges_und, "
+    "(SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges, "
+    "(SELECT n FROM tri) AS n_triangles")
+
+
+# --- k-means over the embeddings table ---------------------------------------
+
+def q_embed_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means in exact int64 fixed-point
+    (extras/kmeans.py): 3 assignment rounds over broadcast centroids, each
+    update ONE k x dim-bounded exchange — hash-checked against the unrolled
+    SQL recurrence despite being an iterative ML algorithm."""
+    import ray.data as rd
+
+    from ontoray.extras.kmeans import kmeans_fixed
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans_fixed(ds, k=8, iters=3)
+
+
+# --- sketches: HLL distinct tokens, count-min heavy hitters ------------------
+
+_TOK_SQL = ("SELECT source, unnest(regexp_extract_all(coalesce(text, ''), "
+            "'[a-z0-9]+')) AS tok FROM documents")
+
+
+def _token_rows_ds(sf_dir: str):
+    import ray.data as rd
+
+    from ontoray.extras.textstats import TOKEN_RE
+
+    def toks(batch: pa.Table) -> pa.Table:
+        src_out, tok_out = [], []
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for w in TOKEN_RE.findall(t or ""):
+                src_out.append(s)
+                tok_out.append(w)
+        return pa.table({"source": pa.array(src_out, pa.string()),
+                         "tok": pa.array(tok_out, pa.string())})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"]).map_batches(
+                               toks, batch_format="pyarrow")
+
+
+def q_hll_tokens_by_source(sf_dir: str):
+    """Approximate distinct-token cardinality per source via HyperLogLog —
+    the shuffle-free COUNT(DISTINCT) at 100 TB (extras/sketches.py).  The
+    register table, harmonic numerator and estimate are all hash-checked
+    against the SQL mirror (identical md5 hash + integer register algebra)."""
+    from ontoray.extras.sketches import hll_estimate
+    return hll_estimate(_token_rows_ds(sf_dir), "tok", group_col="source")
+
+
+def sql_hll_tokens_by_source() -> str:
+    from ontoray.extras.sketches import sql_hll_estimate
+    return sql_hll_estimate(_TOK_SQL, "tok", group_col="source")
+
+
+def q_cms_heavy_tokens(sf_dir: str, threshold: int = 200):
+    """Heavy-hitter tokens by count-min sketch: build pass (d x w counter
+    sums, associative) + probe pass (distinct candidates vs the ray.put
+    sketch), keeping estimates >= threshold.  No exact corpus-scale count
+    anywhere; estimates are exact-mirrored in SQL."""
+    from ontoray.extras.sketches import cms_heavy_hitters
+    from ontoray.stages.agg import hash_aggregate
+
+    tok = _token_rows_ds(sf_dir).select_columns(["tok"])
+    cand = hash_aggregate(tok, ["tok"], partial_aggs=[("tok", "count")],
+                          aggs=[("tok_count", "sum")],
+                          rename={"tok_count_sum": "__n"}
+                          ).select_columns(["tok"])
+    return cms_heavy_hitters(tok, cand, "tok", "tok", threshold)
+
+
+def sql_cms_heavy_tokens(threshold: int = 200) -> str:
+    from ontoray.extras.sketches import sql_cms_heavy
+    return sql_cms_heavy(_TOK_SQL, "tok", threshold)
+
+
 # --- text stats / token counts / lang counts -------------------------------
 
 def q_doc_stats(sf_dir: str):

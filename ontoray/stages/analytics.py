@@ -119,3 +119,167 @@ def pagerank(edges_ds, iters: int = 5, src_col: str = "src",
 
     return pa.table({"name": pa.array(names, pa.string()),
                      "rank": pa.array([rank[m] for m in names], pa.int64())})
+
+
+def connected_components(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                         max_rounds: int = 30, driver_max_edges: int = 100_000):
+    """Undirected connected components over (src, dst) edges, any comparable
+    key type: (name, component) with component = the member-minimum name.
+
+    Same two-regime plan as extras.dedup.neardup_clusters (doc-id near-dup
+    clusters): small edge sets run driver union-find; larger graphs run
+    iterative min-label propagation — per round ONE hash_join (labels ⋈
+    symmetric edges) + ONE min aggregate, converging in O(diameter) rounds
+    with the label-sum(-of-md5-rank) invariant replaced here by a count of
+    changed labels folded per-round (labels only decrease).  Branch equality
+    is pytest-asserted.  Components here are CONCEPT components (vocabulary-
+    bounded), not corpus-scale rows.
+    """
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).combine_chunks()
+        d = batch.column(dst_col).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([s, d, s]),
+                         "dst": pa.concat_arrays([d, s, s])})
+
+    # symmetric edges + (v, v) self-loops so isolated srcs keep a label
+    edges = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    if edges.count() <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        seen = set()
+        for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for s, d in zip(b.column("src").to_pylist(),
+                            b.column("dst").to_pylist()):
+                seen.add(s)
+                seen.add(d)
+                rs, rd_ = find(s), find(d)
+                if rs != rd_:
+                    lo, hi = (rs, rd_) if rs < rd_ else (rd_, rs)
+                    parent[hi] = lo
+        rows = sorted((v, find(v)) for v in seen)
+        return pa.table({"name": pa.array([r[0] for r in rows]),
+                         "component": pa.array([r[1] for r in rows])})
+
+    labels = hash_aggregate(
+        edges, ["src"], partial_aggs=[("dst", "min")],
+        aggs=[("dst_min", "min")], rename={"dst_min_min": "label"}).materialize()
+
+    for _ in range(max_rounds):
+        # propagate: candidate label of dst = current label of src
+        prop = hash_join(edges, labels, "src", "src", how="inner",
+                         right_cols=["label"])
+
+        def cand(batch: pa.Table) -> pa.Table:
+            return pa.table({"src": batch.column("dst"),
+                             "dst": batch.column("label")})
+
+        new_labels = hash_aggregate(
+            prop.map_batches(cand, batch_format="pyarrow"), ["src"],
+            partial_aggs=[("dst", "min")], aggs=[("dst_min", "min")],
+            rename={"dst_min_min": "label"}).materialize()
+        # convergence: any label changed?  (labels only decrease, so an
+        # unchanged join count of (node, label) pairs means fixpoint)
+        diff = hash_join(new_labels, labels, "src", "src", how="inner",
+                         right_cols=["label"])   # right label -> label_r
+
+        def changed(batch: pa.Table) -> pa.Table:
+            n = pc.sum(pc.cast(pc.not_equal(batch.column("label"),
+                                            batch.column("label_r")),
+                               pa.int64())).as_py() or 0
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        n_changed = sum(r["n"] for r in
+                        diff.map_batches(changed, batch_format="pyarrow")
+                        .take_all())
+        labels = new_labels
+        if n_changed == 0:
+            break
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"name": batch.column("src"),
+                         "component": batch.column("label")})
+
+    out = labels.map_batches(rename, batch_format="pyarrow")
+    rows = sorted((r["name"], r["component"]) for r in out.take_all())
+    return pa.table({"name": pa.array([r[0] for r in rows]),
+                     "component": pa.array([r[1] for r in rows])})
+
+
+def triangle_census(edges_ds, src_col: str = "src", dst_col: str = "dst"):
+    """(n_nodes, n_edges_und, n_triangles) of the undirected simple graph.
+
+    Adjacency-forward counting: und = distinct {a < b} pairs; adj[x] = {y >
+    x}; triangles = Σ over edges (a,b) of |adj[a] ∩ adj[b]| (every triangle
+    a<b<c counted exactly once, at edge (a,b)).  The adjacency map is
+    concept-vocabulary-bounded and broadcasts once (ray.put) — the per-edge
+    intersection runs vectorized set logic inside map_batches; a vocabulary
+    beyond driver memory would swap the broadcast for an edge-edge hash_join
+    on the shared endpoint.
+    """
+    import ray
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.util import column_lists
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col).to_pylist()
+        b = batch.column(dst_col).to_pylist()
+        lo, hi = [], []
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            p, q = (x, y) if x < y else (y, x)
+            lo.append(p)
+            hi.append(q)
+        return pa.table({"a": pa.array(lo, pa.string()),
+                         "b": pa.array(hi, pa.string())})
+
+    und = hash_aggregate(
+        edges_ds.map_batches(ordered, batch_format="pyarrow"), ["a", "b"],
+        partial_aggs=[("a", "count")], aggs=[("a_count", "sum")],
+        rename={"a_count_sum": "__n"}).select_columns(["a", "b"]).materialize()
+
+    cols = column_lists(und, ["a", "b"])
+    adj: dict[str, set] = {}
+    nodes = set()
+    for x, y in zip(cols["a"], cols["b"]):
+        adj.setdefault(x, set()).add(y)
+        nodes.add(x)
+        nodes.add(y)
+    bcast = ray.put(adj)
+
+    def tri(batch: pa.Table) -> pa.Table:
+        am = ray.get(bcast)
+        t = 0
+        for x, y in zip(batch.column("a").to_pylist(),
+                        batch.column("b").to_pylist()):
+            t += len(am.get(x, ()) & am.get(y, set()))
+        return pa.table({"t": pa.array([t], pa.int64())})
+
+    n_tri = sum(r["t"] for r in
+                und.map_batches(tri, batch_format="pyarrow").take_all())
+    # wedges (paths of length 2) = sum over nodes of C(deg, 2) — the open-
+    # triad count; with triangles this gives the global clustering
+    # coefficient 3*tri/wedges at the consumer.
+    from collections import Counter
+    deg = Counter(cols["a"])
+    deg.update(cols["b"])
+    n_wedge = sum(d * (d - 1) // 2 for d in deg.values())
+    return pa.table({"n_nodes": pa.array([len(nodes)], pa.int64()),
+                     "n_edges_und": pa.array([und.count()], pa.int64()),
+                     "n_wedges": pa.array([n_wedge], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64())})

@@ -1528,3 +1528,179 @@ class TestGroupedCentroids:
             assert gt == want, nparts
         # negative sums exercise the floor-vs-truncate divide distinction
         assert any(c < 0 for _, _, c, _, _ in want)
+
+
+class TestConnectedComponents:
+    """Min-label components: both branches equal a union-find reference,
+    string keys, partitioning-invariant."""
+
+    def _graph(self):
+        import random
+        rng = random.Random(9)
+        names = [f"n{i:02d}" for i in range(60)]
+        # three islands + isolated self-loop node + a long chain (diameter)
+        edges = []
+        for lo, hi in ((0, 20), (20, 40), (40, 55)):
+            for _ in range(30):
+                edges.append((names[rng.randrange(lo, hi)],
+                              names[rng.randrange(lo, hi)]))
+        edges += [(names[i], names[i + 1]) for i in range(55, 59)]
+        edges.append(("zz-island", "zz-island"))
+        return edges
+
+    def _reference(self, edges):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for s, d in edges:
+            rs, rd_ = find(s), find(d)
+            if rs != rd_:
+                lo, hi = sorted((rs, rd_))
+                parent[hi] = lo
+        nodes = {v for e in edges for v in e}
+        return {v: find(v) for v in nodes}
+
+    def test_both_branches_match_reference(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.stages.analytics import connected_components
+        edges = self._graph()
+        want = self._reference(edges)
+        t = pa.table({"src": pa.array([s for s, _ in edges]),
+                      "dst": pa.array([d for _, d in edges])})
+        for kwargs in ({"driver_max_edges": 100_000},   # driver union-find
+                       {"driver_max_edges": 0}):        # distributed rounds
+            for nparts in (1, 5):
+                got = connected_components(rd.from_arrow(t).repartition(nparts),
+                                           **kwargs)
+                gm = dict(zip(got.column("name").to_pylist(),
+                              got.column("component").to_pylist()))
+                assert gm == want, (kwargs, nparts)
+
+
+class TestTriangleCensus:
+    def test_known_graph(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.stages.analytics import triangle_census
+        # K4 on a-d (4 triangles) + pendant edge + reversed duplicate edges
+        # + self loop; wedges = sum C(deg,2) = 3*C(3,2)+C(4,2)+C(1,2)... computed below
+        k4 = ["a", "b", "c", "d"]
+        edges = [(x, y) for i, x in enumerate(k4) for y in k4[i + 1:]]
+        edges += [("d", "e"), ("b", "a"), ("c", "a"), ("f", "f")]
+        t = pa.table({"src": pa.array([s for s, _ in edges]),
+                      "dst": pa.array([d for _, d in edges])})
+        got = triangle_census(rd.from_arrow(t).repartition(3)).to_pylist()[0]
+        # degrees: a3 b3 c3 d4 e1 -> wedges 3+3+3+6+0 = 15
+        assert got == {"n_nodes": 5, "n_edges_und": 7, "n_wedges": 15,
+                       "n_triangles": 4}
+
+
+class TestSketchMirrors:
+    """SQL-mirrored sketch family: registers/counters/estimates hash-equal
+    to DuckDB, partitioning-invariant, estimates accurate."""
+
+    def _docs(self):
+        import pyarrow as pa
+        rows = []
+        for g, n_distinct, reps in (("s0", 400, 2), ("s1", 37, 5), ("s2", 1, 1)):
+            for i in range(n_distinct):
+                rows += [(g, f"{g}-k{i}")] * reps
+        return pa.table({"grp": pa.array([r[0] for r in rows], pa.string()),
+                         "key": pa.array([r[1] for r in rows], pa.string())})
+
+    def test_hll_grouped_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.sketches import hll_estimate, sql_hll_estimate
+        t = self._docs()
+        got = hll_estimate(rd.from_arrow(t).repartition(6), "key",
+                           group_col="grp")
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(sql_hll_estimate(
+            "SELECT grp, key FROM t", "key", group_col="grp")).df()
+        gd = got.to_pandas().sort_values("grp").reset_index(drop=True)
+        wd = want.sort_values("grp").reset_index(drop=True)[list(gd.columns)]
+        assert gd.equals(wd.astype(gd.dtypes.to_dict())), (gd, wd)
+        # accuracy in the linear-counting regime
+        est = dict(zip(gd["grp"], gd["est"]))
+        assert abs(est["s0"] - 400) / 400 < 0.05
+        assert abs(est["s1"] - 37) < 2
+        assert abs(est["s2"] - 1) < 0.5
+
+    def test_hll_partitioning_invariant(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.sketches import hll_estimate
+        t = self._docs()
+        a = hll_estimate(rd.from_arrow(t).repartition(2), "key", "grp")
+        b = hll_estimate(rd.from_arrow(t).repartition(9), "key", "grp")
+        assert a.equals(b)
+
+    def test_cms_heavy_matches_duckdb_and_overestimates(self, ray_session):
+        from collections import Counter
+
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.extras.sketches import cms_heavy_hitters, sql_cms_heavy
+        vals = []
+        for j in range(1, 30):
+            vals.extend([f"item-{j:02d}"] * (600 // j))
+        vals.extend(f"noise-{i}" for i in range(800))
+        truth = Counter(vals)
+        t = pa.table({"key": pa.array(vals, pa.string())})
+        cand = pa.table({"key": pa.array(sorted(set(vals)), pa.string())})
+        got = cms_heavy_hitters(rd.from_arrow(t).repartition(5),
+                                rd.from_arrow(cand), "key", "key",
+                                threshold=50)
+        gd = {r["key"]: r["est"] for r in got.take_all()}
+        con = duckdb.connect()
+        con.register("t", t)
+        want = dict(con.execute(sql_cms_heavy(
+            "SELECT key FROM t", "key", 50)).fetchall())
+        assert gd == want
+        for k, est in gd.items():           # one-sided CMS guarantee
+            assert est >= truth[k], k
+        for k, n in truth.items():          # no false negatives at threshold
+            if n >= 50:
+                assert k in gd
+
+
+class TestKmeansFixed:
+    def test_matches_duckdb_and_partitioning(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.extras.kmeans import kmeans_fixed, sql_kmeans
+        rng = np.random.default_rng(3)
+        # 3 well-separated blobs + stragglers, dim 6
+        centers = np.array([[5, 0, 0, 0, 0, 0], [0, 5, 0, 0, 0, 0],
+                            [0, 0, 5, 0, 0, 0]], float)
+        vecs = np.concatenate([
+            centers[i] + rng.normal(0, 0.3, (40, 6)) for i in range(3)] +
+            [rng.normal(0, 3.0, (10, 6))])
+        t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                      "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                            pa.list_(pa.float32()))})
+        con = duckdb.connect()
+        con.register("embeddings", t)
+        want = dict(con.execute(
+            sql_kmeans(k=4, iters=3, table="embeddings")).fetchall())
+        for nparts in (1, 6):
+            got = {r["vec_id"]: r["cluster"] for r in
+                   kmeans_fixed(rd.from_arrow(t).repartition(nparts),
+                                k=4, iters=3).take_all()}
+            assert got == want, nparts
+        # clustering quality: each blob lands (almost) entirely in one cluster
+        for b in range(3):
+            ids = range(b * 40, b * 40 + 40)
+            top = max(set(want[i] for i in ids),
+                      key=lambda c: sum(want[i] == c for i in ids))
+            assert sum(want[i] == top for i in ids) >= 36
