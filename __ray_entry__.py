@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_tokens_by_source": Q.q_hll_tokens_by_source,
         "cms_heavy_tokens": Q.q_cms_heavy_tokens,
         "embed_kmeans": Q.q_embed_kmeans,
+        "lm_bigrams": Q.q_lm_bigrams,
         "docs_decontaminate": Q.q_docs_decontaminate,
         "docs_repetition": Q.q_docs_repetition,
         "docs_boilerplate": Q.q_docs_boilerplate,
@@ -516,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),
         "embed_kmeans": __import__("ontoray.extras.kmeans",
                                    fromlist=["sql_kmeans"]).sql_kmeans(),
+        "lm_bigrams": Q.sql_lm_bigrams(),
         "events_session": Q.SQL_EVENTS_SESSION,
         "text_langid": Q.SQL_TEXT_LANGID,
         "doc_stats": __import__("ontoray.extras.textstats", fromlist=["sql_doc_stats"]).sql_doc_stats(),

@@ -61,6 +61,9 @@ class PipelineConfig:
     salt_buckets: int = 16            # salting factor for skewed groupbys
     num_blocks: int | None = None     # None = 2x cluster CPUs
     extractor_actors: bool = False    # pin extraction to an actor pool (default: tasks)
+    linker_actors: bool = False       # pin linking to an actor pool (default: tasks
+                                      # with a per-worker cached broadcast — warm
+                                      # workers, no pool spawn on the critical path)
     resolve_mode: str = "auto"        # edge endpoint resolution: broadcast | join | auto
     sort_mode: str = "partitioned"    # final node/edge order: partitioned | global
     url_dedup_strategy: str = "broadcast_winners"  # or "shuffle" (see stages/ingest.py)

@@ -719,3 +719,78 @@ def sql_pack_sequences(seq_len: int = 512, table: str = "documents",
              - n_tokens) // {seq_len})::BIGINT AS seq_id
     FROM t
     """
+
+
+# --- n-gram language-model counts --------------------------------------------
+
+def bigram_counts(ds, text_col: str = "text", min_count: int = 1,
+                  num_partitions: int = 16):
+    """Corpus bigram table (w1, w2, n, n_w1, p6) — the LM-data count step
+    (KenLM-style n-gram estimation): per-batch Counter combiner over token
+    windows (bigram rows never leave the batch unaggregated), two-phase
+    bucketed count, prefix totals derived FROM the bigram table itself (one
+    vocabulary-scale aggregate, no second corpus pass), partitioned
+    hash_join (the 100-TB bigram vocabulary fits no driver dict), exact
+    conditional probability p6 = round(n / n_w1, 6)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            cnt.update(zip(toks, toks[1:]))
+        w1, w2, c = [], [], []
+        for (a, b), n in cnt.items():
+            w1.append(a)
+            w2.append(b)
+            c.append(n)
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "c": pa.array(c, pa.int64())})
+
+    bg = hash_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["w1", "w2"],
+        partial_aggs=[("c", "sum")], aggs=[("c_sum", "sum")],
+        rename={"c_sum_sum": "n"}, num_buckets=num_partitions).materialize()
+
+    pref = hash_aggregate(
+        bg.select_columns(["w1", "n"]), ["w1"],
+        partial_aggs=[("n", "sum")], aggs=[("n_sum", "sum")],
+        rename={"n_sum_sum": "n_w1"}, num_buckets=num_partitions)
+
+    joined = hash_join(bg, pref, "w1", "w1", how="inner",
+                       num_partitions=num_partitions, right_cols=["n_w1"])
+
+    def prob(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = batch.column("n").to_pylist()
+        d = batch.column("n_w1").to_pylist()
+        p = pa.array([round(a / b, 6) for a, b in zip(n, d)], pa.float64())
+        out = batch.append_column("p6", p)
+        if min_count > 1:
+            out = out.filter(pc.greater_equal(out.column("n"), min_count))
+        return out
+
+    return joined.map_batches(prob, batch_format="pyarrow")
+
+
+def sql_bigram_counts(min_count: int = 1, table: str = "documents",
+                      text_col: str = "text") -> str:
+    """DuckDB mirror of ``bigram_counts`` (identical tokenization, counts,
+    prefix totals and float rounding)."""
+    return f"""
+    WITH t AS (SELECT regexp_extract_all(coalesce({text_col}, ''),
+                                         '[a-z0-9]+') AS l FROM {table}),
+    bg AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+           FROM t WHERE len(l) >= 2),
+    c AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n FROM bg GROUP BY 1, 2),
+    u AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM c GROUP BY w1)
+    SELECT c.w1, c.w2, c.n, u.n_w1,
+           round(CAST(c.n AS DOUBLE) / u.n_w1, 6) AS p6
+    FROM c JOIN u USING (w1) WHERE c.n >= {min_count}
+    """

@@ -362,6 +362,24 @@ SQL_KG_TRIANGLES = (
     "(SELECT n FROM tri) AS n_triangles")
 
 
+# --- n-gram LM counts --------------------------------------------------------
+
+def q_lm_bigrams(sf_dir: str):
+    """Corpus bigram LM table with exact conditional probabilities
+    (extras/textstats.bigram_counts): Counter combiner -> two-phase count ->
+    prefix totals from the bigram table itself -> partitioned join."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import bigram_counts
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_counts(ds, min_count=3)
+
+
+def sql_lm_bigrams() -> str:
+    from ontoray.extras.textstats import sql_bigram_counts
+    return sql_bigram_counts(min_count=3)
+
+
 # --- k-means over the embeddings table ---------------------------------------
 
 def q_embed_kmeans(sf_dir: str):

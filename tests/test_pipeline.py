@@ -683,3 +683,68 @@ class TestIncrementalUpdate:
         assert edge_set(r_inc) == edge_set(r_ref)
         assert sorted(r["name"] for r in r_inc.nodes.take_all()) == \
                sorted(r["name"] for r in r_ref.nodes.take_all())
+
+
+class TestLinkerTaskPath:
+    def test_tasks_equal_actor_pool(self, ray_session, small_corpus):
+        """Default stateless-task linker (warm workers, per-worker cached
+        broadcast) == pinned actor-pool linker, row for row."""
+        import ray.data as rd
+        from ontoray.aliases import build_alias_data
+        from ontoray.config import PipelineConfig
+        from ontoray.stages.extraction import chunk_and_extract_batch, split_combined
+        from ontoray.stages.ingest import extract_docs
+        from ontoray.stages.linking import collect_props, link_entities
+        from ontoray.aliases import gazetteer_phrases
+        alias = build_alias_data()
+        docs = extract_docs(rd.from_arrow(small_corpus.slice(0, 300)))
+        combined = docs.map_batches(
+            chunk_and_extract_batch,
+            fn_kwargs=dict(gazetteer=gazetteer_phrases(alias),
+                           chunk_size=1000, chunk_overlap=100),
+            batch_format="pyarrow").materialize()
+        mentions, triples = split_combined(combined)
+        props = collect_props(triples)
+        key = lambda r: tuple(sorted(r.items(), key=lambda kv: kv[0]))
+        rows = {}
+        for actors in (False, True):
+            cfg = PipelineConfig(linker_actors=actors, linker_concurrency=2)
+            ents = link_entities(mentions, alias, cfg, props)
+            rows[actors] = sorted(key(r) for r in ents.take_all())
+        assert rows[False] == rows[True] and rows[False]
+
+
+class TestDepthVectorized:
+    def test_matches_chain_walk(self):
+        """_max_depth_vectorized == first-wins dict + _depth_walk on
+        adversarial graphs: cycles, multi-parent (first wins), deep chains,
+        chains past the depth cap, and the root-as-child fallback."""
+        import random
+
+        import numpy as np
+        import pyarrow as pa
+        from ontoray.stages.curation import _depth_walk, _max_depth_vectorized
+        rng = random.Random(13)
+        cases = []
+        # random forests + cycles
+        for trial in range(30):
+            names = [f"n{i}" for i in range(40)] + ["Root"]
+            edges = [(rng.choice(names), rng.choice(names)) for _ in range(60)]
+            cases.append(edges)
+        # deep chain exceeding the cap
+        cases.append([(f"c{i+1}", f"c{i}") for i in range(20)] + [("c0", "Root")])
+        # duplicate src rows (first parent wins)
+        cases.append([("a", "Root"), ("a", "x"), ("b", "a"), ("b", "zz")])
+        # root itself has a parent (exact-fallback branch)
+        cases.append([("Root", "up"), ("a", "Root"), ("b", "a")])
+        cases.append([])
+        for edges in cases:
+            src = pa.array([e[0] for e in edges], pa.string())
+            dst = pa.array([e[1] for e in edges], pa.string())
+            src_np = np.asarray([e[0] for e in edges], object)
+            parent = {}
+            for s, d in edges:
+                parent.setdefault(s, d)
+            want = _depth_walk(parent, "Root", 12)
+            got = _max_depth_vectorized(src, dst, "Root", 12)
+            assert got == want, (edges, got, want)
