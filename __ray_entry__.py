@@ -276,6 +276,41 @@ def _q_multimodal_image_features(sf_dir: str):
     return decode_images(ds.map_batches(to_payload, batch_format="pyarrow"), fake=True)
 
 
+def _q_multimodal_resize_plan(sf_dir: str):
+    """Decode -> bounded-max-dim resize plan (integer dim/byte math, exact
+    SQL mirror) — the second stage of the image pipeline."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ontoray.extras.multimodal import decode_images, resize_images
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([f"doc-{d}" for d in batch.column("doc_id").to_pylist()], pa.string()),
+            "payload": pa.array([t.encode() for t in batch.column("text").to_pylist()], pa.binary()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    feats = decode_images(ds.map_batches(to_payload, batch_format="pyarrow"), fake=True)
+    return resize_images(feats, target=256)
+
+
+def _q_multimodal_frame_sample(sf_dir: str):
+    """Video frame-sampling fan-out (explode shape: payload row ->
+    ceil(n_frames/stride) frame rows), deterministic container-parse stub."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ontoray.extras.multimodal import sample_frames
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([f"doc-{d}" for d in batch.column("doc_id").to_pylist()], pa.string()),
+            "payload": pa.array([t.encode() for t in batch.column("text").to_pylist()], pa.binary()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sample_frames(ds.map_batches(to_payload, batch_format="pyarrow"), stride=10)
+
+
 def _q_kg_summary(sf_dir: str):
     import pandas as pd
     from ontoray.stages.reporting import run_summary
@@ -454,6 +489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_group_cap": _q_sample_group_cap,
         "tfidf_top_terms": _q_tfidf_top,
         "multimodal_image_features": _q_multimodal_image_features,
+        "multimodal_resize_plan": _q_multimodal_resize_plan,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
         # Reporting / evaluation / export operators
         "kg_summary": _q_kg_summary,
         "kg_review_queue": _q_review_queue,
@@ -539,6 +576,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": __import__("ontoray.extras.dedup", fromlist=["sql_embedding_neardup"]).sql_embedding_neardup(threshold=0.45),
         "text_fingerprint": __import__("ontoray.extras.textstats", fromlist=["sql_text_fingerprint"]).sql_text_fingerprint(),
         "multimodal_image_features": __import__("ontoray.extras.multimodal", fromlist=["sql_image_features"]).sql_image_features(),
+        "multimodal_resize_plan": __import__("ontoray.extras.multimodal", fromlist=["sql_resize_plan"]).sql_resize_plan(),
+        "multimodal_frame_sample": __import__("ontoray.extras.multimodal", fromlist=["sql_frame_sample"]).sql_frame_sample(),
         "sample_stratified": __import__("ontoray.extras.textstats", fromlist=["sql_stratified_sample"]).sql_stratified_sample(_STRAT_RATES),
         "docs_split": __import__("ontoray.extras.textstats", fromlist=["sql_hash_split"]).sql_hash_split(),
         "sample_weighted": __import__("ontoray.extras.textstats", fromlist=["sql_weighted_sample"]).sql_weighted_sample(_WSAMP_RATE),

@@ -112,7 +112,8 @@ def run_bench() -> dict:
     qtimes = {}
     queries = entrymod.queries()
     for name in ("kg_clean_docs", "kg_mentions", "kg_triples", "dedup_exact",
-                 "dedup_minhash", "doc_stats", "ann_topk", "orders_by_nation"):
+                 "dedup_minhash", "doc_stats", "ann_topk", "orders_by_nation",
+                 "hll_tokens_by_source", "embed_kmeans", "kg_components"):
         t0 = time.perf_counter()
         out = queries[name](sf_dir)
         if hasattr(out, "count"):

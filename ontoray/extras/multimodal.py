@@ -105,3 +105,172 @@ def decode_images(ds, fake: bool = False, payload_col: str = "payload",
     return ds.map_batches(
         DecodeImage, fn_constructor_args=(fake, payload_col, key_col),
         batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency))
+
+
+# --- resize ------------------------------------------------------------------
+
+RESIZE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("out_w", pa.int32()),
+    ("out_h", pa.int32()),
+    ("out_bytes", pa.int64()),
+])
+
+
+class ResizeImage:
+    """Decoded image rows -> bounded-max-dimension resize plan/execute
+    (actor-pool stage; real deployments do the pixel work in ``_resize``
+    with a PIL/opencv handle loaded once per actor).
+
+    All dimension math is INTEGER (``(w * target) // maxdim``), so the
+    output is partitioning-invariant and exactly mirrored in SQL
+    (``sql_resize_plan``).  The fake byte cost models area scaling:
+    ``out_bytes = (n_bytes * out_w * out_h) // (w * h)``.
+    """
+
+    def __init__(self, target: int = 256, fake: bool = False):
+        self.target = target
+        self.fake = fake
+
+    def _resize(self, raw: bytes, out_w: int, out_h: int) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "image resize requires an imaging library not present in "
+                "this environment; run with fake=True for the plan-only stub")
+        return raw  # plan-only stub: byte cost is modeled, not produced
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        nb = batch.column("n_bytes").to_pylist()
+        t = self.target
+        ow, oh, ob = [], [], []
+        for w, h, n in zip(ws, hs, nb):
+            m = max(w, h)
+            if m <= t:
+                a, b = w, h
+            else:
+                a, b = max(1, (w * t) // m), max(1, (h * t) // m)
+            ow.append(a)
+            oh.append(b)
+            ob.append((n * a * b) // (w * h) if w and h else 0)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "out_w": pa.array(ow, pa.int32()),
+            "out_h": pa.array(oh, pa.int32()),
+            "out_bytes": pa.array(ob, pa.int64()),
+        }).cast(RESIZE_SCHEMA)
+
+
+def sql_resize_plan(target: int = 256, table: str = "documents") -> str:
+    """DuckDB mirror of image-features -> ResizeImage (integer dim math)."""
+    feats = sql_image_features(table)
+    return f"""
+    WITH f AS ({feats})
+    SELECT url, width, height,
+           CASE WHEN greatest(width, height) <= {target} THEN width
+                ELSE greatest(1, (width * {target}) // greatest(width, height))
+           END::INTEGER AS out_w,
+           CASE WHEN greatest(width, height) <= {target} THEN height
+                ELSE greatest(1, (height * {target}) // greatest(width, height))
+           END::INTEGER AS out_h,
+           CASE WHEN width > 0 AND height > 0 THEN
+             (n_bytes *
+              (CASE WHEN greatest(width, height) <= {target} THEN width
+                    ELSE greatest(1, (width * {target}) // greatest(width, height)) END) *
+              (CASE WHEN greatest(width, height) <= {target} THEN height
+                    ELSE greatest(1, (height * {target}) // greatest(width, height)) END))
+             // (width * height)
+           ELSE 0 END::BIGINT AS out_bytes
+    FROM f
+    """
+
+
+def resize_images(ds, target: int = 256, concurrency: int = 2,
+                  batch_size: int = 256):
+    return ds.map_batches(
+        ResizeImage, fn_constructor_args=(target, True),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency))
+
+
+# --- video frame sampling ----------------------------------------------------
+
+FRAME_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("frame_id", pa.int64()),
+    ("frame_off", pa.int64()),
+    ("n_frames", pa.int64()),
+])
+
+
+class SampleFrames:
+    """binary video column -> sampled frame-index rows (the explode/flat_map
+    shape: one payload row fans out to ceil(n_frames / stride) frame rows).
+
+    The container parse is STUBBED deterministically (n_frames derived from
+    the byte length; a real deployment opens the container once per actor in
+    ``__init__``); the fan-out schema, small-batch sizing and per-frame
+    offsets — what a downstream frame-decode stage consumes — are real and
+    SQL-mirrored (``sql_frame_sample``).
+    """
+
+    def __init__(self, stride: int = 10, fake: bool = True,
+                 payload_col: str = "payload", key_col: str = "url"):
+        self.stride = stride
+        self.fake = fake
+        self.payload_col = payload_col
+        self.key_col = key_col
+
+    def _parse(self, raw: bytes) -> int:
+        if not self.fake:
+            raise NotImplementedError(
+                "video demux requires an av library not present in this "
+                "environment; run with fake=True for the deterministic stub")
+        return 1 + len(raw) // 1000          # >= 1 frame per payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, fids, offs, totals = [], [], [], []
+        for key, raw in zip(batch.column(self.key_col).to_pylist(),
+                            batch.column(self.payload_col).to_pylist()):
+            raw = raw or b""
+            n = self._parse(raw)
+            for f in range(0, n, self.stride):
+                urls.append(key)
+                fids.append(f)
+                offs.append(f * 1000)        # fake fixed-size frames
+                totals.append(n)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "frame_id": pa.array(fids, pa.int64()),
+            "frame_off": pa.array(offs, pa.int64()),
+            "n_frames": pa.array(totals, pa.int64()),
+        }).cast(FRAME_SCHEMA)
+
+
+def sql_frame_sample(stride: int = 10, table: str = "documents") -> str:
+    """DuckDB mirror of the frame-sample fan-out over the derived payloads
+    (payload = utf-8 bytes of ``text``, url = 'doc-' || doc_id)."""
+    return f"""
+    WITH v AS (
+      SELECT 'doc-' || doc_id AS url,
+             1 + octet_length(encode(coalesce(text, ''))) // 1000 AS n_frames
+      FROM {table}
+    )
+    SELECT url, f.frame_id, f.frame_id * 1000 AS frame_off, n_frames
+    FROM v, LATERAL (SELECT unnest(range(0, n_frames, {stride})) AS frame_id) f
+    """
+
+
+def sample_frames(ds, stride: int = 10, concurrency: int = 2,
+                  batch_size: int = 64, payload_col: str = "payload",
+                  key_col: str = "url"):
+    return ds.map_batches(
+        SampleFrames, fn_constructor_args=(stride, True, payload_col, key_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency))

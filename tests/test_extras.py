@@ -1729,3 +1729,55 @@ class TestBigramCounts:
         assert by_pair[("the", "quick")][0] == 4      # counts right
         n, d, p = by_pair[("a", "b")]
         assert (n, d) == (4, 4) and p == 1.0          # exact conditional
+
+
+class TestMultimodalResizeFrames:
+    def _payloads(self):
+        texts = ["x" * n for n in (0, 5, 999, 1000, 1001, 5500, 25000)]
+        return pa.table({
+            "url": pa.array([f"u{i}" for i in range(len(texts))], pa.string()),
+            "payload": pa.array([t.encode() for t in texts], pa.binary()),
+        })
+
+    def test_resize_dims_integer_exact(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.multimodal import decode_images, resize_images
+        payloads = self._payloads()
+        n_bytes = {u: len(p) for u, p in zip(payloads.column("url").to_pylist(),
+                                             payloads.column("payload").to_pylist())}
+        feats = decode_images(rd.from_arrow(payloads), fake=True)
+        out = resize_images(feats, target=256).take_all()
+        assert len(out) == payloads.num_rows
+        for r in out:
+            m = max(r["width"], r["height"])
+            if m <= 256:
+                assert (r["out_w"], r["out_h"]) == (r["width"], r["height"])
+            else:
+                assert r["out_w"] == max(1, (r["width"] * 256) // m)
+                assert r["out_h"] == max(1, (r["height"] * 256) // m)
+                assert max(r["out_w"], r["out_h"]) == 256
+            assert r["out_bytes"] == (n_bytes[r["url"]] * r["out_w"] * r["out_h"]
+                                      ) // (r["width"] * r["height"])
+
+    def test_frame_sample_fanout(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.multimodal import sample_frames
+        out = sample_frames(rd.from_arrow(self._payloads()),
+                            stride=10).take_all()
+        by_url = {}
+        for r in out:
+            by_url.setdefault(r["url"], []).append(r)
+        # u0: 0 bytes -> 1 frame; u6: 25000 bytes -> 26 frames -> ids 0,10,20
+        assert [r["frame_id"] for r in by_url["u0"]] == [0]
+        assert [r["frame_id"] for r in by_url["u6"]] == [0, 10, 20]
+        for r in out:
+            assert r["frame_off"] == r["frame_id"] * 1000
+            assert r["frame_id"] < r["n_frames"]
+
+    def test_real_path_raises(self):
+        import pytest as _pytest
+        from ontoray.extras.multimodal import ResizeImage, SampleFrames
+        with _pytest.raises(NotImplementedError):
+            ResizeImage(fake=False)._resize(b"x", 1, 1)
+        with _pytest.raises(NotImplementedError):
+            SampleFrames(fake=False)._parse(b"x")
