@@ -294,6 +294,23 @@ def _q_multimodal_resize_plan(sf_dir: str):
     return resize_images(feats, target=256)
 
 
+def _q_multimodal_audio_features(sf_dir: str):
+    """Audio-clip feature plumbing (deterministic fake decode: fake 16 kHz
+    PCM16 duration + md5-derived RMS/clipping), exactly SQL-mirrored."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ontoray.extras.multimodal import decode_audio
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([f"doc-{d}" for d in batch.column("doc_id").to_pylist()], pa.string()),
+            "payload": pa.array([t.encode() for t in batch.column("text").to_pylist()], pa.binary()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decode_audio(ds.map_batches(to_payload, batch_format="pyarrow"), fake=True)
+
+
 def _q_multimodal_frame_sample(sf_dir: str):
     """Video frame-sampling fan-out (explode shape: payload row ->
     ceil(n_frames/stride) frame rows), deterministic container-parse stub."""
@@ -491,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": _q_multimodal_image_features,
         "multimodal_resize_plan": _q_multimodal_resize_plan,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "multimodal_audio_features": _q_multimodal_audio_features,
         # Reporting / evaluation / export operators
         "kg_summary": _q_kg_summary,
         "kg_review_queue": _q_review_queue,
@@ -578,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": __import__("ontoray.extras.multimodal", fromlist=["sql_image_features"]).sql_image_features(),
         "multimodal_resize_plan": __import__("ontoray.extras.multimodal", fromlist=["sql_resize_plan"]).sql_resize_plan(),
         "multimodal_frame_sample": __import__("ontoray.extras.multimodal", fromlist=["sql_frame_sample"]).sql_frame_sample(),
+        "multimodal_audio_features": __import__("ontoray.extras.multimodal", fromlist=["sql_audio_features"]).sql_audio_features(),
         "sample_stratified": __import__("ontoray.extras.textstats", fromlist=["sql_stratified_sample"]).sql_stratified_sample(_STRAT_RATES),
         "docs_split": __import__("ontoray.extras.textstats", fromlist=["sql_hash_split"]).sql_hash_split(),
         "sample_weighted": __import__("ontoray.extras.textstats", fromlist=["sql_weighted_sample"]).sql_weighted_sample(_WSAMP_RATE),

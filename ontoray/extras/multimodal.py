@@ -274,3 +274,91 @@ def sample_frames(ds, stride: int = 10, concurrency: int = 2,
         SampleFrames, fn_constructor_args=(stride, True, payload_col, key_col),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency))
+
+
+# --- audio -------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("duration_ms", pa.int64()),
+    ("sample_rate", pa.int32()),
+    ("rms", pa.float32()),
+    ("clipping", pa.bool_()),
+])
+
+
+class DecodeAudio:
+    """binary audio column -> per-clip features (actor-pool stage; a real
+    deployment holds the codec/soundfile handle per actor and computes RMS /
+    clipping from PCM).  Stubbed deterministically like DecodeImage: fake
+    16 kHz mono PCM16 (duration = n_bytes // 32 ms), md5-derived RMS in
+    [0, 1), clipping flag from the top hash bit — exactly SQL-mirrored
+    (``sql_audio_features``)."""
+
+    def __init__(self, fake: bool = False, payload_col: str = "payload",
+                 key_col: str = "url"):
+        self.fake = fake
+        self.payload_col = payload_col
+        self.key_col = key_col
+
+    def _decode(self, raw: bytes) -> tuple[int, int, float, bool]:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires an audio library not present in this "
+                "environment; run with fake=True for the deterministic stub")
+        h = int(hashlib.md5(raw).hexdigest()[:8], 16)
+        duration_ms = len(raw) // 32          # 16 kHz mono PCM16 = 32 B/ms
+        rms = (h & 0xFFFFF) / float(1 << 20)  # [0, 1)
+        clipping = bool(h >> 31)
+        return duration_ms, 16000, rms, clipping
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_col).to_pylist()
+        payloads = batch.column(self.payload_col).to_pylist()
+        dur, sr, rms, clip, nb = [], [], [], [], []
+        for raw in payloads:
+            raw = raw or b""
+            a, b, c, d = self._decode(raw)
+            dur.append(a)
+            sr.append(b)
+            rms.append(c)
+            clip.append(d)
+            nb.append(len(raw))
+        return pa.table({
+            "url": pa.array(keys, pa.string()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "duration_ms": pa.array(dur, pa.int64()),
+            "sample_rate": pa.array(sr, pa.int32()),
+            "rms": pa.array(rms, pa.float32()),
+            "clipping": pa.array(clip, pa.bool_()),
+        }).cast(AUDIO_FEATURE_SCHEMA)
+
+
+def sql_audio_features(table: str = "documents") -> str:
+    """DuckDB mirror of ``multimodal_audio_features`` over the derived
+    payloads (payload = utf-8 text bytes, url = 'doc-' || doc_id)."""
+    return f"""
+    WITH h AS (
+      SELECT 'doc-' || doc_id AS url,
+             ('0x' || substr(md5(coalesce(text, '')), 1, 8))::UBIGINT AS hv,
+             octet_length(encode(coalesce(text, ''))) AS n_bytes
+      FROM {table}
+    )
+    SELECT url,
+           n_bytes::BIGINT AS n_bytes,
+           (n_bytes // 32)::BIGINT AS duration_ms,
+           16000::INTEGER AS sample_rate,
+           (((hv & 1048575)::DOUBLE) / 1048576.0)::FLOAT AS rms,
+           (hv >> 31) <> 0 AS clipping
+    FROM h
+    """
+
+
+def decode_audio(ds, fake: bool = False, payload_col: str = "payload",
+                 key_col: str = "url", concurrency: int = 2,
+                 batch_size: int = 64):
+    return ds.map_batches(
+        DecodeAudio, fn_constructor_args=(fake, payload_col, key_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency))

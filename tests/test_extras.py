@@ -1781,3 +1781,26 @@ class TestMultimodalResizeFrames:
             ResizeImage(fake=False)._resize(b"x", 1, 1)
         with _pytest.raises(NotImplementedError):
             SampleFrames(fake=False)._parse(b"x")
+
+
+class TestAudioFeatures:
+    def test_fake_decode_and_real_raises(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+        from ontoray.extras.multimodal import DecodeAudio, decode_audio
+        texts = [b"", b"x" * 31, b"x" * 32, b"hello world" * 100]
+        t = pa.table({"url": pa.array([f"u{i}" for i in range(len(texts))]),
+                      "payload": pa.array(texts, pa.binary())})
+        out = {r["url"]: r for r in
+               decode_audio(rd.from_arrow(t), fake=True).take_all()}
+        for i, raw in enumerate(texts):
+            r = out[f"u{i}"]
+            h = int(hashlib.md5(raw).hexdigest()[:8], 16)
+            assert r["duration_ms"] == len(raw) // 32
+            assert r["sample_rate"] == 16000
+            assert abs(r["rms"] - (h & 0xFFFFF) / float(1 << 20)) < 1e-6
+            assert r["clipping"] == bool(h >> 31)
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError):
+            DecodeAudio(fake=False)._decode(b"x")
