@@ -19,9 +19,12 @@ Seeding: the k rows with the smallest md5(vec_id || ':seed') rank (hex
 string compare ≡ SQL VARCHAR compare) — a deterministic uniform sample,
 gathered with the local-top-k + tiny-global-merge pattern.
 
-Reference basis: the reference clusters concept embeddings for ontology
-views (src/analysis embedding plots / kmeans exploration); this is the
-at-scale equivalent over the synthetic ``embeddings`` table.
+Reference basis: the reference clusters concept embeddings with sklearn
+KMeans(n_clusters=min(8, n//5), random_state=42) for its ontology views
+(reference src/schema_ontology_visualizer.py:301-319,
+create_embedding_clusters); this is the at-scale distributed equivalent
+over the synthetic ``embeddings`` table, with determinism coming from
+fixed-point arithmetic + md5 seeding instead of a library RNG.
 """
 
 from __future__ import annotations

@@ -330,10 +330,12 @@ SQL_KG_COMPONENTS = (
 
 
 def q_kg_triangles_from(triples_dedup_ds):
-    """Triangle census of the undirected concept graph — the clustering
-    signal graph_stats lacks: (n_nodes, n_edges_und, n_triangles) over
-    und-incident nodes.  Adjacency-forward counting with a vocabulary-
-    bounded broadcast (stages/analytics.triangle_census)."""
+    """Triangle census of the undirected concept graph — the clustering-
+    coefficient signal the reference leaves as a TODO (reference
+    src/evaluation/graph.py:88): (n_nodes, n_edges_und, n_wedges,
+    n_triangles) over und-incident nodes; global clustering coefficient =
+    3*tri/wedges at the consumer.  Adjacency-forward counting with a
+    vocabulary-bounded broadcast (stages/analytics.triangle_census)."""
     from ontoray.stages.analytics import triangle_census
 
     def pairs(batch):

@@ -1,4 +1,4 @@
-"""Canonicalization shuffle + entity-linking actor pool.
+"""Canonicalization shuffle + entity-linking stage (tasks default, actor pool wired).
 
 The reference dedups concepts with a driver-side ``sorted(set(...))``
 (src/idea_extractor.py:121) and then loops each concept through the decision
@@ -12,11 +12,14 @@ engine on threads (src/integrated_schema_pipeline.py:160-180).  Here:
    number of input blocks, so no additional salting is required here; the
    salted variant is exercised in extras for list-collecting aggregations.
 
-2. ``LinkerActor`` — an actor pool holding the broadcast alias dictionary
-   (``ray.put`` once on the driver; ``ray.get`` once per actor in
-   ``__init__``, T2/J1-J5).  Each batch of distinct mentions is embedded as a
-   matrix and scored against the alias embedding matrix, then routed through
-   the reference decision table.
+2. ``LinkerActor`` / ``_link_task`` — the linking kernel holding the
+   broadcast alias dictionary (``ray.put`` once on the driver; ``ray.get``
+   once per WORKER, T2/J1-J5).  Each batch of distinct mentions is embedded
+   as a matrix and scored against the alias embedding matrix, then routed
+   through the reference decision table.  Default execution is stateless
+   tasks over warm workers with a module-level state cache (no actor-pool
+   spawn on the critical path — measured 2x at 565k mentions / 32 CPUs);
+   ``PipelineConfig.linker_actors`` pins the pre-spawned actor pool instead.
 """
 
 from __future__ import annotations
