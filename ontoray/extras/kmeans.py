@@ -71,6 +71,11 @@ def kmeans_fixed(ds, k: int = 8, iters: int = 3, seed: int = 42,
     from ontoray.stages.agg import hash_aggregate
     from ontoray.util import column_lists
 
+    # Materialize ONCE (r2 ADVICE): seeding + every update round + the final
+    # assignment each stream over ``ds``, so a lazy input pipeline (parquet
+    # read etc.) would otherwise re-execute iters+1 times.  Mirrors
+    # pagerank's ep.materialize().  Only the needed columns are pinned.
+    ds = ds.select_columns([id_col, vec_col]).materialize()
     cents = _seed_centroids(ds, k, seed, id_col, vec_col)
     dim = cents.shape[1]
 

@@ -725,13 +725,17 @@ def sql_pack_sequences(seq_len: int = 512, table: str = "documents",
 
 def bigram_counts(ds, text_col: str = "text", min_count: int = 1,
                   num_partitions: int = 16):
-    """Corpus bigram table (w1, w2, n, n_w1, p6) — the LM-data count step
-    (KenLM-style n-gram estimation): per-batch Counter combiner over token
-    windows (bigram rows never leave the batch unaggregated), two-phase
+    """Corpus bigram table (w1, w2, n, n_w1, p_micro) — the LM-data count
+    step (KenLM-style n-gram estimation): per-batch Counter combiner over
+    token windows (bigram rows never leave the batch unaggregated), two-phase
     bucketed count, prefix totals derived FROM the bigram table itself (one
     vocabulary-scale aggregate, no second corpus pass), partitioned
     hash_join (the 100-TB bigram vocabulary fits no driver dict), exact
-    conditional probability p6 = round(n / n_w1, 6)."""
+    integer fixed-point conditional probability
+    p_micro = (n * 10**6) // n_w1 — integer floor division on both engines,
+    so no float-rounding-mode divergence (Python round() is banker's
+    rounding, DuckDB round() is half-away-from-zero; they disagree on exact
+    binary ties like 1/128 — r2 ADVICE)."""
     from collections import Counter
 
     import pyarrow as pa
@@ -767,11 +771,12 @@ def bigram_counts(ds, text_col: str = "text", min_count: int = 1,
                        num_partitions=num_partitions, right_cols=["n_w1"])
 
     def prob(batch: pa.Table) -> pa.Table:
+        import numpy as np
         import pyarrow.compute as pc
-        n = batch.column("n").to_pylist()
-        d = batch.column("n_w1").to_pylist()
-        p = pa.array([round(a / b, 6) for a, b in zip(n, d)], pa.float64())
-        out = batch.append_column("p6", p)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("n_w1").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = pa.array(n * 1_000_000 // d, pa.int64())
+        out = batch.append_column("p_micro", p)
         if min_count > 1:
             out = out.filter(pc.greater_equal(out.column("n"), min_count))
         return out
@@ -782,7 +787,8 @@ def bigram_counts(ds, text_col: str = "text", min_count: int = 1,
 def sql_bigram_counts(min_count: int = 1, table: str = "documents",
                       text_col: str = "text") -> str:
     """DuckDB mirror of ``bigram_counts`` (identical tokenization, counts,
-    prefix totals and float rounding)."""
+    prefix totals and integer fixed-point probability — floor division on
+    both engines, no float-rounding-mode dependence)."""
     return f"""
     WITH t AS (SELECT regexp_extract_all(coalesce({text_col}, ''),
                                          '[a-z0-9]+') AS l FROM {table}),
@@ -791,6 +797,6 @@ def sql_bigram_counts(min_count: int = 1, table: str = "documents",
     c AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n FROM bg GROUP BY 1, 2),
     u AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM c GROUP BY w1)
     SELECT c.w1, c.w2, c.n, u.n_w1,
-           round(CAST(c.n AS DOUBLE) / u.n_w1, 6) AS p6
+           CAST(c.n * 1000000 // u.n_w1 AS BIGINT) AS p_micro
     FROM c JOIN u USING (w1) WHERE c.n >= {min_count}
     """

@@ -208,6 +208,16 @@ def connected_components(edges_ds, src_col: str = "src", dst_col: str = "dst",
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        # Never silently return mislabeled components: a graph whose diameter
+        # exceeds max_rounds (chain-like concept graphs) exits the loop with
+        # n_changed > 0, and the labels are NOT the true component minima
+        # (r2 ADVICE).  n_changed is already computed every round, so the
+        # check is free.
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"in {max_rounds} rounds ({n_changed} labels still changing) — "
+            f"the graph's diameter exceeds max_rounds; raise max_rounds")
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"name": batch.column("src"),

@@ -25,12 +25,21 @@ import pyarrow.compute as pc
 
 _TRACK = r"(?:utm_[a-z0-9]+|fbclid|gclid)"
 # (pattern, replacement) chain; backrefs are RE2 \1-style on both engines.
+# Tracking-param rules are left-anchored on the [?&] separator so e.g.
+# ``?xgclid=1`` / ``?myfbclid=5`` are NOT mangled (they only contain a
+# tracked name as a substring).  Because global regex replace scans the
+# ORIGINAL string and never rescans replaced text (identical RE2 semantics
+# in pyarrow and DuckDB), consecutive tracked params must each own their own
+# separator: rule 2a consumes ``&track=v`` (leading &, so a run of k tracked
+# params is k disjoint matches in ONE pass), rule 2b handles a tracked FIRST
+# param (anchored at the sole query '?'), rule 2c a tracked param at the end.
 _CHAIN = [
-    (r"#.*$", ""),                              # 1 fragment
-    (_TRACK + r"=[^&#]*&", ""),                 # 2a tracked param followed by &
-    (r"[?&]" + _TRACK + r"=[^&#]*$", ""),       # 2b tracked param at the end
-    (r"\?$", ""),                               # 2c dangling ?
-    (r"^((?i:http)://[^/:]+):80(/|$)", r"\1\2"),    # 3 default ports
+    (r"#.*$", ""),                                   # 1 fragment
+    (r"&" + _TRACK + r"=[^&#]*", ""),                # 2a tracked non-first params
+    (r"^([^?#]*\?)" + _TRACK + r"=[^&#]*&", r"\1"),  # 2b tracked first param
+    (r"[?&]" + _TRACK + r"=[^&#]*$", ""),            # 2c tracked param at the end
+    (r"\?$", ""),                                    # 2d dangling ?
+    (r"^((?i:http)://[^/:]+):80(/|$)", r"\1\2"),     # 3 default ports
     (r"^((?i:https)://[^/:]+):443(/|$)", r"\1\2"),
 ]
 _HEAD = r"^(?P<head>[A-Za-z][A-Za-z0-9+.\-]*://[^/]*)(?P<rest>[^\x00]*)$"

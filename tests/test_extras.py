@@ -1582,6 +1582,24 @@ class TestConnectedComponents:
                               got.column("component").to_pylist()))
                 assert gm == want, (kwargs, nparts)
 
+    def test_nonconvergence_raises(self, ray_session):
+        """A chain whose diameter exceeds max_rounds must raise, not silently
+        return mislabeled components (r2 ADVICE: analytics.py)."""
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+        from ontoray.stages.analytics import connected_components
+        chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(12)]
+        t = pa.table({"src": pa.array([s for s, _ in chain]),
+                      "dst": pa.array([d for _, d in chain])})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(rd.from_arrow(t), driver_max_edges=0,
+                                 max_rounds=2)
+        # and with enough rounds the same graph converges to one component
+        got = connected_components(rd.from_arrow(t), driver_max_edges=0,
+                                   max_rounds=20)
+        assert set(got.column("component").to_pylist()) == {"n000"}
+
 
 class TestTriangleCensus:
     def test_known_graph(self, ray_session):
@@ -1714,9 +1732,13 @@ class TestBigramCounts:
         from ontoray.extras.textstats import bigram_counts, sql_bigram_counts
         texts = ["the quick fox the quick dog", "the quick fox runs",
                  "", "one", "punct, only! the quick", None,
-                 "a b a b a b a b"]
+                 "a b a b a b a b",
+                 # r2 ADVICE tie case: n/n_w1 = 1/128 is an exact binary tie
+                 # where Python round() (banker's) and DuckDB round()
+                 # (half-away) disagree — integer p_micro must not care.
+                 " ".join(["w0 " + f"v{i}" for i in range(126)]) + " w0 v0 x y"]
         t = pa.table({"text": pa.array(texts, pa.string())})
-        got = sorted(tuple(r[c] for c in ("w1", "w2", "n", "n_w1", "p6"))
+        got = sorted(tuple(r[c] for c in ("w1", "w2", "n", "n_w1", "p_micro"))
                      for r in bigram_counts(
                          rd.from_arrow(t).repartition(3),
                          min_count=2).take_all())
@@ -1728,7 +1750,7 @@ class TestBigramCounts:
         by_pair = {(a, b): (n, d, p) for a, b, n, d, p in got}
         assert by_pair[("the", "quick")][0] == 4      # counts right
         n, d, p = by_pair[("a", "b")]
-        assert (n, d) == (4, 4) and p == 1.0          # exact conditional
+        assert (n, d) == (4, 4) and p == 1_000_000    # exact conditional
 
 
 class TestMultimodalResizeFrames:

@@ -236,6 +236,17 @@ class TestSqlUrlCanon:
             "http://h:8080/x",
             "https://h/p?utm_source=#y",
             "",
+            # Adversarial: tracked names as SUBSTRINGS of other param names
+            # must survive untouched (r2 ADVICE: unanchored rule spliced
+            # '?xgclid=1&page=2' into '?xpage=2').
+            "https://h/p?xgclid=1&page=2",
+            "https://h/p?myfbclid=5&id=2",
+            "https://h/p?a=1&xutm_source=2",
+            # Consecutive tracked runs (single-pass global replace must not
+            # leave survivors).
+            "https://h/p?utm_a=1&utm_b=2&utm_c=3&x=4",
+            "https://h/p?utm_a=1&utm_b=2&utm_c=3",
+            "https://h/p?a=1&fbclid=x&gclid=y&b=2",
         ]
         got = canonicalize_url_column(pa.array(urls, pa.string())).to_pylist()
         con = duckdb.connect()
@@ -247,6 +258,13 @@ class TestSqlUrlCanon:
         assert got[0] == "https://example.com/Path?id=3"
         assert got[1] == "http://host.org/a"
         assert got[3] == "http://host"
+        # substring-named params untouched, consecutive runs fully stripped
+        assert got[16] == "https://h/p?xgclid=1&page=2"
+        assert got[17] == "https://h/p?myfbclid=5&id=2"
+        assert got[18] == "https://h/p?a=1&xutm_source=2"
+        assert got[19] == "https://h/p?x=4"
+        assert got[20] == "https://h/p"
+        assert got[21] == "https://h/p?a=1&b=2"
 
 
 class TestSqlHllRawBranch:
