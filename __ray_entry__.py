@@ -456,25 +456,73 @@ def _q_events_session(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Query registry, ORDERED BY VERIFICATION NEED.
+
+    The driver's correctness pass runs a bounded prefix of this dict, so
+    entries are ranked: (tier 1) queries never seen by any CORRECTNESS_r*
+    pass, (tier 2) queries whose SQL mirrors were added after their last
+    driver check (rows-only evidence only), (tier 3) the linker/graph family
+    promoted from no_oracle this round, (tier 4) queries already hash-green
+    in CORRECTNESS_r01/r02, re-verified only with leftover budget.
+    """
     return {
-        # KG pipeline operators (SURVEY §2.2/§2.5) — SQL-checked subset
-        "kg_clean_docs": Q.q_kg_clean_docs,
-        "kg_mentions": Q.q_kg_mentions,
-        "kg_mention_counts": Q.q_kg_mention_counts,
-        "kg_cooccurrence": Q.q_kg_cooccurrence,
-        "kg_triples": Q.q_kg_triples,
-        # KG pipeline — rows-only (linker/graph semantics not SQL-expressible)
-        "kg_chunks": _q_kg_chunks,
-        "kg_triples_norm": _q_kg_triples_norm,
+        # ---- tier 1: never driver-checked (r1+r2 passes stopped short) ----
+        "orders_by_region": Q.q_orders_by_region,
+        "lineitem_pricing": Q.q_lineitem_pricing,
+        "lineitem_quantiles": Q.q_lineitem_quantiles,
+        "lineitem_quantiles_cont": Q.q_lineitem_quantiles_cont,
+        "lineitem_price_bands": Q.q_lineitem_price_bands,
+        "custs_inactive": Q.q_custs_inactive,
+        "nations_with_both": Q.q_nations_with_both,
+        "top_parts_per_brand": Q.q_top_parts_per_brand,
+        "orders_by_nation_skew": Q.q_orders_by_nation_skew,
+        "events_hopping": Q.q_events_hopping,
+        "events_asof": Q.q_events_asof,
+        "events_cumsum": Q.q_events_cumsum,
+        "events_distinct_users": Q.q_events_distinct_users,
+        "events_rolling": Q.q_events_rolling,
+        "events_zscore": Q.q_events_zscore,
+        "events_rank": Q.q_events_rank,
+        "events_seq": Q.q_events_seq,
+        "host_stats": Q.q_host_stats,
+        "docs_blocklist": Q.q_docs_blocklist,
+        "ann_ivf": Q.q_ann_ivf,
+        "kg_jsonld_validation": _q_jsonld_validation,
+        # ---- tier 2: SQL mirrors added in r2, last driver-checked as
+        #      rows-only in r1 (kg_review_queue/confidence_topk/jsonld_export
+        #      remain rows-only but are stale since r1) ----
+        "kg_mention_contexts": _q_mention_contexts,
+        "kg_saturation": _q_saturation,
+        "kg_mention_sources": _q_mention_sources,
+        "events_session": _q_events_session,
+        "kg_review_queue": _q_review_queue,
+        "kg_confidence_topk": _q_confidence_topk,
+        "kg_jsonld_export": _q_jsonld_export,
+        # ---- tier 3: linker/graph family (mirrored this round) ----
         "kg_entities": _q_kg_entities,
         "kg_entity_decisions": _q_kg_entity_decisions,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_degree_topk": _q_kg_degree_topk,
+        "kg_summary": _q_kg_summary,
+        # ---- tier 4: hash-green in r1/r2 — re-verify with leftover budget ----
+        # r1-green, unchecked r2:
+        "events_window": Q.q_events_window,
+        "quality_filter": Q.q_quality_filter,
+        "orders_by_nation": Q.q_orders_by_nation,
+        "topk_parts": Q.q_topk_parts,
+        # r2-green KG pipeline operators (SURVEY §2.2/§2.5):
+        "kg_clean_docs": Q.q_kg_clean_docs,
+        "kg_mentions": Q.q_kg_mentions,
+        "kg_mention_counts": Q.q_kg_mention_counts,
+        "kg_cooccurrence": Q.q_kg_cooccurrence,
+        "kg_triples": Q.q_kg_triples,
+        "kg_chunks": _q_kg_chunks,
+        "kg_triples_norm": _q_kg_triples_norm,
         "kg_pagerank": _q_kg_pagerank,
         "kg_components": _q_kg_components,
         "kg_triangles": _q_kg_triangles,
-        # Training-data extras
+        # r2-green training-data extras:
         "doc_stats": Q.q_doc_stats,
         "token_counts_by_source": Q.q_token_counts_by_source,
         "lang_counts": Q.q_lang_counts,
@@ -509,45 +557,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize_plan": _q_multimodal_resize_plan,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "multimodal_audio_features": _q_multimodal_audio_features,
-        # Reporting / evaluation / export operators
-        "kg_summary": _q_kg_summary,
-        "kg_review_queue": _q_review_queue,
-        "kg_confidence_topk": _q_confidence_topk,
-        "kg_mention_contexts": _q_mention_contexts,
-        "kg_jsonld_export": _q_jsonld_export,
-        "kg_jsonld_validation": _q_jsonld_validation,
-        "kg_saturation": _q_saturation,
-        "kg_mention_sources": _q_mention_sources,
-        # Streaming-shaped windowed aggregates over the events log
-        "events_window": Q.q_events_window,
-        "events_hopping": Q.q_events_hopping,
-        "events_session": _q_events_session,
-        "events_asof": Q.q_events_asof,
-        # Quality filtering
-        "quality_filter": Q.q_quality_filter,
-        # Relational breadth (J7 join, A5 agg, A11 top-k, O2 per-group top-k)
-        "orders_by_nation": Q.q_orders_by_nation,
-        "orders_by_nation_skew": Q.q_orders_by_nation_skew,
-        "orders_by_region": Q.q_orders_by_region,
-        "lineitem_pricing": Q.q_lineitem_pricing,
-        "lineitem_quantiles": Q.q_lineitem_quantiles,
-        "lineitem_quantiles_cont": Q.q_lineitem_quantiles_cont,
-        "custs_inactive": Q.q_custs_inactive,
-        "nations_with_both": Q.q_nations_with_both,
-        "top_parts_per_brand": Q.q_top_parts_per_brand,
-        "topk_parts": Q.q_topk_parts,
-        # Distributed prefix sum, broadcast anti-join, IVF ANN
-        "events_cumsum": Q.q_events_cumsum,
-        "docs_blocklist": Q.q_docs_blocklist,
-        "ann_ivf": Q.q_ann_ivf,
-        # Count-distinct, broadcast range join, rolling window
-        "events_distinct_users": Q.q_events_distinct_users,
-        "lineitem_price_bands": Q.q_lineitem_price_bands,
-        "events_rolling": Q.q_events_rolling,
-        "events_zscore": Q.q_events_zscore,
-        "events_rank": Q.q_events_rank,
-        "events_seq": Q.q_events_seq,
-        "host_stats": Q.q_host_stats,
     }
 
 

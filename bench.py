@@ -6,7 +6,11 @@ headline = end-to-end KG-construction pipeline (clean → chunk → extract →
 link → canonicalize → graph materialize) over a deterministic synthetic
 Common-Crawl-style corpus of ``GRAFT_BENCH_ROWS`` pages (default 20000,
 seed 42; corpus generation is excluded from timing), plus per-query timings
-over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).  Prints ONE JSON line:
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).  The headline JSON
+line is printed (and flushed) immediately after the timed e2e run; the
+final line re-prints it with per-query timings filled in (query loop is
+bounded by ``GRAFT_BENCH_QUERY_BUDGET_SEC``, default 90, so the process
+always finishes promptly).  Parse the LAST JSON line:
 
   {"metric": "kg_e2e_sec", "value": <sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N,
@@ -92,9 +96,9 @@ def run_bench() -> dict:
         url_dedup_strategy=os.environ.get("GRAFT_DEDUP_STRATEGY",
                                           "broadcast_winners"),
     )
-    # Best-of-N (default 2): first run also finishes warming the worker pool;
-    # min approximates steady-state throughput on a long-lived cluster.
-    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "2"))
+    # Best-of-N (default 1 — the warm pass above already absorbs worker
+    # spawn; set GRAFT_BENCH_REPEAT=2 for a steady-state min-of-2).
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
     kg_sec = float("inf")
     for _ in range(max(1, repeat)):
         t0 = time.perf_counter()
@@ -106,25 +110,11 @@ def run_bench() -> dict:
     n_triples = int(res.triples_dedup.sum("n_obs") or 0)
     n_docs = res.docs.count()
 
-    # --- per-query timings over the sf tables ---
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __ray_entry__ as entrymod
-    qtimes = {}
-    queries = entrymod.queries()
-    for name in ("kg_clean_docs", "kg_mentions", "kg_triples", "dedup_exact",
-                 "dedup_minhash", "doc_stats", "ann_topk", "orders_by_nation",
-                 "hll_tokens_by_source", "embed_kmeans", "kg_components"):
-        t0 = time.perf_counter()
-        out = queries[name](sf_dir)
-        if hasattr(out, "count"):
-            out.count()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
-
-    return {
+    result = {
         "metric": "kg_e2e_sec",
         "value": round(kg_sec, 3),
         "unit": "sec",
-        "queries": qtimes,
+        "queries": {},
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "bench_rows": bench_rows,
@@ -135,12 +125,42 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / kg_sec, 1),
         "triples_per_sec": round(n_triples / kg_sec, 1),
     }
+    # Print+flush the headline line NOW, before any per-query timing: if the
+    # harness SIGTERMs the process mid-query-loop, the e2e number is already
+    # on stdout.  The final (superset) line re-prints the same headline with
+    # the query timings filled in; any JSON-line consumer parses either.
+    print(json.dumps(result), flush=True)
+
+    # --- per-query timings over the sf tables, under a wall-clock budget ---
+    budget = float(os.environ.get("GRAFT_BENCH_QUERY_BUDGET_SEC", "90"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    qtimes = {}
+    queries = entrymod.queries()
+    qstart = time.perf_counter()
+    qlist = () if budget <= 0 else (
+        "kg_clean_docs", "kg_mentions", "kg_triples", "dedup_exact",
+        "doc_stats", "ann_topk", "dedup_minhash", "kg_components",
+        "hll_tokens_by_source", "orders_by_nation", "embed_kmeans")
+    for name in qlist:
+        if time.perf_counter() - qstart > budget:
+            qtimes["_budget_exhausted_after"] = name
+            break
+        t0 = time.perf_counter()
+        out = queries[name](sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    result["queries"] = qtimes
+    return result
 
 
 def _scaling_pair(lo: int, hi: int, rows: str) -> dict:
     """Headline pipeline at lo vs hi CPUs in fresh processes, identical input."""
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=rows,
+                   GRAFT_BENCH_QUERY_BUDGET_SEC="0")  # legs time e2e only
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
