@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ontoray.text.embed import embed_many
+from ontoray.text.embed import embed_counts_many, embed_many
 from ontoray.text.normalize import normalize_concept_name
 
 # Child -> parent pairs, verbatim semantics of reference
@@ -96,8 +96,14 @@ class AliasData:
     names: list[str]
     name_norms: list[str]
     categories: list[str]
-    embeddings: np.ndarray            # (n_concepts, dim) L2-normalized
+    embeddings: np.ndarray            # (n_concepts, dim) L2-normalized float32
     tech: list[dict]                  # per-concept {frequency?, impedance?, voltage?, ...}
+    # Exact-arithmetic twin of ``embeddings``: signed integer 3-gram count
+    # vectors plus their squared L2 norms.  Dots on these are exact int64,
+    # so the float64 cosine (dot / sqrt(n1*n2)) is bit-reproducible in SQL —
+    # the contract the linker-family DuckDB mirrors hash-check against.
+    emb_counts: np.ndarray | None = None   # (n_concepts, dim) int64
+    emb_sq: np.ndarray | None = None       # (n_concepts,) int64 squared norms
     surface_map: dict = field(default_factory=dict)  # alias_norm -> concept index
     parent: dict = field(default_factory=dict)       # child name -> parent name
     # Per-concept char multisets of name_norms — a cheap true upper bound on
@@ -128,6 +134,8 @@ def build_alias_data(dim: int = 64, extra_concepts: list[dict] | None = None) ->
     # Embed the bare name: reference embeds _create_concept_text of the new
     # concept ({'name': x} -> just the name); matching representation here.
     embeddings = embed_many([n.lower() for n in names], dim=dim)
+    emb_counts = embed_counts_many([n.lower() for n in names], dim=dim)
+    emb_sq = (emb_counts * emb_counts).sum(axis=1)
 
     surface_map = {nn: i for i, nn in enumerate(name_norms)}
     for alias, canonical in SURFACE_ALIASES:
@@ -149,7 +157,9 @@ def build_alias_data(dim: int = 64, extra_concepts: list[dict] | None = None) ->
     for i, nn in enumerate(name_norms):
         norm_index.setdefault(nn, []).append(i)
     return AliasData(names=names, name_norms=name_norms, categories=categories,
-                     embeddings=embeddings, tech=tech, surface_map=surface_map,
+                     embeddings=embeddings, tech=tech,
+                     emb_counts=emb_counts, emb_sq=emb_sq,
+                     surface_map=surface_map,
                      parent=parent, char_counts=char_counts, char_mat=char_mat,
                      norm_lens=norm_lens, norm_index=norm_index)
 

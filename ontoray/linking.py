@@ -20,7 +20,7 @@ import numpy as np
 
 from ontoray.aliases import AliasData
 from ontoray.config import DEFAULT_THRESHOLDS
-from ontoray.text.embed import embed_text
+from ontoray.text.embed import embed_counts
 from ontoray.text.normalize import normalize_concept_name
 from ontoray.text.specs import TECHNICAL_MATCHERS
 
@@ -46,9 +46,21 @@ def find_matches(name: str, alias: AliasData, *, name_norm: str | None = None,
     matches: list[tuple[str, float, str, float]] = []
 
     # 1. Embedding cosine vs every existing concept (J1: broadcast matrix,
-    # vectorized dot product — alias embeddings are L2-normalized).
-    vec = embedding if embedding is not None else embed_text(name.lower(), alias.embeddings.shape[1])
-    sims = alias.embeddings @ vec
+    # vectorized dot product).  Exact-arithmetic path: int64 gram-count dots
+    # and squared norms, cosine = dot / sqrt(n_m * n_a) in float64 — the
+    # identical expression the DuckDB linker mirror evaluates, so scores are
+    # bit-equal engine-vs-oracle (norm product formed in INTEGER arithmetic
+    # before the cast, matching the SQL).
+    vec = embedding if embedding is not None else embed_counts(name.lower(), alias.emb_counts.shape[1])
+    vec = np.asarray(vec, dtype=np.int64)
+    n_m = int(vec @ vec)
+    if n_m > 0:
+        dots = alias.emb_counts @ vec                      # exact int64
+        denom = np.sqrt((alias.emb_sq * n_m).astype(np.float64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(alias.emb_sq > 0, dots.astype(np.float64) / denom, 0.0)
+    else:
+        sims = np.zeros(len(alias.names), dtype=np.float64)
     low = th["low_similarity"]
     for i in np.flatnonzero(sims >= low):
         matches.append((alias.names[int(i)], float(sims[int(i)]), "embedding", float(sims[int(i)])))

@@ -35,7 +35,7 @@ NODE_SCHEMA = pa.schema([
     ("status", pa.string()),      # 'new' | 'review' | '' for baseline
     ("parent_class", pa.string()),
     ("n_mentions", pa.int64()),
-    ("confidence", pa.float32()),
+    ("confidence", pa.float64()),
 ])
 
 
@@ -58,7 +58,7 @@ def baseline_nodes_table(alias: AliasData) -> pa.Table:
         "status": pa.array([""] * len(names), pa.string()),
         "parent_class": pa.array([alias.parent[n] for n in names], pa.string()),
         "n_mentions": pa.array([0] * len(names), pa.int64()),
-        "confidence": pa.array([1.0] * len(names), pa.float32()),
+        "confidence": pa.array([1.0] * len(names), pa.float64()),
     }).cast(NODE_SCHEMA)
 
 
@@ -113,7 +113,7 @@ def _decode_node_rows(batch: pa.Table) -> pa.Table:
         "status": pa.array(cols["status"], pa.string()),
         "parent_class": pa.array(cols["parent_class"], pa.string()),
         "n_mentions": pa.array(cols["n_mentions"], pa.int64()),
-        "confidence": pa.array(cols["confidence"], pa.float32()),
+        "confidence": pa.array(cols["confidence"], pa.float64()),
     }).cast(NODE_SCHEMA)
 
 

@@ -30,16 +30,20 @@ import ray
 
 from ontoray.config import PipelineConfig
 from ontoray.linking import decide, find_matches, route_task
-from ontoray.text.embed import embed_many
+from ontoray.text.embed import embed_counts_many
 from ontoray.text.normalize import normalize_concept_name
 
+# confidence/best_score are float64: scores come from the exact-arithmetic
+# cosine / difflib-ratio contract (integer dots, float64 division), which the
+# DuckDB linker mirror reproduces bit-for-bit — float32 storage would destroy
+# that equality.
 ENTITY_SCHEMA = pa.schema([
     ("name", pa.string()),
     ("name_norm", pa.string()),
     ("decision", pa.string()),
     ("target", pa.string()),
-    ("confidence", pa.float32()),
-    ("best_score", pa.float32()),
+    ("confidence", pa.float64()),
+    ("best_score", pa.float64()),
     ("n_mentions", pa.int64()),
     ("parent_class", pa.string()),
     ("status", pa.string()),
@@ -81,12 +85,12 @@ class LinkerActor:
         if props_ref is not None:
             props = ray.get(props_ref) if isinstance(props_ref, ray.ObjectRef) else props_ref
         self.props = props or {}
-        self.dim = self.alias.embeddings.shape[1]
+        self.dim = self.alias.emb_counts.shape[1]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = batch.column("mention").to_pylist()
         n_mentions = batch.column("n_mentions").to_pylist()
-        vecs = embed_many([n.lower() for n in names], self.dim)
+        vecs = embed_counts_many([n.lower() for n in names], self.dim)
         out = {f.name: [] for f in ENTITY_SCHEMA}
         th = self.cfg.similarity_thresholds
         for name, n_m, vec in zip(names, n_mentions, vecs):

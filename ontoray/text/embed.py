@@ -3,14 +3,24 @@
 Replaces the reference's OpenAI ada-002 embedding client
 (src/embedder.py:59-114, src/ontology_extension_manager.py:144-189) with a
 deterministic local vectorizer: every character 3-gram of the lowercased text
-is hashed (crc32 — stable across processes, unlike Python's ``hash``) into one
-of ``dim`` signed buckets; the result is L2-normalized.  Cosine similarity on
-these vectors plays the role the ada-002 cosine plays in the linker (J1).
+is hashed into one of ``dim`` signed INTEGER buckets; cosine similarity on
+the (unnormalized) count vectors plays the role the ada-002 cosine plays in
+the linker (J1).
+
+Hash contract (SQL-mirrorable, same md5-int60 convention as
+ontoray/extras/sketches.py): ``h = int(md5(utf8(gram)).hexdigest()[:15], 16)``
+— 60 bits, reproducible in DuckDB as
+``CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)``.  Bucket
+``h % dim``, sign from bit 17.  The raw bucket vector is INTEGER, so
+distributed dot products are exact; cosine is computed in float64 as
+``dot / sqrt(n1 * n2)`` with the norm product formed in integer arithmetic —
+the identical expression evaluates bit-equal in numpy and DuckDB, which is
+what lets the entity-linking family be hash-checked against a SQL oracle.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 
@@ -18,14 +28,41 @@ DEFAULT_DIM = 64
 _N = 3
 
 
-def embed_text(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
-    v = np.zeros(dim, dtype=np.float32)
+def _gram_hash(gram: str) -> int:
+    """md5-int60 of the gram's UTF-8 bytes (DuckDB-expressible)."""
+    return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def embed_counts(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """Unnormalized signed 3-gram count vector (int64)."""
+    v = np.zeros(dim, dtype=np.int64)
     t = " " + text.lower() + " "
     for i in range(len(t) - _N + 1):
-        h = zlib.crc32(t[i:i + _N].encode("utf-8"))
+        h = _gram_hash(t[i:i + _N])
         idx = h % dim
-        sign = 1.0 if (h >> 17) & 1 else -1.0
-        v[idx] += sign
+        v[idx] += 1 if (h >> 17) & 1 else -1
+    return v
+
+
+def embed_counts_many(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """(len(texts), dim) int64 matrix of embed_counts rows."""
+    out = np.zeros((len(texts), dim), dtype=np.int64)
+    for i, t in enumerate(texts):
+        out[i] = embed_counts(t, dim)
+    return out
+
+
+def cosine_exact(dot: int, n1: int, n2: int) -> float:
+    """float64 cosine from exact integer dot and squared norms — the
+    SQL-mirrored expression (dot::DOUBLE / sqrt((n1*n2)::DOUBLE))."""
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    return float(np.float64(dot) / np.sqrt(np.float64(n1 * n2)))
+
+
+def embed_text(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """L2-normalized float32 embedding (cosine-compatible convenience API)."""
+    v = embed_counts(text, dim).astype(np.float32)
     n = float(np.linalg.norm(v))
     if n > 0:
         v /= n
