@@ -563,7 +563,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     # sf-independent SQL strings; ann_topk needs the embedding dim, which is
     # identical across sf dirs (read once from sf0.01).
+    from ontoray import queries_linker as QL
     return {
+        "kg_entities": QL.SQL_KG_ENTITIES,
+        "kg_entity_decisions": QL.SQL_KG_ENTITY_DECISIONS,
+        "kg_nodes": QL.SQL_KG_NODES,
+        "kg_edges": QL.SQL_KG_EDGES,
+        "kg_degree_topk": QL.SQL_KG_DEGREE_TOPK,
+        "kg_summary": QL.SQL_KG_SUMMARY,
+        "kg_review_queue": QL.SQL_KG_REVIEW_QUEUE,
+        "kg_confidence_topk": QL.SQL_KG_CONFIDENCE_TOPK,
         "kg_clean_docs": Q.SQL_KG_CLEAN_DOCS,
         "kg_mentions": Q.SQL_KG_MENTIONS,
         "kg_mention_counts": Q.SQL_KG_MENTION_COUNTS,

@@ -21,8 +21,14 @@ from ontoray.linking import EXTEND, MAP_EXACT, MAP_SIMILAR, UNCERTAIN
 
 
 def run_summary(entities_ds) -> dict:
-    """Decision-mix summary — counts via one grouped aggregate, confidence
-    via Dataset.mean (all cluster-side)."""
+    """Decision-mix summary — counts via one grouped aggregate; confidence
+    averaged in EXACT arithmetic: per-row nano-quantized int64
+    (floor(c*1e9 + 0.5), identical float64 ops on both engines), summed
+    (integer sums are order-independent, so the distributed fold is exact),
+    then ONE float64 division with both operands converted to float64 first
+    — the identical expression the DuckDB kg_summary mirror evaluates, which
+    is what makes this 5-stat report hash-checkable."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Count
     counts = {r["decision"]: r["n"] for r in
               entities_ds.groupby("decision").aggregate(Count(alias_name="n")).take_all()}
@@ -30,15 +36,26 @@ def run_summary(entities_ds) -> dict:
     mapped = counts.get(MAP_EXACT, 0) + counts.get(MAP_SIMILAR, 0)
     extended = counts.get(EXTEND, 0)
     review = counts.get(UNCERTAIN, 0)
-    avg_conf = float(entities_ds.mean("confidence") or 0.0) if total else 0.0
+
+    def _nano(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column("confidence"), pa.float64())
+        return pa.table({"nano": pc.cast(
+            pc.floor(pc.add(pc.multiply(c, 1e9), 0.5)), pa.int64())})
+
+    if total:
+        sum_nano = int(entities_ds.map_batches(
+            _nano, batch_format="pyarrow").sum("nano") or 0)
+        avg_conf = float(sum_nano) / float(total * 10**9)
+    else:
+        avg_conf = 0.0
     automation = ((mapped + extended) / total * 100) if total else 0.0
     return {
         "total_concepts_extracted": total,
         "concepts_mapped_to_existing": mapped,
         "concepts_extending_ontology": extended,
         "concepts_requiring_review": review,
-        "average_confidence": round(avg_conf, 6),
-        "automation_rate": round(automation, 4),
+        "average_confidence": avg_conf,
+        "automation_rate": automation,
     }
 
 
