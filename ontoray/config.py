@@ -79,3 +79,11 @@ class PipelineConfig:
     degree_threshold: int = 1
     curation_root: str = "ElectronicComponent"
     max_hierarchy_depth: int = 12     # bound for iterative reachability
+
+    # Technical-property delivery to the linker (J3 features): "broadcast"
+    # folds the pivoted props table into a driver dict shipped via ray.put;
+    # "join" hash-joins it onto the distinct mentions (the unbounded-scale
+    # path — the property vocabulary grows with the open part-number space);
+    # "auto" gates on props_broadcast_max rows.
+    props_mode: str = "auto"
+    props_broadcast_max: int = 1_000_000

