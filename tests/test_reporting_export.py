@@ -367,3 +367,52 @@ class TestDistributedReachability:
         got_ds = reachable_distributed(small_engine.edges, "ElectronicComponent")
         got = {r["name"] for r in got_ds.take_all()}
         assert got == expect
+
+
+class TestReviewDeltas:
+    def test_reject_roundtrip_excludes_node(self, ray_session, small_engine, tmp_path):
+        """C3: reject -> delta table -> rebuild -> node (and its edges) gone;
+        accept -> status flips to 'accepted'; last decision per name wins;
+        deltas persist through save/load."""
+        from ontoray.aliases import build_alias_data
+        from ontoray.stages.review import (apply_reviews, load_deltas,
+                                           make_deltas, rebuild_with_reviews,
+                                           save_deltas)
+        ents = small_engine.entities
+        review_rows = [r for r in ents.take_all() if r["status"] == "review"]
+        assert len(review_rows) >= 2, "fixture must produce review entities"
+        reject_name = review_rows[0]["name"]
+        accept_name = review_rows[1]["name"]
+
+        # flip-flop on the reject target: last decision (reject) wins
+        deltas = make_deltas([(reject_name, "accept"), (accept_name, "accept"),
+                              (reject_name, "reject")])
+        path = str(tmp_path / "reviews.parquet")
+        save_deltas(deltas, path)
+        loaded = load_deltas(path)
+        assert loaded.num_rows == 3
+
+        reviewed = apply_reviews(ents, loaded)
+        rows = {r["name"]: r for r in reviewed.take_all()}
+        assert reject_name not in rows
+        assert rows[accept_name]["status"] == "accepted"
+        assert len(rows) == ents.count() - 1
+
+        alias = build_alias_data()
+        nodes, edges, removed = rebuild_with_reviews(
+            ents, alias, loaded, triples_dedup_ds=small_engine.triples_dedup)
+        node_names = {r["name"] for r in nodes.take_all()}
+        assert reject_name not in node_names
+        for r in edges.take_all():
+            assert reject_name not in (r["src"], r["dst"])
+
+    def test_append_only_persistence(self, tmp_path):
+        from ontoray.stages.review import load_deltas, make_deltas, save_deltas
+        path = str(tmp_path / "d.parquet")
+        save_deltas(make_deltas([("a", "reject")]), path)
+        save_deltas(make_deltas([("a", "accept")], start_seq=1), path)
+        t = load_deltas(path)
+        assert t.num_rows == 2
+        from ontoray.stages.review import _last_wins
+        rej, acc = _last_wins(t)
+        assert rej.to_pylist() == [] and acc.to_pylist() == ["a"]
