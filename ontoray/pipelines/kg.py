@@ -335,9 +335,13 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         docs = _docs_stage_partitioned(ckpt, pages_ds, cfg, fingerprint)
         stage_walls["docs"] = round(time.perf_counter() - t0, 3)
     else:
+        # cfg.fuse_docs=True keeps docs as a LAZY view fused into the
+        # extraction tasks (no materialize barrier, no object-store
+        # round-trip of cleaned text) — measured SLOWER on this box (see
+        # config.py); the default pins the cleaned corpus once.
         docs = stage("docs", lambda: extract_docs(
             pages_ds, dedup_strategy=cfg.url_dedup_strategy,
-            canonicalize=cfg.canonicalize_urls))
+            canonicalize=cfg.canonicalize_urls), reused=not cfg.fuse_docs)
 
     # Fused hot path: chunk + mention + triple extraction in ONE pass over
     # docs — one barrier instead of three (chunks/mentions/triples remain

@@ -164,20 +164,48 @@ def gated_props(triples_ds, mode: str = "auto",
     """(props_dict | None, props_ds | None): the threshold gate between the
     broadcast dict (VERDICT r2 #3 flagged the unconditional driver fold —
     the property universe grows with the open part-number vocabulary) and
-    the distributed join path.  Both paths share ``props_table``; equality
-    is pytest-asserted (tests/test_linking.py)."""
-    pds = props_table(triples_ds).materialize()
-    if mode == "join" or (mode == "auto" and pds.count() > broadcast_max):
-        return None, pds
+    the distributed join path.  Both paths share the same per-batch pivot
+    combiner; equality is pytest-asserted.
+
+    Broadcast path: streams the COMBINER partials (per-batch pivoted min
+    rows) straight to the driver and min-folds there — no aggregate
+    exchange, saving one all-to-all barrier on the serial critical path.
+    The fold aborts to the join path the moment streamed partial rows
+    exceed ``broadcast_max`` (mode='auto'), so the driver never holds more
+    than the threshold."""
+    if mode == "join":
+        return None, props_table(triples_ds).materialize()
+
+    import pyarrow.compute as pc
+
+    def pivot_partial(batch: pa.Table) -> pa.Table:
+        cols = {"subj": batch.column("subj")}
+        for k, col in zip(PROP_KEYS, PROP_COLS):
+            mask = pc.equal(batch.column("pred"), k)
+            cols[col] = pc.if_else(mask, batch.column("obj"),
+                                   pa.nulls(batch.num_rows, pa.string()))
+        t = pa.table(cols)
+        g = t.group_by(["subj"]).aggregate([(c, "min") for c in PROP_COLS])
+        return g.rename_columns(["subj"] + list(PROP_COLS))
+
+    partials = (triples_ds.filter(expr="extractor == 'pattern'")
+                .select_columns(["subj", "pred", "obj"])
+                .map_batches(pivot_partial, batch_format="pyarrow"))
     out: dict[str, dict[str, str]] = {}
-    for b in pds.iter_batches(batch_format="pyarrow", batch_size=None):
+    n_rows = 0
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        n_rows += b.num_rows
+        if mode == "auto" and n_rows > broadcast_max:
+            return None, props_table(triples_ds).materialize()
         subs = b.column("subj").to_pylist()
         vals = {k: b.column(c).to_pylist() for k, c in zip(PROP_KEYS, PROP_COLS)}
         for i, s in enumerate(subs):
-            d = {k: vals[k][i] for k in PROP_KEYS if vals[k][i] is not None}
-            if d:
-                out[s] = d
-    return out, None
+            cur = out.setdefault(s, {})
+            for k in PROP_KEYS:
+                v = vals[k][i]
+                if v is not None and (k not in cur or v < cur[k]):
+                    cur[k] = v
+    return {s: d for s, d in out.items() if d}, None
 
 
 def collect_props(triples_ds) -> dict[str, dict[str, str]]:
