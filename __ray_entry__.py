@@ -448,6 +448,16 @@ def _q_mention_sources(sf_dir: str):
     return collect_distinct_sample(kv, "mention", "doc", per_key_cap=5, salt_buckets=16)
 
 
+def _q_docs_lm_score(sf_dir: str):
+    """Per-doc fluency under the corpus bigram LM (two-pass: train counts,
+    then a corpus-scale LEFT join of per-doc bigram multisets to the LM —
+    exact int64 micro-probability arithmetic, hash-checked)."""
+    import ray.data as rd
+    from ontoray.extras.textstats import lm_score_docs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lm_score_docs(ds, min_count=3)
+
+
 def _q_events_session(sf_dir: str):
     import ray.data as rd
     from ontoray.stages.events import session_windows
@@ -488,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_blocklist": Q.q_docs_blocklist,
         "ann_ivf": Q.q_ann_ivf,
         "kg_jsonld_validation": _q_jsonld_validation,
+        "docs_lm_score": _q_docs_lm_score,
         # ---- tier 2: SQL mirrors added in r2, last driver-checked as
         #      rows-only in r1 (kg_review_queue/confidence_topk/jsonld_export
         #      remain rows-only but are stale since r1) ----
@@ -591,6 +602,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_kmeans": __import__("ontoray.extras.kmeans",
                                    fromlist=["sql_kmeans"]).sql_kmeans(),
         "lm_bigrams": Q.sql_lm_bigrams(),
+        "docs_lm_score": __import__("ontoray.extras.textstats",
+                                    fromlist=["sql_lm_score_docs"]).sql_lm_score_docs(3),
         "events_session": Q.SQL_EVENTS_SESSION,
         "text_langid": Q.SQL_TEXT_LANGID,
         "doc_stats": __import__("ontoray.extras.textstats", fromlist=["sql_doc_stats"]).sql_doc_stats(),
@@ -622,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": __import__("ontoray.extras.textstats", fromlist=["sql_tfidf_top"]).sql_tfidf_top(k=3),
         "embed_centroids": __import__("ontoray.extras.ann", fromlist=["sql_grouped_centroids"]).sql_grouped_centroids(),
         "ann_topk": Q.sql_ann_topk("/root/testdata/sf0.01"),
+        "ann_ivf": Q.sql_ann_ivf("/root/testdata/sf0.01"),
         "ann_topk_multi": Q.sql_ann_topk_multi("/root/testdata/sf0.01"),
         "events_window": Q.SQL_EVENTS_WINDOW,
         "events_hopping": Q.SQL_EVENTS_HOPPING,

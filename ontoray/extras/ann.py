@@ -324,3 +324,87 @@ def sql_grouped_centroids() -> str:
         f"AND sum({qexpr}) < 0 THEN 1 ELSE 0 END AS mean_scaled "
         "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(pos) "
         "GROUP BY label, pos")
+
+
+def ivf_topk_exact(ds, query: np.ndarray, k: int = 10, nprobe: int = 4,
+                   n_clusters: int = 16, iters: int = 3, seed: int = 42,
+                   concurrency: int = 4):
+    """IVF ANN whose WHOLE plan is hash-checkable against a SQL oracle.
+
+    The float k-means of ``ivf_build`` is order-sensitive (driver folds sum
+    float partials), so its probe set can differ run to run at the 15th
+    digit; here every step is exact:
+
+    * index = ``kmeans_fixed`` (int64 fixed-point Lloyd — the hash-checked
+      embed_kmeans kernel) — returns the final integer centroids;
+    * probe ranking needs NO float centroids at all: cosine(q, S/c) ==
+      cosine(q, S) for cluster sum-vector S (the count cancels), so clusters
+      rank by exact integer dot/norms of the per-cluster SUM of quantized
+      vectors — one k×dim-bounded aggregate — with the single float64
+      division evaluated identically in DuckDB (HUGEINT cast parity; exact
+      while |S|²·|q̃|² fits 127 bits ≈ 1e8-vector clusters at dim 64 — past
+      that, rescale the quantization);
+    * the scan recomputes assignment per batch against the broadcast
+      centroids (no join) and keeps only nprobe clusters; top-k uses the
+      ann_topk comparator (round-6 cosine, vec_id tie-break).
+
+    Recall < 1 vs brute force is the documented IVF trade; the ORACLE
+    computes the identical probe set, so the result is still exact-checked.
+    """
+    import math
+
+    from ontoray.extras.kmeans import KM_SCALE, _quantize, kmeans_fixed
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.util import column_lists
+
+    _, cents, dsm = kmeans_fixed(ds, k=n_clusters, iters=iters, seed=seed,
+                                 return_centroids=True)
+    dim = cents.shape[1]
+    bcast = ray.put(cents)
+
+    def cluster_sums(batch: pa.Table) -> pa.Table:
+        C = ray.get(bcast)
+        q = _quantize(batch, "embedding")
+        d2 = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        out_c, out_p, out_s = [], [], []
+        for c in np.unique(cl):
+            s = q[cl == c].sum(axis=0)
+            out_c.extend([int(c)] * dim)
+            out_p.extend(range(dim))
+            out_s.extend(int(x) for x in s)
+        return pa.table({"cl": pa.array(out_c, pa.int64()),
+                         "pos": pa.array(out_p, pa.int64()),
+                         "s": pa.array(out_s, pa.int64())})
+
+    agg = column_lists(
+        hash_aggregate(dsm.map_batches(cluster_sums, batch_format="pyarrow"),
+                       ["cl", "pos"], partial_aggs=[("s", "sum")],
+                       aggs=[("s_sum", "sum")], rename={"s_sum_sum": "s"},
+                       num_buckets=8), ["cl", "pos", "s"])
+    S: dict[int, list[int]] = {}
+    for c, p, s in zip(agg["cl"], agg["pos"], agg["s"]):
+        S.setdefault(c, [0] * dim)[p] = int(s)
+
+    qq = [int(x) for x in np.floor(np.asarray(query, dtype=np.float64)
+                                   * KM_SCALE + 0.5).astype(np.int64)]
+    n1 = sum(v * v for v in qq)          # exact Python int
+    scored = []
+    for c, sv in S.items():
+        dot = sum(a * b for a, b in zip(qq, sv))
+        n2 = sum(v * v for v in sv)
+        cos = float(dot) / math.sqrt(float(n2 * n1)) if n2 > 0 and n1 > 0 else -2.0
+        scored.append((-cos, c))
+    probes = sorted(c for _negcos, c in sorted(scored)[:nprobe])
+    probe_arr = np.array(probes, dtype=np.int64)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        C = ray.get(bcast)
+        q = _quantize(batch, "embedding")
+        d2 = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        keep = np.isin(cl, probe_arr)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return brute_force_topk(dsm.map_batches(scan, batch_format="pyarrow"),
+                            query, k, concurrency)

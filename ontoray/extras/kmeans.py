@@ -62,7 +62,8 @@ def _seed_centroids(ds, k: int, seed: int, id_col: str, vec_col: str):
 
 
 def kmeans_fixed(ds, k: int = 8, iters: int = 3, seed: int = 42,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 return_centroids: bool = False):
     """``iters`` assignment rounds / ``iters``-1 centroid updates; returns
     the final assignment Dataset (vec_id, cluster).  Empty clusters keep
     their previous centroid (mirrored with LEFT JOIN + coalesce in SQL)."""
@@ -127,14 +128,20 @@ def kmeans_fixed(ds, k: int = 8, iters: int = 3, seed: int = 42,
         return pa.table({"vec_id": batch.column(id_col),
                          "cluster": pa.array(cl, pa.int64())})
 
-    return ds.map_batches(final, batch_format="pyarrow")
+    out = ds.map_batches(final, batch_format="pyarrow")
+    if return_centroids:
+        # (assignment, final int64 centroids, the materialized quantizable
+        # input) — the exact-IVF consumer recomputes assignments per pass
+        # against these centroids instead of joining the assignment back.
+        return out, cents, ds
+    return out
 
 
-def sql_kmeans(k: int = 8, iters: int = 3, seed: int = 42,
-               table: str = "embeddings") -> str:
-    """DuckDB mirror of ``kmeans_fixed``: identical quantization, md5 seed
-    ranks, integer distances (list_zip lambda), floor-division centroid
-    means, lowest-cluster tie-break — unrolled over ``iters`` rounds."""
+def sql_kmeans_ctes(k: int = 8, iters: int = 3, seed: int = 42,
+                    table: str = "embeddings") -> tuple[list[str], str]:
+    """The unrolled k-means CTE list and the name of the final-assignment
+    CTE — shared by ``sql_kmeans`` and the exact-IVF mirror
+    (queries.sql_ann_ivf)."""
     d2 = ("list_sum(list_transform(list_zip(q.qv, c.qv), "
           "p -> (p[1] - p[2]) * (p[1] - p[2])))")
     ctes = [
@@ -166,5 +173,13 @@ def sql_kmeans(k: int = 8, iters: int = 3, seed: int = 42,
         ctes.append(
             f"c{t} AS (SELECT c.cl, coalesce(u.qv, c.qv) AS qv "
             f"FROM c{t-1} c LEFT JOIN cent{t} u USING (cl))")
-    return ("WITH " + ", ".join(ctes) +
-            f" SELECT vec_id, cl AS cluster FROM a{iters}")
+    return ctes, f"a{iters}"
+
+
+def sql_kmeans(k: int = 8, iters: int = 3, seed: int = 42,
+               table: str = "embeddings") -> str:
+    """DuckDB mirror of ``kmeans_fixed``: identical quantization, md5 seed
+    ranks, integer distances (list_zip lambda), floor-division centroid
+    means, lowest-cluster tie-break — unrolled over ``iters`` rounds."""
+    ctes, final = sql_kmeans_ctes(k, iters, seed, table)
+    return "WITH " + ", ".join(ctes) + f" SELECT vec_id, cl AS cluster FROM {final}"

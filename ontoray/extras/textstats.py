@@ -834,3 +834,133 @@ def sql_bigram_counts(min_count: int = 1, table: str = "documents",
            CAST(c.n * 1000000 // u.n_w1 AS BIGINT) AS p_micro
     FROM c JOIN u USING (w1) WHERE c.n >= {min_count}
     """
+
+
+def lm_score_docs(ds, id_col: str = "doc_id", text_col: str = "text",
+                  min_count: int = 3, num_partitions: int = 16):
+    """Per-document fluency under the corpus bigram LM — the classic
+    LM-filter step of a training-data pipeline (score every document by how
+    well the corpus model predicts it; low scorers are boilerplate/garble).
+
+    Two passes over the corpus: (1) train the bigram table
+    (``bigram_counts`` — Counter combiner, two-phase count, integer
+    micro-probabilities), (2) per-doc bigram multisets LEFT-joined to the LM
+    on the bigram key (partitioned hash join — the bigram vocabulary fits no
+    driver dict at web scale) and aggregated per document.  All arithmetic
+    is int64 (sum of c*p_micro, floor-divided by the bigram count), so the
+    DuckDB mirror hash-checks despite the two-pass, join-heavy plan.
+
+    Returns (doc_id, n_bigrams, n_known, sum_p_micro, fluency_micro) with a
+    row for EVERY document (zeroes for docs with < 2 tokens)."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    lm = bigram_counts(ds, text_col=text_col, min_count=min_count,
+                       num_partitions=num_partitions)
+
+    def lm_key(batch: pa.Table) -> pa.Table:
+        bk = pc.binary_join_element_wise(batch.column("w1"),
+                                         batch.column("w2"), "\x1f")
+        return pa.table({"bk": bk, "p_micro": batch.column("p_micro")})
+
+    def doc_pairs(batch: pa.Table) -> pa.Table:
+        ids, keys, cs = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = TOKEN_RE.findall(t or "")
+            for (a, b), n in Counter(zip(toks, toks[1:])).items():
+                ids.append(did)
+                keys.append(a + "\x1f" + b)
+                cs.append(n)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "bk": pa.array(keys, pa.string()),
+                         "c": pa.array(cs, pa.int64())})
+
+    joined = hash_join(ds.map_batches(doc_pairs, batch_format="pyarrow"),
+                       lm.map_batches(lm_key, batch_format="pyarrow"),
+                       "bk", "bk", how="left", right_cols=["p_micro"],
+                       num_partitions=num_partitions)
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch.column("p_micro").to_pylist()
+        known = np.array([v is not None for v in p], dtype=bool)
+        pv = np.array([v or 0 for v in p], dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "nb": pa.array(c, pa.int64()),
+            "nk": pa.array(np.where(known, c, 0), pa.int64()),
+            "sp": pa.array(c * pv, pa.int64()),
+        })
+
+    scores = hash_aggregate(
+        joined.map_batches(contrib, batch_format="pyarrow"), [id_col],
+        partial_aggs=[("nb", "sum"), ("nk", "sum"), ("sp", "sum")],
+        aggs=[("nb_sum", "sum"), ("nk_sum", "sum"), ("sp_sum", "sum")],
+        rename={"nb_sum_sum": "n_bigrams", "nk_sum_sum": "n_known",
+                "sp_sum_sum": "sum_p_micro"}, num_buckets=num_partitions)
+
+    out = hash_join(ds.select_columns([id_col]), scores, id_col, id_col,
+                    how="left", right_cols=["n_bigrams", "n_known", "sum_p_micro"],
+                    num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        nb = np.array([v or 0 for v in batch.column("n_bigrams").to_pylist()],
+                      dtype=np.int64)
+        nk = np.array([v or 0 for v in batch.column("n_known").to_pylist()],
+                      dtype=np.int64)
+        sp = np.array([v or 0 for v in batch.column("sum_p_micro").to_pylist()],
+                      dtype=np.int64)
+        flu = np.where(nb > 0, sp // np.maximum(nb, 1), 0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "n_known": pa.array(nk, pa.int64()),
+            "sum_p_micro": pa.array(sp, pa.int64()),
+            "fluency_micro": pa.array(flu, pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_lm_score_docs(min_count: int = 3, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of ``lm_score_docs`` — identical LM, join and integer
+    fixed-point arithmetic."""
+    return f"""
+    WITH t0 AS (SELECT regexp_extract_all(coalesce({text_col}, ''),
+                                          '[a-z0-9]+') AS l FROM {table}),
+    bg AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+           FROM t0 WHERE len(l) >= 2),
+    c0 AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n FROM bg GROUP BY 1, 2),
+    u AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM c0 GROUP BY w1),
+    lm AS (SELECT c0.w1, c0.w2, CAST(c0.n * 1000000 // u.n_w1 AS BIGINT) AS p_micro
+           FROM c0 JOIN u USING (w1) WHERE c0.n >= {min_count}),
+    d AS (SELECT {id_col}, regexp_extract_all(coalesce({text_col}, ''),
+                                              '[a-z0-9]+') AS l FROM {table}),
+    db AS (SELECT {id_col}, p[1] AS w1, p[2] AS w2, count(*) AS c
+           FROM (SELECT {id_col}, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+                 FROM d WHERE len(l) >= 2)
+           GROUP BY 1, 2, 3),
+    sc AS (SELECT db.{id_col},
+             CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(sum(CASE WHEN lm.p_micro IS NOT NULL THEN db.c END), 0)
+                  AS BIGINT) AS n_known,
+             CAST(coalesce(sum(db.c * lm.p_micro), 0) AS BIGINT) AS sum_p_micro
+           FROM db LEFT JOIN lm ON lm.w1 = db.w1 AND lm.w2 = db.w2
+           GROUP BY db.{id_col})
+    SELECT doc.{id_col},
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(sc.n_known, 0) AS BIGINT) AS n_known,
+           CAST(coalesce(sc.sum_p_micro, 0) AS BIGINT) AS sum_p_micro,
+           CAST(CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+                THEN sc.sum_p_micro // sc.n_bigrams ELSE 0 END AS BIGINT)
+             AS fluency_micro
+    FROM {table} doc LEFT JOIN sc USING ({id_col})
+    """

@@ -1110,14 +1110,61 @@ SQL_DOCS_BLOCKLIST = (
 # --- IVF ANN (iterative k-means index; rows-only: not SQL-expressible) ------
 
 def q_ann_ivf(sf_dir: str, k: int = 10):
+    """Exact-arithmetic IVF ANN (hash-checked): fixed-point k-means index +
+    integer cluster-sum probe ranking + nprobe-pruned cosine scan.  The
+    float ivf_build/ivf_topk pair stays as the library's general API; this
+    query rides the exact variant so the DuckDB oracle computes the
+    IDENTICAL probe set and result."""
     import ray.data as rd
 
-    from ontoray.extras.ann import ivf_build, ivf_topk, query_vector
+    from ontoray.extras.ann import ivf_topk_exact, query_vector
     dim = _embedding_dim(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    cents, assigned = ivf_build(ds, n_clusters=16, iters=3)
-    return ivf_topk(assigned, cents, query_vector(dim), k=k, nprobe=4)
+    return ivf_topk_exact(ds, query_vector(dim), k=k, nprobe=4,
+                          n_clusters=16, iters=3)
+
+
+def sql_ann_ivf(sf_dir: str, k: int = 10, nprobe: int = 4,
+                n_clusters: int = 16, iters: int = 3, seed: int = 42) -> str:
+    """DuckDB mirror of q_ann_ivf: the unrolled fixed-point k-means CTEs,
+    per-cluster HUGEINT sum vectors, the identical probe cosine
+    (CAST(dot AS DOUBLE)/sqrt(CAST(n2*n1 AS DOUBLE))), and the ann_topk
+    comparator over the probed subset."""
+    import numpy as np
+
+    from ontoray.extras.ann import query_vector
+    from ontoray.extras.kmeans import KM_SCALE, sql_kmeans_ctes
+    dim = _embedding_dim(sf_dir)
+    qv = query_vector(dim)
+    qq = [int(x) for x in np.floor(qv * KM_SCALE + 0.5).astype(np.int64)]
+    n1 = sum(v * v for v in qq)
+    qq_vals = ", ".join(f"({i + 1}, CAST({v} AS HUGEINT))"
+                        for i, v in enumerate(qq))
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    ctes, final = sql_kmeans_ctes(n_clusters, iters, seed, "embeddings")
+    return f"""
+    WITH {", ".join(ctes)},
+    qq(pos, v) AS (VALUES {qq_vals}),
+    csum AS (SELECT a.cl, t.pos, CAST(sum(CAST(q.qv[t.pos] AS HUGEINT)) AS HUGEINT) AS s
+             FROM {final} a JOIN q USING (vec_id),
+                  unnest(generate_series(1, len(q.qv))) AS t(pos)
+             GROUP BY 1, 2),
+    pr AS (SELECT c.cl, sum(c.s * qq.v) AS dot, sum(c.s * c.s) AS n2
+           FROM csum c JOIN qq USING (pos) GROUP BY c.cl),
+    probes AS (SELECT cl FROM (
+        SELECT cl, CASE WHEN n2 > 0 THEN CAST(dot AS DOUBLE)
+                                         / sqrt(CAST(n2 * {n1} AS DOUBLE))
+                        ELSE -2.0 END AS cos
+        FROM pr) ORDER BY cos DESC, cl LIMIT {nprobe})
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST({qlit} AS DOUBLE[])), 6) AS cosine
+    FROM embeddings e
+    JOIN {final} a ON a.vec_id = e.vec_id
+    JOIN probes p ON p.cl = a.cl
+    ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
 
 
 # --- exact grouped count-distinct (two-round vocabulary shuffle) ------------
