@@ -6,11 +6,13 @@ Ray is initialised by the driver BEFORE this module is imported; nothing here
 - ``entry()`` — flagship KG-construction pipeline on /root/testdata/sf0.001.
 - ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2);
   each callable takes sf_dir and returns a Dataset / pandas / pyarrow result.
-- ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for the
-  SQL-expressible subset (pattern extraction is mirrored exactly because both
-  sides share RE2-compatible regex tables; see ontoray/queries.py).
-  Non-SQL-expressible ops (linker decisions, LSH, graph materialize) are
-  rows-only checked.
+- ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; 81 of 83 queries
+  are mirrored, including the full entity-linking decision engine
+  (exact-arithmetic embedding cosine + a recursive-CTE difflib ratio —
+  ontoray/queries_linker.py), graph materialize + curation, MinHash/SimHash
+  LSH, sketches, fixed-point k-means and exact IVF.  The 2 rows-only
+  remainders (kg_jsonld_export / kg_jsonld_validation) are bound to exact
+  JSON string formatting.
 """
 
 from __future__ import annotations
