@@ -6,13 +6,12 @@ Ray is initialised by the driver BEFORE this module is imported; nothing here
 - ``entry()`` — flagship KG-construction pipeline on /root/testdata/sf0.001.
 - ``queries()`` — one entry per implemented operator/pipeline (SURVEY.md §2);
   each callable takes sf_dir and returns a Dataset / pandas / pyarrow result.
-- ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; 81 of 83 queries
-  are mirrored, including the full entity-linking decision engine
-  (exact-arithmetic embedding cosine + a recursive-CTE difflib ratio —
+- ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for ALL 83
+  queries: the full entity-linking decision engine (exact-arithmetic
+  embedding cosine + a recursive-CTE difflib ratio —
   ontoray/queries_linker.py), graph materialize + curation, MinHash/SimHash
-  LSH, sketches, fixed-point k-means and exact IVF.  The 2 rows-only
-  remainders (kg_jsonld_export / kg_jsonld_validation) are bound to exact
-  JSON string formatting.
+  LSH, sketches, fixed-point k-means, exact IVF, and the string-exact
+  JSON-LD export/validation pair.  Zero rows-only queries remain.
 """
 
 from __future__ import annotations
@@ -586,6 +585,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_summary": QL.SQL_KG_SUMMARY,
         "kg_review_queue": QL.SQL_KG_REVIEW_QUEUE,
         "kg_confidence_topk": QL.SQL_KG_CONFIDENCE_TOPK,
+        "kg_jsonld_export": QL.SQL_KG_JSONLD_EXPORT,
+        "kg_jsonld_validation": QL.SQL_KG_JSONLD_VALIDATION,
         "kg_clean_docs": Q.SQL_KG_CLEAN_DOCS,
         "kg_mentions": Q.SQL_KG_MENTIONS,
         "kg_mention_counts": Q.SQL_KG_MENTION_COUNTS,

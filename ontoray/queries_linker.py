@@ -557,3 +557,72 @@ SQL_KG_SUMMARY = (f"{sql_linker_ctes()} "
                   "'map_to_existing_similar', 'extend_ontology') THEN 1 ELSE 0 "
                   "END) AS DOUBLE) / count(*) * 100 END AS automation_rate "
                   "FROM lk_entities")
+
+
+def _sql_jsonld_ctes() -> str:
+    """JSON-LD export mirror (S4/M13): the exporter's fallback object is a
+    fixed-shape dict over [a-z0-9 -] vocabulary (no JSON escaping can occur),
+    so ``json.dumps(obj, sort_keys=True)`` is an exact string concatenation
+    in sorted-key order: @context, @type, additionalType, category,
+    description, name[, reviewStatus][, subClassOf].  additionalType uses
+    the 14-entry productontology map in ITS dict order (first match wins,
+    export.py PRODUCT_ONTOLOGY_MAP); category is the keyword heuristic
+    (export.py infer_category); file is the sanitize_filename chain."""
+    from ontoray.stages.export import PRODUCT_ONTOLOGY_MAP
+
+    atype = "CASE " + " ".join(
+        f"WHEN contains(lname, {_sql_quote(k)}) THEN "
+        f"'http://www.productontology.org/id/{w}'"
+        for k, w in PRODUCT_ONTOLOGY_MAP.items()
+    ) + " ELSE 'http://www.productontology.org/id/' || replace(name, ' ', '_') END"
+    cat = ("CASE WHEN contains(lname, 'capacitor') OR contains(lname, 'resistor')"
+           " OR contains(lname, 'inductor') THEN 'Passive Components'"
+           " WHEN contains(lname, 'transistor') OR contains(lname, 'diode')"
+           " OR contains(lname, 'ic') OR contains(lname, 'amplifier')"
+           " OR contains(lname, 'circuit') THEN 'Active Components'"
+           " WHEN contains(lname, 'connector') OR contains(lname, 'cable')"
+           " OR contains(lname, 'socket') THEN 'Interconnects'"
+           " ELSE 'General Electronics' END")
+    fname = ("substr(trim(regexp_replace(regexp_replace(name,"
+             " '[<>:\"/\\\\|?*\\x00-\\x1f]', '_', 'g'), '_+', '_', 'g'),"
+             " '_'), 1, 80) || '.jsonld'")
+    return f"""
+lk_jldf AS (
+  SELECT name, lower(name) AS lname, parent_class, status
+  FROM lk_entities
+  WHERE decision IN ('extend_ontology', 'requires_manual_review')
+),
+lk_jld AS (
+  SELECT name, {fname} AS file,
+    '{{"@context": "https://schema.org", "@type": "Product", "additionalType": "'
+    || ({atype})
+    || '", "category": "' || ({cat})
+    || '", "description": "' || substr('Electronic component: ' || name, 1, 200)
+    || '", "name": "' || name || '"'
+    || CASE WHEN status = 'review' THEN ', "reviewStatus": "NeedsReview"' ELSE '' END
+    || CASE WHEN parent_class IS NOT NULL AND parent_class <> ''
+            THEN ', "subClassOf": "' || parent_class || '"' ELSE '' END
+    || '}}' AS jsonld
+  FROM lk_jldf
+)"""
+
+
+SQL_KG_JSONLD_EXPORT = (f"{sql_linker_ctes()},{_sql_jsonld_ctes()} "
+                        "SELECT name, file, jsonld FROM lk_jld")
+
+# Validation mirror (schema_org_validator semantics over the SAME fields the
+# export constructs): required @context/@type/name -> an error only when the
+# name is empty.  The exporter writes @context "https://schema.org" while the
+# validator whitelist requires the trailing slash ("https://schema.org/") —
+# faithfully ported from the reference pair, so EVERY object carries exactly
+# one @context warning (additionalType is a valid URI and no field is empty).
+# The Product recommended set (description, category, manufacturer) always
+# misses manufacturer -> exactly one recommendation.
+SQL_KG_JSONLD_VALIDATION = (
+    f"{sql_linker_ctes()},{_sql_jsonld_ctes()} "
+    "SELECT name, "
+    "CAST(name IS NOT NULL AND name <> '' AS BOOLEAN) AS valid, "
+    "CAST(CASE WHEN name IS NULL OR name = '' THEN 1 ELSE 0 END AS BIGINT) AS n_errors, "
+    "CAST(1 AS BIGINT) AS n_warnings, "
+    "CAST(1 AS BIGINT) AS n_recommendations "
+    "FROM lk_jld")

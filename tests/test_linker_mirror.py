@@ -163,3 +163,41 @@ class TestSqlLinkerDecision:
         assert rows["gps-module"]["decision"] == "requires_manual_review"
         assert rows["gps-module"]["target"] == "FPCAntenna"
         assert 0.7 <= rows["gps-module"]["best_score"] < 0.999
+
+
+class TestSqlJsonLd:
+    def test_string_exact_vs_json_dumps(self):
+        """The SQL JSON-LD concat must equal json.dumps(obj, sort_keys=True)
+        byte-for-byte across the productontology map order, the category
+        heuristic, review/subclass optional keys and the filename chain."""
+        import json
+
+        import duckdb
+        from ontoray.queries_linker import _sql_jsonld_ctes
+        from ontoray.stages.export import entities_to_jsonld, sanitize_filename
+
+        rows = [
+            ("antenna", "extend_ontology", "RFComponent", "new"),
+            ("chip antenna thing", "requires_manual_review", "ChipAntenna", "review"),
+            ("microphone", "extend_ontology", "ElectronicComponent", "new"),   # 'ic' substring
+            ("resistor-array", "extend_ontology", "Resistor", "new"),
+            ("weird  double space", "requires_manual_review", "Thing", "review"),
+            ("cable-and-connector", "extend_ontology", "Cable", "new"),
+            ("zzz", "map_to_existing_exact", None, None),                      # filtered out
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ents(name VARCHAR, decision VARCHAR, "
+                    "parent_class VARCHAR, status VARCHAR)")
+        con.executemany("INSERT INTO ents VALUES (?, ?, ?, ?)", rows)
+        sql = ("WITH lk_entities AS (SELECT * FROM ents)," +
+               _sql_jsonld_ctes() + " SELECT name, file, jsonld FROM lk_jld")
+        got = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+
+        ents = [{"name": n, "decision": d, "parent_class": p, "status": s}
+                for n, d, p, s in rows]
+        want_objs = entities_to_jsonld(ents)
+        assert len(got) == len(want_objs) == 6
+        for o in want_objs:
+            f, j = got[o["name"]]
+            assert f == sanitize_filename(o["name"]) + ".jsonld"
+            assert j == json.dumps(o, sort_keys=True), o["name"]
