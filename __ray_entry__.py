@@ -477,6 +477,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     in CORRECTNESS_r01/r02, re-verified only with leftover budget.
     """
     return {
+        # ---- tier 0: new this round, never driver-checked ----
+        "docs_dup_spans": Q.q_docs_dup_spans,
+        "embed_semdedup": Q.q_embed_semdedup,
+        "events_lag": Q.q_events_lag,
         # ---- tier 1: never driver-checked (r1+r2 passes stopped short) ----
         "orders_by_region": Q.q_orders_by_region,
         "lineitem_pricing": Q.q_lineitem_pricing,
@@ -662,5 +666,8 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore": __import__("ontoray.extras.quantiles", fromlist=["sql_grouped_zscore"]).sql_grouped_zscore(),
         "events_rank": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_RANK"]).SQL_EVENTS_RANK,
         "events_seq": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_SEQ"]).SQL_EVENTS_SEQ,
+        "events_lag": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_LAG"]).SQL_EVENTS_LAG,
+        "docs_dup_spans": __import__("ontoray.extras.dedup", fromlist=["sql_dup_spans"]).sql_dup_spans(),
+        "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
     }

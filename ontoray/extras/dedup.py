@@ -1249,3 +1249,110 @@ def sql_remove_repeated_lines(min_docs: int = 2, table: str = "documents",
              count(*) AS nk
       FROM kept GROUP BY {id_col}) a USING ({id_col})
     """
+
+
+# --- span-level duplicated-text detection --------------------------------------
+
+def dup_span_stats(ds, w: int = 8, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document duplicated-span statistics (the streaming cousin of
+    suffix-array substring dedup, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): tile each doc into non-overlapping
+    ``w``-token windows, count the DISTINCT documents containing each tile,
+    and report per doc how much of its text is made of tiles that also occur
+    in some OTHER document — the signal behind span-level dedup / quote and
+    template detection that document-level hashes miss entirely.
+
+    Scale shape: the corpus text never shuffles — only (doc_id, tile_hash)
+    metadata rows do.  Two two-phase aggregates (per-(doc,tile) multiplicity,
+    then distinct-doc count per tile) plus ONE tile-keyed hash join back; the
+    per-doc rollup is a third metadata-scale exchange.  No broadcast set: at
+    100 TB the duplicated-tile vocabulary is itself huge, so the join path is
+    the default (contrast ``remove_repeated_lines``, whose repeated set is
+    small enough to broadcast).
+
+    Tokens/tile-keys follow the decontaminate contract ([a-z0-9]+ runs,
+    md5-prefix keys) so the SQL mirror agrees by construction.
+
+    Output: (doc_id, n_tiles, dup_tiles, dup_frac) for docs with >= 1 tile;
+    ``dup_frac`` is one IEEE double division of the two exact int64 counts.
+    """
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        out_id, out_h = [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            ws = _DECON_TOKEN_RE.findall(t or "")
+            for ti in range(len(ws) // w):
+                g = " ".join(ws[ti * w:(ti + 1) * w])
+                out_id.append(did)
+                out_h.append(int.from_bytes(
+                    hashlib.md5(g.encode()).digest()[:8], "big"))
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "h": pa.array(out_h, pa.uint64())})
+
+    # (doc, tile) multiplicity — pinned once: it feeds BOTH the distinct-doc
+    # count and the join back (without the pin the tokenize+md5 pass over the
+    # corpus would run twice).
+    perdoc = hash_aggregate(
+        ds.select_columns([id_col, text_col])
+          .map_batches(tiles, batch_format="pyarrow"),
+        [id_col, "h"], partial_aggs=[("h", "count")],
+        aggs=[("h_count", "sum")], rename={"h_count_sum": "c"}).materialize()
+    # One row per (doc, tile) above, so counting rows per tile = distinct docs.
+    nd = hash_aggregate(perdoc, ["h"], partial_aggs=[("c", "count")],
+                        aggs=[("c_count", "sum")], rename={"c_count_sum": "nd"})
+    joined = hash_join(perdoc, nd, "h", "h", right_cols=["nd"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        c = batch.column("c")
+        dup_c = pc.if_else(
+            pc.greater_equal(batch.column("nd"), pa.scalar(2, pa.int64())),
+            c, pa.scalar(0, pa.int64()))
+        return pa.table({id_col: batch.column(id_col), "c": c, "dup_c": dup_c})
+
+    stats = hash_aggregate(
+        joined.map_batches(mark, batch_format="pyarrow"), [id_col],
+        partial_aggs=[("c", "sum"), ("dup_c", "sum")],
+        aggs=[("c_sum", "sum"), ("dup_c_sum", "sum")],
+        rename={"c_sum_sum": "n_tiles", "dup_c_sum_sum": "dup_tiles"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tiles").to_numpy(zero_copy_only=False)
+        d = batch.column("dup_tiles").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tiles": pa.array(n, pa.int64()),
+            "dup_tiles": pa.array(d, pa.int64()),
+            "dup_frac": pa.array(d / n, pa.float64()),
+        })
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_dup_spans(w: int = 8, table: str = "documents") -> str:
+    """DuckDB mirror of ``dup_span_stats``: identical tokenization
+    (regexp_extract_all '[a-z0-9]+'), identical tile key (md5 hex prefix ==
+    the engine's 8-byte big-endian prefix), identical double division."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[a-z0-9]+') AS ws
+      FROM {table}
+    ), tiles AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(ws[(t-1)*{w}+1 : t*{w}], ' ')), 1, 16) AS h
+      FROM toks, unnest(range(1, len(ws) // {w} + 1)) r(t)
+    ), perdoc AS (
+      SELECT doc_id, h, count(*) AS c FROM tiles GROUP BY doc_id, h
+    ), nd AS (
+      SELECT h, count(*) AS nd FROM perdoc GROUP BY h
+    )
+    SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_tiles,
+           CAST(sum(CASE WHEN n.nd >= 2 THEN p.c ELSE 0 END) AS BIGINT) AS dup_tiles,
+           CAST(sum(CASE WHEN n.nd >= 2 THEN p.c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(p.c) AS DOUBLE) AS dup_frac
+    FROM perdoc p JOIN nd n USING (h) GROUP BY p.doc_id
+    """

@@ -1561,3 +1561,42 @@ def q_orders_by_nation_skew(sf_dir: str):
     j1 = skew_join(orders, cust, "o_custkey", "c_custkey", how="inner", hot_k=8)
     j2 = hash_join(j1, nation, "c_nationkey", "n_nationkey", how="inner")
     return j2.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
+# --- span-level duplicated-text detection ----------------------------------------
+
+def q_docs_dup_spans(sf_dir: str):
+    """Per-doc duplicated-span fraction (non-overlapping 8-token tiles,
+    cross-document distinct count — the streaming analog of suffix-array
+    substring dedup).  Text never shuffles; tile-hash metadata rides two
+    two-phase aggregates + one keyed join."""
+    import ray.data as rd
+
+    from ontoray.extras.dedup import dup_span_stats
+    return dup_span_stats(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                          columns=["doc_id", "text"]))
+
+
+# --- SemDeDup ---------------------------------------------------------------------
+
+def q_embed_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clusters, then within-cluster
+    cosine >= 0.45 marks lower-id-shadowed duplicates — pairwise work
+    bounded by cluster size, exact fixed-point arithmetic end to end."""
+    import ray.data as rd
+
+    from ontoray.extras.semdedup import semdedup
+    return semdedup(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"]))
+
+
+# --- per-key lag window -------------------------------------------------------------
+
+def q_events_lag(sf_dir: str):
+    """lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) + the
+    inter-event delta — one keyed exchange, per-group vectorized shift."""
+    import ray.data as rd
+
+    from ontoray.stages.events import grouped_lag
+    return grouped_lag(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["event_id", "user_id", "ts", "value"]))

@@ -441,3 +441,61 @@ SELECT user_id,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY user_id
 """
+
+
+def grouped_lag(events_ds, key: str = "user_id", val: str = "value"):
+    """Per-key lag window: each event paired with the PREVIOUS event's value
+    within its key, ordered by (ts, event_id) — mirrors ``lag(val) OVER
+    (PARTITION BY key ORDER BY ts, event_id)``.  The feature-engineering
+    primitive behind inter-event deltas / time-since-last signals.
+
+    Scale shape: one keyed exchange (groupby key), per-group vectorized
+    lexsort + shift — no global sort.  Partitioning assumption: one key's
+    rows fit one group (the ``ordered_group_concat`` contract; a key is a
+    user's event history, bounded in practice).  ``delta`` is one IEEE
+    float64 subtraction — bit-identical to the SQL mirror.
+
+    Output: (event_id, key, val, prev_value, delta)."""
+    import numpy as np
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            val: batch.column(val),
+        })
+
+    def lagged(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        vals = g.column(val).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ids, ts))
+        sv = vals[order]
+        # Null-first lag via a validity mask: position 0 has no predecessor.
+        valid = np.ones(len(sv), dtype=bool)
+        valid[0] = False
+        prev = np.roll(sv, 1)
+        prev[0] = 0.0                      # masked out below
+        return pa.table({
+            "event_id": pa.array(ids[order], pa.int64()),
+            key: pa.array([g.column(key)[0].as_py()] * len(sv),
+                          g.column(key).type),
+            val: pa.array(sv, pa.float64()),
+            "prev_value": pa.array(prev, pa.float64(), mask=~valid),
+            "delta": pa.array(sv - prev, pa.float64(), mask=~valid),
+        })
+
+    from ontoray.stages.agg import default_coalesce
+    return (events_ds.select_columns([key, "event_id", "ts", val])
+            .map_batches(derive, batch_format="pyarrow")
+            .repartition(default_coalesce())
+            .groupby(key).map_groups(lagged, batch_format="pyarrow"))
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id, value,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+"""

@@ -1,0 +1,141 @@
+"""Round-3 additions: span-level dup detection, SemDeDup, per-key lag."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestDupSpans:
+    W = 4  # small tiles so fixtures stay readable
+
+    def _docs(self) -> pa.Table:
+        shared = "alpha beta gamma delta"            # one full tile
+        rows = [
+            (0, f"{shared} zero only tail words"),   # tile0 shared with doc 1
+            (1, f"{shared} one other tail tokens"),  # tile0 shared with doc 0
+            (2, "totally unique text in this doc"),  # no shared tiles
+            (3, "rep rep rep rep rep rep rep rep"),  # same tile TWICE intra-doc
+            (4, "too short"),                        # < W tokens: no tiles
+        ]
+        return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                         "text": pa.array([r[1] for r in rows], pa.string())})
+
+    def test_semantics_and_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import dup_span_stats
+        tbl = self._docs()
+        got = {r["doc_id"]: r for r in dup_span_stats(
+            rd.from_arrow(tbl).repartition(3), w=self.W).take_all()}
+        # docs 0 and 1: 2 tiles each, the shared one is duplicated
+        for d in (0, 1):
+            assert got[d]["n_tiles"] == 2 and got[d]["dup_tiles"] == 1
+            assert got[d]["dup_frac"] == 0.5
+        # unique doc: no dup tiles
+        assert got[2]["dup_tiles"] == 0 and got[2]["dup_frac"] == 0.0
+        # intra-doc tile repetition does NOT promote (distinct-doc count = 1)
+        assert got[3]["n_tiles"] == 2 and got[3]["dup_tiles"] == 0
+        # sub-tile doc contributes no row
+        assert 4 not in got
+        # partitioning invariance
+        got1 = {r["doc_id"]: r for r in dup_span_stats(
+            rd.from_arrow(tbl).repartition(1), w=self.W).take_all()}
+        assert got == got1
+
+    def test_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import dup_span_stats, sql_dup_spans
+        tbl = self._docs()
+        got = {r["doc_id"]: r for r in dup_span_stats(
+            rd.from_arrow(tbl), w=self.W).take_all()}
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        rows = con.execute(sql_dup_spans(w=self.W)).fetchall()
+        assert len(rows) == len(got)
+        for did, n_tiles, dup_tiles, dup_frac in rows:
+            assert got[did]["n_tiles"] == n_tiles
+            assert got[did]["dup_tiles"] == dup_tiles
+            assert got[did]["dup_frac"] == dup_frac
+
+
+class TestSemDeDup:
+    def _embeddings(self) -> pa.Table:
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((40, 8))
+        # vec 37 is a near-copy of vec 5 (tiny perturbation -> cosine ~ 1);
+        # vec 38 is an exact scaled copy of vec 9 (cosine == 1 pre-quantize).
+        vecs[37] = vecs[5] + 0.01 * rng.standard_normal(8)
+        vecs[38] = 2.0 * vecs[9]
+        return pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+
+    def test_dup_marks_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.semdedup import semdedup, sql_semdedup
+        tbl = self._embeddings()
+        k, iters = 4, 2
+        got = {r["vec_id"]: r for r in semdedup(
+            rd.from_arrow(tbl).repartition(3), k=k, iters=iters,
+            threshold_num=90, threshold_den=100).take_all()}
+        assert len(got) == 40
+        # near-copies land in their source's cluster and are shadowed by the
+        # lower id; the originals stay kept.
+        assert got[37]["is_dup"] and not got[5]["is_dup"]
+        assert got[38]["is_dup"] and not got[9]["is_dup"]
+        assert got[37]["cluster"] == got[5]["cluster"]
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        rows = con.execute(sql_semdedup(
+            k=k, iters=iters, threshold_num=90, threshold_den=100)).fetchall()
+        assert len(rows) == 40
+        for vid, cluster, is_dup in rows:
+            assert got[vid]["cluster"] == cluster, vid
+            assert got[vid]["is_dup"] == is_dup, vid
+
+    def test_zero_vector_never_dup(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.semdedup import semdedup
+        tbl = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([[0.0] * 4, [0.0] * 4, [1.0] * 4],
+                                  pa.list_(pa.float32())),
+        })
+        got = {r["vec_id"]: r["is_dup"] for r in
+               semdedup(rd.from_arrow(tbl), k=1, iters=1).take_all()}
+        # zero-norm vectors have dot 0 with everything -> never duplicates
+        assert got == {0: False, 1: False, 2: False}
+
+
+class TestGroupedLag:
+    def _events(self) -> pa.Table:
+        # user 1: three events incl. a ts TIE broken by event_id;
+        # user 2: single event (prev/delta NULL).
+        ts = pa.array([1000, 1000, 2000, 5000], pa.timestamp("us"))
+        return pa.table({
+            "event_id": pa.array([11, 10, 12, 20], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "value": pa.array([3.5, 1.25, 10.0, 7.0], pa.float64()),
+        })
+
+    def test_semantics_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.events import SQL_EVENTS_LAG, grouped_lag
+        tbl = self._events()
+        got = {r["event_id"]: r for r in grouped_lag(
+            rd.from_arrow(tbl).repartition(2)).take_all()}
+        # tie at ts=1000: event 10 precedes event 11
+        assert got[10]["prev_value"] is None and got[10]["delta"] is None
+        assert got[11]["prev_value"] == 1.25 and got[11]["delta"] == 3.5 - 1.25
+        assert got[12]["prev_value"] == 3.5
+        assert got[20]["prev_value"] is None
+        con = duckdb.connect()
+        con.register("events", tbl)
+        for eid, uid, val, prev, delta in con.execute(SQL_EVENTS_LAG).fetchall():
+            assert got[eid]["user_id"] == uid
+            assert got[eid]["value"] == val
+            assert got[eid]["prev_value"] == prev
+            assert got[eid]["delta"] == delta
