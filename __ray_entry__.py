@@ -481,6 +481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": Q.q_docs_dup_spans,
         "embed_semdedup": Q.q_embed_semdedup,
         "events_lag": Q.q_events_lag,
+        "docs_bm25": Q.q_docs_bm25,
+        "lm_collocations": Q.q_lm_collocations,
         # ---- tier 1: never driver-checked (r1+r2 passes stopped short) ----
         "orders_by_region": Q.q_orders_by_region,
         "lineitem_pricing": Q.q_lineitem_pricing,
@@ -668,6 +670,8 @@ def oracle_sql() -> dict[str, str]:
         "events_seq": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_SEQ"]).SQL_EVENTS_SEQ,
         "events_lag": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_LAG"]).SQL_EVENTS_LAG,
         "docs_dup_spans": __import__("ontoray.extras.dedup", fromlist=["sql_dup_spans"]).sql_dup_spans(),
+        "docs_bm25": Q.sql_docs_bm25(),
+        "lm_collocations": Q.sql_lm_collocations(),
         "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
     }

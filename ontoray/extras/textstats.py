@@ -964,3 +964,234 @@ def sql_lm_score_docs(min_count: int = 3, table: str = "documents",
              AS fluency_micro
     FROM {table} doc LEFT JOIN sc USING ({id_col})
     """
+
+
+# --- BM25 retrieval ------------------------------------------------------------
+
+def bm25_topk(ds, terms: list[str], k: int = 10, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Okapi BM25 top-k over the corpus for a fixed term list, in EXACT
+    integer arithmetic (k1 = 6/5, b = 3/4 as rationals; idf is the rational
+    core (N - df + 1/2)/(df + 1/2) WITHOUT the log — a strictly monotone
+    transform of classic idf, so rankings for single-term queries are
+    identical and multi-term scores are a documented integer variant that
+    hash-matches the SQL mirror exactly; no float sum-order anywhere).
+
+    Per-(doc, term) contribution, everything integer (T = total corpus
+    tokens, N = docs, dl = doc length, all multiplied out by 10*T):
+
+        c_micro = (1e6 * (2N - 2*df + 1) * 22*T*tf)
+                  // ((2*df + 1) * (10*T*tf + 3*T + 9*dl*N))
+
+    Scale shape: pass 1 streams the corpus once folding (N, T, df[term])
+    per-batch partials (a handful of ints reach the driver); pass 2 scores
+    each batch locally against the broadcast constants and keeps a per-batch
+    top-k; the global winner merge sorts only k x num_blocks rows.  The
+    corpus text never shuffles.
+
+    Output: (doc_id, score_micro, n_terms) — top ``k`` by (score desc, id).
+    """
+    from collections import Counter
+
+    terms = list(terms)
+
+    def stats_part(batch: pa.Table) -> pa.Table:
+        tls = [TOKEN_RE.findall(t or "")
+               for t in batch.column(text_col).to_pylist()]
+        sets = [set(x) for x in tls]
+        return pa.table({
+            "nd": pa.array([len(tls)], pa.int64()),
+            "nt": pa.array([sum(len(x) for x in tls)], pa.int64()),
+            "df": pa.array([[sum(1 for s in sets if tm in s)
+                             for tm in terms]], pa.list_(pa.int64())),
+        })
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(stats_part, batch_format="pyarrow").take_all())
+    N = sum(r["nd"] for r in parts)
+    T = sum(r["nt"] for r in parts)
+    df = [sum(r["df"][i] for r in parts) for i in range(len(terms))]
+    if N == 0 or T == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64())}))
+
+    def score(batch: pa.Table) -> pa.Table:
+        rows = []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = TOKEN_RE.findall(t or "")
+            dl = len(toks)
+            cnt = Counter(toks)
+            s, ntm = 0, 0
+            for ti, term in enumerate(terms):
+                tf = cnt.get(term, 0)
+                if tf == 0:
+                    continue
+                ntm += 1
+                s += ((10**6 * (2 * N - 2 * df[ti] + 1) * 22 * T * tf)
+                      // ((2 * df[ti] + 1) * (10 * T * tf + 3 * T + 9 * dl * N)))
+            if ntm:
+                rows.append((did, s, ntm))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:k]
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "score_micro": pa.array([r[1] for r in rows], pa.int64()),
+            "n_terms": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(score, batch_format="pyarrow")
+            .sort(["score_micro", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
+def sql_bm25_topk(terms: list[str], k: int = 10, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of ``bm25_topk``: identical tokenization, identical
+    multiplied-out integer formula in HUGEINT, identical tie-break."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+    WITH d AS (
+      SELECT {id_col} AS doc_id,
+             regexp_extract_all(coalesce({text_col}, ''), '[a-z0-9]+') AS l
+      FROM {table}
+    ), s AS (
+      SELECT count(*) AS n, CAST(coalesce(sum(len(l)), 0) AS BIGINT) AS t FROM d
+    ), q(term) AS (VALUES {vals}),
+    tf AS (
+      SELECT d.doc_id, q.term, len(list_filter(d.l, x -> x = q.term)) AS tf,
+             len(d.l) AS dl
+      FROM d CROSS JOIN q
+    ), dfs AS (
+      SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term
+    ), contrib AS (
+      SELECT f.doc_id,
+             CAST((1000000::HUGEINT * (2*s.n - 2*dfs.df + 1) * 22 * s.t * f.tf)
+                  // ((2*dfs.df + 1)::HUGEINT *
+                      (10*s.t*f.tf + 3*s.t + 9*f.dl*s.n)) AS BIGINT) AS c_micro
+      FROM tf f JOIN dfs USING (term) CROSS JOIN s
+      WHERE f.tf > 0
+    )
+    SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
+           count(*) AS n_terms
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT {k}
+    """
+
+
+# --- collocation mining (PMI-style lift) ------------------------------------------
+
+def collocations_topk(ds, k: int = 20, min_count: int = 5,
+                      text_col: str = "text", num_partitions: int = 16):
+    """Top-``k`` bigram collocations by integer LIFT — the Church & Hanks
+    PMI association measure with the (monotone) log dropped so ranking stays
+    in exact integer arithmetic:
+
+        lift_micro = (1e6 * n_ab * U^2) // (B * n_a * n_b)
+
+    (U = total tokens, B = total bigrams, n_a/n_b unigram counts, n_ab the
+    bigram count).  PMI = log(lift) — same order, no float log divergence.
+
+    Scale shape: per-batch Counter combiners for unigram AND bigram counts
+    (corpus text never shuffles — only vocabulary-scale count partials);
+    totals are driver scalars; two partitioned hash joins decorate the
+    bigram table with its endpoint unigram counts; per-batch local top-k +
+    a k x num_blocks global merge.  ``min_count`` prunes the long noise
+    tail before the joins."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def uni(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            cnt.update(TOKEN_RE.findall(t or ""))
+        return pa.table({"w": pa.array(list(cnt.keys()), pa.string()),
+                         "c": pa.array(list(cnt.values()), pa.int64())})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            cnt.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([a for a, _ in cnt.keys()], pa.string()),
+            "w2": pa.array([b for _, b in cnt.keys()], pa.string()),
+            "c": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    txt = ds.select_columns([text_col])
+    ug = hash_aggregate(txt.map_batches(uni, batch_format="pyarrow"), ["w"],
+                        partial_aggs=[("c", "sum")], aggs=[("c_sum", "sum")],
+                        rename={"c_sum_sum": "n_w"},
+                        num_buckets=num_partitions).materialize()
+    bc = hash_aggregate(txt.map_batches(pairs, batch_format="pyarrow"),
+                        ["w1", "w2"], partial_aggs=[("c", "sum")],
+                        aggs=[("c_sum", "sum")], rename={"c_sum_sum": "n"},
+                        num_buckets=num_partitions).materialize()
+    U = int(ug.sum("n_w") or 0)
+    B = int(bc.sum("n") or 0)
+    if U == 0 or B == 0:
+        return bc.limit(0)
+
+    kept = bc.filter(expr=f"n >= {min_count}")
+    j1 = hash_join(kept, ug.rename_columns(["w", "n_a"]), "w1", "w",
+                   right_cols=["n_a"], num_partitions=num_partitions)
+    j2 = hash_join(j1, ug.rename_columns(["w", "n_b"]), "w2", "w",
+                   right_cols=["n_b"], num_partitions=num_partitions)
+
+    def lift(batch: pa.Table) -> pa.Table:
+        rows = []
+        for w1, w2, n, na, nb in zip(batch.column("w1").to_pylist(),
+                                     batch.column("w2").to_pylist(),
+                                     batch.column("n").to_pylist(),
+                                     batch.column("n_a").to_pylist(),
+                                     batch.column("n_b").to_pylist()):
+            rows.append((w1, w2, n,
+                         (10**6 * n * U * U) // (B * na * nb)))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        rows = rows[:k]
+        return pa.table({
+            "w1": pa.array([r[0] for r in rows], pa.string()),
+            "w2": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "lift_micro": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    return (j2.map_batches(lift, batch_format="pyarrow")
+            .sort(["lift_micro", "w1", "w2"],
+                  descending=[True, False, False]).limit(k))
+
+
+def sql_collocations(k: int = 20, min_count: int = 5,
+                     table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB mirror of ``collocations_topk`` — identical counts, identical
+    HUGEINT lift formula, identical tie-break."""
+    return f"""
+    WITH t AS (
+      SELECT regexp_extract_all(coalesce({text_col}, ''), '[a-z0-9]+') AS l
+      FROM {table}
+    ), uc AS (
+      SELECT w, count(*) AS n_w FROM (SELECT unnest(l) AS w FROM t) GROUP BY w
+    ), ut AS (SELECT CAST(sum(n_w) AS BIGINT) AS u FROM uc),
+    bc AS (
+      SELECT p[1] AS w1, p[2] AS w2, count(*) AS n
+      FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+            FROM t WHERE len(l) >= 2)
+      GROUP BY 1, 2
+    ), bt AS (SELECT CAST(sum(n) AS BIGINT) AS b FROM bc)
+    SELECT bc.w1, bc.w2, CAST(bc.n AS BIGINT) AS n,
+           CAST((1000000::HUGEINT * bc.n * ut.u * ut.u)
+                // (bt.b::HUGEINT * a.n_w * b2.n_w) AS BIGINT) AS lift_micro
+    FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b2 ON b2.w = bc.w2
+    CROSS JOIN ut CROSS JOIN bt
+    WHERE bc.n >= {min_count}
+    ORDER BY lift_micro DESC, bc.w1, bc.w2 LIMIT {k}
+    """

@@ -1600,3 +1600,42 @@ def q_events_lag(sf_dir: str):
     from ontoray.stages.events import grouped_lag
     return grouped_lag(rd.read_parquet(f"{sf_dir}/events.parquet",
                                        columns=["event_id", "user_id", "ts", "value"]))
+
+
+# --- BM25 retrieval ------------------------------------------------------------------
+
+BM25_TERMS = ["join", "hash", "scan", "column"]
+
+
+def q_docs_bm25(sf_dir: str):
+    """Exact-integer Okapi BM25 top-10 for a fixed query — one stats pass
+    (driver sees a handful of ints), one scoring pass with per-batch local
+    top-k; corpus text never shuffles."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import bm25_topk
+    return bm25_topk(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"]), BM25_TERMS)
+
+
+def sql_docs_bm25() -> str:
+    from ontoray.extras.textstats import sql_bm25_topk
+    return sql_bm25_topk(BM25_TERMS)
+
+
+# --- collocation mining ----------------------------------------------------------------
+
+def q_lm_collocations(sf_dir: str):
+    """Top-20 bigram collocations by integer PMI-lift (Church & Hanks with
+    the monotone log dropped) — vocabulary-scale two-phase counts + two
+    partitioned joins; exact arithmetic end to end."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import collocations_topk
+    return collocations_topk(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                             columns=["doc_id", "text"]))
+
+
+def sql_lm_collocations() -> str:
+    from ontoray.extras.textstats import sql_collocations
+    return sql_collocations()

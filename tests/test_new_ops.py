@@ -139,3 +139,68 @@ class TestGroupedLag:
             assert got[eid]["value"] == val
             assert got[eid]["prev_value"] == prev
             assert got[eid]["delta"] == delta
+
+
+class TestBM25:
+    def _docs(self) -> pa.Table:
+        rows = [
+            (0, "join join join hash other words here"),   # high tf
+            (1, "join hash"),                               # short doc
+            (2, "nothing relevant at all"),                 # no query terms
+            (3, "join " + "filler " * 50),                  # long doc, tf=1
+            (4, ""),                                        # empty
+        ]
+        return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                         "text": pa.array([r[1] for r in rows], pa.string())})
+
+    def test_ranking_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import bm25_topk, sql_bm25_topk
+        tbl = self._docs()
+        terms = ["join", "hash"]
+        got = bm25_topk(rd.from_arrow(tbl).repartition(3), terms, k=5).take_all()
+        ids = [r["doc_id"] for r in got]
+        # docs without any query term never appear
+        assert 2 not in ids and 4 not in ids
+        # short doc with both terms outranks the tf=1 long doc
+        assert ids.index(1) < ids.index(3)
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        rows = con.execute(sql_bm25_topk(terms, k=5)).fetchall()
+        assert [(r["doc_id"], r["score_micro"], r["n_terms"]) for r in got] == rows
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.textstats import bm25_topk
+        tbl = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "text": pa.array([], pa.string())})
+        assert bm25_topk(rd.from_arrow(tbl), ["x"], k=3).take_all() == []
+
+
+class TestCollocations:
+    def _docs(self) -> pa.Table:
+        # "new york" always adjacent (strong collocation); "the" everywhere
+        # (weak); "rare pair" below min_count.
+        txt0 = "new york is big and the city of new york has the people"
+        txt1 = "i love new york and the new york skyline in the morning"
+        txt2 = "rare pair appears once only here with the usual words"
+        return pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                         "text": pa.array([txt0, txt1, txt2], pa.string())})
+
+    def test_top_pair_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import collocations_topk, sql_collocations
+        tbl = self._docs()
+        got = collocations_topk(rd.from_arrow(tbl).repartition(2),
+                                k=5, min_count=2).take_all()
+        assert got, "non-empty"
+        # the adjacent pair dominates by lift
+        assert (got[0]["w1"], got[0]["w2"]) == ("new", "york")
+        # min_count prunes singletons
+        assert all(r["n"] >= 2 for r in got)
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        rows = con.execute(sql_collocations(k=5, min_count=2)).fetchall()
+        assert [(r["w1"], r["w2"], r["n"], r["lift_micro"]) for r in got] == rows
