@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": Q.q_events_lag,
         "docs_bm25": Q.q_docs_bm25,
         "lm_collocations": Q.q_lm_collocations,
+        "lineitem_corr": Q.q_lineitem_corr,
         # ---- tier 1: never driver-checked (r1+r2 passes stopped short) ----
         "orders_by_region": Q.q_orders_by_region,
         "lineitem_pricing": Q.q_lineitem_pricing,
@@ -672,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_spans": __import__("ontoray.extras.dedup", fromlist=["sql_dup_spans"]).sql_dup_spans(),
         "docs_bm25": Q.sql_docs_bm25(),
         "lm_collocations": Q.sql_lm_collocations(),
+        "lineitem_corr": Q.sql_lineitem_corr(),
         "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
     }

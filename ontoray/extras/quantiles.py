@@ -293,3 +293,103 @@ def sql_grouped_quantile_buckets(table: str, key: str, value_col: str,
     FROM {table} t JOIN cuts c USING ({key})
     GROUP BY t.{id_col}, t.{key}
     """
+
+
+def grouped_corr(ds, key: str, x_col: str, y_col: str):
+    """Per-group Pearson correlation (and means) from EXACT integer moment
+    partials — the grouped-statistics operator (feature diagnostics /
+    leakage checks on training tables).
+
+    Scale shape: one streaming pass folds per-batch integer partials
+    (n, sum x, sum y, sum x^2, sum y^2, sum xy over int64 cents — the
+    ``grouped_zscore`` money-math rule: float partial sums are not
+    associative across distributed partials, integer sums are) through ONE
+    vocabulary-scale ``hash_aggregate``; the driver sees only the per-group
+    stats rows.  The final float expressions are spelled in ONE fixed order
+    (float(num) / sqrt(float(denx) * float(deny))) identically in SQL, so
+    the mirror matches bit-for-bit.  int64 bound: |cents| <= 3e5 is safe to
+    ~1e8 rows/group in the square sums; shard the group key beyond that
+    (same bound as grouped_zscore).
+
+    Output: (key, n, mean_x_cents, mean_y_cents, corr) — corr NULL when
+    either variance is zero."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def cents(col):
+        return pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(col, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = cents(batch.column(x_col))
+        y = cents(batch.column(y_col))
+        t = pa.table({key: batch.column(key), "x": x, "y": y,
+                      "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+                      "xy": pc.multiply(x, y)})
+        g = t.group_by([key]).aggregate([
+            ("x", "count"), ("x", "sum"), ("y", "sum"),
+            ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return g.rename_columns([key, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    stats = hash_aggregate(
+        ds.select_columns([key, x_col, y_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        [key],
+        aggs=[("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+              ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")],
+        rename={"n_sum": "n", "sx_sum": "sx", "sy_sum": "sy",
+                "sxx_sum": "sxx", "syy_sum": "syy", "sxy_sum": "sxy"},
+        num_buckets=8).take_all()                   # group-vocabulary-scale
+
+    ks, ns, mxs, mys, cs = [], [], [], [], []
+    for r in sorted(stats, key=lambda r: str(r[key])):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy                     # exact Python bigint
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        ks.append(r[key])
+        ns.append(n)
+        mxs.append(float(sx) / float(n))
+        mys.append(float(sy) / float(n))
+        cs.append(None if denx == 0 or deny == 0 else
+                  float(num) / math.sqrt(float(denx) * float(deny)))
+    return rd.from_arrow(pa.table({
+        key: pa.array(ks),
+        "n": pa.array(ns, pa.int64()),
+        "mean_x_cents": pa.array(mxs, pa.float64()),
+        "mean_y_cents": pa.array(mys, pa.float64()),
+        "corr": pa.array(cs, pa.float64()),
+    }))
+
+
+def sql_grouped_corr(table: str, key: str, x_col: str, y_col: str) -> str:
+    """DuckDB mirror of ``grouped_corr``: identical cents quantization,
+    HUGEINT moment algebra, and the identical float expression order
+    (CAST each factor to DOUBLE, multiply, sqrt, divide)."""
+    return f"""
+    WITH c AS (
+      SELECT {key} AS k,
+             CAST(floor(CAST({x_col} AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x,
+             CAST(floor(CAST({y_col} AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS y
+      FROM {table}
+    ), s AS (
+      SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM c GROUP BY k
+    )
+    SELECT k AS {key}, CAST(n AS BIGINT) AS n,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_cents,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y_cents,
+           CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+                ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+                     sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+                          CAST(n*syy - sy*sy AS DOUBLE)) END AS corr
+    FROM s
+    """

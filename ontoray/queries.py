@@ -1639,3 +1639,22 @@ def q_lm_collocations(sf_dir: str):
 def sql_lm_collocations() -> str:
     from ontoray.extras.textstats import sql_collocations
     return sql_collocations()
+
+
+# --- grouped Pearson correlation ----------------------------------------------------
+
+def q_lineitem_corr(sf_dir: str):
+    """corr(l_quantity, l_discount) per return flag from exact integer
+    moment partials — one streaming pass, one vocabulary-scale exchange."""
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_corr
+    return grouped_corr(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_returnflag", "l_quantity", "l_discount"]),
+        "l_returnflag", "l_quantity", "l_discount")
+
+
+def sql_lineitem_corr() -> str:
+    from ontoray.extras.quantiles import sql_grouped_corr
+    return sql_grouped_corr("lineitem", "l_returnflag", "l_quantity", "l_discount")

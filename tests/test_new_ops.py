@@ -204,3 +204,32 @@ class TestCollocations:
         con.register("documents", tbl)
         rows = con.execute(sql_collocations(k=5, min_count=2)).fetchall()
         assert [(r["w1"], r["w2"], r["n"], r["lift_micro"]) for r in got] == rows
+
+
+class TestGroupedCorr:
+    def _tbl(self) -> pa.Table:
+        # group "a": y = 2x exactly -> corr 1; group "b": y = -x -> corr -1;
+        # group "c": constant y -> zero variance -> NULL corr.
+        xs = [1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 5.0, 6.0]
+        ys = [2.0, 4.0, 6.0, 3.0, 2.0, 1.0, 9.0, 9.0]
+        ks = ["a", "a", "a", "b", "b", "b", "c", "c"]
+        return pa.table({"k": pa.array(ks), "x": pa.array(xs, pa.float64()),
+                         "y": pa.array(ys, pa.float64())})
+
+    def test_known_corrs_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.quantiles import grouped_corr, sql_grouped_corr
+        tbl = self._tbl()
+        got = {r["k"]: r for r in grouped_corr(
+            rd.from_arrow(tbl).repartition(3), "k", "x", "y").take_all()}
+        assert got["a"]["corr"] == 1.0
+        assert got["b"]["corr"] == -1.0
+        assert got["c"]["corr"] is None
+        con = duckdb.connect()
+        con.register("t", tbl)
+        for k, n, mx, my, corr in con.execute(
+                sql_grouped_corr("t", "k", "x", "y")).fetchall():
+            assert got[k]["n"] == n
+            assert got[k]["mean_x_cents"] == mx
+            assert got[k]["mean_y_cents"] == my
+            assert got[k]["corr"] == corr
