@@ -484,6 +484,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": Q.q_docs_bm25,
         "lm_collocations": Q.q_lm_collocations,
         "lineitem_corr": Q.q_lineitem_corr,
+        "docs_scrub_spans": Q.q_docs_scrub_spans,
+        "orders_anti_deleted": Q.q_orders_anti_deleted,
+        "docs_pii_redact": Q.q_docs_pii_redact,
+        "ann_lsh": Q.q_ann_lsh,
         # ---- tier 1: never driver-checked (r1+r2 passes stopped short) ----
         "orders_by_region": Q.q_orders_by_region,
         "lineitem_pricing": Q.q_lineitem_pricing,
@@ -674,6 +678,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_bm25": Q.sql_docs_bm25(),
         "lm_collocations": Q.sql_lm_collocations(),
         "lineitem_corr": Q.sql_lineitem_corr(),
+        "docs_scrub_spans": Q.sql_docs_scrub_spans(),
+        "orders_anti_deleted": Q.SQL_ORDERS_ANTI_DELETED,
+        "docs_pii_redact": Q.sql_docs_pii_redact(),
+        "ann_lsh": Q.sql_ann_lsh("/root/testdata/sf0.01"),
         "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
     }

@@ -408,3 +408,47 @@ def ivf_topk_exact(ds, query: np.ndarray, k: int = 10, nprobe: int = 4,
 
     return brute_force_topk(dsm.map_batches(scan, batch_format="pyarrow"),
                             query, k, concurrency)
+
+
+def sql_lsh_topk(dim: int, k: int = 10, n_planes: int = 8, seed: int = 11,
+                 probes: int = 1, table: str = "embeddings",
+                 query_seed: int = 123) -> str:
+    """DuckDB mirror of ``lsh_topk``: the SAME seeded planes and query are
+    re-derived here and embedded as float64 literals; the probe bucket set
+    is query-derived (data-independent), so it is computed driver-side
+    exactly as the engine computes it and inlined.  Bucket membership uses
+    the identical strict `dot > 0` sign rule (the float sums differ only in
+    association order — a sign flip needs a dot within ~1e-16 of zero,
+    the accepted risk of every plane-literal mirror in this repo); the
+    final ranking re-rounds cosine to 6, matching ``brute_force_topk``."""
+    from ontoray.extras.dedup import SignLSH
+
+    q = query_vector(dim, seed=query_seed)
+    probe = SignLSH(dim, n_planes, seed)
+    margins = q @ probe.planes
+    qbucket = int((margins > 0).dot(probe.weights))
+    buckets = {qbucket}
+    for j in np.argsort(np.abs(margins))[:max(0, probes - 1)]:
+        buckets.add(qbucket ^ (1 << int(j)))
+    blist = ", ".join(str(b) for b in sorted(buckets))
+
+    def dlit(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(e, "
+        f"CAST({dlit(probe.planes[:, j])} AS DOUBLE[])), p -> p[1] * p[2])) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes))
+    qlit = dlit(q)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}
+    ), b AS (
+      SELECT vec_id, e, ({bits}) AS bucket FROM v
+    )
+    SELECT vec_id,
+           round(list_cosine_similarity(e, CAST({qlit} AS DOUBLE[])), 6) AS cosine
+    FROM b WHERE bucket IN ({blist})
+    ORDER BY cosine DESC, vec_id LIMIT {k}
+    """

@@ -1356,3 +1356,121 @@ def sql_dup_spans(w: int = 8, table: str = "documents") -> str:
              / CAST(sum(p.c) AS DOUBLE) AS dup_frac
     FROM perdoc p JOIN nd n USING (h) GROUP BY p.doc_id
     """
+
+
+def remove_dup_spans(ds, w: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Scrub cross-document duplicated spans: every non-overlapping
+    ``w``-token tile occurring in >= 2 DISTINCT documents is dropped from
+    ALL documents (the removal counterpart of ``dup_span_stats`` — Lee et
+    al. span dedup as an operator, not just a signal).
+
+    Scale shape: tile METADATA (doc_id, tile_index, hash) — never text —
+    rides the ``dup_span_stats`` aggregates; the duplicated (doc_id,
+    tile_index) pairs group per doc (one corpus-key exchange of int pairs)
+    and hash-join back onto the documents, which re-tokenize locally and
+    drop the marked tiles.  No broadcast set: the duplicated-tile vocabulary
+    is corpus-proportional at 100 TB (contrast ``remove_repeated_lines``).
+
+    Output (doc_id, text_clean, n_removed): ``text_clean`` is the kept
+    tiles' tokens plus the sub-tile tail, space-joined (token-normalized —
+    original whitespace is not preserved; the tokenization is the
+    decontaminate contract)."""
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        out_id, out_t, out_h = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            ws = _DECON_TOKEN_RE.findall(t or "")
+            for ti in range(len(ws) // w):
+                g = " ".join(ws[ti * w:(ti + 1) * w])
+                out_id.append(did)
+                out_t.append(ti)
+                out_h.append(int.from_bytes(
+                    hashlib.md5(g.encode()).digest()[:8], "big"))
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "t": pa.array(out_t, pa.int64()),
+                         "h": pa.array(out_h, pa.uint64())})
+
+    tl = (ds.select_columns([id_col, text_col])
+          .map_batches(tiles, batch_format="pyarrow").materialize())
+    # distinct docs per tile hash (a doc may repeat a tile -> count DISTINCT
+    # doc rows, i.e. rows of the per-(doc,h) projection)
+    pd_ = hash_aggregate(tl, [id_col, "h"], partial_aggs=[("t", "count")],
+                         aggs=[("t_count", "sum")], rename={"t_count_sum": "c"})
+    nd = hash_aggregate(pd_, ["h"], partial_aggs=[("c", "count")],
+                        aggs=[("c_count", "sum")], rename={"c_count_sum": "nd"})
+    dup_pairs = hash_join(tl, nd.filter(expr="nd >= 2"), "h", "h",
+                          how="left_semi")
+
+    def collect(g: pa.Table) -> pa.Table:
+        # comma-joined string, not list<int64>: Arrow's hash join rejects
+        # list-typed non-key payload columns.
+        ts = sorted(g.column("t").to_pylist())
+        return pa.table({id_col: pa.array([g.column(id_col)[0].as_py()], pa.int64()),
+                         "dup_ts": pa.array([",".join(map(str, ts))], pa.string())})
+
+    dup_lists = (dup_pairs.repartition(default_coalesce())
+                 .groupby(id_col).map_groups(collect, batch_format="pyarrow"))
+    joined = hash_join(ds.select_columns([id_col, text_col]), dup_lists,
+                       id_col, id_col, how="left", right_cols=["dup_ts"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        out_txt, out_n = [], []
+        for t, dts in zip(batch.column(text_col).to_pylist(),
+                          batch.column("dup_ts").to_pylist()):
+            ws = _DECON_TOKEN_RE.findall(t or "")
+            drop = {int(x) for x in dts.split(",")} if dts else set()
+            nt = len(ws) // w
+            kept: list[str] = []
+            for ti in range(nt):
+                if ti not in drop:
+                    kept.extend(ws[ti * w:(ti + 1) * w])
+            kept.extend(ws[nt * w:])
+            out_txt.append(" ".join(kept))
+            out_n.append(len(drop))
+        return pa.table({id_col: batch.column(id_col),
+                         "text_clean": pa.array(out_txt, pa.string()),
+                         "n_removed": pa.array(out_n, pa.int64())})
+
+    return joined.map_batches(scrub, batch_format="pyarrow")
+
+
+def sql_remove_dup_spans(w: int = 8, table: str = "documents") -> str:
+    """DuckDB mirror of ``remove_dup_spans`` — identical tokenization, tile
+    keys, distinct-doc rule, and token-normalized reconstruction."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[a-z0-9]+') AS ws
+      FROM {table}
+    ), tiles AS (
+      SELECT doc_id, t,
+             substr(md5(array_to_string(ws[(t-1)*{w}+1 : t*{w}], ' ')), 1, 16) AS h
+      FROM toks, unnest(range(1, len(ws) // {w} + 1)) r(t)
+    ), nd AS (
+      SELECT h, count(DISTINCT doc_id) AS nd FROM tiles GROUP BY h
+    ), keep AS (
+      SELECT ti.doc_id, ti.t FROM tiles ti JOIN nd USING (h) WHERE nd.nd < 2
+    ), recon AS (
+      SELECT k.doc_id,
+             flatten(list(d.ws[(k.t-1)*{w}+1 : k.t*{w}] ORDER BY k.t)) AS kt
+      FROM keep k JOIN toks d USING (doc_id) GROUP BY k.doc_id
+    ), dropped AS (
+      SELECT ti.doc_id, count(*) AS n_removed
+      FROM tiles ti JOIN nd USING (h) WHERE nd.nd >= 2 GROUP BY ti.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(array_to_string(
+                      coalesce(r.kt, CAST([] AS VARCHAR[]))
+                      || coalesce(d.ws[(len(d.ws) // {w}) * {w} + 1 : len(d.ws)],
+                                  CAST([] AS VARCHAR[])),
+                      ' '), '') AS text_clean,
+           CAST(coalesce(dr.n_removed, 0) AS BIGINT) AS n_removed
+    FROM toks d
+    LEFT JOIN recon r USING (doc_id)
+    LEFT JOIN dropped dr USING (doc_id)
+    """

@@ -1658,3 +1658,104 @@ def q_lineitem_corr(sf_dir: str):
 def sql_lineitem_corr() -> str:
     from ontoray.extras.quantiles import sql_grouped_corr
     return sql_grouped_corr("lineitem", "l_returnflag", "l_quantity", "l_discount")
+
+
+# --- span-level dedup (removal form) ---------------------------------------------------
+
+def q_docs_scrub_spans(sf_dir: str):
+    """Cross-document duplicated-span REMOVAL (the operator form of
+    docs_dup_spans): tiles in >=2 distinct docs are dropped everywhere;
+    only tile metadata shuffles, text re-tokenizes locally."""
+    import ray.data as rd
+
+    from ontoray.extras.dedup import remove_dup_spans
+    return remove_dup_spans(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                            columns=["doc_id", "text"]))
+
+
+def sql_docs_scrub_spans() -> str:
+    from ontoray.extras.dedup import sql_remove_dup_spans
+    return sql_remove_dup_spans()
+
+
+# --- Bloom-prefiltered anti-join as a pipeline (deleted-customer filter) ----------------
+
+def q_orders_anti_deleted(sf_dir: str):
+    """Removed-set filtering at scale: orders whose customer is NOT in the
+    'deleted' set (customers of nations 0-2), planned through the
+    Bloom-prefiltered EXACT anti-join — bloom misses bypass the shuffle,
+    positives re-check in the partitioned hash join."""
+    import ray.data as rd
+
+    from ontoray.stages.joins import bloom_anti_join
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    deleted = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]) \
+        .filter(expr="c_nationkey < 3").select_columns(["c_custkey"])
+    return bloom_anti_join(orders, deleted, "o_custkey", "c_custkey")
+
+
+SQL_ORDERS_ANTI_DELETED = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey < 3)
+"""
+
+
+# --- PII redaction as a driver-checked pipeline ------------------------------------------
+
+def _pii_injected_table_sql() -> str:
+    """The documents table with deterministic synthetic PII appended to every
+    third doc (the corpus itself is digit-free, so the redactor would be
+    vacuous without injection; doc_id-derived strings keep both sides exact)."""
+    return ("(SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN "
+            "' contact u' || doc_id || '@example.com from 10.0.' || "
+            "(doc_id % 256) || '.' || (doc_id % 100) ELSE '' END AS text "
+            "FROM documents) pii_src")
+
+
+def q_docs_pii_redact(sf_dir: str):
+    """PII scrub over the corpus with deterministic synthetic PII injected
+    into every third doc — chained compiled-regex substitution per batch,
+    no shuffle; counts per pattern on the original text."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import redact_pii
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        out = [t + (f" contact u{d}@example.com from 10.0.{d % 256}.{d % 100}"
+                    if d % 3 == 0 else "")
+               for d, t in zip(ids, txts)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return redact_pii(docs.map_batches(inject, batch_format="pyarrow"))
+
+
+def sql_docs_pii_redact() -> str:
+    from ontoray.extras.textstats import sql_redact_pii
+    return sql_redact_pii(table=_pii_injected_table_sql())
+
+
+# --- ANN sign-LSH bucketed top-k (driver-checked) -----------------------------------------
+
+def q_ann_lsh(sf_dir: str, k: int = 10, probes: int = 3):
+    """Sign-LSH bucketed cosine top-k with multi-probe (query bucket + its 2
+    least-confident Hamming-1 neighbors) — the sublinear-scan serving path;
+    candidates outside the probed buckets never leave the filter."""
+    import ray.data as rd
+
+    from ontoray.extras.ann import lsh_topk, query_vector
+    dim = _embedding_dim(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return lsh_topk(ds, query_vector(dim), k=k, probes=probes)
+
+
+def sql_ann_lsh(sf_dir: str, k: int = 10, probes: int = 3) -> str:
+    from ontoray.extras.ann import sql_lsh_topk
+    return sql_lsh_topk(_embedding_dim(sf_dir), k=k, probes=probes)

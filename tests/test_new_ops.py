@@ -233,3 +233,37 @@ class TestGroupedCorr:
             assert got[k]["mean_x_cents"] == mx
             assert got[k]["mean_y_cents"] == my
             assert got[k]["corr"] == corr
+
+
+class TestRemoveDupSpans:
+    def test_scrub_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import remove_dup_spans, sql_remove_dup_spans
+        shared = "alpha beta gamma delta"
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array([f"{shared} zero only tail words",
+                              f"{shared} one other tail tokens",
+                              "totally unique text in this doc",
+                              "rep rep rep rep rep rep rep rep",
+                              "too short",
+                              shared,          # ALL tiles dup, no tail
+                              shared], pa.string()),
+        })
+        got = {r["doc_id"]: r for r in remove_dup_spans(
+            rd.from_arrow(tbl).repartition(3), w=4).take_all()}
+        # the shared tile is scrubbed from both carriers
+        assert got[0]["text_clean"] == "zero only tail words"
+        assert got[1]["text_clean"] == "one other tail tokens"
+        assert got[0]["n_removed"] == 1
+        # intra-doc repetition is NOT cross-document -> untouched
+        assert got[3]["text_clean"] == "rep rep rep rep rep rep rep rep"
+        # sub-tile doc passes through (token-normalized)
+        assert got[4]["text_clean"] == "too short" and got[4]["n_removed"] == 0
+        # every tile dropped and no tail -> empty string (NOT null)
+        assert got[5]["text_clean"] == "" and got[5]["n_removed"] == 1
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        for did, txt, nrem in con.execute(sql_remove_dup_spans(w=4)).fetchall():
+            assert got[did]["text_clean"] == txt
+            assert got[did]["n_removed"] == nrem
