@@ -1759,3 +1759,27 @@ def q_ann_lsh(sf_dir: str, k: int = 10, probes: int = 3):
 def sql_ann_lsh(sf_dir: str, k: int = 10, probes: int = 3) -> str:
     from ontoray.extras.ann import sql_lsh_topk
     return sql_lsh_topk(_embedding_dim(sf_dir), k=k, probes=probes)
+
+
+# --- full outer join ---------------------------------------------------------------------
+
+def q_custs_orders_outer(sf_dir: str):
+    """Full outer join: nation<5 customers x their orders — keeps orderless
+    customers (left-only) AND orders of out-of-scope customers (right-only,
+    key coalesced into c_custkey per Arrow full-outer semantics)."""
+    import ray.data as rd
+
+    from ontoray.stages.joins import hash_join
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+            .filter(expr="c_nationkey < 5"))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    return hash_join(cust, orders, "c_custkey", "o_custkey", how="full_outer")
+
+
+SQL_CUSTS_ORDERS_OUTER = """
+SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey, c.c_nationkey, o.o_orderkey
+FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 5) c
+FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+"""

@@ -31,9 +31,12 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
 
     Output columns: all left columns plus the right side's ``right_cols``
     (default: every non-key right column), suffixed on name collision.
-    ``how`` ∈ {inner, left, left_anti, left_semi}.  The anti/semi forms
-    return LEFT columns only (existence filter — the scale path for
-    removed-set filtering where the set is too large to broadcast).
+    ``how`` ∈ {inner, left, full_outer, left_anti, left_semi}.  The
+    anti/semi forms return LEFT columns only (existence filter — the scale
+    path for removed-set filtering where the set is too large to
+    broadcast).  ``full_outer`` keeps unmatched rows of BOTH sides; the key
+    column is coalesced (Arrow full-outer semantics), so right-only rows
+    carry their key in ``left_on`` with null left payload.
     """
     def _arrow_types(schema) -> dict:
         out = {}
@@ -52,6 +55,10 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     # A fully-empty Dataset (e.g. a zero-row join output that was
     # materialized) reports schema None; resolve such joins structurally.
     if lschema is None:
+        if how == "full_outer":
+            raise ValueError("hash_join how='full_outer' needs a schema'd "
+                             "left side (its unmatched-right rows project "
+                             "into the left schema)")
         return left_ds
     if rschema is None:
         if how == "left_anti":
@@ -103,7 +110,8 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     r_tagged = right_ds.map_batches(pad_right, batch_format="pyarrow")
     unioned = l_tagged.union(r_tagged)
 
-    arrow_how = {"inner": "inner", "left": "left outer"}.get(how)
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "full_outer": "full outer"}.get(how)
     renamed_rcols = [rename[c] for c in rcols]
 
     def merge_bucket(g: pa.Table) -> pa.Table:

@@ -267,3 +267,29 @@ class TestRemoveDupSpans:
         for did, txt, nrem in con.execute(sql_remove_dup_spans(w=4)).fetchall():
             assert got[did]["text_clean"] == txt
             assert got[did]["n_removed"] == nrem
+
+
+class TestFullOuterJoin:
+    def test_full_outer_vs_duckdb(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.joins import hash_join
+        left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                         "lv": pa.array(["a", "b", "c"], pa.string())})
+        right = pa.table({"rk": pa.array([2, 3, 3, 4], pa.int64()),
+                          "rv": pa.array([20.0, 30.0, 31.0, 40.0], pa.float64())})
+        got = sorted(
+            ((r["k"], r["lv"], r["rv"]) for r in
+             hash_join(rd.from_arrow(left).repartition(2),
+                       rd.from_arrow(right).repartition(3),
+                       "k", "rk", how="full_outer").take_all()),
+            key=lambda t: (t[0], t[2] if t[2] is not None else -1.0))
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        want = sorted(
+            con.execute("SELECT coalesce(l.k, r.rk) AS k, l.lv, r.rv "
+                        "FROM l FULL OUTER JOIN r ON r.rk = l.k").fetchall(),
+            key=lambda t: (t[0], t[2] if t[2] is not None else -1.0))
+        assert got == want
+        # unmatched-left (k=1) and unmatched-right (k=4) both survive
+        assert (1, "a", None) in got and (4, None, 40.0) in got
