@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redact": Q.q_docs_pii_redact,
         "ann_lsh": Q.q_ann_lsh,
         "custs_orders_outer": Q.q_custs_orders_outer,
+        "docs_dsir": Q.q_docs_dsir,
         # ---- tier 1: never driver-checked (r1+r2 passes stopped short) ----
         "orders_by_region": Q.q_orders_by_region,
         "lineitem_pricing": Q.q_lineitem_pricing,
@@ -684,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_redact": Q.sql_docs_pii_redact(),
         "ann_lsh": Q.sql_ann_lsh("/root/testdata/sf0.01"),
         "custs_orders_outer": Q.SQL_CUSTS_ORDERS_OUTER,
+        "docs_dsir": Q.sql_docs_dsir(),
         "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
     }

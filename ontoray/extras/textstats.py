@@ -1195,3 +1195,124 @@ def sql_collocations(k: int = 20, min_count: int = 5,
     WHERE bc.n >= {min_count}
     ORDER BY lift_micro DESC, bc.w1, bc.w2 LIMIT {k}
     """
+
+
+# --- DSIR-style hashed-feature importance scoring -----------------------------------
+
+DSIR_BUCKETS = 8192
+
+
+def dsir_scores(ds, id_col: str = "doc_id", text_col: str = "text",
+                target_col: str = "is_target", n_buckets: int = DSIR_BUCKETS):
+    """Data-selection importance score in the DSIR feature space (Xie et
+    al. 2023, arXiv:2302.03169): hashed word-bigram counts over a FIXED
+    ``n_buckets`` feature space, one bucket-unigram LM per side (target vs
+    raw, add-1 smoothed), and a per-document contrast score.
+
+    Deviation from the paper, documented: DSIR's importance weight is the
+    log-probability ratio; log is not exactly reproducible across engines,
+    so the score here is the integer surrogate
+    ``sum_g (pt_micro[b(g)] - pr_micro[b(g)])`` — micro-probability
+    CONTRAST per gram occurrence, monotone in the same direction per
+    feature, hash-exact on both engines.
+
+    Scale shape: the feature space is fixed-size, so the count exchange is
+    <= n_buckets rows of partials and the two LMs broadcast as two flat
+    int64 arrays (the whole point of hashed features at 100 TB); the corpus
+    streams twice (count pass, score pass) and never shuffles.
+
+    ``target_col`` is a boolean column the caller derives (the target
+    distribution membership).  Output: (doc_id, n_grams, score_micro) for
+    EVERY doc (zeros under 2 tokens)."""
+    from collections import Counter
+
+    import numpy as np
+    import ray
+
+    from ontoray.extras.fastmd5 import md5_int60
+    from ontoray.stages.agg import hash_aggregate
+
+    def gram_buckets(text: str) -> "np.ndarray":
+        ws = TOKEN_RE.findall(text or "")
+        if len(ws) < 2:
+            return np.empty(0, dtype=np.int64)
+        grams = [(ws[i] + " " + ws[i + 1]).encode() for i in range(len(ws) - 1)]
+        return md5_int60(grams) % n_buckets
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        ct: Counter = Counter()
+        cr: Counter = Counter()
+        for t, tgt in zip(batch.column(text_col).to_pylist(),
+                          batch.column(target_col).to_pylist()):
+            (ct if tgt else cr).update(gram_buckets(t).tolist())
+        bs = sorted(set(ct) | set(cr))
+        return pa.table({"b": pa.array(bs, pa.int64()),
+                         "ct": pa.array([ct.get(b, 0) for b in bs], pa.int64()),
+                         "cr": pa.array([cr.get(b, 0) for b in bs], pa.int64())})
+
+    cb = hash_aggregate(
+        ds.select_columns([text_col, target_col])
+          .map_batches(count_part, batch_format="pyarrow"),
+        ["b"], aggs=[("ct", "sum"), ("cr", "sum")],
+        rename={"ct_sum": "ct", "cr_sum": "cr"}, num_buckets=8).take_all()
+    tt = sum(r["ct"] for r in cb)
+    tr = sum(r["cr"] for r in cb)
+    pt = np.full(n_buckets, 1_000_000 // (tt + n_buckets), dtype=np.int64)
+    pr = np.full(n_buckets, 1_000_000 // (tr + n_buckets), dtype=np.int64)
+    for r in cb:
+        pt[r["b"]] = (r["ct"] + 1) * 1_000_000 // (tt + n_buckets)
+        pr[r["b"]] = (r["cr"] + 1) * 1_000_000 // (tr + n_buckets)
+    lref = ray.put((pt, pr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        pt_, pr_ = ray.get(lref)
+        ids = batch.column(id_col)
+        ngs, scs = [], []
+        for t in batch.column(text_col).to_pylist():
+            bs = gram_buckets(t)
+            ngs.append(len(bs))
+            scs.append(int((pt_[bs] - pr_[bs]).sum()) if len(bs) else 0)
+        return pa.table({id_col: ids,
+                         "n_grams": pa.array(ngs, pa.int64()),
+                         "score_micro": pa.array(scs, pa.int64())})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(score, batch_format="pyarrow"))
+
+
+def sql_dsir_scores(target_pred: str = "doc_id % 13 = 0",
+                    n_buckets: int = DSIR_BUCKETS,
+                    table: str = "documents") -> str:
+    """DuckDB mirror of ``dsir_scores`` with target membership
+    ``target_pred``: identical tokenization, md5-int60 bucket hash,
+    add-1-smoothed integer micro-probabilities, contrast sum."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[a-z0-9]+') AS l,
+             ({target_pred}) AS tgt
+      FROM {table}
+    ), g AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5(p[1] || ' ' || p[2]), 1, 15))::BIGINT
+               % {n_buckets} AS b
+      FROM (SELECT doc_id, tgt, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+            FROM d WHERE len(l) >= 2)
+    ), cb AS (
+      SELECT b, count(*) FILTER (tgt) AS ct, count(*) FILTER (NOT tgt) AS cr
+      FROM g GROUP BY b
+    ), tot AS (
+      SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt,
+             CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM cb
+    ), lm AS (
+      SELECT b, CAST((ct + 1) * 1000000 // (tot.tt + {n_buckets}) AS BIGINT) AS pt,
+             CAST((cr + 1) * 1000000 // (tot.tr + {n_buckets}) AS BIGINT) AS pr
+      FROM cb CROSS JOIN tot
+    ), sc AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(lm.pt - lm.pr) AS BIGINT) AS score_micro
+      FROM g JOIN lm USING (b) GROUP BY g.doc_id
+    )
+    SELECT doc.doc_id, CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro
+    FROM {table} doc LEFT JOIN sc USING (doc_id)
+    """

@@ -1783,3 +1783,30 @@ SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey, c.c_nationkey, o.o_order
 FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 5) c
 FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey
 """
+
+
+# --- DSIR importance scoring --------------------------------------------------------------
+
+def q_docs_dsir(sf_dir: str):
+    """DSIR-style hashed-bigram importance contrast: target = every 13th doc
+    (the decontaminate split convention); fixed 8192-bucket feature space so
+    both LMs broadcast as flat arrays — corpus streams twice, never
+    shuffles."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import dsir_scores
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "is_target", pa.array(ids % 13 == 0, pa.bool_()))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dsir_scores(docs.map_batches(mark, batch_format="pyarrow"))
+
+
+def sql_docs_dsir() -> str:
+    from ontoray.extras.textstats import sql_dsir_scores
+    return sql_dsir_scores()

@@ -293,3 +293,36 @@ class TestFullOuterJoin:
         assert got == want
         # unmatched-left (k=1) and unmatched-right (k=4) both survive
         assert (1, "a", None) in got and (4, None, 40.0) in got
+
+
+class TestDsirScores:
+    def test_contrast_direction_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.textstats import dsir_scores, sql_dsir_scores
+        # target docs speak "alpha"; raw docs speak "zeta" — a raw doc full
+        # of target-language bigrams must outscore a raw-language doc.
+        rows = [
+            (0, "alpha beta alpha beta alpha beta", True),
+            (13, "alpha beta alpha beta", True),
+            (1, "zeta eta zeta eta zeta eta", False),
+            (2, "alpha beta alpha beta alpha", False),   # target-like raw doc
+            (3, "zeta eta zeta eta", False),
+            (4, "x", False),                              # <2 tokens -> zeros
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "is_target": pa.array([r[2] for r in rows], pa.bool_()),
+        })
+        got = {r["doc_id"]: r for r in dsir_scores(
+            rd.from_arrow(tbl).repartition(3)).take_all()}
+        assert got[2]["score_micro"] > got[1]["score_micro"]
+        assert got[4]["n_grams"] == 0 and got[4]["score_micro"] == 0
+        con = duckdb.connect()
+        con.register("documents", tbl.select(["doc_id", "text"]))
+        rows_sql = con.execute(sql_dsir_scores(
+            target_pred="doc_id % 13 = 0")).fetchall()
+        assert len(rows_sql) == len(got)
+        for did, ng, sc in rows_sql:
+            assert got[did]["n_grams"] == ng, did
+            assert got[did]["score_micro"] == sc, did
