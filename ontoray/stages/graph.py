@@ -329,10 +329,15 @@ def fused_dedup_and_edges(triples_ds, entities_ds, alias: AliasData,
     def edge_parts(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch.column("kind"), "e"))
         n = t.num_rows
+        # conf upcast float32 -> float64 HERE so every edge-union block has
+        # ONE schema (mixed float/double blocks break strict concat in the
+        # curation collect; the mirror's union upcasts to DOUBLE the same
+        # way — float32 values are float64-exact, so max() is unchanged).
         return pa.table({"src": t.column("a"), "rel": t.column("b"),
                          "dst": t.column("c"),
                          "taxonomic": pa.array([0] * n, pa.int8()),
-                         "conf": t.column("conf"), "n": t.column("n")})
+                         "conf": pc.cast(t.column("conf"), pa.float64()),
+                         "n": t.column("n")})
 
     eparts = combined.map_batches(edge_parts, batch_format="pyarrow",
                                   zero_copy_batch=True)
@@ -340,8 +345,10 @@ def fused_dedup_and_edges(triples_ds, entities_ds, alias: AliasData,
     base_edges = rd.from_arrow(_baseline_edges_table(alias))
 
     def _bool_to_int(batch: pa.Table) -> pa.Table:
-        return batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
-                                pc.cast(batch.column("taxonomic"), pa.int8()))
+        batch = batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
+                                 pc.cast(batch.column("taxonomic"), pa.int8()))
+        return batch.set_column(batch.schema.get_field_index("conf"), "conf",
+                                pc.cast(batch.column("conf"), pa.float64()))
 
     all_edges = (tedges.union(base_edges)
                  .map_batches(_bool_to_int, batch_format="pyarrow")
@@ -489,8 +496,10 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
     from ontoray.stages.agg import hash_aggregate
 
     def _bool_to_int(batch: pa.Table) -> pa.Table:
-        return batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
-                                pc.cast(batch.column("taxonomic"), pa.int8()))
+        batch = batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
+                                 pc.cast(batch.column("taxonomic"), pa.int8()))
+        return batch.set_column(batch.schema.get_field_index("conf"), "conf",
+                                pc.cast(batch.column("conf"), pa.float64()))
 
     all_edges = tedges.union(base_edges).union(ntedges).map_batches(
         _bool_to_int, batch_format="pyarrow")
