@@ -124,6 +124,7 @@ def run_bench() -> dict:
         "n_triple_observations": n_triples,
         "docs_per_sec": round(n_docs / kg_sec, 1),
         "triples_per_sec": round(n_triples / kg_sec, 1),
+        "stage_walls": res.stats.get("stage_walls", {}),
     }
     # Print+flush the headline line NOW, before any per-query timing: if the
     # harness SIGTERMs the process mid-query-loop, the e2e number is already

@@ -296,13 +296,120 @@ def _depth_walk(parent: dict[str, str], root: str, max_depth: int) -> int:
     return max_d
 
 
+
+
+def _curate_and_stats_mid(nodes_ds, edges_ds, root, degree_threshold,
+                          max_depth, stats_root, threshold):
+    """MID branch: total edges exceed the driver-fold gate but every
+    ENTITY-SCALE structure (node vocabulary, SUBCLASS_OF subgraph, endpoint
+    degree vocabulary) still fits under ``threshold``.  The iterative
+    algorithms (reachability, depth walk) run as driver Arrow folds over the
+    SMALL taxonomic subgraph; degrees/histograms are single two-phase
+    exchanges; the removed set broadcasts into streaming filters.  This is
+    the 8M-page shape: the previous routing sent it to the fully
+    distributed branch, whose ~12-round semi-join reachability and join-BFS
+    depth walk are shuffle-latency-bound and were measured SLOWER at 32
+    CPUs than 8 (94 s vs 48 s graph_stats at 8M pages) — coordination, not
+    compute.  Returns (nodes, edges, removed, stats) or None when a
+    trip-wire count exceeds ``threshold`` (caller falls through to the
+    fully distributed branch; nothing is mutated)."""
+    from ontoray.util import collect_table
+
+    if nodes_ds.count() > threshold:
+        return None
+    sub_ds = edges_ds.filter(expr="rel == 'SUBCLASS_OF'").select_columns(
+        ["src", "dst"])
+    if sub_ds.count() > threshold:
+        return None
+    sub_t = collect_table(sub_ds, ["src", "dst"])
+    if sub_t is None:
+        sub_t = pa.table({"src": _EMPTY_STR, "dst": _EMPTY_STR})
+    nodes_t = collect_table(nodes_ds.select_columns(["name", "source"]),
+                            ["name", "source"])
+    if nodes_t is None:
+        nodes_t = pa.table({"name": _EMPTY_STR, "source": _EMPTY_STR})
+    learned_arr = (nodes_t.filter(pc.equal(nodes_t.column("source"),
+                                           "learned_from_dataset"))
+                   .column("name").combine_chunks())
+    reach_arr = _reachable_arrow(sub_t.column("src"), sub_t.column("dst"),
+                                 root, max_depth)
+    orphans = learned_arr.filter(
+        pc.invert(pc.is_in(learned_arr, value_set=reach_arr)))
+
+    # C2 degrees over non-orphan edges: ONE two-phase exchange; the degree
+    # vocabulary (entities + literal endpoints) is trip-wired before collect.
+    deg_ds = _degree_table(edges_ds, orphans).materialize()
+    if deg_ds.count() > threshold:
+        return None
+    deg_t = collect_table(deg_ds, ["name", "degree"])
+    if deg_t is None:
+        deg_t = pa.table({"name": _EMPTY_STR,
+                          "degree": pa.array([], pa.int64())})
+    survivors = learned_arr.filter(
+        pc.invert(pc.is_in(learned_arr, value_set=orphans)))
+    idx = pc.index_in(survivors, value_set=deg_t.column("name").combine_chunks())
+    deg = pc.coalesce(pc.take(deg_t.column("degree").combine_chunks(), idx),
+                      pa.scalar(0, pa.int64()))
+    low = survivors.filter(pc.less_equal(deg, degree_threshold))
+    gone = pa.concat_arrays([orphans, low])
+    out_nodes, out_edges = _filter_removed_broadcast(nodes_ds, edges_ds, gone)
+
+    # ---- stats over the curated graph (exact _fold_stats semantics) ----
+    deg2_ds = _degree_table(out_edges, pa.array([], pa.string())).materialize()
+    if deg2_ds.count() > threshold:
+        return None
+    deg2_t = collect_table(deg2_ds, ["name", "degree"])
+    if deg2_t is None:
+        deg2_t = pa.table({"name": _EMPTY_STR,
+                           "degree": pa.array([], pa.int64())})
+    kept_names = nodes_t.column("name").combine_chunks().filter(
+        pc.invert(pc.is_in(nodes_t.column("name").combine_chunks(),
+                           value_set=gone)))
+    counts2 = deg2_t.column("degree").combine_chunks()
+    deg_sum = int(pc.sum(counts2).as_py() or 0)
+    deg_max = int(pc.max(counts2).as_py() or 0) if len(counts2) else 0
+    n_edges_cur = deg_sum // 2
+    n_connected = int(pc.sum(pc.cast(
+        pc.is_in(deg2_t.column("name").combine_chunks(), value_set=kept_names),
+        pa.int64())).as_py() or 0)
+    from ontoray.stages.agg import hash_aggregate
+
+    def rel_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"rel": batch.column("rel")})
+
+    rel_rows = hash_aggregate(
+        out_edges.map_batches(rel_only, batch_format="pyarrow"), ["rel"],
+        partial_aggs=[("rel", "count")], aggs=[("rel_count", "sum")],
+        rename={"rel_count_sum": "n"}, num_buckets=8).take_all()
+    rel_hist = {r["rel"]: r["n"] for r in rel_rows}
+    keep_sub = pc.invert(pc.or_(
+        pc.is_in(sub_t.column("src"), value_set=gone),
+        pc.is_in(sub_t.column("dst"), value_set=gone)))
+    cur_sub = sub_t.filter(keep_sub)
+    n_nodes = len(kept_names)
+    stats = {
+        "n_nodes": n_nodes,
+        "n_edges": n_edges_cur,
+        "density": n_edges_cur / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 0.0,
+        "rel_histogram": dict(sorted(rel_hist.items())),
+        "max_subclass_depth": _max_depth_vectorized(
+            cur_sub.column("src"), cur_sub.column("dst"), stats_root, max_depth),
+        "avg_degree": (deg_sum / n_connected) if n_connected else 0.0,
+        "max_degree": deg_max,
+        "n_orphan_nodes": n_nodes - n_connected,
+    }
+    removed = {"orphans_removed": len(orphans), "low_degree_removed": len(low)}
+    return out_nodes, out_edges, removed, stats
+
+
 # --- fused curate + stats ---------------------------------------------------
 
 
 def curate_and_stats(nodes_ds, edges_ds, root: str = "ElectronicComponent",
                      degree_threshold: int = 1, max_depth: int = 12,
                      stats_root: str = "Thing",
-                     large_threshold: int = LARGE_EDGE_THRESHOLD):
+                     large_threshold: int = LARGE_EDGE_THRESHOLD,
+                     mid_threshold: int | None = None):
     """Returns (nodes_ds, edges_ds, removed_counts, stats_or_None).
 
     Small branch computes the curated-graph stats from the SAME collected
@@ -346,6 +453,11 @@ def curate_and_stats(nodes_ds, edges_ds, root: str = "ElectronicComponent",
         out_edges = rd.from_arrow(_split_table(kept_sorted))
         removed = {"orphans_removed": len(orphans), "low_degree_removed": len(low)}
         return out_nodes, out_edges, removed, stats
+    mid = _curate_and_stats_mid(
+        nodes_ds, edges_ds, root, degree_threshold, max_depth, stats_root,
+        large_threshold if mid_threshold is None else mid_threshold)
+    if mid is not None:
+        return mid
     out_nodes, out_edges, removed = curate_distributed(
         nodes_ds, edges_ds, root, degree_threshold, max_depth)
     return out_nodes, out_edges, removed, None
@@ -423,12 +535,14 @@ def curate_distributed(nodes_ds, edges_ds, root: str = "ElectronicComponent",
 
 def curate(nodes_ds, edges_ds, root: str = "ElectronicComponent",
            degree_threshold: int = 1, max_depth: int = 12,
-           large_threshold: int = LARGE_EDGE_THRESHOLD):
+           large_threshold: int = LARGE_EDGE_THRESHOLD,
+           mid_threshold: int | None = None):
     """Returns (nodes_ds, edges_ds, removed_counts) after C1 + C2 —
-    threshold-gated between the driver-fold and distributed branches."""
+    threshold-gated between the driver-fold, mid (entity-scale driver folds
+    + single-exchange degrees) and fully distributed branches."""
     out_nodes, out_edges, removed, _stats = curate_and_stats(
         nodes_ds, edges_ds, root, degree_threshold, max_depth,
-        large_threshold=large_threshold)
+        large_threshold=large_threshold, mid_threshold=mid_threshold)
     return out_nodes, out_edges, removed
 
 

@@ -265,6 +265,19 @@ class TestGraph:
         s1 = graph_stats(nodes, edges, large_threshold=10**9)
         s2 = graph_stats(nodes, edges, large_threshold=0)
         assert s1 == s2
+        # MID branch (entity-scale driver folds + exchange degrees): forced
+        # via large_threshold=0 with a huge mid trip-wire; outputs, removal
+        # counts AND the fused stats must equal the small branch exactly.
+        from ontoray.stages.curation import curate_and_stats
+        ns, es, rs, ss = curate_and_stats(nodes, edges,
+                                          large_threshold=10**9)
+        nm, em, rm, sm = curate_and_stats(nodes, edges, large_threshold=0,
+                                          mid_threshold=10**9)
+        assert sm is not None and rs == rm
+        assert ({r["name"] for r in ns.take_all()}
+                == {r["name"] for r in nm.take_all()})
+        assert sorted(map(key, es.take_all())) == sorted(map(key, em.take_all()))
+        assert ss == sm
 
     def test_join_mode_matches_broadcast(self, ray_session, small_corpus):
         """Edge endpoint resolution: partitioned hash-join path == broadcast."""
