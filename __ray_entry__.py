@@ -478,6 +478,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """
     return {
         # ---- tier 0: new this round, never driver-checked ----
+        "docs_mixture": Q.q_docs_mixture,
+        "lm_vocab": Q.q_lm_vocab,
+        "events_pivot": Q.q_events_pivot,
+        "orders_revenue": Q.q_orders_revenue,
+        "docs_neardup_keep": Q.q_docs_neardup_keep,
         "docs_dup_spans": Q.q_docs_dup_spans,
         "embed_semdedup": Q.q_embed_semdedup,
         "events_lag": Q.q_events_lag,
@@ -686,6 +691,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": Q.sql_ann_lsh("/root/testdata/sf0.01"),
         "custs_orders_outer": Q.SQL_CUSTS_ORDERS_OUTER,
         "docs_dsir": Q.sql_docs_dsir(),
+        "docs_mixture": Q.sql_docs_mixture(),
+        "lm_vocab": Q.sql_lm_vocab(),
+        "events_pivot": Q.sql_events_pivot(),
+        "orders_revenue": Q.SQL_ORDERS_REVENUE,
+        "docs_neardup_keep": Q.sql_docs_neardup_keep(),
         "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
     }

@@ -1474,3 +1474,41 @@ def sql_remove_dup_spans(w: int = 8, table: str = "documents") -> str:
     LEFT JOIN recon r USING (doc_id)
     LEFT JOIN dropped dr USING (doc_id)
     """
+
+
+def neardup_keep(docs_ds, threshold: float = 0.8, k: int = 3,
+                 keep_cols: tuple[str, ...] = ("doc_id", "source")):
+    """The APPLY step of fuzzy dedup — the full keep-list pipeline a curation
+    run actually ships: exact n-gram Jaccard pairs → connected components →
+    drop everything but each cluster's min doc → anti-join the corpus.
+    Output: the SURVIVING documents' ``keep_cols``.
+
+    Scale shape: composition of already-bounded stages; the final filter is a
+    partitioned ``hash_join(how='left_anti')`` against the DROP list (dup
+    losers only — dup-rate-bounded, far smaller than the corpus), so no
+    broadcast of a corpus-proportional structure and the corpus text itself
+    never shuffles (the anti-join ships only ``keep_cols``)."""
+    import ray.data as rd
+
+    from ontoray.stages.joins import hash_join
+
+    clusters = neardup_clusters(jaccard_pairs(
+        docs_ds.select_columns(["doc_id", "text"]), threshold=threshold, k=k))
+    if isinstance(clusters, pa.Table):                 # driver union-find branch
+        clusters = rd.from_arrow(clusters)
+    drop = (clusters.filter(expr="keep == False")
+            .select_columns(["doc_id"]))
+    return hash_join(docs_ds.select_columns(list(keep_cols)), drop,
+                     "doc_id", "doc_id", how="left_anti")
+
+
+def sql_neardup_keep(threshold: float = 0.8, k: int = 3,
+                     table: str = "documents",
+                     keep_cols: tuple[str, ...] = ("doc_id", "source")) -> str:
+    cols = ", ".join(f"d.{c}" for c in keep_cols)
+    clusters = sql_neardup_clusters(sql_jaccard_pairs(table, threshold, k))
+    return f"""
+    SELECT {cols} FROM {table} d
+    WHERE d.doc_id NOT IN (
+      SELECT doc_id FROM ({clusters}) WHERE NOT keep)
+    """

@@ -1316,3 +1316,197 @@ def sql_dsir_scores(target_pred: str = "doc_id % 13 = 0",
            CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro
     FROM {table} doc LEFT JOIN sc USING (doc_id)
     """
+
+
+# --- source-mixture sampling under per-source token budgets -------------------
+
+def mixture_sample(ds, budget_tokens: int = 1000, id_col: str = "doc_id",
+                   text_col: str = "text", source_col: str = "source",
+                   salt: str = "mix1"):
+    """Per-source data-mixture cut: lay each source's documents out in a
+    deterministic pseudo-random order (md5 of the id — the same stable
+    shuffle ``pack_sequences`` uses) and keep documents while the source's
+    running token total stays under ``budget_tokens`` — the "sample N tokens
+    of web, M tokens of code" mixture step every LM training pipeline runs
+    (cf. Pile/LLaMA-style source weighting).  A document is kept iff its
+    EXCLUSIVE prefix (tok_start) is < budget, so every kept source has at
+    least one doc and overshoot is at most one document.
+
+    Scale shape: identical to :func:`pack_sequences` — a distributed ordered
+    prefix sum with no global sort.  The md5 top byte forms 256 ordered
+    buckets per source; per-(source, bucket) token sums cross one two-phase
+    metadata exchange (source vocabulary × 256 rows — sources are a bounded
+    vocabulary, a few thousand at web scale), the driver cumsums per source
+    and broadcasts exclusive offsets, and each (source, bucket) group sorts
+    locally and filters.  Output: (id_col, source, n_tokens, tok_start),
+    kept rows only — mirrored by :func:`sql_mixture_sample` via a window
+    cumsum PARTITION BY source ORDER BY md5."""
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = np.array([int.from_bytes(
+            hashlib.md5(f"{salt}:{i}".encode()).digest()[:8], "big")
+            for i in ids], dtype=np.uint64)
+        nt = [len(TOKEN_RE.findall(t or ""))
+              for t in batch.column(text_col).to_pylist()]
+        srcs = batch.column(source_col).to_pylist()
+        return pa.table({
+            id_col: batch.column(id_col),
+            "src": batch.column(source_col),
+            "h": pa.array(hs, pa.uint64()),
+            "gk": pa.array([f"{s}\x1f{int(h >> np.uint64(56)):03d}"
+                            for s, h in zip(srcs, hs)], pa.string()),
+            "n_tokens": pa.array(nt, pa.int64()),
+        })
+
+    derived = ds.select_columns([id_col, text_col, source_col]).map_batches(
+        derive, batch_format="pyarrow")
+
+    sums = hash_aggregate(
+        derived.select_columns(["gk", "n_tokens"]), ["gk"],
+        partial_aggs=[("n_tokens", "sum")],
+        aggs=[("n_tokens_sum", "sum")], rename={"n_tokens_sum_sum": "s"},
+        num_buckets=16).take_all()               # sources × 256 rows, bounded
+    sums.sort(key=lambda r: r["gk"])             # (source, bucket) order
+    offsets, acc, cur_src = {}, 0, None
+    for r in sums:
+        src = r["gk"].rsplit("\x1f", 1)[0]
+        if src != cur_src:
+            cur_src, acc = src, 0
+        offsets[r["gk"]] = acc
+        acc += r["s"]
+    off_ref = ray.put(offsets)
+
+    def scan(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)[g.column("gk")[0].as_py()]
+        ids = np.array(g.column(id_col).to_pylist(), dtype=np.int64)
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        starts = np.cumsum(nt[order]) - nt[order] + off
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        starts = starts[inv]
+        out = pa.table({
+            id_col: g.column(id_col),
+            source_col: g.column("src"),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "tok_start": pa.array(starts, pa.int64()),
+        })
+        return out.filter(pa.array(starts < budget_tokens, pa.bool_()))
+
+    return (derived.repartition(default_coalesce())
+            .groupby("gk").map_groups(scan, batch_format="pyarrow"))
+
+
+def sql_mixture_sample(budget_tokens: int = 1000, table: str = "documents",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       source_col: str = "source", salt: str = "mix1") -> str:
+    """DuckDB mirror of ``mixture_sample``: window cumsum partitioned by
+    source over the identical md5 order (16-hex prefix == uint64 prefix)."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, {source_col},
+             CAST(len(regexp_extract_all(coalesce({text_col}, ''), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             substr(md5('{salt}:' || {id_col}), 1, 16) AS h
+      FROM {table}
+    ), c AS (
+      SELECT {id_col}, {source_col}, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY {source_col}
+                                  ORDER BY h, {id_col} ROWS UNBOUNDED PRECEDING)
+              - n_tokens)::BIGINT AS tok_start
+      FROM t
+    )
+    SELECT {id_col}, {source_col}, n_tokens, tok_start
+    FROM c WHERE tok_start < {budget_tokens}
+    """
+
+
+# --- tokenizer-vocabulary build (contiguous ids, frequency-ranked) -----------
+
+def build_vocab(ds, min_count: int = 2, text_col: str = "text",
+                num_partitions: int = 16):
+    """Corpus token vocabulary with CONTIGUOUS frequency-ranked ids — the
+    tokenizer-training count step: token_id 0 is the most frequent token,
+    ties broken lexicographically, tokens below ``min_count`` dropped.
+
+    Scale shape — a distributed dense rank with NO global sort: token counts
+    come from the standard per-batch-Counter + two-phase bucketed aggregate
+    (tokens never leave a batch unaggregated); ranking buckets by
+    floor(log2(n)) — 64 ordered frequency bands — so one metadata-only
+    exchange counts each band, the driver cumsums 64 rows into exclusive
+    offsets, and each band sorts its own (bounded, Zipf-thin) slice locally
+    by (n DESC, token).  Output: (token, n, token_id), mirrored by
+    :func:`sql_build_vocab` via row_number() OVER (ORDER BY n DESC, token)."""
+    from collections import Counter
+
+    import numpy as np
+    import ray
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    def toks(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            cnt.update(TOKEN_RE.findall(t or ""))
+        return pa.table({"token": pa.array(list(cnt.keys()), pa.string()),
+                         "c": pa.array(list(cnt.values()), pa.int64())})
+
+    counts = hash_aggregate(
+        ds.select_columns([text_col]).map_batches(toks, batch_format="pyarrow"),
+        ["token"], partial_aggs=[("c", "sum")], aggs=[("c_sum", "sum")],
+        rename={"c_sum_sum": "n"}, num_buckets=num_partitions,
+    ).filter(expr=f"n >= {min_count}").materialize()
+
+    def band_of(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        band = (63 - np.floor(np.log2(n)).astype(np.int64))  # high freq = low band
+        return batch.append_column("band", pa.array(band, pa.int64()))
+
+    banded = counts.map_batches(band_of, batch_format="pyarrow")
+    sizes = hash_aggregate(
+        banded.select_columns(["band", "n"]), ["band"],
+        partial_aggs=[("n", "count")],
+        aggs=[("n_count", "sum")], rename={"n_count_sum": "s"},
+        num_buckets=8).take_all()                              # <= 64 rows
+    sizes.sort(key=lambda r: r["band"])
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["band"]] = acc
+        acc += r["s"]
+    off_ref = ray.put(offsets)
+
+    def rank_band(g: pa.Table) -> pa.Table:
+        import numpy as np
+        off = ray.get(off_ref)[g.column("band")[0].as_py()]
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        tok = np.array(g.column("token").to_pylist(), dtype=object)
+        order = np.lexsort((tok, -n))
+        ids = np.empty(len(order), dtype=np.int64)
+        ids[order] = np.arange(off, off + len(order))
+        return pa.table({"token": g.column("token"), "n": g.column("n"),
+                         "token_id": pa.array(ids, pa.int64())})
+
+    return (banded.repartition(default_coalesce())
+            .groupby("band").map_groups(rank_band, batch_format="pyarrow"))
+
+
+def sql_build_vocab(min_count: int = 2, table: str = "documents",
+                    text_col: str = "text") -> str:
+    return f"""
+    WITH c AS (
+      SELECT t AS token, count(*) AS n
+      FROM (SELECT unnest(regexp_extract_all(coalesce({text_col}, ''),
+                                             '[a-z0-9]+')) AS t FROM {table})
+      GROUP BY t HAVING count(*) >= {min_count}
+    )
+    SELECT token, CAST(n AS BIGINT) AS n,
+           (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS token_id
+    FROM c
+    """

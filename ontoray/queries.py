@@ -1810,3 +1810,150 @@ def q_docs_dsir(sf_dir: str):
 def sql_docs_dsir() -> str:
     from ontoray.extras.textstats import sql_dsir_scores
     return sql_dsir_scores()
+
+
+# --- TPC-H Q5-shaped multi-way join (local-supplier revenue by nation) --------
+
+def q_orders_revenue(sf_dir: str):
+    """Five-table star join with the Q5 twist (customer and supplier must
+    share a nation — a join condition between two DIMENSION paths of the
+    fact row): lineitem ⋈ orders ⋈ customer is the big partitioned spine,
+    supplier and nation are broadcast lookups (dimension-bounded: suppliers
+    are ~1e4 per TPC-H SF, nation is 25 rows — `ray.put` once, `index_in`
+    per batch, never re-shipped), and revenue uses the int64-cents contract
+    so distributed partial sums match DuckDB's single-pass sum exactly."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]).take_all()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]).take_all()
+    s_keys = np.array([r["s_suppkey"] for r in supp], dtype=np.int64)
+    s_nat = np.array([r["s_nationkey"] for r in supp], dtype=np.int32)
+    n_keys = np.array([r["n_nationkey"] for r in nation], dtype=np.int32)
+    n_names = np.array([r["n_name"] for r in nation], dtype=object)
+    side_ref = ray.put((s_keys, s_nat, n_keys, n_names))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    oc = hash_join(orders, cust, "o_custkey", "c_custkey", how="inner")
+    spine = hash_join(li, oc.select_columns(["o_orderkey", "c_nationkey"]),
+                      "l_orderkey", "o_orderkey", how="inner")
+
+    def local_revenue(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sk, sn, nk, nn = ray.get(side_ref)
+        idx = pc.index_in(batch.column("l_suppkey"),
+                          value_set=pa.array(sk, pa.int64()))
+        supp_nat = sn[idx.to_numpy(zero_copy_only=False)]
+        cust_nat = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        mask = supp_nat == cust_nat
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        rev_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        nidx = pc.index_in(pa.array(supp_nat[mask], pa.int32()),
+                           value_set=pa.array(nk, pa.int32()))
+        names = nn[nidx.to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "n_name": pa.array(list(names), pa.string()),
+            "rev_c": rev_c.filter(pa.array(mask, pa.bool_())),
+        })
+
+    out = hash_aggregate(
+        spine.map_batches(local_revenue, batch_format="pyarrow"), ["n_name"],
+        partial_aggs=[("rev_c", "sum")],
+        aggs=[("rev_c_sum", "sum")], rename={"rev_c_sum_sum": "rev_c"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "revenue": pc.divide(pc.cast(batch.column("rev_c"), pa.float64()),
+                                 pa.scalar(100.0)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_REVENUE = (
+    "SELECT n_name, "
+    f"sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) / 100.0 "
+    "AS revenue FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name")
+
+
+# --- mixture sampling / vocab build / pivot / dedup-apply wrappers ------------
+
+def q_docs_mixture(sf_dir: str, budget_tokens: int = 1000):
+    """Per-source token-budget mixture cut (Pile/LLaMA-style source
+    weighting): deterministic md5-ordered prefix of each source, kept while
+    the source's running token total < budget."""
+    import ray.data as rd
+    from ontoray.extras.textstats import mixture_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    return mixture_sample(ds, budget_tokens=budget_tokens)
+
+
+def sql_docs_mixture(budget_tokens: int = 1000) -> str:
+    from ontoray.extras.textstats import sql_mixture_sample
+    return sql_mixture_sample(budget_tokens=budget_tokens)
+
+
+def q_lm_vocab(sf_dir: str, min_count: int = 2):
+    """Tokenizer-vocabulary build: frequency-ranked contiguous token ids via
+    the log2-band distributed dense rank (no global sort)."""
+    import ray.data as rd
+    from ontoray.extras.textstats import build_vocab
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return build_vocab(ds, min_count=min_count)
+
+
+def sql_lm_vocab(min_count: int = 2) -> str:
+    from ontoray.extras.textstats import sql_build_vocab
+    return sql_build_vocab(min_count=min_count)
+
+
+def q_events_pivot(sf_dir: str):
+    """Long→wide pivot over the fixed event-type vocabulary; counts + exact
+    cents purchase total per user in ONE combiner-side exchange."""
+    import ray.data as rd
+    from ontoray.stages.events import pivot_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    return pivot_counts(ds)
+
+
+def sql_events_pivot() -> str:
+    from ontoray.stages.events import sql_pivot_counts
+    return sql_pivot_counts()
+
+
+def q_docs_neardup_keep(sf_dir: str):
+    """Fuzzy-dedup APPLY: Jaccard pairs → components → drop losers →
+    anti-join; returns the surviving documents."""
+    import ray.data as rd
+    from ontoray.extras.dedup import neardup_keep
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    return neardup_keep(ds, threshold=0.8)
+
+
+def sql_docs_neardup_keep() -> str:
+    from ontoray.extras.dedup import sql_neardup_keep
+    return sql_neardup_keep(threshold=0.8)

@@ -499,3 +499,68 @@ SELECT event_id, user_id, value,
        value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
 FROM events
 """
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_counts(events_ds, key: str = "user_id",
+                 types: tuple[str, ...] = EVENT_TYPES):
+    """Wide-format pivot: one row per ``key`` with a count column per event
+    type plus the exact purchase-value total — the long→wide reshape
+    (``df.pivot_table`` / SUM(CASE WHEN…)) feature-engineering runs before a
+    model join.  The type vocabulary is FIXED and declared (a pivot over an
+    unbounded vocabulary is a different op — that's ``tumbling_window``'s
+    long format); unseen declared types emit zero columns.
+
+    Scale shape: the pivot happens entirely inside the per-batch combiner
+    (indicator columns, vectorized compare), so only (key, |types|+1 ints)
+    partials cross ONE two-phase exchange — no per-type pass, no long-format
+    shuffle.  Money uses the int64-cents contract (floor(x*100+0.5)) so the
+    distributed partial sums match DuckDB bit-for-bit."""
+    from ontoray.stages.agg import hash_aggregate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        cols: dict = {key: batch.column(key)}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        val_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        # CASE WHEN purchase THEN cents ELSE 0 — if_else (not multiply) so a
+        # NULL value on a NON-purchase row still contributes 0, like the SQL.
+        cols["pv_c"] = pc.if_else(pc.equal(et, "purchase"), val_c,
+                                  pa.scalar(0, pa.int64()))
+        return pa.table(cols)
+
+    num_cols = [f"n_{t}" for t in types] + ["pv_c"]
+    out = hash_aggregate(
+        events_ds.select_columns([key, "event_type", "value"]).map_batches(
+            derive, batch_format="pyarrow"),
+        [key],
+        partial_aggs=[(c, "sum") for c in num_cols],
+        aggs=[(f"{c}_sum", "sum") for c in num_cols],
+        rename={f"{c}_sum_sum": c for c in num_cols})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key)}
+        for t in types:
+            cols[f"n_{t}"] = batch.column(f"n_{t}")
+        cols["purchase_value"] = pc.divide(
+            pc.cast(batch.column("pv_c"), pa.float64()), pa.scalar(100.0))
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_pivot_counts(key: str = "user_id",
+                     types: tuple[str, ...] = EVENT_TYPES) -> str:
+    per_type = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}" for t in types)
+    return (
+        f"SELECT CAST({key} AS BIGINT) AS {key}, {per_type}, "
+        "sum(CASE WHEN event_type = 'purchase' "
+        "THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) / 100.0 "
+        f"AS purchase_value FROM events GROUP BY {key}")

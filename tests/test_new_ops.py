@@ -326,3 +326,173 @@ class TestDsirScores:
         for did, ng, sc in rows_sql:
             assert got[did]["n_grams"] == ng, did
             assert got[did]["score_micro"] == sc, did
+
+
+class TestMixtureSample:
+    def _docs(self) -> pa.Table:
+        rows = [
+            (0, "alpha beta gamma", "web"),      # 3 tokens
+            (1, "one two three four five", "web"),
+            (2, "x y z w", "web"),
+            (3, "code tokens here", "code"),
+            (4, "def f return x", "code"),
+            (5, "", "code"),                      # zero tokens
+        ]
+        return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                         "text": pa.array([r[1] for r in rows], pa.string()),
+                         "source": pa.array([r[2] for r in rows], pa.string())})
+
+    def test_budget_cut_and_sql_mirror(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+        from ontoray.extras.textstats import TOKEN_RE, mixture_sample, sql_mixture_sample
+
+        tbl, budget = self._docs(), 5
+        got = {r["doc_id"]: r for r in mixture_sample(
+            rd.from_arrow(tbl).repartition(3), budget_tokens=budget).take_all()}
+
+        # manual per-source md5-order prefix
+        by_src: dict = {}
+        for did, text, src in zip(tbl.column("doc_id").to_pylist(),
+                                  tbl.column("text").to_pylist(),
+                                  tbl.column("source").to_pylist()):
+            h = hashlib.md5(f"mix1:{did}".encode()).hexdigest()[:16]
+            by_src.setdefault(src, []).append((h, did, len(TOKEN_RE.findall(text))))
+        want = {}
+        for src, rows in by_src.items():
+            acc = 0
+            for h, did, nt in sorted(rows):
+                if acc < budget:
+                    want[did] = (src, nt, acc)
+                acc += nt
+        assert {d: (r["source"], r["n_tokens"], r["tok_start"])
+                for d, r in got.items()} == want
+
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        rows = con.execute(sql_mixture_sample(budget_tokens=budget)).fetchall()
+        assert {(d, s, n, t) for d, s, n, t in rows} == \
+               {(d, s, n, t) for d, (s, n, t) in want.items()}
+
+
+class TestBuildVocab:
+    def test_ranked_ids_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.textstats import build_vocab, sql_build_vocab
+
+        texts = ["aa bb aa cc", "bb aa dd", "cc bb zz", "qq"]  # zz/dd/qq: n=1
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        got = {r["token"]: (r["n"], r["token_id"]) for r in build_vocab(
+            rd.from_arrow(tbl).repartition(2), min_count=2).take_all()}
+        # aa:3 bb:3 cc:2 — tie aa/bb broken lexicographically
+        assert got == {"aa": (3, 0), "bb": (3, 1), "cc": (2, 2)}
+
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        rows = con.execute(sql_build_vocab(min_count=2)).fetchall()
+        assert {t: (n, i) for t, n, i in rows} == got
+
+
+class TestEventsPivot:
+    def test_counts_value_and_sql_mirror(self, ray_session):
+        import datetime
+
+        import ray.data as rd
+        from ontoray.stages.events import pivot_counts, sql_pivot_counts
+
+        ts = datetime.datetime(2026, 1, 1)
+        rows = [  # (user, type, value)
+            (1, "click", 0.5), (1, "purchase", 19.995), (1, "purchase", 0.004),
+            (2, "view", 3.0), (2, "error", -1.0),
+            (3, "signup", 2.0),
+        ]
+        tbl = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([ts] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        got = {r["user_id"]: r for r in pivot_counts(
+            rd.from_arrow(tbl).repartition(3)).take_all()}
+        assert got[1]["n_click"] == 1 and got[1]["n_purchase"] == 2
+        # cents contract: floor(19.995*100+0.5)=2000, floor(0.004*100+0.5)=0
+        assert got[1]["purchase_value"] == 20.0
+        assert got[2]["n_view"] == 1 and got[2]["purchase_value"] == 0.0
+        assert got[3]["n_signup"] == 1
+
+        con = duckdb.connect()
+        con.register("events", tbl)
+        for u, *vals in con.execute(
+                "SELECT * FROM (" + sql_pivot_counts() + ") ORDER BY user_id").fetchall():
+            r = got[u]
+            assert vals == [r["n_click"], r["n_error"], r["n_purchase"],
+                            r["n_signup"], r["n_view"], r["purchase_value"]]
+
+
+class TestOrdersRevenue:
+    def test_vs_duckdb(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ontoray.queries import SQL_ORDERS_REVENUE, q_orders_revenue
+
+        rng = np.random.default_rng(7)
+        n_nat, n_supp, n_cust, n_ord, n_li = 4, 8, 12, 30, 90
+        nation = pa.table({"n_nationkey": pa.array(range(n_nat), pa.int32()),
+                           "n_name": pa.array([f"NAT{i}" for i in range(n_nat)])})
+        supplier = pa.table({
+            "s_suppkey": pa.array(range(n_supp), pa.int64()),
+            "s_nationkey": pa.array(rng.integers(0, n_nat, n_supp), pa.int32())})
+        customer = pa.table({
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_nationkey": pa.array(rng.integers(0, n_nat, n_cust), pa.int32())})
+        orders = pa.table({
+            "o_orderkey": pa.array(range(n_ord), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64())})
+        lineitem = pa.table({
+            "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(1, 1000, n_li), 2), pa.float64()),
+            "l_discount": pa.array(
+                np.round(rng.uniform(0, 0.1, n_li), 2), pa.float64())})
+        tables = {"nation": nation, "supplier": supplier, "customer": customer,
+                  "orders": orders, "lineitem": lineitem}
+        con = duckdb.connect()
+        for name, t in tables.items():
+            pq.write_table(t, str(tmp_path / f"{name}.parquet"))
+            con.register(name, t)
+        got = sorted((r["n_name"], r["revenue"])
+                     for r in q_orders_revenue(str(tmp_path)).take_all())
+        want = sorted(map(tuple, con.execute(SQL_ORDERS_REVENUE).fetchall()))
+        assert got == want and len(got) > 0
+
+
+class TestNeardupKeep:
+    def test_survivors_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import neardup_keep, sql_neardup_keep
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (0, base, "a"),
+            (1, base + " extra", "a"),                    # near-dup of 0
+            (2, "completely different text with unique words everywhere", "b"),
+            (3, base, "b"),                               # exact dup of 0
+            (4, "another standalone document nothing shared here at all", "b"),
+        ]
+        tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows], pa.string()),
+                        "source": pa.array([r[2] for r in rows], pa.string())})
+        got = sorted((r["doc_id"], r["source"]) for r in neardup_keep(
+            rd.from_arrow(tbl).repartition(2), threshold=0.8).take_all())
+        # cluster {0,1,3} keeps min id 0; 2 and 4 untouched
+        assert got == [(0, "a"), (2, "b"), (4, "b")]
+
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        want = sorted(map(tuple, con.execute(sql_neardup_keep(0.8)).fetchall()))
+        assert got == want
