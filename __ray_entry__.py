@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": Q.q_events_pivot,
         "orders_revenue": Q.q_orders_revenue,
         "docs_neardup_keep": Q.q_docs_neardup_keep,
+        "docs_postings": Q.q_docs_postings,
         "docs_dup_spans": Q.q_docs_dup_spans,
         "embed_semdedup": Q.q_embed_semdedup,
         "events_lag": Q.q_events_lag,
@@ -696,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": Q.sql_events_pivot(),
         "orders_revenue": Q.SQL_ORDERS_REVENUE,
         "docs_neardup_keep": Q.sql_docs_neardup_keep(),
+        "docs_postings": Q.sql_docs_postings(),
         "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
     }

@@ -66,7 +66,12 @@ class PipelineConfig:
                                       # workers, no pool spawn on the critical path)
     resolve_mode: str = "auto"        # edge endpoint resolution: broadcast | join | auto
     sort_mode: str = "partitioned"    # final node/edge order: partitioned | global
-    url_dedup_strategy: str = "broadcast_winners"  # or "shuffle" (see stages/ingest.py)
+    # or "shuffle" / "single_read" (see stages/ingest.py).  A/B at 500k/8:
+    # broadcast_winners 28.1-30.0 s e2e vs single_read 30.7-32.4 s — the
+    # winner side-pass reads only 3 pruned columns so the second parquet
+    # scan is cheap HERE; single_read wins when the second scan costs real
+    # IO (cold/remote object storage at the 100-TB shape).
+    url_dedup_strategy: str = "broadcast_winners"
     canonicalize_urls: bool = False   # normalize urls (utm/fragment/port/case/www)
                                       # BEFORE per-url dedup (text/urlnorm.py)
     embed_dim: int = 64               # char-ngram hash embedding dimension

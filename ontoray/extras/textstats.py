@@ -1510,3 +1510,78 @@ def sql_build_vocab(min_count: int = 2, table: str = "documents",
            (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS token_id
     FROM c
     """
+
+
+# --- inverted-index (postings-list) build -------------------------------------
+
+def build_postings(ds, min_df: int = 2, max_df: int = 100, cap: int = 20,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_partitions: int = 16):
+    """Search-index build: token → (document frequency, capped posting list).
+    Postings are the ``cap`` SMALLEST doc ids (deterministic truncation — the
+    impact-ordering analog); ``df`` counts ALL docs.  Tokens outside
+    [min_df, max_df] are dropped (singletons are noise, stop-tokens explode
+    the lists).
+
+    Scale shape: per-batch DISTINCT (token, doc) pairs (per-doc set — token
+    multiplicity never shuffles), ONE token-bucketed exchange, per-bucket
+    vectorized fold (sort + group boundaries, no per-token Python).  Output:
+    (token, df, postings) with postings comma-joined — mirrored exactly by
+    :func:`sql_build_postings`."""
+    import numpy as np
+
+    from ontoray.stages.agg import _with_bucket, default_coalesce
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks, ids = [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            for w in set(TOKEN_RE.findall(t or "")):
+                toks.append(w)
+                ids.append(did)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         id_col: pa.array(ids, pa.int64())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        tok = np.array(g.column("token").to_pylist(), dtype=object)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tok))
+        tok, ids = tok[order], ids[order]
+        bounds = np.flatnonzero(np.concatenate(([True], tok[1:] != tok[:-1])))
+        ends = np.concatenate((bounds[1:], [len(tok)]))
+        out_t, out_df, out_p = [], [], []
+        for s, e in zip(bounds, ends):
+            df = int(e - s)
+            if min_df <= df <= max_df:
+                out_t.append(tok[s])
+                out_df.append(df)
+                out_p.append(",".join(str(i) for i in ids[s:s + min(cap, df)]))
+        return pa.table({"token": pa.array(out_t, pa.string()),
+                         "df": pa.array(out_df, pa.int64()),
+                         "postings": pa.array(out_p, pa.string())})
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(pairs, batch_format="pyarrow")
+            .map_batches(lambda b: _with_bucket(b, ["token"], num_partitions),
+                         batch_format="pyarrow")
+            .repartition(default_coalesce())
+            .groupby("__bucket").map_groups(fold, batch_format="pyarrow"))
+
+
+def sql_build_postings(min_df: int = 2, max_df: int = 100, cap: int = 20,
+                       table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT token, {id_col} FROM (
+        SELECT {id_col}, unnest(regexp_extract_all(coalesce({text_col}, ''),
+                                                   '[a-z0-9]+')) AS token
+        FROM {table})
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_slice(list_sort(list({id_col})), 1, {cap}), ',')
+             AS postings
+    FROM p GROUP BY token
+    HAVING count(*) BETWEEN {min_df} AND {max_df}
+    """

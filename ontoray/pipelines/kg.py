@@ -339,9 +339,15 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         # extraction tasks (no materialize barrier, no object-store
         # round-trip of cleaned text) — measured SLOWER on this box (see
         # config.py); the default pins the cleaned corpus once.
+        # 'single_read' materializes its keyed (url, k, doc_text) dataset
+        # INTERNALLY (the winner fold needs a second pass over it); the
+        # outer pin would hold a second full copy of the cleaned corpus in
+        # the object store, so consumers re-run only the cheap vectorized
+        # winner filter instead.
         docs = stage("docs", lambda: extract_docs(
             pages_ds, dedup_strategy=cfg.url_dedup_strategy,
-            canonicalize=cfg.canonicalize_urls), reused=not cfg.fuse_docs)
+            canonicalize=cfg.canonicalize_urls),
+            reused=not cfg.fuse_docs and cfg.url_dedup_strategy != "single_read")
 
     # Fused hot path: chunk + mention + triple extraction in ONE pass over
     # docs — one barrier instead of three (chunks/mentions/triples remain

@@ -1957,3 +1957,19 @@ def q_docs_neardup_keep(sf_dir: str):
 def sql_docs_neardup_keep() -> str:
     from ontoray.extras.dedup import sql_neardup_keep
     return sql_neardup_keep(threshold=0.8)
+
+
+def q_docs_postings(sf_dir: str):
+    """Inverted-index build: token → (df, capped sorted posting list)."""
+    import ray.data as rd
+    from ontoray.extras.textstats import build_postings
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    # the synthetic documents vocabulary is small, so the stop-token cap
+    # sits high here; at web scale max_df is the lever that bounds lists
+    return build_postings(ds, max_df=1000)
+
+
+def sql_docs_postings() -> str:
+    from ontoray.extras.textstats import sql_build_postings
+    return sql_build_postings(max_df=1000)

@@ -79,15 +79,20 @@ def compute_dup_winners(pages_ds, lang: str = "en") -> tuple[dict[str, str], dic
     batch-local key filter and are routed through a keyed min-aggregate whose
     min(cleaned_text) break is deterministic.  Aggregates only (url, key)
     rows — no corpus content is read or shuffled here."""
-    from ontoray.stages.agg import _with_bucket
-    from ontoray.util import column_lists
-
     cols = [c for c in ("url", "warc_ts", "lang")
             if c in pages_ds.schema().names]
     keyed = (pages_ds.select_columns(cols)
              .map_batches(filter_lang, batch_format="pyarrow",
                           fn_kwargs={"lang": lang}, zero_copy_batch=True)
              .map_batches(_winner_keys, batch_format="pyarrow"))
+    return _winners_from_keyed(keyed)
+
+
+def _winners_from_keyed(keyed) -> tuple[dict[str, str], dict[str, str]]:
+    """Winner/tie fold over an already-keyed (url, k) dataset (shared by the
+    parquet side pass and the single-read path's materialized metadata)."""
+    from ontoray.stages.agg import _with_bucket
+    from ontoray.util import column_lists
 
     # ONE url-bucketed exchange; the two-level aggregation (per-(url,key)
     # multiplicity — the tie detector — then the per-url winner) runs
@@ -130,6 +135,45 @@ def compute_dup_winners(pages_ds, lang: str = "en") -> tuple[dict[str, str], dic
     return winners, ties
 
 
+def _winner_filter_arrays(winners: dict[str, str], ties: dict[str, str]):
+    """(dup_urls, win_keys, is_tie) parallel Arrow arrays for the VECTORIZED
+    broadcast filter: one ``index_in`` per batch against the sorted dup-url
+    set (C hash lookup), key comparison and tie exclusion as Arrow kernels on
+    the matched subset only — no per-row Python over the corpus."""
+    urls = sorted(winners)
+    return (pa.array(urls, pa.string()),
+            pa.array([winners[u] for u in urls], pa.string()),
+            pa.array([u in ties for u in urls], pa.bool_()))
+
+
+def _filter_with_winners(batch: pa.Table, arrays, keys: pa.ChunkedArray | pa.Array | None = None) -> pa.Table:
+    """Drop dup-loser (and tied) rows of ``batch`` given the broadcast winner
+    arrays; ``keys`` supplies precomputed order keys (single-read path) —
+    otherwise keys are derived only for the matched ~dup-rate subset."""
+    import numpy as np
+
+    dup_urls, win_k, is_tie = arrays
+    if len(dup_urls) == 0 or batch.num_rows == 0:
+        return batch
+    idx = pc.index_in(batch.column("url"), value_set=dup_urls)
+    hit_pos = pc.indices_nonzero(pc.is_valid(idx))
+    if len(hit_pos) == 0:
+        return batch
+    sidx = pc.take(idx, hit_pos)
+    if keys is not None:
+        sub_k = pc.take(keys, hit_pos)
+    else:
+        sub_k = _winner_keys(batch.take(hit_pos)).column("k")
+    keep_sub = pc.and_(pc.equal(sub_k, pc.take(win_k, sidx)),
+                       pc.invert(pc.take(is_tie, sidx)))
+    keep = np.ones(batch.num_rows, dtype=bool)
+    keep[hit_pos.to_numpy(zero_copy_only=False)] = \
+        keep_sub.combine_chunks().to_numpy(zero_copy_only=False) \
+        if isinstance(keep_sub, pa.ChunkedArray) else \
+        keep_sub.to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
 def _shuffle_dedup(docs_ds):
     """Alternative first-wins path: encode (warc_ts, cleaned_text) into one
     lexicographically ordered key and min-aggregate — shuffles the cleaned
@@ -153,6 +197,73 @@ def _shuffle_dedup(docs_ds):
         partial_aggs=[("k", "min")],
         aggs=[("k_min", "min")], rename={"k_min_min": "k"},
     ).map_batches(decode, batch_format="pyarrow")
+
+
+def _single_read_dedup(pages_ds, lang: str = "en"):
+    """First-wins dedup with ONE corpus read (VERDICT r2 #7's "single-read
+    docs plan"): the html-bearing pages are decompressed and cleaned exactly
+    once — ALL language-filtered rows, dup losers included (a dup-rate-
+    bounded ~2% of clean work) — into a MATERIALIZED (url, k, doc_text)
+    dataset; the winner fold then aggregates the materialized metadata
+    columns (no second parquet scan) and the filter is a vectorized
+    broadcast map over the same materialized blocks.  Ties resolve from the
+    materialized text too, so the tie path costs no third corpus scan
+    (strategy 'broadcast_winners' re-reads the corpus for both).
+
+    Trade vs 'broadcast_winners': cleans dup-loser rows it will drop, and
+    the stage's consumers re-run the (cheap, vectorized) winner filter per
+    consumption — in exchange the wide html/text columns cross the parquet
+    decoder once instead of twice.  Corpus text still never enters an
+    all-to-all."""
+    import ray
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def clean_keyed(batch: pa.Table) -> pa.Table:
+        b = filter_lang(batch, lang)
+        k = _winner_keys(b).column("k")
+        out = clean_batch(b)
+        return pa.table({"url": out.column("url"), "k": k,
+                         "doc_text": out.column("doc_text")})
+
+    keyed = pages_ds.map_batches(clean_keyed,
+                                 batch_format="pyarrow").materialize()
+    winners, ties = _winners_from_keyed(keyed.select_columns(["url", "k"]))
+    if not winners:
+        return keyed.select_columns(["url", "doc_text"])
+    arrays_ref = ray.put(_winner_filter_arrays(winners, ties))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        batch = _filter_with_winners(batch, ray.get(arrays_ref),
+                                     keys=batch.column("k"))
+        return batch.select(["url", "doc_text"])
+
+    main = keyed.map_batches(filt, batch_format="pyarrow")
+    if not ties:
+        return main
+
+    tie_urls_arr = pa.array(sorted(ties))
+    ties_ref = ray.put(ties)
+
+    def tied_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column("url"), value_set=tie_urls_arr))
+        if b.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "doc_text": pa.array([], pa.string())})
+        tmap = ray.get(ties_ref)
+        mask = pa.array([tmap.get(u) == k
+                         for u, k in zip(b.column("url").to_pylist(),
+                                         b.column("k").to_pylist())], pa.bool_())
+        return b.filter(mask).select(["url", "doc_text"])
+
+    # Tiny (tie-bounded) — pin it so consumers of the lazy filtered view
+    # don't re-run the tie exchange per consumption.
+    tie_docs = hash_aggregate(
+        keyed.map_batches(tied_rows, batch_format="pyarrow"), ["url"],
+        partial_aggs=[("doc_text", "min")],
+        aggs=[("doc_text_min", "min")],
+        rename={"doc_text_min_min": "doc_text"}).materialize()
+    return main.union(tie_docs)
 
 
 def extract_docs(pages_ds, *, lang: str = "en", dedup_urls: bool | None = None,
@@ -199,28 +310,19 @@ def extract_docs(pages_ds, *, lang: str = "en", dedup_urls: bool | None = None,
                                   fn_kwargs={"lang": lang}, zero_copy_batch=True)
         return _shuffle_dedup(ds)
 
+    if dedup_strategy == "single_read":
+        return _single_read_dedup(pages_ds, lang)
+
     winners, ties = compute_dup_winners(pages_ds, lang)
-    winners_ref = ray.put(winners)
+    arrays_ref = ray.put(_winner_filter_arrays(winners, ties))
 
     def filter_clean(batch: pa.Table) -> pa.Table:
-        wmap = ray.get(winners_ref)
         batch = filter_lang(batch, lang)
-        if wmap:
-            urls = batch.column("url").to_pylist()
-            dup_idx = [i for i, u in enumerate(urls) if u in wmap]
-            if dup_idx:
-                # Key computation only for rows of duplicated urls (~dup rate).
-                sub = batch.take(pa.array(dup_idx, pa.int64()))
-                keys = _winner_keys(sub).column("k").to_pylist()
-                keep = [True] * batch.num_rows
-                for i, k in zip(dup_idx, keys):
-                    # Tied urls (byte-identical duplicate records) are dropped
-                    # entirely here and re-emitted exactly once by the keyed
-                    # aggregate below — a batch-local filter cannot pick one
-                    # of several rows with the SAME winning key.
-                    if wmap[urls[i]] != k or urls[i] in ties:
-                        keep[i] = False
-                batch = batch.filter(pa.array(keep, pa.bool_()))
+        # Tied urls (byte-identical duplicate records) are dropped entirely
+        # here and re-emitted exactly once by the keyed aggregate below — a
+        # batch-local filter cannot pick one of several rows with the SAME
+        # winning key.
+        batch = _filter_with_winners(batch, ray.get(arrays_ref))
         out = clean_batch(batch)
         return out.select(["url", "doc_text"])
 

@@ -496,3 +496,24 @@ class TestNeardupKeep:
         con.register("documents", tbl)
         want = sorted(map(tuple, con.execute(sql_neardup_keep(0.8)).fetchall()))
         assert got == want
+
+
+class TestBuildPostings:
+    def test_postings_df_cap_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.textstats import build_postings, sql_build_postings
+
+        texts = ["aa bb", "aa bb aa", "aa cc", "dd", "aa"]
+        tbl = pa.table({"doc_id": pa.array([10, 7, 3, 4, 5], pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        got = {r["token"]: (r["df"], r["postings"]) for r in build_postings(
+            rd.from_arrow(tbl).repartition(3), min_df=2, max_df=3,
+            cap=2).take_all()}
+        # aa: df=4 > max_df dropped; bb: df=2 docs {10,7} -> "7,10";
+        # cc/dd: df=1 dropped
+        assert got == {"bb": (2, "7,10")}
+
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        rows = con.execute(sql_build_postings(min_df=2, max_df=3, cap=2)).fetchall()
+        assert {t: (d, p) for t, d, p in rows} == got

@@ -41,7 +41,7 @@ class TestByteIdentity:
         eng_urls = [r["url"] for r in small_engine.docs.take_all()]
         assert len(eng_urls) == len(set(eng_urls))
 
-    @pytest.mark.parametrize("strategy", ["broadcast_winners", "shuffle"])
+    @pytest.mark.parametrize("strategy", ["broadcast_winners", "shuffle", "single_read"])
     def test_url_dedup_exact_duplicate_records(self, ray_session, strategy):
         """Byte-identical records (same url, same warc_ts, same bytes) tie on
         the order key; exactly ONE row must survive (ADVICE r1)."""
@@ -68,7 +68,7 @@ class TestByteIdentity:
         # First-wins: the tied earliest records beat the later distinct row.
         assert by_url["http://a/x"] == [clean_text("Same bytes here.")]
 
-    @pytest.mark.parametrize("strategy", ["broadcast_winners", "shuffle"])
+    @pytest.mark.parametrize("strategy", ["broadcast_winners", "shuffle", "single_read"])
     def test_url_canonicalize_collapses_variants(self, ray_session, strategy):
         """With canonicalize=True, crawl variants of one page (tracking
         params, fragment, case, www, default port) dedup to ONE doc keyed by
