@@ -484,6 +484,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_revenue": Q.q_orders_revenue,
         "docs_neardup_keep": Q.q_docs_neardup_keep,
         "docs_postings": Q.q_docs_postings,
+        "events_funnel": Q.q_events_funnel,
+        "events_retention": Q.q_events_retention,
+        "orders_rollup": Q.q_orders_rollup,
         "docs_dup_spans": Q.q_docs_dup_spans,
         "embed_semdedup": Q.q_embed_semdedup,
         "events_lag": Q.q_events_lag,
@@ -698,6 +701,9 @@ def oracle_sql() -> dict[str, str]:
         "orders_revenue": Q.SQL_ORDERS_REVENUE,
         "docs_neardup_keep": Q.sql_docs_neardup_keep(),
         "docs_postings": Q.sql_docs_postings(),
+        "events_funnel": Q.sql_events_funnel(),
+        "events_retention": Q.sql_events_retention(),
+        "orders_rollup": Q.SQL_ORDERS_ROLLUP,
         "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
     }

@@ -1973,3 +1973,149 @@ def q_docs_postings(sf_dir: str):
 def sql_docs_postings() -> str:
     from ontoray.extras.textstats import sql_build_postings
     return sql_build_postings(max_df=1000)
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel (view -> click -> purchase) via min-time
+    chaining; one keyed exchange + a global fold to a single row."""
+    import ray.data as rd
+    from ontoray.stages.events import funnel_counts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds)
+
+
+def sql_events_funnel() -> str:
+    from ontoray.stages.events import sql_funnel_counts
+    return sql_funnel_counts()
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention triangle: distinct active users per
+    (first-activity-day cohort, day offset)."""
+    import ray.data as rd
+    from ontoray.stages.events import retention_cohorts
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
+def sql_events_retention() -> str:
+    from ontoray.stages.events import sql_retention_cohorts
+    return sql_retention_cohorts()
+
+
+# --- ROLLUP / grouping-sets aggregate -----------------------------------------
+
+def q_orders_rollup(sf_dir: str):
+    """OLAP rollup: order count + exact-cents revenue at THREE grouping
+    levels — (region, nation), (region), grand total — the GROUP BY ROLLUP
+    family.  Rolled-up columns carry the 'ALL' sentinel (COALESCEd
+    identically in the mirror, so NULL-representation differences between
+    engines can't leak into the hash).
+
+    Scale shape: ONE partitioned fact join (orders ⋈ customer) + broadcast
+    dimension maps; level 2 is the only corpus-scale exchange — levels 1/0
+    re-aggregate level 2's vocabulary-bounded output (region × nation rows),
+    so the rollup costs one shuffle regardless of level count."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"]).take_all()
+    rmap = {r["r_regionkey"]: r["r_name"] for r in region}
+    n_keys = np.array([r["n_nationkey"] for r in nation], dtype=np.int32)
+    n_names = np.array([r["n_name"] for r in nation], dtype=object)
+    r_names = np.array([rmap[r["n_regionkey"]] for r in nation], dtype=object)
+    side_ref = ray.put((n_keys, n_names, r_names))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j = hash_join(orders, cust, "o_custkey", "c_custkey", how="inner")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nk, nn, rn = ray.get(side_ref)
+        idx = pc.index_in(batch.column("c_nationkey"),
+                          value_set=pa.array(nk, pa.int32()))
+        pos = idx.to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("o_totalprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "r_name": pa.array(list(rn[pos]), pa.string()),
+            "n_name": pa.array(list(nn[pos]), pa.string()),
+            "price_c": cents,
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    lvl2 = hash_aggregate(
+        j.map_batches(derive, batch_format="pyarrow"), ["r_name", "n_name"],
+        partial_aggs=[("one", "sum"), ("price_c", "sum")],
+        aggs=[("one_sum", "sum"), ("price_c_sum", "sum")],
+        rename={"one_sum_sum": "n_orders", "price_c_sum_sum": "price_c"}
+    ).materialize()                      # vocabulary-bounded (region × nation)
+
+    lvl1 = hash_aggregate(
+        lvl2.select_columns(["r_name", "n_orders", "price_c"]), ["r_name"],
+        aggs=[("n_orders", "sum"), ("price_c", "sum")],
+        rename={"n_orders_sum": "n_orders", "price_c_sum": "price_c"},
+        num_buckets=4)
+
+    def tag_all_nation(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch.column("r_name"),
+            "n_name": pa.array(["ALL"] * batch.num_rows, pa.string()),
+            "n_orders": batch.column("n_orders"),
+            "price_c": batch.column("price_c"),
+        })
+
+    def tag_grand(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": pa.array(["ALL"] * batch.num_rows, pa.string()),
+            "n_name": pa.array(["ALL"] * batch.num_rows, pa.string()),
+            "n_orders": batch.column("n_orders"),
+            "price_c": batch.column("price_c"),
+        })
+
+    lvl1 = lvl1.map_batches(tag_all_nation, batch_format="pyarrow").materialize()
+
+    def add_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__g", pa.array([0] * batch.num_rows, pa.int64()))
+
+    lvl0 = hash_aggregate(
+        lvl1.select_columns(["n_orders", "price_c"]).map_batches(
+            add_g, batch_format="pyarrow"), ["__g"],
+        aggs=[("n_orders", "sum"), ("price_c", "sum")],
+        rename={"n_orders_sum": "n_orders", "price_c_sum": "price_c"},
+        num_buckets=1).map_batches(tag_grand, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "r_name": batch.column("r_name"),
+            "n_name": batch.column("n_name"),
+            "n_orders": batch.column("n_orders"),
+            "total_price": pc.divide(pc.cast(batch.column("price_c"),
+                                             pa.float64()), pa.scalar(100.0)),
+        })
+
+    return (lvl2.select_columns(["r_name", "n_name", "n_orders", "price_c"])
+            .union(lvl1, lvl0).map_batches(finish, batch_format="pyarrow"))
+
+
+SQL_ORDERS_ROLLUP = (
+    "SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name, "
+    "count(*) AS n_orders, "
+    f"sum({_CENTS.format(x='o_totalprice')}) / 100.0 AS total_price "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY ROLLUP(r_name, n_name)")

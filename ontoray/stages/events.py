@@ -564,3 +564,130 @@ def sql_pivot_counts(key: str = "user_id",
         "sum(CASE WHEN event_type = 'purchase' "
         "THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) / 100.0 "
         f"AS purchase_value FROM events GROUP BY {key}")
+
+
+def funnel_counts(events_ds, stages: tuple[str, ...] = ("view", "click", "purchase"),
+                  key: str = "user_id"):
+    """Ordered funnel conversion: how many users reached stage i, where
+    reaching stage i requires an event of type ``stages[i]`` STRICTLY AFTER
+    the time stage i-1 was reached (min-time chaining — the product-analytics
+    funnel, deterministic regardless of intra-timestamp ordering).
+
+    Scale shape: ONE keyed exchange (user); each group reduces to
+    |stages| booleans via pure min logic; a two-phase global sum folds the
+    per-group flags to one row.  Output: single row
+    (n_<stage0>, n_<stage1>, ...)."""
+    import numpy as np
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_type": batch.column("event_type"),
+        })
+
+    def flags(g: pa.Table) -> pa.Table:
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        et = np.array(g.column("event_type").to_pylist(), dtype=object)
+        reached, t_prev = [], -(1 << 62)
+        for i, s in enumerate(stages):
+            cand = ts[(et == s) & (ts > t_prev)] if i else ts[et == s]
+            if len(cand):
+                t_prev = int(cand.min())
+                reached.append(1)
+            else:
+                reached.extend([0] * (len(stages) - len(reached)))
+                break
+        return pa.table({f"r{i}": pa.array([v], pa.int64())
+                         for i, v in enumerate(reached)})
+
+    per_user = (events_ds.select_columns([key, "ts", "event_type"])
+                .map_batches(derive, batch_format="pyarrow")
+                .repartition(default_coalesce())
+                .groupby(key).map_groups(flags, batch_format="pyarrow"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {f"r{i}": pa.array(
+            [pc.sum(batch.column(f"r{i}")).as_py() or 0], pa.int64())
+            for i in range(len(stages))}
+        cols["__g"] = pa.array([0], pa.int64())
+        return pa.table(cols)
+
+    out = hash_aggregate(
+        per_user.map_batches(partial, batch_format="pyarrow"), ["__g"],
+        aggs=[(f"r{i}", "sum") for i in range(len(stages))],
+        rename={f"r{i}_sum": f"n_{s}" for i, s in enumerate(stages)},
+        num_buckets=1)
+    return out.drop_columns(["__g"])
+
+
+def sql_funnel_counts(stages: tuple[str, ...] = ("view", "click", "purchase"),
+                      key: str = "user_id") -> str:
+    ctes = [f"s0 AS (SELECT {key}, min(ts) AS t FROM events "
+            f"WHERE event_type = '{stages[0]}' GROUP BY {key})"]
+    for i, s in enumerate(stages[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.{key}, min(e.ts) AS t FROM events e "
+            f"JOIN s{i-1} p ON p.{key} = e.{key} "
+            f"WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.{key})")
+    sel = ", ".join(f"(SELECT count(*) FROM s{i})::BIGINT AS n_{s}"
+                    for i, s in enumerate(stages))
+    return "WITH " + ", ".join(ctes) + f" SELECT {sel}"
+
+
+def retention_cohorts(events_ds, key: str = "user_id"):
+    """Cohort retention: users grouped by their FIRST-activity day; for each
+    (cohort_day, day_offset) the count of distinct users active that day —
+    the classic retention triangle.  Days are integer epoch-day indexes
+    (us // 86_400_000_000) so both engines hash identical integers.
+
+    Scale shape: per-batch distinct (user, day) pairs, one user-keyed
+    exchange computing each user's cohort + offsets, then a two-phase count
+    on (cohort_day, day_offset) — user activity rows never shuffle twice.
+    Output: (cohort_day, day_offset, n_users)."""
+    import numpy as np
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    _DAY_US = 86_400_000_000
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                      pa.scalar(_DAY_US))
+        t = pa.table({key: batch.column(key), "day": pc.cast(d, pa.int64())})
+        return t.group_by([key, "day"]).aggregate([]).select([key, "day"])
+
+    def offsets(g: pa.Table) -> pa.Table:
+        d = np.unique(g.column("day").to_numpy(zero_copy_only=False))
+        cohort = int(d.min())
+        return pa.table({
+            "cohort_day": pa.array([cohort] * len(d), pa.int64()),
+            "day_offset": pa.array(d - cohort, pa.int64()),
+            "one": pa.array([1] * len(d), pa.int64()),
+        })
+
+    per_user = (events_ds.select_columns([key, "ts"])
+                .map_batches(days, batch_format="pyarrow")
+                .repartition(default_coalesce())
+                .groupby(key).map_groups(offsets, batch_format="pyarrow"))
+    return hash_aggregate(
+        per_user, ["cohort_day", "day_offset"],
+        partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n_users"})
+
+
+def sql_retention_cohorts(key: str = "user_id") -> str:
+    return f"""
+    WITH a AS (
+      SELECT DISTINCT {key}, epoch_us(ts) // 86400000000 AS day FROM events
+    ), f AS (
+      SELECT {key}, min(day) AS cohort_day FROM a GROUP BY {key}
+    )
+    SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+           CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM a JOIN f ON a.{key} = f.{key}
+    GROUP BY f.cohort_day, a.day - f.cohort_day
+    """

@@ -517,3 +517,95 @@ class TestBuildPostings:
         con.register("documents", tbl)
         rows = con.execute(sql_build_postings(min_df=2, max_df=3, cap=2)).fetchall()
         assert {t: (d, p) for t, d, p in rows} == got
+
+
+class TestFunnelRetention:
+    def _events(self) -> pa.Table:
+        import datetime
+
+        def t(h):
+            return datetime.datetime(2026, 1, 1) + datetime.timedelta(hours=h)
+        rows = [  # (user, hours, type)
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),  # full funnel
+            (2, 0, "view"), (2, 1, "click"),                       # stops at click
+            (3, 5, "click"), (3, 6, "view"),                       # click BEFORE view
+            (4, 0, "purchase"),                                    # no view
+            (5, 0, "view"), (5, 0, "click"),                       # same ts: not after
+            # retention shape: user 6 returns on day 2 and 3
+            (6, 0, "view"), (6, 49, "view"), (6, 73, "view"),
+        ]
+        return pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t(r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        })
+
+    def test_funnel_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.events import funnel_counts, sql_funnel_counts
+        tbl = self._events()
+        got = funnel_counts(rd.from_arrow(tbl).repartition(3)).take_all()
+        assert len(got) == 1
+        r = got[0]
+        # view: users 1,2,3,5,6 -> 5; click strictly after view: 1,2 -> 2
+        # (3 clicked before viewing, 5 clicked at the SAME ts); purchase: 1
+        assert (r["n_view"], r["n_click"], r["n_purchase"]) == (5, 2, 1)
+
+        con = duckdb.connect()
+        con.register("events", tbl)
+        assert con.execute(sql_funnel_counts()).fetchall() == [(5, 2, 1)]
+
+    def test_retention_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.events import retention_cohorts, sql_retention_cohorts
+        tbl = self._events()
+        got = sorted((r["cohort_day"], r["day_offset"], r["n_users"])
+                     for r in retention_cohorts(
+                         rd.from_arrow(tbl).repartition(4)).take_all())
+        day0 = 20454  # 2026-01-01 epoch days
+        # users 1,2,4,5,6 start day0 (user 3's events are also day0 hours 5-6)
+        # user 6 active at offsets 0, 2, 3
+        assert got == [(day0, 0, 6), (day0, 2, 1), (day0, 3, 1)]
+
+        con = duckdb.connect()
+        con.register("events", tbl)
+        want = sorted(map(tuple, con.execute(sql_retention_cohorts()).fetchall()))
+        assert got == want
+
+
+class TestOrdersRollup:
+    def test_three_levels_vs_duckdb(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ontoray.queries import SQL_ORDERS_ROLLUP, q_orders_rollup
+
+        rng = np.random.default_rng(11)
+        region = pa.table({"r_regionkey": pa.array([0, 1], pa.int32()),
+                           "r_name": pa.array(["EAST", "WEST"])})
+        nation = pa.table({"n_nationkey": pa.array(range(4), pa.int32()),
+                           "n_name": pa.array([f"N{i}" for i in range(4)]),
+                           "n_regionkey": pa.array([0, 0, 1, 1], pa.int32())})
+        customer = pa.table({
+            "c_custkey": pa.array(range(10), pa.int64()),
+            "c_nationkey": pa.array(rng.integers(0, 4, 10), pa.int32())})
+        orders = pa.table({
+            "o_orderkey": pa.array(range(40), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, 10, 40), pa.int64()),
+            "o_totalprice": pa.array(np.round(rng.uniform(1, 9999, 40), 2),
+                                     pa.float64())})
+        tables = {"region": region, "nation": nation, "customer": customer,
+                  "orders": orders}
+        con = duckdb.connect()
+        for name, t in tables.items():
+            pq.write_table(t, str(tmp_path / f"{name}.parquet"))
+            con.register(name, t)
+        got = sorted((r["r_name"], r["n_name"], r["n_orders"], r["total_price"])
+                     for r in q_orders_rollup(str(tmp_path)).take_all())
+        want = sorted(map(tuple, con.execute(SQL_ORDERS_ROLLUP).fetchall()))
+        assert got == want
+        # exactly one grand-total row and one ALL row per region
+        assert sum(1 for r in got if r[0] == "ALL") == 1
+        assert sum(1 for r in got if r[1] == "ALL" and r[0] != "ALL") == 2
