@@ -477,16 +477,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     in CORRECTNESS_r01/r02, re-verified only with leftover budget.
     """
     return {
-        # ---- tier 0: new this round, never driver-checked ----
-        "docs_mixture": Q.q_docs_mixture,
-        "lm_vocab": Q.q_lm_vocab,
-        "events_pivot": Q.q_events_pivot,
-        "orders_revenue": Q.q_orders_revenue,
-        "docs_neardup_keep": Q.q_docs_neardup_keep,
-        "docs_postings": Q.q_docs_postings,
-        "events_funnel": Q.q_events_funnel,
-        "events_retention": Q.q_events_retention,
-        "orders_rollup": Q.q_orders_rollup,
+        # The driver's r2 correctness pass stopped at EXACTLY the first 50
+        # entries, so positions 1-50 are budgeted deliberately: the linker
+        # family and the r1-stale KG mirrors lead (the round's headline
+        # promotions from no_oracle), then everything the driver has never
+        # hash-checked, oldest promotions first; session-new operators that
+        # already passed the local check_entry gate at sf0.01 take the
+        # remaining slots, spilling past 50 in decreasing-novelty order.
+        # ---- tier A: promoted from no_oracle via the linker-family mirror
+        #      (queries_linker.py) — never hash-checked by the driver ----
+        "kg_entities": _q_kg_entities,
+        "kg_entity_decisions": _q_kg_entity_decisions,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "kg_degree_topk": _q_kg_degree_topk,
+        "kg_summary": _q_kg_summary,
+        # ---- tier B: mirrors added in r2/r3, last driver-seen rows-only in r1 ----
+        "kg_mention_contexts": _q_mention_contexts,
+        "kg_saturation": _q_saturation,
+        "kg_mention_sources": _q_mention_sources,
+        "events_session": _q_events_session,
+        "kg_review_queue": _q_review_queue,
+        "kg_confidence_topk": _q_confidence_topk,
+        "kg_jsonld_export": _q_jsonld_export,
+        "kg_jsonld_validation": _q_jsonld_validation,
+        "docs_lm_score": _q_docs_lm_score,
+        # ---- tier C: new in r3 (earlier session), never driver-checked ----
         "docs_dup_spans": Q.q_docs_dup_spans,
         "embed_semdedup": Q.q_embed_semdedup,
         "events_lag": Q.q_events_lag,
@@ -499,7 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": Q.q_ann_lsh,
         "custs_orders_outer": Q.q_custs_orders_outer,
         "docs_dsir": Q.q_docs_dsir,
-        # ---- tier 1: never driver-checked (r1+r2 passes stopped short) ----
+        # ---- tier D: never driver-checked (r1+r2 passes stopped short) ----
         "orders_by_region": Q.q_orders_by_region,
         "lineitem_pricing": Q.q_lineitem_pricing,
         "lineitem_quantiles": Q.q_lineitem_quantiles,
@@ -520,26 +536,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": Q.q_host_stats,
         "docs_blocklist": Q.q_docs_blocklist,
         "ann_ivf": Q.q_ann_ivf,
-        "kg_jsonld_validation": _q_jsonld_validation,
-        "docs_lm_score": _q_docs_lm_score,
-        # ---- tier 2: SQL mirrors added in r2, last driver-checked as
-        #      rows-only in r1 (kg_review_queue/confidence_topk/jsonld_export
-        #      remain rows-only but are stale since r1) ----
-        "kg_mention_contexts": _q_mention_contexts,
-        "kg_saturation": _q_saturation,
-        "kg_mention_sources": _q_mention_sources,
-        "events_session": _q_events_session,
-        "kg_review_queue": _q_review_queue,
-        "kg_confidence_topk": _q_confidence_topk,
-        "kg_jsonld_export": _q_jsonld_export,
-        # ---- tier 3: linker/graph family (mirrored this round) ----
-        "kg_entities": _q_kg_entities,
-        "kg_entity_decisions": _q_kg_entity_decisions,
-        "kg_nodes": _q_kg_nodes,
-        "kg_edges": _q_kg_edges,
-        "kg_degree_topk": _q_kg_degree_topk,
-        "kg_summary": _q_kg_summary,
-        # ---- tier 4: hash-green in r1/r2 — re-verify with leftover budget ----
+        # ---- tier E: new THIS session (all sf0.01-green via the local
+        #      check_entry gate); top 3 inside the 50-window, rest spill ----
+        "orders_revenue": Q.q_orders_revenue,
+        "docs_neardup_keep": Q.q_docs_neardup_keep,
+        "docs_mixture": Q.q_docs_mixture,
+        # -------- position 51+ from here --------
+        "lm_vocab": Q.q_lm_vocab,
+        "events_pivot": Q.q_events_pivot,
+        "docs_postings": Q.q_docs_postings,
+        "events_funnel": Q.q_events_funnel,
+        "events_retention": Q.q_events_retention,
+        "orders_rollup": Q.q_orders_rollup,
+        "docs_winnow": Q.q_docs_winnow,
+        # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
         "quality_filter": Q.q_quality_filter,
@@ -704,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": Q.sql_events_funnel(),
         "events_retention": Q.sql_events_retention(),
         "orders_rollup": Q.SQL_ORDERS_ROLLUP,
+        "docs_winnow": Q.sql_docs_winnow(),
         "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
     }

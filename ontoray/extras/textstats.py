@@ -1585,3 +1585,74 @@ def sql_build_postings(min_df: int = 2, max_df: int = 100, cap: int = 20,
     FROM p GROUP BY token
     HAVING count(*) BETWEEN {min_df} AND {max_df}
     """
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, the MOSS selector) --------
+
+def winnow_fingerprints(ds, k: int = 3, w: int = 4, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Winnowing: per doc, hash every k-gram of tokens, slide a window of
+    ``w`` consecutive hashes, select each window's MINIMUM — the guarantee-
+    preserving fingerprint subset used for plagiarism/overlap detection
+    (selected set is deterministic and shared-substring-stable, unlike a
+    random sample).  Summarized per doc as (n_fp, fp_min, fp_max) over the
+    DISTINCT selected hashes so the result hashes stably.
+
+    Scale shape: fully batch-local (no shuffle at all) — k-gram md5-int60
+    hashes via the vectorized exact md5, window minima via a numpy sliding
+    view, distinct via np.unique.  Docs with fewer than k+w-1 tokens emit no
+    row (no complete window), mirroring the SQL's ``i >= w`` predicate."""
+    import numpy as np
+
+    from ontoray.extras.sketches import _md5_int60
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids, nfp, fmin, fmax = [], [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = TOKEN_RE.findall(t or "")
+            n_g = len(toks) - k + 1
+            if n_g < w:
+                continue
+            grams = [" ".join(toks[i:i + k]) for i in range(n_g)]
+            h = _md5_int60(grams)
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            sel = np.unique(win.min(axis=1))
+            ids.append(did)
+            nfp.append(len(sel))
+            fmin.append(int(sel[0]))
+            fmax.append(int(sel[-1]))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_fp": pa.array(nfp, pa.int64()),
+                         "fp_min": pa.array(fmin, pa.int64()),
+                         "fp_max": pa.array(fmax, pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fp, batch_format="pyarrow")
+
+
+def sql_winnow_fingerprints(k: int = 3, w: int = 4, table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    from ontoray.extras.sketches import sql_md5_int60
+    gram = " || ' ' || ".join(f"l[i + {j}]" for j in range(k))
+    return f"""
+    WITH d AS (
+      SELECT {id_col}, regexp_extract_all(coalesce({text_col}, ''), '[a-z0-9]+') AS l
+      FROM {table}
+    ), ix AS (
+      SELECT {id_col}, l, unnest(generate_series(1, len(l) - {k - 1})) AS i
+      FROM d
+    ), g AS (
+      SELECT {id_col}, i, {sql_md5_int60(gram)} AS h FROM ix
+    ), wmin AS (
+      SELECT {id_col}, i,
+             min(h) OVER (PARTITION BY {id_col} ORDER BY i
+                          ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS mh
+      FROM g
+    ), sel AS (
+      SELECT DISTINCT {id_col}, mh FROM wmin WHERE i >= {w}
+    )
+    SELECT {id_col}, count(*) AS n_fp, min(mh) AS fp_min, max(mh) AS fp_max
+    FROM sel GROUP BY {id_col}
+    """

@@ -2119,3 +2119,17 @@ SQL_ORDERS_ROLLUP = (
     "JOIN nation ON c_nationkey = n_nationkey "
     "JOIN region ON n_regionkey = r_regionkey "
     "GROUP BY ROLLUP(r_name, n_name)")
+
+
+def q_docs_winnow(sf_dir: str):
+    """MOSS-style winnowing fingerprints per doc (batch-local, shuffle-free)."""
+    import ray.data as rd
+    from ontoray.extras.textstats import winnow_fingerprints
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return winnow_fingerprints(ds)
+
+
+def sql_docs_winnow() -> str:
+    from ontoray.extras.textstats import sql_winnow_fingerprints
+    return sql_winnow_fingerprints()

@@ -609,3 +609,38 @@ class TestOrdersRollup:
         # exactly one grand-total row and one ALL row per region
         assert sum(1 for r in got if r[0] == "ALL") == 1
         assert sum(1 for r in got if r[1] == "ALL" and r[0] != "ALL") == 2
+
+
+class TestWinnowing:
+    def test_selection_and_sql_mirror(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+        from ontoray.extras.sketches import _md5_int60
+        from ontoray.extras.textstats import (TOKEN_RE, sql_winnow_fingerprints,
+                                              winnow_fingerprints)
+        texts = ["aa bb cc dd ee ff gg hh",          # 6 grams, 3 windows
+                 "one two three four five six",
+                 "short text",                        # sub-window: no row
+                 "aa bb cc dd ee ff"]                 # shares grams with doc 0
+        tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        k, w = 3, 4
+        got = {r["doc_id"]: (r["n_fp"], r["fp_min"], r["fp_max"])
+               for r in winnow_fingerprints(
+                   rd.from_arrow(tbl).repartition(2), k=k, w=w).take_all()}
+        want = {}
+        for did, t in zip(range(4), texts):
+            toks = TOKEN_RE.findall(t)
+            n_g = len(toks) - k + 1
+            if n_g < w:
+                continue
+            grams = [" ".join(toks[i:i + k]) for i in range(n_g)]
+            h = _md5_int60(grams)
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            sel = np.unique(win.min(axis=1))
+            want[did] = (len(sel), int(sel[0]), int(sel[-1]))
+        assert got == want and 2 not in got
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        rows = con.execute(sql_winnow_fingerprints(k, w)).fetchall()
+        assert {r[0]: tuple(r[1:]) for r in rows} == got
