@@ -116,6 +116,12 @@ def _q_kg_components(sf_dir: str):
     return Q.q_kg_components_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_taxonomy_depth(sf_dir: str):
+    """Per-node depth in the extracted subclass taxonomy — join-BFS over
+    the distributed min-parent forest vs a bounded recursive-CTE mirror."""
+    return Q.q_kg_taxonomy_depth_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Triangle census of the undirected concept graph (clustering signal):
     vocabulary-bounded broadcast adjacency, per-edge intersection counts."""
@@ -549,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": Q.q_events_retention,
         "orders_rollup": Q.q_orders_rollup,
         "docs_winnow": Q.q_docs_winnow,
+        "kg_taxonomy_depth": _q_kg_taxonomy_depth,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -631,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_saturation": Q.SQL_KG_SATURATION,
         "kg_pagerank": Q.sql_kg_pagerank(),
         "kg_components": Q.SQL_KG_COMPONENTS,
+        "kg_taxonomy_depth": Q.SQL_KG_TAXONOMY_DEPTH,
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

@@ -329,6 +329,27 @@ SQL_KG_COMPONENTS = (
     "SELECT v AS name, min(w) AS component FROM reach GROUP BY v")
 
 
+def q_kg_taxonomy_depth_from(triples_dedup_ds):
+    """Per-node depth in the extracted subclass taxonomy (min-parent
+    forest, roots at depth 0) — join-BFS levels in the engine vs a bounded
+    recursive CTE in the mirror; cycle members excluded on both sides.
+    Plan in stages/analytics.taxonomy_depth."""
+    from ontoray.stages.analytics import taxonomy_depth
+    return taxonomy_depth(triples_dedup_ds)
+
+
+SQL_KG_TAXONOMY_DEPTH = (
+    f"{_sql_triples_norm_ctes()}, "
+    "forest AS (SELECT subj_norm AS child, min(obj_norm) AS parent "
+    "FROM tnorm WHERE pred_norm = 'subclass_of' GROUP BY 1), "
+    "taxroots AS (SELECT DISTINCT parent AS name FROM forest "
+    "WHERE parent NOT IN (SELECT child FROM forest)), "
+    "walk AS (SELECT name, CAST(0 AS BIGINT) AS depth FROM taxroots "
+    "UNION ALL SELECT f.child, w.depth + 1 FROM walk w "
+    "JOIN forest f ON f.parent = w.name WHERE w.depth < 30) "
+    "SELECT name, depth FROM walk")
+
+
 def q_kg_triangles_from(triples_dedup_ds):
     """Triangle census of the undirected concept graph — the clustering-
     coefficient signal the reference leaves as a TODO (reference

@@ -293,3 +293,83 @@ def triangle_census(edges_ds, src_col: str = "src", dst_col: str = "dst"):
                      "n_edges_und": pa.array([und.count()], pa.int64()),
                      "n_wedges": pa.array([n_wedge], pa.int64()),
                      "n_triangles": pa.array([n_tri], pa.int64())})
+
+
+def taxonomy_depth(triples_dedup_ds, pred: str = "subclass_of",
+                   max_rounds: int = 30,
+                   subj_col: str = "subj_norm", obj_col: str = "obj_norm"):
+    """Per-node depth in the extracted taxonomy's min-parent forest.
+
+    The reference surfaces only the MAX subclass depth as a graph statistic
+    (reference src/evaluation — depth of the learned hierarchy); this is the
+    per-node generalization a taxonomy-curation UI needs: for every concept,
+    how many hops below its terminal ancestor it sits.
+
+    Semantics (identical in the DuckDB mirror, ``SQL_KG_TAXONOMY_DEPTH``):
+      * forest: child -> lexicographic-MIN parent over ``pred`` triples
+        (deterministic across block orders, same rule as the curation depth
+        walk) — each child has exactly ONE parent, so paths are unique;
+      * roots: parents that never appear as a child -> depth 0;
+      * depth(child) = depth(parent) + 1, walked ``max_rounds`` levels;
+        cycle members (never reached from a root) are excluded on BOTH
+        sides, so bounded rounds cannot silently diverge from the mirror.
+
+    Scale shape: one vocabulary-bounded exchange builds the forest
+    (per-batch combiner first — corpus-scale triple rows never shuffle
+    here because the input is already the deduped triple table), then each
+    BFS level is a partitioned hash join forest⋈frontier; the driver sees
+    only per-round counts.  Depth rows accumulate as a Dataset union."""
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def sub_pairs(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("pred_norm"), pred)
+        t = batch.filter(m)
+        return pa.table({"child": t.column(subj_col), "parent": t.column(obj_col)})
+
+    forest = hash_aggregate(
+        triples_dedup_ds.map_batches(sub_pairs, batch_format="pyarrow"),
+        ["child"], partial_aggs=[("parent", "min")],
+        aggs=[("parent_min", "min")], rename={"parent_min_min": "parent"},
+    ).materialize()
+    if forest.count() == 0:
+        return rd.from_arrow(pa.table({"name": pa.array([], pa.string()),
+                                       "depth": pa.array([], pa.int64())}))
+
+    def parents_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"name": batch.column("parent")})
+
+    parents = hash_aggregate(
+        forest.map_batches(parents_only, batch_format="pyarrow"), ["name"],
+        partial_aggs=[("name", "count")], aggs=[("name_count", "sum")],
+        rename={"name_count_sum": "__n"}).select_columns(["name"])
+    roots = hash_join(parents, forest.select_columns(["child"]),
+                      "name", "child", how="left_anti").materialize()
+
+    def with_depth(d: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "name": batch.column("name"),
+                "depth": pa.array([d] * batch.num_rows, pa.int64())})
+        return fn
+
+    frontier = roots
+    levels = [roots.map_batches(with_depth(0), batch_format="pyarrow")]
+    for depth in range(1, max_rounds + 1):
+        hit = hash_join(forest, frontier.select_columns(["name"]),
+                        "parent", "name", how="left_semi")
+
+        def as_name(batch: pa.Table) -> pa.Table:
+            return pa.table({"name": batch.column("child")})
+
+        nxt = hit.map_batches(as_name, batch_format="pyarrow").materialize()
+        if nxt.count() == 0:
+            break
+        levels.append(nxt.map_batches(with_depth(depth), batch_format="pyarrow"))
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

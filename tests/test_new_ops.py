@@ -644,3 +644,65 @@ class TestWinnowing:
         con.register("documents", tbl)
         rows = con.execute(sql_winnow_fingerprints(k, w)).fetchall()
         assert {r[0]: tuple(r[1:]) for r in rows} == got
+
+
+class TestTaxonomyDepth:
+    def _triples(self) -> pa.Table:
+        # a -> b -> c -> root ; multi-parent: c also under zroot (min picks
+        # 'root'); cycle: x <-> y (never reached); other pred ignored.
+        rows = [
+            ("a", "subclass_of", "b"),
+            ("b", "subclass_of", "c"),
+            ("c", "subclass_of", "root"),
+            ("c", "subclass_of", "zroot"),
+            ("x", "subclass_of", "y"),
+            ("y", "subclass_of", "x"),
+            ("a", "haspart", "b"),
+        ]
+        return pa.table({
+            "subj_norm": pa.array([r[0] for r in rows], pa.string()),
+            "pred_norm": pa.array([r[1] for r in rows], pa.string()),
+            "obj_norm": pa.array([r[2] for r in rows], pa.string()),
+        })
+
+    def test_depths_cycles_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.analytics import taxonomy_depth
+
+        got = {r["name"]: r["depth"] for r in taxonomy_depth(
+            rd.from_arrow(self._triples()).repartition(3)).take_all()}
+        # min-parent forest: c -> root (min('root','zroot') drops zroot from
+        # the forest entirely); roots = forest parents never seen as a child.
+        assert got == {"root": 0, "c": 1, "b": 2, "a": 3}
+        # cycle members x, y excluded entirely
+        assert "x" not in got and "y" not in got
+
+        sql = ("WITH forest AS (SELECT subj_norm AS child, min(obj_norm) AS parent "
+               "FROM trip WHERE pred_norm = 'subclass_of' GROUP BY 1), "
+               "taxroots AS (SELECT DISTINCT parent AS name FROM forest "
+               "WHERE parent NOT IN (SELECT child FROM forest)), "
+               "walk AS (SELECT name, CAST(0 AS BIGINT) AS depth FROM taxroots "
+               "UNION ALL SELECT f.child, w.depth + 1 FROM walk w "
+               "JOIN forest f ON f.parent = w.name WHERE w.depth < 30) "
+               "SELECT name, depth FROM walk")
+        con = duckdb.connect()
+        con.register("trip", self._triples())
+        want = {n: d for n, d in con.execute(
+            "WITH RECURSIVE " + sql[5:]).fetchall()}
+        assert got == want
+
+    def test_deep_chain_beyond_rounds_excluded(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import taxonomy_depth
+        n = 8
+        rows = [(f"n{i}", "subclass_of", f"n{i+1}") for i in range(n)]
+        t = pa.table({
+            "subj_norm": pa.array([r[0] for r in rows], pa.string()),
+            "pred_norm": pa.array([r[1] for r in rows], pa.string()),
+            "obj_norm": pa.array([r[2] for r in rows], pa.string()),
+        })
+        got = {r["name"]: r["depth"] for r in taxonomy_depth(
+            rd.from_arrow(t), max_rounds=3).take_all()}
+        # bounded walk: root n8 at 0, then exactly 3 levels
+        assert got == {"n8": 0, "n7": 1, "n6": 2, "n5": 3}
