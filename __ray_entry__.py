@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": Q.q_orders_rollup,
         "docs_winnow": Q.q_docs_winnow,
         "kg_taxonomy_depth": _q_kg_taxonomy_depth,
+        "web_anchors": Q.q_web_anchors,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -639,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": Q.sql_kg_pagerank(),
         "kg_components": Q.SQL_KG_COMPONENTS,
         "kg_taxonomy_depth": Q.SQL_KG_TAXONOMY_DEPTH,
+        "web_anchors": Q.sql_web_anchors_q(),
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

@@ -2154,3 +2154,18 @@ def q_docs_winnow(sf_dir: str):
 def sql_docs_winnow() -> str:
     from ontoray.extras.textstats import sql_winnow_fingerprints
     return sql_winnow_fingerprints()
+
+
+# --- web anchor-text mining -----------------------------------------------------
+
+def q_web_anchors(sf_dir: str):
+    """Anchor-text alias mining over the RAW derived pages (pre-cleaner —
+    the cleaner strips markdown): (anchor, target, target_host, n) counts,
+    per-batch regex extraction + one vocabulary-bounded exchange."""
+    from ontoray.extras.weblinks import extract_anchors
+    return extract_anchors(pages_from_documents(sf_dir))
+
+
+def sql_web_anchors_q() -> str:
+    from ontoray.extras.weblinks import sql_web_anchors
+    return sql_web_anchors(sql_pages_cte())

@@ -706,3 +706,38 @@ class TestTaxonomyDepth:
             rd.from_arrow(t), max_rounds=3).take_all()}
         # bounded walk: root n8 at 0, then exactly 3 levels
         assert got == {"n8": 0, "n7": 1, "n6": 2, "n5": 3}
+
+
+class TestWebAnchors:
+    def _pages(self) -> pa.Table:
+        rows = [
+            (0, "see [home](https://a.example.org/x) and [docs](https://a.example.org/d)"),
+            (1, "![logo](img/logo.png) twice [home](https://a.example.org/x)"),
+            (2, "no links here at all"),
+            (3, ""),
+            (4, "[same](rel/path) [same](rel/path) dup in one doc"),
+            (5, "edge [empty]() and [spaced](not captured) ok"),
+        ]
+        return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                         "text": pa.array([r[1] for r in rows], pa.string())})
+
+    def test_extraction_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.weblinks import extract_anchors, sql_web_anchors
+
+        got = {(r["anchor"], r["target"], r["target_host"]): r["n"]
+               for r in extract_anchors(
+                   rd.from_arrow(self._pages()).repartition(3)).take_all()}
+        assert got[("home", "https://a.example.org/x", "a.example.org")] == 2
+        assert got[("logo", "img/logo.png", "")] == 1
+        assert got[("same", "rel/path", "")] == 2
+        assert ("empty", "", "") in got
+        # '(not captured)' contains a space -> target regex rejects it
+        assert not any(a == "spaced" for a, _, _ in got)
+
+        con = duckdb.connect()
+        con.register("pages_t", self._pages())
+        want = {(a, t, h): n for a, t, h, n in con.execute(
+            sql_web_anchors("SELECT doc_id, text FROM pages_t")).fetchall()}
+        assert got == want
