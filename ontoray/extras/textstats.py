@@ -929,12 +929,10 @@ def lm_score_docs(ds, id_col: str = "doc_id", text_col: str = "text",
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def sql_lm_score_docs(min_count: int = 3, table: str = "documents",
-                      id_col: str = "doc_id", text_col: str = "text") -> str:
-    """DuckDB mirror of ``lm_score_docs`` — identical LM, join and integer
-    fixed-point arithmetic."""
-    return f"""
-    WITH t0 AS (SELECT regexp_extract_all(coalesce({text_col}, ''),
+def _sql_lm_ctes(min_count: int, table: str, id_col: str, text_col: str) -> str:
+    """CTE chain shared by the lm-score mirrors: train the corpus bigram LM
+    and score per-doc bigram multisets, ending in ``sc``."""
+    return f"""t0 AS (SELECT regexp_extract_all(coalesce({text_col}, ''),
                                           '[a-z0-9]+') AS l FROM {table}),
     bg AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
            FROM t0 WHERE len(l) >= 2),
@@ -954,7 +952,15 @@ def sql_lm_score_docs(min_count: int = 3, table: str = "documents",
                   AS BIGINT) AS n_known,
              CAST(coalesce(sum(db.c * lm.p_micro), 0) AS BIGINT) AS sum_p_micro
            FROM db LEFT JOIN lm ON lm.w1 = db.w1 AND lm.w2 = db.w2
-           GROUP BY db.{id_col})
+           GROUP BY db.{id_col})"""
+
+
+def sql_lm_score_docs(min_count: int = 3, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of ``lm_score_docs`` — identical LM, join and integer
+    fixed-point arithmetic."""
+    return f"""
+    WITH {_sql_lm_ctes(min_count, table, id_col, text_col)}
     SELECT doc.{id_col},
            CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(sc.n_known, 0) AS BIGINT) AS n_known,
@@ -1655,4 +1661,73 @@ def sql_winnow_fingerprints(k: int = 3, w: int = 4, table: str = "documents",
     )
     SELECT {id_col}, count(*) AS n_fp, min(mh) AS fp_min, max(mh) AS fp_max
     FROM sel GROUP BY {id_col}
+    """
+
+
+# --- CCNet-style per-language fluency buckets -----------------------------------
+
+def ccnet_buckets(ds, min_count: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", lang_col: str = "lang"):
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): every doc is
+    bucketed WITHIN ITS LANGUAGE by corpus-LM fluency terciles — the classic
+    quality partition of a Common-Crawl curation pipeline (train on head,
+    sample middle, drop tail).
+
+    Composition of two scale-shaped operators: ``lm_score_docs`` (two-pass
+    bigram LM, partitioned joins, int64 micro-prob arithmetic) and
+    ``grouped_quantile_buckets`` (per-lang value-histogram terciles,
+    cutpoints broadcast once, one vectorized searchsorted per batch).
+    ntile-by-VALUE semantics: ties share a bucket, so the split is a pure
+    function of (value, lang cutpoints) — deterministic across partitionings
+    and identical in the SQL mirror.
+
+    Output: (doc_id, lang, bucket, ccnet_bucket) with bucket 2 = head
+    (most fluent), 1 = middle, 0 = tail."""
+    import numpy as np
+
+    from ontoray.extras.quantiles import grouped_quantile_buckets
+    from ontoray.stages.joins import hash_join
+
+    scores = lm_score_docs(ds, id_col=id_col, text_col=text_col,
+                           min_count=min_count)
+    withlang = hash_join(
+        scores.select_columns([id_col, "fluency_micro"]),
+        ds.select_columns([id_col, lang_col]), id_col, id_col,
+        how="inner", right_cols=[lang_col])
+    buckets = grouped_quantile_buckets(withlang, lang_col, "fluency_micro",
+                                       id_col, n_buckets=3)
+
+    _LABELS = np.array(["tail", "middle", "head"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "ccnet_bucket", pa.array(_LABELS[b], pa.string()))
+
+    return buckets.map_batches(label, batch_format="pyarrow")
+
+
+def sql_ccnet_buckets(min_count: int = 3, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      lang_col: str = "lang") -> str:
+    """DuckDB mirror of ``ccnet_buckets`` — same LM CTEs, same integer
+    tercile rank formula (value at 1-based rank ceil(n*i/3))."""
+    return f"""
+    WITH {_sql_lm_ctes(min_count, table, id_col, text_col)},
+    flu AS (SELECT doc.{id_col}, doc.{lang_col} AS lang,
+              CAST(CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+                   THEN sc.sum_p_micro // sc.n_bigrams ELSE 0 END AS BIGINT) AS v
+            FROM {table} doc LEFT JOIN sc USING ({id_col})),
+    ranked AS (SELECT lang, v,
+                 row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n FROM flu),
+    cuts AS (SELECT lang, q.i, min(v) AS cut
+             FROM ranked, (SELECT unnest(range(1, 3)) AS i) q
+             WHERE rn = (n * q.i + 2) // 3 GROUP BY 1, 2),
+    bk AS (SELECT t.{id_col}, t.lang,
+             CAST(sum(CASE WHEN t.v > c.cut THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+           FROM flu t JOIN cuts c USING (lang) GROUP BY 1, 2)
+    SELECT {id_col}, lang, bucket,
+           CASE bucket WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
+                ELSE 'head' END AS ccnet_bucket FROM bk
     """

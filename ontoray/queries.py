@@ -2169,3 +2169,20 @@ def q_web_anchors(sf_dir: str):
 def sql_web_anchors_q() -> str:
     from ontoray.extras.weblinks import sql_web_anchors
     return sql_web_anchors(sql_pages_cte())
+
+
+# --- CCNet-style quality split --------------------------------------------------
+
+def q_docs_ccnet(sf_dir: str):
+    """CCNet head/middle/tail: per-language corpus-LM fluency terciles
+    (lm_score_docs + grouped value-tercile buckets)."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import ccnet_buckets
+    return ccnet_buckets(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]))
+
+
+def sql_docs_ccnet() -> str:
+    from ontoray.extras.textstats import sql_ccnet_buckets
+    return sql_ccnet_buckets()

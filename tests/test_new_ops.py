@@ -741,3 +741,49 @@ class TestWebAnchors:
         want = {(a, t, h): n for a, t, h, n in con.execute(
             sql_web_anchors("SELECT doc_id, text FROM pages_t")).fetchall()}
         assert got == want
+
+
+class TestCCNetBuckets:
+    def _docs(self) -> pa.Table:
+        # en: fluent docs repeat corpus-frequent bigrams; garble docs use
+        # unique bigrams the LM never promotes past min_count.
+        fluent = "the quick brown fox jumps over the lazy dog"
+        rows = [
+            (0, fluent + " " + fluent, "en"),
+            (1, fluent, "en"),
+            (2, "zq xv qj wk pz vb mm nn", "en"),
+            (3, fluent + " again " + fluent, "en"),
+            (4, "unique garble tokens here never repeated", "en"),
+            (5, fluent, "en"),
+            (6, "der schnelle braune fuchs", "de"),
+            (7, "der schnelle braune fuchs springt", "de"),
+            (8, "voellig anders geartetes zeug", "de"),
+        ]
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        })
+
+    def test_buckets_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import ccnet_buckets, sql_ccnet_buckets
+
+        got = {r["doc_id"]: r for r in ccnet_buckets(
+            rd.from_arrow(self._docs()).repartition(3), min_count=2).take_all()}
+        assert len(got) == 9
+        # per-lang split: every doc keeps its lang; labels map 0/1/2
+        for r in got.values():
+            assert r["ccnet_bucket"] == ["tail", "middle", "head"][r["bucket"]]
+        # the repeated-fluent docs sit strictly above the garble docs in en
+        assert got[0]["bucket"] > got[2]["bucket"]
+        assert got[3]["bucket"] > got[4]["bucket"]
+
+        con = duckdb.connect()
+        con.register("documents", self._docs())
+        for did, lang, bucket, lab in con.execute(
+                sql_ccnet_buckets(min_count=2)).fetchall():
+            assert got[did]["lang"] == lang
+            assert got[did]["bucket"] == bucket
+            assert got[did]["ccnet_bucket"] == lab
