@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_taxonomy_depth": _q_kg_taxonomy_depth,
         "web_anchors": Q.q_web_anchors,
         "docs_ccnet": Q.q_docs_ccnet,
+        "docs_quality_logit": Q.q_docs_quality_logit,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -643,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_taxonomy_depth": Q.SQL_KG_TAXONOMY_DEPTH,
         "web_anchors": Q.sql_web_anchors_q(),
         "docs_ccnet": Q.sql_docs_ccnet(),
+        "docs_quality_logit": Q.sql_docs_quality_logit(),
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

@@ -1731,3 +1731,95 @@ def sql_ccnet_buckets(min_count: int = 3, table: str = "documents",
            CASE bucket WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
                 ELSE 'head' END AS ccnet_bucket FROM bk
     """
+
+
+# --- model-based quality filter (integer logit surrogate) -----------------------
+
+ALPHA_RE = re.compile(r"[a-z]")
+
+# Fixed "trained-offline" weights (micro-units).  The sigmoid of a logistic
+# quality classifier is monotone, so the keep/drop decision is the SIGN of
+# the linear logit — which keeps the whole operator in exact int64 and lets
+# the DuckDB mirror hash-match a "model-scored" filter.
+_QL_BIAS = -2_800_000
+_QL_W_STOP = 6          # x stopword-ratio micro
+_QL_W_ALPHA = 3         # x alpha-char-ratio micro
+_QL_W_TOK = 2_000       # x min(n_tokens, 500)
+_QL_MEANLEN_KNEE = 8_000_000   # mean-token-chars micro above this is penalized
+_QL_PEN_DIV = 2
+
+
+def quality_logit(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """fasttext-style model-based quality filter, as an exact integer logit:
+
+        logit_micro = bias + 6*stop_micro + 3*alpha_micro
+                      + 2000*min(n_tokens, 500)
+                      - max(meanlen_micro - 8e6, 0) // 2
+        keep = logit_micro >= 0
+
+    where stop_micro / alpha_micro / meanlen_micro are floor-divided micro
+    ratios.  One stateless ``map_batches`` pass — no shuffle, no driver
+    state; at 100 TB this is the cheapest kind of stage there is.
+
+    Output: (doc_id, logit_micro, keep)."""
+    stop = STOP_PROFILES["en"]
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        logits = []
+        for t in batch.column(text_col).to_pylist():
+            t = t or ""
+            toks = TOKEN_RE.findall(t)
+            n_tok = len(toks)
+            n_chars = len(t)
+            stop_micro = 1_000_000 * sum(1 for w in toks if w in stop) // max(n_tok, 1)
+            alpha_micro = 1_000_000 * len(ALPHA_RE.findall(t)) // max(n_chars, 1)
+            meanlen_micro = 1_000_000 * sum(len(w) for w in toks) // max(n_tok, 1)
+            logit = (_QL_BIAS + _QL_W_STOP * stop_micro
+                     + _QL_W_ALPHA * alpha_micro
+                     + _QL_W_TOK * min(n_tok, 500)
+                     - max(meanlen_micro - _QL_MEANLEN_KNEE, 0) // _QL_PEN_DIV)
+            logits.append(logit)
+        return pa.table({
+            id_col: ids,
+            "logit_micro": pa.array(logits, pa.int64()),
+            "keep": pa.array([v >= 0 for v in logits], pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_quality_logit(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """DuckDB mirror of ``quality_logit`` — identical integer arithmetic.
+    NB ``array_to_string([], '')`` is NULL in DuckDB: coalesce the
+    token-char total."""
+    stopw = ", ".join(f"'{w}'" for w in sorted(STOP_PROFILES["en"]))
+    toks = f"regexp_extract_all(coalesce({text_col}, ''), '[a-z0-9]+')"
+    return f"""
+    WITH f AS (
+      SELECT {id_col},
+        length({toks}) AS n_tok,
+        length(coalesce({text_col}, '')) AS n_chars,
+        length(list_filter({toks}, w -> w IN ({stopw}))) AS n_stop,
+        length(regexp_replace(coalesce({text_col}, ''), '[^a-z]', '', 'g')) AS n_alpha,
+        coalesce(length(array_to_string({toks}, '')), 0) AS tok_chars
+      FROM {table}
+    ), m AS (
+      SELECT {id_col},
+        1000000 * n_stop // greatest(n_tok, 1) AS stop_micro,
+        1000000 * n_alpha // greatest(n_chars, 1) AS alpha_micro,
+        1000000 * tok_chars // greatest(n_tok, 1) AS meanlen_micro,
+        n_tok
+      FROM f
+    )
+    SELECT {id_col},
+      CAST({_QL_BIAS} + {_QL_W_STOP} * stop_micro + {_QL_W_ALPHA} * alpha_micro
+           + {_QL_W_TOK} * least(n_tok, 500)
+           - greatest(meanlen_micro - {_QL_MEANLEN_KNEE}, 0) // {_QL_PEN_DIV}
+           AS BIGINT) AS logit_micro,
+      ({_QL_BIAS} + {_QL_W_STOP} * stop_micro + {_QL_W_ALPHA} * alpha_micro
+       + {_QL_W_TOK} * least(n_tok, 500)
+       - greatest(meanlen_micro - {_QL_MEANLEN_KNEE}, 0) // {_QL_PEN_DIV}) >= 0 AS keep
+    FROM m
+    """

@@ -2186,3 +2186,20 @@ def q_docs_ccnet(sf_dir: str):
 def sql_docs_ccnet() -> str:
     from ontoray.extras.textstats import sql_ccnet_buckets
     return sql_ccnet_buckets()
+
+
+# --- model-based quality filter -------------------------------------------------
+
+def q_docs_quality_logit(sf_dir: str):
+    """Integer-logit quality classifier surrogate (sign of a fixed linear
+    logit over stopword/alpha/length/mean-token-length features)."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import quality_logit
+    return quality_logit(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def sql_docs_quality_logit() -> str:
+    from ontoray.extras.textstats import sql_quality_logit
+    return sql_quality_logit()

@@ -787,3 +787,34 @@ class TestCCNetBuckets:
             assert got[did]["lang"] == lang
             assert got[did]["bucket"] == bucket
             assert got[did]["ccnet_bucket"] == lab
+
+
+class TestQualityLogit:
+    def _docs(self) -> pa.Table:
+        rows = [
+            (0, "the cat sat on the mat and it is a fine day for all of us "
+                "to be out in the sun with the dog and the bird"),  # fluent
+            (1, "zzzz qqqq kkkk " * 3),                  # no stopwords, short
+            (2, "QWERTYUIOPASDFGH 12345 67890 !!!! ####"),  # no lowercase alpha
+            (3, "x" * 2000),                             # one giant token
+            (4, ""),                                     # empty
+        ]
+        return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                         "text": pa.array([r[1] for r in rows], pa.string())})
+
+    def test_decisions_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import quality_logit, sql_quality_logit
+
+        got = {r["doc_id"]: r for r in quality_logit(
+            rd.from_arrow(self._docs()).repartition(2)).take_all()}
+        assert got[0]["keep"] is True            # stopword-rich prose
+        assert got[2]["keep"] is False           # alpha-free shouting
+        assert got[3]["keep"] is False           # mean-token-length penalty
+        assert got[4]["keep"] is False           # empty
+        con = duckdb.connect()
+        con.register("documents", self._docs())
+        for did, logit, keep in con.execute(sql_quality_logit()).fetchall():
+            assert got[did]["logit_micro"] == logit, did
+            assert got[did]["keep"] == keep, did
