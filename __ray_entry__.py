@@ -122,6 +122,13 @@ def _q_kg_taxonomy_depth(sf_dir: str):
     return Q.q_kg_taxonomy_depth_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_similar_nodes(sf_dir: str):
+    """Graph-context entity-resolution candidates: shared-neighbor Jaccard
+    pairs with a hub cap (documented partitioning contract in
+    stages/analytics.similar_nodes)."""
+    return Q.q_kg_similar_nodes_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Triangle census of the undirected concept graph (clustering signal):
     vocabulary-bounded broadcast adjacency, per-edge intersection counts."""
@@ -559,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_anchors": Q.q_web_anchors,
         "docs_ccnet": Q.q_docs_ccnet,
         "docs_quality_logit": Q.q_docs_quality_logit,
+        "kg_similar_nodes": _q_kg_similar_nodes,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -645,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
         "web_anchors": Q.sql_web_anchors_q(),
         "docs_ccnet": Q.sql_docs_ccnet(),
         "docs_quality_logit": Q.sql_docs_quality_logit(),
+        "kg_similar_nodes": Q.SQL_KG_SIMILAR_NODES,
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

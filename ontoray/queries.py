@@ -2203,3 +2203,32 @@ def q_docs_quality_logit(sf_dir: str):
 def sql_docs_quality_logit() -> str:
     from ontoray.extras.textstats import sql_quality_logit
     return sql_quality_logit()
+
+
+# --- graph-context node similarity ----------------------------------------------
+
+def q_kg_similar_nodes_from(triples_dedup_ds):
+    """Shared-neighbor Jaccard node pairs over the extracted concept graph
+    (hub-capped pair expansion; exact integer jaccard)."""
+    from ontoray.stages.analytics import similar_nodes
+    return similar_nodes(triples_dedup_ds)
+
+
+SQL_KG_SIMILAR_NODES_CAP = 32
+SQL_KG_SIMILAR_NODES_MINJ = 200_000
+
+SQL_KG_SIMILAR_NODES = (
+    f"{_sql_triples_norm_ctes()}, "
+    "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm "
+    "WHERE subj_norm <> obj_norm), "
+    "und AS (SELECT src AS v, dst AS x FROM trip UNION SELECT dst, src FROM trip), "
+    "deg AS (SELECT v, count(*) AS d FROM und GROUP BY 1), "
+    "caps AS (SELECT u.v, u.x FROM und u JOIN deg ON deg.v = u.v "
+    f"WHERE deg.d <= {SQL_KG_SIMILAR_NODES_CAP}), "
+    "pairs AS (SELECT c1.x AS na, c2.x AS nb FROM caps c1 "
+    "JOIN caps c2 ON c1.v = c2.v AND c1.x < c2.x), "
+    "com AS (SELECT na, nb, CAST(count(*) AS BIGINT) AS common FROM pairs GROUP BY 1, 2) "
+    "SELECT com.na AS node_a, com.nb AS node_b, com.common, "
+    "CAST(1000000 * com.common // (da.d + db.d - com.common) AS BIGINT) AS jac_micro "
+    "FROM com JOIN deg da ON da.v = com.na JOIN deg db ON db.v = com.nb "
+    f"WHERE 1000000 * com.common // (da.d + db.d - com.common) >= {SQL_KG_SIMILAR_NODES_MINJ}")

@@ -373,3 +373,82 @@ def taxonomy_depth(triples_dedup_ds, pred: str = "subclass_of",
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def similar_nodes(triples_dedup_ds, cap: int = 32, min_jac_micro: int = 200_000,
+                  subj_col: str = "subj_norm", obj_col: str = "obj_norm"):
+    """Node similarity by shared-neighbor Jaccard over the undirected
+    concept graph — the graph-context signal for entity resolution (two
+    surface forms naming the same thing link to the same neighbors).
+
+    Hub cap (documented contract, mirrored in SQL): only shared neighbors
+    with degree <= ``cap`` generate candidate pairs.  A hub's co-citation
+    says nothing (stopword-like) and would fan out quadratically; capping
+    makes the exchanged pair volume <= cap * |edges| instead of
+    sum(deg^2).  Jaccard is exact integer:
+    jac_micro = 1e6 * common // (deg_a + deg_b - common).
+
+    Plan: symmetric distinct edges -> degree table (one vocabulary-bounded
+    exchange each) -> cap filter via left-semi join -> pair expansion as a
+    partitioned SELF-join on the shared neighbor -> two-phase pair count ->
+    degree join x2 -> vectorized jaccard.  Output:
+    (node_a, node_b, common, jac_micro), pairs ordered node_a < node_b."""
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column(subj_col).to_pylist()
+        o = batch.column(obj_col).to_pylist()
+        v, x = [], []
+        for a, b in zip(s, o):
+            if a != b:
+                v.append(a); x.append(b)
+                v.append(b); x.append(a)
+        return pa.table({"v": pa.array(v, pa.string()),
+                         "x": pa.array(x, pa.string())})
+
+    und = hash_aggregate(
+        triples_dedup_ds.map_batches(sym, batch_format="pyarrow"), ["v", "x"],
+        partial_aggs=[("v", "count")], aggs=[("v_count", "sum")],
+        rename={"v_count_sum": "__n"}).select_columns(["v", "x"]).materialize()
+
+    deg = hash_aggregate(
+        und, ["v"], partial_aggs=[("v", "count")],
+        aggs=[("v_count", "sum")], rename={"v_count_sum": "d"}).materialize()
+
+    small = deg.filter(expr=f"d <= {cap}").select_columns(["v"])
+    caps = hash_join(und, small, "v", "v", how="left_semi")
+
+    pairs = hash_join(caps, caps, "v", "v", right_cols=["x"])
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch.column("x")
+        b = batch.column("x_r")
+        m = pc.less(a, b)
+        t = batch.filter(m)
+        return pa.table({"na": t.column("x"), "nb": t.column("x_r"),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    com = hash_aggregate(
+        pairs.map_batches(ordered, batch_format="pyarrow"), ["na", "nb"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "common"})
+
+    withda = hash_join(com, deg, "na", "v", right_cols=["d"])
+    withdb = hash_join(withda, deg, "nb", "v", right_cols=["d"], suffix="_b")
+
+    def jac(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        c = batch.column("common").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = batch.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("d_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        jm = (1_000_000 * c) // (da + db - c)
+        keep = jm >= min_jac_micro
+        return pa.table({
+            "node_a": batch.column("na").filter(pa.array(keep)),
+            "node_b": batch.column("nb").filter(pa.array(keep)),
+            "common": pa.array(c[keep], pa.int64()),
+            "jac_micro": pa.array(jm[keep], pa.int64()),
+        })
+
+    return withdb.map_batches(jac, batch_format="pyarrow")

@@ -818,3 +818,48 @@ class TestQualityLogit:
         for did, logit, keep in con.execute(sql_quality_logit()).fetchall():
             assert got[did]["logit_micro"] == logit, did
             assert got[did]["keep"] == keep, did
+
+
+class TestSimilarNodes:
+    def _triples(self) -> pa.Table:
+        # a and b share neighbors {n1, n2}; a also has n3 -> jac(a,b) = 2/3.
+        # hub h links to everything but has degree > cap so generates no pairs.
+        rows = [("a", "n1"), ("a", "n2"), ("a", "n3"),
+                ("b", "n1"), ("b", "n2"),
+                ("h", "a"), ("h", "b"), ("h", "n1"), ("h", "n2"), ("h", "n3")]
+        return pa.table({
+            "subj_norm": pa.array([r[0] for r in rows], pa.string()),
+            "pred_norm": pa.array(["relatedto"] * len(rows), pa.string()),
+            "obj_norm": pa.array([r[1] for r in rows], pa.string()),
+        })
+
+    def test_jaccard_hub_cap_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.analytics import similar_nodes
+
+        got = {(r["node_a"], r["node_b"]): r for r in similar_nodes(
+            rd.from_arrow(self._triples()).repartition(3),
+            cap=4, min_jac_micro=100_000).take_all()}
+        # deg: a=4 (n1,n2,n3,h), b=3 (n1,n2,h); shared via n1,n2 (deg 3 each
+        # incl. h edges... n1: a,b,h = 3 <= 4 OK) and via h? deg(h)=5 > cap.
+        ab = got[("a", "b")]
+        assert ab["common"] == 2
+        assert ab["jac_micro"] == 1_000_000 * 2 // (4 + 3 - 2)
+
+        sql = ("WITH trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst "
+               "FROM t WHERE subj_norm <> obj_norm), "
+               "und AS (SELECT src AS v, dst AS x FROM trip UNION SELECT dst, src FROM trip), "
+               "deg AS (SELECT v, count(*) AS d FROM und GROUP BY 1), "
+               "caps AS (SELECT u.v, u.x FROM und u JOIN deg ON deg.v = u.v WHERE deg.d <= 4), "
+               "pairs AS (SELECT c1.x AS na, c2.x AS nb FROM caps c1 "
+               "JOIN caps c2 ON c1.v = c2.v AND c1.x < c2.x), "
+               "com AS (SELECT na, nb, CAST(count(*) AS BIGINT) AS common FROM pairs GROUP BY 1, 2) "
+               "SELECT com.na, com.nb, com.common, "
+               "CAST(1000000 * com.common // (da.d + db.d - com.common) AS BIGINT) AS jac "
+               "FROM com JOIN deg da ON da.v = com.na JOIN deg db ON db.v = com.nb "
+               "WHERE 1000000 * com.common // (da.d + db.d - com.common) >= 100000")
+        con = duckdb.connect()
+        con.register("t", self._triples())
+        want = {(a, b): (c, j) for a, b, c, j in con.execute(sql).fetchall()}
+        assert {k: (v["common"], v["jac_micro"]) for k, v in got.items()} == want
