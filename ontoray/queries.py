@@ -2232,3 +2232,24 @@ SQL_KG_SIMILAR_NODES = (
     "CAST(1000000 * com.common // (da.d + db.d - com.common) AS BIGINT) AS jac_micro "
     "FROM com JOIN deg da ON da.v = com.na JOIN deg db ON db.v = com.nb "
     f"WHERE 1000000 * com.common // (da.d + db.d - com.common) >= {SQL_KG_SIMILAR_NODES_MINJ}")
+
+
+# --- leakage-safe group-holdout split -------------------------------------------
+
+def q_docs_split_by_host(sf_dir: str):
+    """Group-coherent train/val/test split: the md5 uniform is computed on
+    the SOURCE (host), so every doc of a host lands in the same split — the
+    leakage-safe holdout a dedup-imperfect web corpus needs (near-dups
+    cluster within hosts; doc-level splits leak them across)."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import hash_split
+    return hash_split(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "source"]),
+                      id_col="source", salt="hostsplit")
+
+
+def sql_docs_split_by_host() -> str:
+    from ontoray.extras.textstats import sql_hash_split
+    return sql_hash_split(id_col="source", salt="hostsplit",
+                          cols="doc_id, source")

@@ -863,3 +863,20 @@ class TestSimilarNodes:
         con.register("t", self._triples())
         want = {(a, b): (c, j) for a, b, c, j in con.execute(sql).fetchall()}
         assert {k: (v["common"], v["jac_micro"]) for k, v in got.items()} == want
+
+
+class TestHostSplit:
+    def test_group_coherence(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.textstats import hash_split
+        tbl = pa.table({
+            "doc_id": pa.array(range(60), pa.int64()),
+            "source": pa.array([f"host{i % 6}" for i in range(60)], pa.string()),
+        })
+        rows = hash_split(rd.from_arrow(tbl).repartition(4),
+                          id_col="source", salt="hostsplit").take_all()
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r["source"], set()).add(r["split"])
+        # every host maps to exactly one split — leakage-safe by construction
+        assert all(len(s) == 1 for s in by_host.values())
