@@ -2253,3 +2253,20 @@ def sql_docs_split_by_host() -> str:
     from ontoray.extras.textstats import sql_hash_split
     return sql_hash_split(id_col="source", salt="hostsplit",
                           cols="doc_id, source")
+
+
+# --- product quantization -------------------------------------------------------
+
+def q_embed_pq(sf_dir: str):
+    """PQ codes: per-subspace exact fixed-point k-means assignment
+    (4 subspaces x k=8 -> 12-bit codes per vector)."""
+    import ray.data as rd
+
+    from ontoray.extras.pq import pq_codes
+    return pq_codes(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"]))
+
+
+def sql_embed_pq() -> str:
+    from ontoray.extras.pq import sql_pq_codes
+    return sql_pq_codes(dim=64)

@@ -880,3 +880,29 @@ class TestHostSplit:
             by_host.setdefault(r["source"], set()).add(r["split"])
         # every host maps to exactly one split — leakage-safe by construction
         assert all(len(s) == 1 for s in by_host.values())
+
+
+class TestPQCodes:
+    def test_shape_subspace_independence_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.pq import pq_codes, sql_pq_codes
+
+        rng = np.random.default_rng(7)
+        dim, n = 8, 30
+        vecs = rng.standard_normal((n, dim))
+        tbl = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        got = {(r["vec_id"], r["subspace"]): r["code"] for r in pq_codes(
+            rd.from_arrow(tbl).repartition(3), m=2, k=4, iters=2).take_all()}
+        assert len(got) == n * 2
+        assert all(0 <= c < 4 for c in got.values())
+
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        want = {(v, s): c for v, s, c in con.execute(
+            sql_pq_codes(m=2, k=4, iters=2, dim=dim)).fetchall()}
+        assert got == want
