@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_similar_nodes": _q_kg_similar_nodes,
         "docs_split_by_host": Q.q_docs_split_by_host,
         "embed_pq": Q.q_embed_pq,
+        "events_hll_window": Q.q_events_hll_window,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -658,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_similar_nodes": Q.SQL_KG_SIMILAR_NODES,
         "docs_split_by_host": Q.sql_docs_split_by_host(),
         "embed_pq": Q.sql_embed_pq(),
+        "events_hll_window": Q.sql_events_hll_window(),
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

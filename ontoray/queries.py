@@ -2270,3 +2270,34 @@ def q_embed_pq(sf_dir: str):
 def sql_embed_pq() -> str:
     from ontoray.extras.pq import sql_pq_codes
     return sql_pq_codes(dim=64)
+
+
+# --- windowed distinct-count sketch ---------------------------------------------
+
+def q_events_hll_window(sf_dir: str):
+    """Distinct users per tumbling hour via HyperLogLog — the streaming
+    cardinality dashboard op: per-batch register partials keyed by window,
+    ONE (window x 4096)-bounded exchange, bit-exact integer register state
+    vs the mirror (extras/sketches.hll_estimate with the window as group)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.sketches import hll_estimate
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        w = pc.divide(us, 3600000000)
+        return pa.table({"win": pc.cast(w, pa.string()),
+                         "user_id": batch.column("user_id")})
+
+    return hll_estimate(ds.map_batches(win, batch_format="pyarrow"),
+                        "user_id", group_col="win")
+
+
+def sql_events_hll_window() -> str:
+    from ontoray.extras.sketches import sql_hll_estimate
+    return sql_hll_estimate(
+        "SELECT CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS win, "
+        "user_id FROM events",
+        "CAST(user_id AS VARCHAR)", group_col="win")
