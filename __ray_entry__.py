@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_by_host": Q.q_docs_split_by_host,
         "embed_pq": Q.q_embed_pq,
         "events_hll_window": Q.q_events_hll_window,
+        "custs_skyline": Q.q_custs_skyline,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -660,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_split_by_host": Q.sql_docs_split_by_host(),
         "embed_pq": Q.sql_embed_pq(),
         "events_hll_window": Q.sql_events_hll_window(),
+        "custs_skyline": Q.SQL_CUSTS_SKYLINE,
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

@@ -2301,3 +2301,43 @@ def sql_events_hll_window() -> str:
         "SELECT CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS win, "
         "user_id FROM events",
         "CAST(user_id AS VARCHAR)", group_col="win")
+
+
+# --- Pareto skyline -------------------------------------------------------------
+
+def q_custs_skyline(sf_dir: str):
+    """Best-customer trade-off frontier: 2-D skyline (maximize total spend
+    cents AND order count) over per-customer aggregates — local-prune +
+    tiny-global-merge, mirrored by a NOT EXISTS dominance query."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.skyline import skyline
+    from ontoray.stages.agg import hash_aggregate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("o_totalprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"c_custkey": batch.column("o_custkey"), "c": c,
+                         "one": pa.array([1] * batch.num_rows, pa.int64())})
+
+    agg = hash_aggregate(
+        orders.map_batches(cents, batch_format="pyarrow"), ["c_custkey"],
+        partial_aggs=[("c", "sum"), ("one", "sum")],
+        aggs=[("c_sum", "sum"), ("one_sum", "sum")],
+        rename={"c_sum_sum": "spend_cents", "one_sum_sum": "n_orders"})
+    return skyline(agg, "c_custkey", "spend_cents", "n_orders")
+
+
+SQL_CUSTS_SKYLINE = (
+    "WITH agg AS (SELECT o_custkey AS c_custkey, "
+    "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents, "
+    "CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) "
+    "SELECT a.c_custkey, a.spend_cents, a.n_orders FROM agg a "
+    "WHERE NOT EXISTS (SELECT 1 FROM agg b "
+    "WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders "
+    "AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders))")

@@ -906,3 +906,39 @@ class TestPQCodes:
         want = {(v, s): c for v, s, c in con.execute(
             sql_pq_codes(m=2, k=4, iters=2, dim=dim)).fetchall()}
         assert got == want
+
+
+class TestSkyline:
+    @staticmethod
+    def _brute(pts):
+        out = []
+        for i, (x, y) in enumerate(pts):
+            dom = any((bx >= x and by >= y and (bx > x or by > y))
+                      for j, (bx, by) in enumerate(pts) if j != i)
+            if not dom:
+                out.append(i)
+        return set(out)
+
+    def test_vs_bruteforce_with_ties(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.skyline import skyline
+        rng = np.random.default_rng(11)
+        # small value range forces equal-x groups and exact (x, y) ties
+        pts = [(int(a), int(b)) for a, b in rng.integers(0, 6, size=(80, 2))]
+        tbl = pa.table({"k": pa.array(range(len(pts)), pa.int64()),
+                        "x": pa.array([p[0] for p in pts], pa.int64()),
+                        "y": pa.array([p[1] for p in pts], pa.int64())})
+        got = skyline(rd.from_arrow(tbl).repartition(5), "k", "x", "y")
+        assert set(got.column("k").to_pylist()) == self._brute(pts)
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.skyline import skyline
+        rng = np.random.default_rng(12)
+        pts = rng.integers(0, 1000, size=(200, 2))
+        tbl = pa.table({"k": pa.array(range(200), pa.int64()),
+                        "x": pa.array(pts[:, 0], pa.int64()),
+                        "y": pa.array(pts[:, 1], pa.int64())})
+        a = skyline(rd.from_arrow(tbl).repartition(1), "k", "x", "y")
+        b = skyline(rd.from_arrow(tbl).repartition(9), "k", "x", "y")
+        assert sorted(a.column("k").to_pylist()) == sorted(b.column("k").to_pylist())
