@@ -393,3 +393,47 @@ def sql_grouped_corr(table: str, key: str, x_col: str, y_col: str) -> str:
                           CAST(n*syy - sy*sy AS DOUBLE)) END AS corr
     FROM s
     """
+
+
+def grouped_gini(ds, key: str, value_col: str, num_buckets: int = 64):
+    """Exact per-group Gini coefficient of integer ``value_col`` (inequality
+    of spend / length / degree — the concentration diagnostic for per-host
+    caps and mixture design).
+
+    gini_micro = 1e6 * Σ_i (2i - n - 1)·x_(i) // (n · Σ x)  (x sorted asc,
+    1-based i) — the classic mean-difference form; runs of equal values make
+    it tie-order invariant, so it is a pure function of the VALUE HISTOGRAM.
+    That is the scale hook: rows collapse to (group, value) -> count partials
+    first (the quantiles-module plan), and the per-group fold walks the
+    sorted histogram with a closed form per run:
+    Σ over a run (count c after m rows) of (2i - n - 1) = 2cm + c(c+1) - c(n+1).
+
+    Returns one row per group: (key, n, total, gini_micro), all int64."""
+    hist = hash_aggregate(
+        ds.select_columns([key, value_col]), [key, value_col],
+        partial_aggs=[(value_col, "count")],
+        aggs=[(f"{value_col}_count", "sum")],
+        rename={f"{value_col}_count_sum": "cnt"},
+        num_buckets=num_buckets)
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        vals = np.asarray(g.column(value_col).to_pylist(), dtype=np.int64)
+        cnts = np.asarray(g.column("cnt").to_pylist(), dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        n = int(cnts.sum())
+        total = int((vals.astype(object) * cnts.astype(object)).sum())
+        num = 0
+        m = 0
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            num += v * (2 * c * m + c * (c + 1) - c * (n + 1))
+            m += c
+        gini = 1_000_000 * num // (n * total) if total else 0
+        return pa.table({
+            key: pa.array([g.column(key)[0].as_py()]),
+            "n": pa.array([n], pa.int64()),
+            "total": pa.array([total], pa.int64()),
+            "gini_micro": pa.array([gini], pa.int64()),
+        })
+
+    return hist.groupby(key).map_groups(reduce_group, batch_format="pyarrow")

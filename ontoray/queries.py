@@ -2341,3 +2341,53 @@ SQL_CUSTS_SKYLINE = (
     "WHERE NOT EXISTS (SELECT 1 FROM agg b "
     "WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders "
     "AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders))")
+
+
+# --- per-nation spend inequality ------------------------------------------------
+
+def q_orders_gini(sf_dir: str):
+    """Per-nation Gini coefficient of order totals (int cents): broadcast
+    dimension lookup (customer+nation, ray.put once) -> (nation, cents)
+    histogram partials -> exact closed-form fold per nation."""
+    import ray
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_gini
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]).take_all()
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).take_all()
+    nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+    cmap = {r["c_custkey"]: nname[r["c_nationkey"]] for r in cust}
+    bcast = ray.put(cmap)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = ray.get(bcast)
+        names = [m[k] for k in batch.column("o_custkey").to_pylist()]
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("o_totalprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "cents": cents})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    return grouped_gini(orders.map_batches(derive, batch_format="pyarrow"),
+                        "n_name", "cents")
+
+
+SQL_ORDERS_GINI = (
+    "WITH oc AS (SELECT n.n_name, "
+    "CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+    "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation n ON n.n_nationkey = c.c_nationkey), "
+    "r AS (SELECT n_name, cents, "
+    "row_number() OVER (PARTITION BY n_name ORDER BY cents) AS rn, "
+    "count(*) OVER (PARTITION BY n_name) AS nn, "
+    "sum(cents) OVER (PARTITION BY n_name) AS tot FROM oc) "
+    "SELECT n_name, CAST(max(nn) AS BIGINT) AS n, "
+    "CAST(max(tot) AS BIGINT) AS total, "
+    "CAST(1000000 * sum((2 * rn - nn - 1) * cents) // (max(nn) * max(tot)) "
+    "AS BIGINT) AS gini_micro FROM r GROUP BY 1")

@@ -942,3 +942,28 @@ class TestSkyline:
         a = skyline(rd.from_arrow(tbl).repartition(1), "k", "x", "y")
         b = skyline(rd.from_arrow(tbl).repartition(9), "k", "x", "y")
         assert sorted(a.column("k").to_pylist()) == sorted(b.column("k").to_pylist())
+
+
+class TestGroupedGini:
+    def test_known_values_and_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.quantiles import grouped_gini
+        # group a: all equal -> gini 0; group b: one holder -> (n-1)/n = 0.75;
+        # group c: ties exercise the run closed-form.
+        rows = [("a", 5)] * 4 + [("b", 0)] * 3 + [("b", 100)] + \
+               [("c", 1), ("c", 1), ("c", 2), ("c", 2), ("c", 10)]
+        tbl = pa.table({"g": pa.array([r[0] for r in rows], pa.string()),
+                        "v": pa.array([r[1] for r in rows], pa.int64())})
+        got = {r["g"]: r for r in grouped_gini(
+            rd.from_arrow(tbl).repartition(3), "g", "v").take_all()}
+        assert got["a"]["gini_micro"] == 0
+        assert got["b"]["gini_micro"] == 750_000
+        con = duckdb.connect()
+        con.register("t", tbl)
+        sql = ("WITH r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) rn, "
+               "count(*) OVER (PARTITION BY g) nn, sum(v) OVER (PARTITION BY g) tot FROM t) "
+               "SELECT g, CAST(1000000 * sum((2*rn - nn - 1) * v) // (max(nn) * max(tot)) AS BIGINT) "
+               "FROM r GROUP BY 1")
+        for g, gini in con.execute(sql).fetchall():
+            assert got[g]["gini_micro"] == gini, g
