@@ -437,3 +437,66 @@ def grouped_gini(ds, key: str, value_col: str, num_buckets: int = 64):
         })
 
     return hist.groupby(key).map_groups(reduce_group, batch_format="pyarrow")
+
+
+def grouped_winsorize(ds, key: str, value_col: str, id_col: str,
+                      lo: "Fraction | None" = None,
+                      hi: "Fraction | None" = None):
+    """Per-group winsorization: clip ``value_col`` to the group's exact
+    [p_lo, p_hi] quantile_disc cutpoints — the standard outlier-robust
+    preprocessing pass before per-group statistics.
+
+    Same scale shape as ``grouped_quantile_buckets``: the two cutpoints per
+    group come from the histogram-compressed exact quantiles, broadcast
+    once; the corpus streams through one vectorized clip.  Output:
+    (id, key, value, clipped)."""
+    from fractions import Fraction as _F
+
+    import ray
+
+    lo = lo if lo is not None else _F(1, 100)
+    hi = hi if hi is not None else _F(99, 100)
+    cut_rows = grouped_quantiles_disc(ds, key, value_col,
+                                      {"lo": lo, "hi": hi}).take_all()
+    cuts = {r[key]: (r["lo"], r["hi"]) for r in cut_rows}
+    cref = ray.put(cuts)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        table = ray.get(cref)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = batch.column(key).to_pylist()
+        out = np.empty(len(keys), dtype=np.int64)
+        for i, k in enumerate(keys):
+            l, h = table[k]
+            v = vals[i]
+            out[i] = l if v < l else (h if v > h else v)
+        return pa.table({id_col: batch.column(id_col),
+                         key: batch.column(key),
+                         value_col: pa.array(vals, pa.int64()),
+                         "clipped": pa.array(out, pa.int64())})
+
+    return ds.select_columns([id_col, key, value_col]).map_batches(
+        clip, batch_format="pyarrow")
+
+
+def sql_grouped_winsorize(table: str, key: str, value_col: str, id_col: str,
+                          lo_num: int = 1, lo_den: int = 100,
+                          hi_num: int = 99, hi_den: int = 100) -> str:
+    """DuckDB mirror — cutpoint = value at 1-based rank ceil(q*n), spelled
+    as (n*num + den - 1) // den integer arithmetic like the buckets mirror."""
+    return f"""
+    WITH ranked AS (
+      SELECT {key}, {value_col} AS v,
+             row_number() OVER (PARTITION BY {key} ORDER BY {value_col}) AS rn,
+             count(*) OVER (PARTITION BY {key}) AS n
+      FROM {table}
+    ), cuts AS (
+      SELECT {key},
+        min(CASE WHEN rn = (n * {lo_num} + {lo_den} - 1) // {lo_den} THEN v END) AS lo,
+        min(CASE WHEN rn = (n * {hi_num} + {hi_den} - 1) // {hi_den} THEN v END) AS hi
+      FROM ranked GROUP BY {key}
+    )
+    SELECT t.{id_col}, t.{key}, t.{value_col},
+           CAST(least(greatest(t.{value_col}, c.lo), c.hi) AS BIGINT) AS clipped
+    FROM {table} t JOIN cuts c USING ({key})
+    """

@@ -2391,3 +2391,35 @@ SQL_ORDERS_GINI = (
     "CAST(max(tot) AS BIGINT) AS total, "
     "CAST(1000000 * sum((2 * rn - nn - 1) * cents) // (max(nn) * max(tot)) "
     "AS BIGINT) AS gini_micro FROM r GROUP BY 1")
+
+
+# --- per-group winsorization ----------------------------------------------------
+
+def q_events_winsorized(sf_dir: str):
+    """Outlier-robust clipping: per-event-type values (int cents) clipped to
+    the exact [p01, p99] group quantiles — histogram-compressed cutpoints
+    broadcast once, one vectorized clip pass."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_winsorize
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "cents": c})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return grouped_winsorize(ds.map_batches(cents, batch_format="pyarrow"),
+                             "event_type", "cents", "event_id")
+
+
+def sql_events_winsorized() -> str:
+    from ontoray.extras.quantiles import sql_grouped_winsorize
+    inner = ("(SELECT event_id, event_type, "
+             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)")
+    return sql_grouped_winsorize(inner, "event_type", "cents", "event_id")

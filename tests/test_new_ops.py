@@ -967,3 +967,27 @@ class TestGroupedGini:
                "FROM r GROUP BY 1")
         for g, gini in con.execute(sql).fetchall():
             assert got[g]["gini_micro"] == gini, g
+
+
+class TestGroupedWinsorize:
+    def test_clipping_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from fractions import Fraction
+        from ontoray.extras.quantiles import grouped_winsorize, sql_grouped_winsorize
+        rng = np.random.default_rng(5)
+        vals = np.concatenate([rng.integers(10, 100, 95),
+                               np.array([0, 1, 5000, 9000, 10000])])
+        tbl = pa.table({"id": pa.array(range(100), pa.int64()),
+                        "g": pa.array(["a"] * 100, pa.string()),
+                        "v": pa.array(vals, pa.int64())})
+        got = {r["id"]: r["clipped"] for r in grouped_winsorize(
+            rd.from_arrow(tbl).repartition(4), "g", "v", "id",
+            lo=Fraction(5, 100), hi=Fraction(95, 100)).take_all()}
+        # extremes clipped, interior untouched
+        assert max(got.values()) < 10000 and min(got.values()) > 0
+        con = duckdb.connect()
+        con.register("t", tbl)
+        for rid, _, _, clipped in con.execute(sql_grouped_winsorize(
+                "t", "g", "v", "id", 5, 100, 95, 100)).fetchall():
+            assert got[rid] == clipped, rid
