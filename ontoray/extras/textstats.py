@@ -1823,3 +1823,36 @@ def sql_quality_logit(table: str = "documents", id_col: str = "doc_id",
        - greatest(meanlen_micro - {_QL_MEANLEN_KNEE}, 0) // {_QL_PEN_DIV}) >= 0 AS keep
     FROM m
     """
+
+
+# --- fixed-size uniform sample (no shuffle) -------------------------------------
+
+def sample_k(ds, k: int = 100, id_col: str = "doc_id", salt: str = "ksample"):
+    """Exactly-k uniform sample: the k rows with the smallest
+    md5(salt:id) rank — the distributed replacement for reservoir sampling
+    (a reservoir is inherently sequential; the md5 order statistic gives the
+    same uniform-without-replacement guarantee as a pure function of row
+    identity).  Per-batch local top-k, then a (k x blocks)-row driver merge;
+    deterministic across runs, partitionings, and incremental corpus growth.
+    Output: (id, rank_hex), the k winners sorted by rank."""
+    import hashlib
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ranks = [hashlib.md5(f"{salt}:{i}".encode()).hexdigest() for i in ids]
+        order = sorted(range(len(ids)), key=lambda j: (ranks[j], ids[j]))[:k]
+        return pa.table({id_col: pa.array([ids[j] for j in order]),
+                         "rank_hex": pa.array([ranks[j] for j in order],
+                                              pa.string())})
+
+    cand = sorted(((r["rank_hex"], r[id_col]) for r in
+                   ds.select_columns([id_col]).map_batches(
+                       local, batch_format="pyarrow").take_all()))[:k]
+    return pa.table({id_col: pa.array([c[1] for c in cand], pa.int64()),
+                     "rank_hex": pa.array([c[0] for c in cand], pa.string())})
+
+
+def sql_sample_k(k: int = 100, table: str = "documents",
+                 id_col: str = "doc_id", salt: str = "ksample") -> str:
+    return (f"SELECT {id_col}, md5('{salt}:' || {id_col}) AS rank_hex "
+            f"FROM {table} ORDER BY rank_hex, {id_col} LIMIT {k}")

@@ -2423,3 +2423,20 @@ def sql_events_winsorized() -> str:
     inner = ("(SELECT event_id, event_type, "
              "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)")
     return sql_grouped_winsorize(inner, "event_type", "cents", "event_id")
+
+
+# --- exact-k uniform sample -----------------------------------------------------
+
+def q_docs_sample_k(sf_dir: str):
+    """Exactly-k uniform doc sample by md5 order statistic (the distributed
+    reservoir-sampling replacement; local top-k + tiny merge)."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import sample_k
+    return sample_k(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["doc_id"]), k=100)
+
+
+def sql_docs_sample_k() -> str:
+    from ontoray.extras.textstats import sql_sample_k
+    return sql_sample_k(k=100)

@@ -991,3 +991,27 @@ class TestGroupedWinsorize:
         for rid, _, _, clipped in con.execute(sql_grouped_winsorize(
                 "t", "g", "v", "id", 5, 100, 95, 100)).fetchall():
             assert got[rid] == clipped, rid
+
+
+class TestSampleK:
+    def test_exact_k_growth_stability_and_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.textstats import sample_k, sql_sample_k
+        tbl = pa.table({"doc_id": pa.array(range(500), pa.int64())})
+        got = sample_k(rd.from_arrow(tbl).repartition(7), k=20)
+        ids = got.column("doc_id").to_pylist()
+        assert len(ids) == 20 == len(set(ids))
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        want = [r[0] for r in con.execute(sql_sample_k(k=20)).fetchall()]
+        assert ids == want
+        # growth stability: winners of the 500-row corpus that survive in the
+        # 800-row corpus are exactly the 800-row winners' intersection
+        big = pa.table({"doc_id": pa.array(range(800), pa.int64())})
+        got2 = set(sample_k(rd.from_arrow(big), k=20).column("doc_id").to_pylist())
+        # ranks are identity-pure: any old winner NOT in the new sample was
+        # displaced by a smaller-rank newcomer, never reshuffled arbitrarily
+        con.register("documents2", big)
+        want2 = {r[0] for r in con.execute(sql_sample_k(k=20, table="documents2")).fetchall()}
+        assert got2 == want2
