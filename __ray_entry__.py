@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_gini": Q.q_orders_gini,
         "events_winsorized": Q.q_events_winsorized,
         "docs_sample_k": Q.q_docs_sample_k,
+        "events_mad": Q.q_events_mad,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -668,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_gini": Q.SQL_ORDERS_GINI,
         "events_winsorized": Q.sql_events_winsorized(),
         "docs_sample_k": Q.sql_docs_sample_k(),
+        "events_mad": Q.sql_events_mad(),
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

@@ -500,3 +500,83 @@ def sql_grouped_winsorize(table: str, key: str, value_col: str, id_col: str,
            CAST(least(greatest(t.{value_col}, c.lo), c.hi) AS BIGINT) AS clipped
     FROM {table} t JOIN cuts c USING ({key})
     """
+
+
+def grouped_mad(ds, key: str, value_col: str, num_buckets: int = 64):
+    """Per-group median absolute deviation (the robust spread statistic for
+    outlier detection where variance is poisoned by the outliers
+    themselves): med = quantile_disc(v, 1/2); mad = quantile_disc(|v - med|,
+    1/2).
+
+    Two histogram-compressed passes: pass 1 is the standard (group, value)
+    -> count exchange + per-group median; pass 2 re-streams the corpus with
+    the medians BROADCAST (ray.put once), folds |v - med| histograms the
+    same way.  Nothing corpus-scale ever shuffles; both medians use the
+    exact ceil(n/2) rank contract shared with the quantile mirrors.
+
+    Output: (key, n, med, mad), all int64."""
+    from fractions import Fraction as _F
+
+    import ray
+
+    half = {"med": _F(1, 2)}
+    med_rows = grouped_quantiles_disc(ds, key, value_col, half).take_all()
+    meds = {r[key]: r["med"] for r in med_rows}
+    mref = ray.put(meds)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        table = ray.get(mref)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = batch.column(key).to_pylist()
+        dev = np.empty(len(keys), dtype=np.int64)
+        for i, k in enumerate(keys):
+            dev[i] = abs(int(vals[i]) - table[k])
+        return pa.table({key: batch.column(key),
+                         "dev": pa.array(dev, pa.int64())})
+
+    dev_ds = ds.select_columns([key, value_col]).map_batches(
+        absdev, batch_format="pyarrow")
+    mad_rows = grouped_quantiles_disc(dev_ds, key, "dev",
+                                      {"mad": _F(1, 2)}).take_all()
+    mads = {r[key]: r["mad"] for r in mad_rows}
+
+    counts = hash_aggregate(
+        ds.select_columns([key]), [key],
+        partial_aggs=[(key, "count")], aggs=[(f"{key}_count", "sum")],
+        rename={f"{key}_count_sum": "n"}, num_buckets=num_buckets).take_all()
+    ns = {r[key]: r["n"] for r in counts}
+
+    ks = sorted(meds)
+    return pa.table({
+        key: pa.array(ks, pa.string()),
+        "n": pa.array([ns[k] for k in ks], pa.int64()),
+        "med": pa.array([meds[k] for k in ks], pa.int64()),
+        "mad": pa.array([mads[k] for k in ks], pa.int64()),
+    })
+
+
+def sql_grouped_mad(table: str, key: str, value_col: str) -> str:
+    """DuckDB mirror of ``grouped_mad`` — the same ceil(n/2) rank median on
+    both passes."""
+    return f"""
+    WITH r1 AS (
+      SELECT {key}, {value_col} AS v,
+             row_number() OVER (PARTITION BY {key} ORDER BY {value_col}) AS rn,
+             count(*) OVER (PARTITION BY {key}) AS n
+      FROM {table}
+    ), med AS (
+      SELECT {key}, max(n) AS n,
+             min(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+      FROM r1 GROUP BY {key}
+    ), r2 AS (
+      SELECT t.{key}, abs(t.{value_col} - m.med) AS dev,
+             row_number() OVER (PARTITION BY t.{key}
+                                ORDER BY abs(t.{value_col} - m.med)) AS rn,
+             count(*) OVER (PARTITION BY t.{key}) AS n
+      FROM {table} t JOIN med m USING ({key})
+    )
+    SELECT m.{key}, CAST(m.n AS BIGINT) AS n, CAST(m.med AS BIGINT) AS med,
+           CAST(min(CASE WHEN r2.rn = (r2.n + 1) // 2 THEN r2.dev END) AS BIGINT) AS mad
+    FROM med m JOIN r2 USING ({key})
+    GROUP BY m.{key}, m.n, m.med
+    """

@@ -2440,3 +2440,32 @@ def q_docs_sample_k(sf_dir: str):
 def sql_docs_sample_k() -> str:
     from ontoray.extras.textstats import sql_sample_k
     return sql_sample_k(k=100)
+
+
+# --- per-group robust spread (MAD) ----------------------------------------------
+
+def q_events_mad(sf_dir: str):
+    """Per-type median absolute deviation over int-cents values — two
+    histogram-compressed passes, medians broadcast between them."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_mad
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "cents": c})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_mad(ds.map_batches(cents, batch_format="pyarrow"),
+                       "event_type", "cents")
+
+
+def sql_events_mad() -> str:
+    from ontoray.extras.quantiles import sql_grouped_mad
+    inner = ("(SELECT event_type, "
+             "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)")
+    return sql_grouped_mad(inner, "event_type", "cents")

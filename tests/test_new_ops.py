@@ -1015,3 +1015,24 @@ class TestSampleK:
         con.register("documents2", big)
         want2 = {r[0] for r in con.execute(sql_sample_k(k=20, table="documents2")).fetchall()}
         assert got2 == want2
+
+
+class TestGroupedMAD:
+    def test_known_values_and_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.quantiles import grouped_mad, sql_grouped_mad
+        # a: {1,2,3,4,100} -> med 3 (rank ceil(5/2)=3), devs {2,1,0,1,97} -> mad 1
+        # b: {10,10,10} -> med 10, mad 0
+        rows = [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 100),
+                ("b", 10), ("b", 10), ("b", 10)]
+        tbl = pa.table({"g": pa.array([r[0] for r in rows], pa.string()),
+                        "v": pa.array([r[1] for r in rows], pa.int64())})
+        got = {r["g"]: r for r in grouped_mad(
+            rd.from_arrow(tbl).repartition(3), "g", "v").to_pylist()}
+        assert got["a"]["med"] == 3 and got["a"]["mad"] == 1
+        assert got["b"]["med"] == 10 and got["b"]["mad"] == 0
+        con = duckdb.connect()
+        con.register("t", tbl)
+        for g, n, med, mad in con.execute(sql_grouped_mad("t", "g", "v")).fetchall():
+            assert got[g]["n"] == n and got[g]["med"] == med and got[g]["mad"] == mad
