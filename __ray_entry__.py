@@ -122,6 +122,12 @@ def _q_kg_taxonomy_depth(sf_dir: str):
     return Q.q_kg_taxonomy_depth_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_communities(sf_dir: str):
+    """Deterministic synchronous label-propagation communities (3 rounds,
+    min-label tie-break) — stages/analytics.label_propagation."""
+    return Q.q_kg_communities_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_similar_nodes(sf_dir: str):
     """Graph-context entity-resolution candidates: shared-neighbor Jaccard
     pairs with a hub cap (documented partitioning contract in
@@ -575,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": Q.q_events_winsorized,
         "docs_sample_k": Q.q_docs_sample_k,
         "events_mad": Q.q_events_mad,
+        "kg_communities": _q_kg_communities,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -670,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "events_winsorized": Q.sql_events_winsorized(),
         "docs_sample_k": Q.sql_docs_sample_k(),
         "events_mad": Q.sql_events_mad(),
+        "kg_communities": Q.SQL_KG_COMMUNITIES,
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

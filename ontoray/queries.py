@@ -2469,3 +2469,36 @@ def sql_events_mad() -> str:
     inner = ("(SELECT event_type, "
              "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)")
     return sql_grouped_mad(inner, "event_type", "cents")
+
+
+# --- label-propagation communities ----------------------------------------------
+
+def q_kg_communities_from(triples_dedup_ds):
+    """Deterministic synchronous LPA communities (3 rounds, min-label
+    ties) — stages/analytics.label_propagation."""
+    from ontoray.stages.analytics import label_propagation
+    return label_propagation(triples_dedup_ds)
+
+
+def _sql_lpa(rounds: int = 3) -> str:
+    ctes = [
+        "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst "
+        "FROM tnorm WHERE subj_norm <> obj_norm)",
+        "und AS (SELECT src AS a, dst AS b FROM trip "
+        "UNION SELECT dst, src FROM trip)",
+        "lnodes AS (SELECT DISTINCT a AS name FROM und)",
+        "l0 AS (SELECT name, name AS lab FROM lnodes)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"n{t} AS (SELECT u.a AS v, l.lab, count(*) AS n "
+            f"FROM und u JOIN l{t-1} l ON l.name = u.b GROUP BY 1, 2)")
+        ctes.append(
+            f"l{t} AS (SELECT v AS name, lab FROM ("
+            f"SELECT v, lab, row_number() OVER (PARTITION BY v "
+            f"ORDER BY n DESC, lab) AS rn FROM n{t}) WHERE rn = 1)")
+    return (", ".join(ctes) +
+            f" SELECT name, lab AS community FROM l{rounds}")
+
+
+SQL_KG_COMMUNITIES = f"{_sql_triples_norm_ctes()}, {_sql_lpa(3)}"

@@ -452,3 +452,84 @@ def similar_nodes(triples_dedup_ds, cap: int = 32, min_jac_micro: int = 200_000,
         })
 
     return withdb.map_batches(jac, batch_format="pyarrow")
+
+
+def label_propagation(triples_dedup_ds, rounds: int = 3,
+                      subj_col: str = "subj_norm", obj_col: str = "obj_norm"):
+    """Community detection by synchronous label propagation over the
+    undirected concept graph — the cheap graph-clustering complement to
+    connected components (components merge everything reachable; LPA splits
+    a connected graph into densely-linked neighborhoods).
+
+    Deterministic contract (identical in the SQL mirror): labels start as
+    the node's own name; each SYNCHRONOUS round every node adopts the label
+    with the highest count among its neighbors' previous-round labels, ties
+    broken by lexicographic MIN label; exactly ``rounds`` rounds (no
+    convergence race — classic async LPA is nondeterministic by design,
+    this is the deterministic variant a hash-checked engine needs).
+
+    Scale shape (the pagerank broadcast regime): the distinct undirected
+    edge table materializes once; per round, ONE streaming pass emits
+    (node, neighbor-label) pairs via a broadcast label array (ray.put once
+    per round, vectorized index_in + take), ONE (node x label)-bounded
+    exchange counts them, and the per-node argmax folds in map_groups.
+    Labels are node-vocabulary-bounded — beyond driver memory the broadcast
+    swaps for a hash join on the neighbor column, same structure."""
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.util import column_lists
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column(subj_col).to_pylist()
+        o = batch.column(obj_col).to_pylist()
+        a, b = [], []
+        for x, y in zip(s, o):
+            if x != y:
+                a.append(x); b.append(y)
+                a.append(y); b.append(x)
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string())})
+
+    und = hash_aggregate(
+        triples_dedup_ds.map_batches(sym, batch_format="pyarrow"), ["a", "b"],
+        partial_aggs=[("a", "count")], aggs=[("a_count", "sum")],
+        rename={"a_count_sum": "__n"}).select_columns(["a", "b"]).materialize()
+
+    nodes = sorted(set(column_lists(und, ["a"])["a"]))
+    if not nodes:
+        return rd.from_arrow(pa.table({"name": pa.array([], pa.string()),
+                                       "community": pa.array([], pa.string())}))
+    keys = pa.array(nodes, pa.string())
+    labs = list(nodes)                        # label_0(v) = v
+
+    for _ in range(rounds):
+        bcast = ray.put((keys, pa.array(labs, pa.string())))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            k, l = ray.get(bcast)
+            idx = pc.index_in(batch.column("b"), value_set=k)
+            return pa.table({"v": batch.column("a"),
+                             "lab": pc.take(l, idx).cast(pa.string()),
+                             "one": pa.array([1] * batch.num_rows, pa.int64())})
+
+        counts = hash_aggregate(
+            und.map_batches(contrib, batch_format="pyarrow"), ["v", "lab"],
+            partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+            rename={"one_sum_sum": "n"})
+
+        def pick(g: pa.Table) -> pa.Table:
+            ls = g.column("lab").to_pylist()
+            ns = g.column("n").to_pylist()
+            best = min(range(len(ls)), key=lambda i: (-ns[i], ls[i]))
+            return pa.table({"name": pa.array([g.column("v")[0].as_py()]),
+                             "lab": pa.array([ls[best]], pa.string())})
+
+        new = {r["name"]: r["lab"] for r in
+               counts.groupby("v").map_groups(
+                   pick, batch_format="pyarrow").take_all()}
+        labs = [new.get(n, n) for n in nodes]
+
+    return rd.from_arrow(pa.table({"name": keys,
+                                   "community": pa.array(labs, pa.string())}))

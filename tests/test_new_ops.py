@@ -1036,3 +1036,57 @@ class TestGroupedMAD:
         con.register("t", tbl)
         for g, n, med, mad in con.execute(sql_grouped_mad("t", "g", "v")).fetchall():
             assert got[g]["n"] == n and got[g]["med"] == med and got[g]["mad"] == mad
+
+
+class TestLabelPropagation:
+    def _triples(self) -> pa.Table:
+        # two 3-cliques joined by one bridge edge -> LPA should keep two
+        # communities where components would merge them into one.
+        edges = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+                 ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+                 ("a3", "b1")]
+        return pa.table({
+            "subj_norm": pa.array([e[0] for e in edges], pa.string()),
+            "pred_norm": pa.array(["relatedto"] * len(edges), pa.string()),
+            "obj_norm": pa.array([e[1] for e in edges], pa.string()),
+        })
+
+    def test_communities_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.analytics import label_propagation
+
+        got = {r["name"]: r["community"] for r in label_propagation(
+            rd.from_arrow(self._triples()).repartition(3), rounds=3).take_all()}
+        assert len(got) == 6
+        # clique A converges to one label, clique B to another
+        assert got["a1"] == got["a2"]
+        assert got["b2"] == got["b3"]
+        assert got["a1"] != got["b2"]
+
+        sql = ("WITH trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst "
+               "FROM t WHERE subj_norm <> obj_norm), "
+               "und AS (SELECT src AS a, dst AS b FROM trip UNION SELECT dst, src FROM trip), "
+               "lnodes AS (SELECT DISTINCT a AS name FROM und), "
+               "l0 AS (SELECT name, name AS lab FROM lnodes)")
+        for t in (1, 2, 3):
+            sql += (f", n{t} AS (SELECT u.a AS v, l.lab, count(*) AS n "
+                    f"FROM und u JOIN l{t-1} l ON l.name = u.b GROUP BY 1, 2)"
+                    f", l{t} AS (SELECT v AS name, lab FROM ("
+                    f"SELECT v, lab, row_number() OVER (PARTITION BY v "
+                    f"ORDER BY n DESC, lab) AS rn FROM n{t}) WHERE rn = 1)")
+        sql += " SELECT name, lab FROM l3"
+        con = duckdb.connect()
+        con.register("t", self._triples())
+        want = dict(con.execute(sql).fetchall())
+        assert got == want
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import label_propagation
+        t = self._triples()
+        a = {r["name"]: r["community"] for r in label_propagation(
+            rd.from_arrow(t).repartition(1)).take_all()}
+        b = {r["name"]: r["community"] for r in label_propagation(
+            rd.from_arrow(t).repartition(6)).take_all()}
+        assert a == b
