@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_k": Q.q_docs_sample_k,
         "events_mad": Q.q_events_mad,
         "kg_communities": _q_kg_communities,
+        "events_markov": Q.q_events_markov,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -678,6 +679,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample_k": Q.sql_docs_sample_k(),
         "events_mad": Q.sql_events_mad(),
         "kg_communities": Q.SQL_KG_COMMUNITIES,
+        "events_markov": __import__("ontoray.stages.events",
+                                    fromlist=["SQL_EVENTS_MARKOV"]).SQL_EVENTS_MARKOV,
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

@@ -2502,3 +2502,17 @@ def _sql_lpa(rounds: int = 3) -> str:
 
 
 SQL_KG_COMMUNITIES = f"{_sql_triples_norm_ctes()}, {_sql_lpa(3)}"
+
+
+# --- Markov transition counts ---------------------------------------------------
+
+def q_events_markov(sf_dir: str):
+    """Event-type Markov transitions over per-user ordered sequences
+    (grouped_lag exchange + state-vocabulary count; exact integer
+    conditional probabilities)."""
+    import ray.data as rd
+
+    from ontoray.stages.events import transition_counts
+    return transition_counts(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]))

@@ -691,3 +691,86 @@ def sql_retention_cohorts(key: str = "user_id") -> str:
     FROM a JOIN f ON a.{key} = f.{key}
     GROUP BY f.cohort_day, a.day - f.cohort_day
     """
+
+
+def transition_counts(events_ds, key: str = "user_id",
+                      state: str = "event_type"):
+    """Markov transition counts over per-key ordered state sequences:
+    (from_state, to_state, n) with n = consecutive-pair count across all
+    keys, ordered by (ts, event_id) within key — the behavior-model /
+    next-event-prediction statistic.
+
+    Scale shape: the ``grouped_lag`` contract (one keyed exchange,
+    per-group vectorized lexsort) emits per-group PAIR COUNTS (a local
+    |states|^2-bounded combiner), then one state-vocabulary exchange
+    finishes the count.  Output includes p_micro = 1e6 * n // n_from
+    (exact integer conditional probability, the bigram-LM contract)."""
+    import numpy as np
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            state: batch.column(state),
+        })
+
+    def pairs(g: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        sts = g.column(state).to_pylist()
+        order = np.lexsort((ids, ts))
+        seq = [sts[i] for i in order]
+        c = Counter(zip(seq, seq[1:]))
+        return pa.table({
+            "from_state": pa.array([k[0] for k in c], pa.string()),
+            "to_state": pa.array([k[1] for k in c], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = hash_aggregate(
+        events_ds.select_columns([key, "event_id", "ts", state])
+        .map_batches(derive, batch_format="pyarrow")
+        .repartition(default_coalesce())
+        .groupby(key).map_groups(pairs, batch_format="pyarrow"),
+        ["from_state", "to_state"],
+        aggs=[("n", "sum")], rename={"n_sum": "n"})
+
+    totals = hash_aggregate(
+        counts, ["from_state"],
+        aggs=[("n", "sum")], rename={"n_sum": "n_from"})
+
+    from ontoray.stages.joins import hash_join
+    joined = hash_join(counts, totals, "from_state", "from_state",
+                       right_cols=["n_from"])
+
+    def prob(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = batch.column("n_from").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "from_state": batch.column("from_state"),
+            "to_state": batch.column("to_state"),
+            "n": pa.array(n, pa.int64()),
+            "p_micro": pa.array(1_000_000 * n // nf, pa.int64()),
+        })
+
+    return joined.map_batches(prob, batch_format="pyarrow")
+
+
+SQL_EVENTS_MARKOV = """
+WITH seqd AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_state, nxt AS to_state, CAST(count(*) AS BIGINT) AS n
+  FROM seqd WHERE nxt IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT from_state, sum(n) AS n_from FROM pairs GROUP BY 1)
+SELECT p.from_state, p.to_state, p.n,
+       CAST(1000000 * p.n // t.n_from AS BIGINT) AS p_micro
+FROM pairs p JOIN tot t USING (from_state)
+"""

@@ -1090,3 +1090,29 @@ class TestLabelPropagation:
         b = {r["name"]: r["community"] for r in label_propagation(
             rd.from_arrow(t).repartition(6)).take_all()}
         assert a == b
+
+
+class TestMarkovTransitions:
+    def test_counts_probs_and_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.events import SQL_EVENTS_MARKOV, transition_counts
+        # user 1: a -> b -> a (with a ts tie broken by event_id); user 2: b -> b
+        ts = pa.array([1000, 2000, 2000, 5000, 6000], pa.timestamp("us"))
+        tbl = pa.table({
+            "event_id": pa.array([1, 3, 2, 10, 11], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "b", "b"], pa.string()),
+        })
+        # user 1 order: (1000,1)=a, (2000,2)=a, (2000,3)=b -> pairs a->a, a->b
+        got = {(r["from_state"], r["to_state"]): r for r in transition_counts(
+            rd.from_arrow(tbl).repartition(3)).take_all()}
+        assert got[("a", "a")]["n"] == 1 and got[("a", "b")]["n"] == 1
+        assert got[("b", "b")]["n"] == 1
+        assert got[("a", "a")]["p_micro"] == 500_000
+        con = duckdb.connect()
+        con.register("events", tbl)
+        want = {(f, t): (n, p) for f, t, n, p in
+                con.execute(SQL_EVENTS_MARKOV).fetchall()}
+        assert {k: (v["n"], v["p_micro"]) for k, v in got.items()} == want
