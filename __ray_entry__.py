@@ -583,6 +583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad": Q.q_events_mad,
         "kg_communities": _q_kg_communities,
         "events_markov": Q.q_events_markov,
+        "kg_cooc_pmi": Q.q_kg_cooc_pmi,
+        "kg_entity_density": Q.q_kg_entity_density,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -681,6 +683,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": Q.SQL_KG_COMMUNITIES,
         "events_markov": __import__("ontoray.stages.events",
                                     fromlist=["SQL_EVENTS_MARKOV"]).SQL_EVENTS_MARKOV,
+        "kg_cooc_pmi": Q.sql_kg_cooc_pmi(),
+        "kg_entity_density": Q.sql_kg_entity_density(),
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

@@ -2516,3 +2516,124 @@ def q_events_markov(sf_dir: str):
     return transition_counts(rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"]))
+
+
+# --- mention-pair PMI (relation-candidate scoring) ------------------------------
+
+def q_kg_cooc_pmi(sf_dir: str):
+    """Relation-candidate scoring: co-occurrence PMI lift between concept
+    mentions — lift_micro = 1e6 * n_docs(m1,m2) * N // (df1 * df2) (the
+    Church-Hanks association with the monotone log dropped, the
+    lm_collocations contract applied to the M17 pair table).  Pairs and
+    per-mention doc frequencies are both two-phase bucketed counts; the df
+    table joins onto the pair table (no driver dict)."""
+    from itertools import combinations
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    docs = _clean_docs_ds(sf_dir).materialize()
+    n_docs_total = docs.count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        m1, m2 = [], []
+        for text in batch.column("doc_text").to_pylist():
+            ms = sorted(set(extract_mentions(text, GAZETTEER)))
+            for x, y in combinations(ms, 2):
+                m1.append(x)
+                m2.append(y)
+        return pa.table({"m1": pa.array(m1, pa.string()),
+                         "m2": pa.array(m2, pa.string())})
+
+    cooc = hash_aggregate(
+        docs.map_batches(pairs, batch_format="pyarrow"), ["m1", "m2"],
+        partial_aggs=[("m1", "count")], aggs=[("m1_count", "sum")],
+        rename={"m1_count_sum": "n_docs"})
+
+    def per_doc_mentions(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("doc_text").to_pylist():
+            out.extend(sorted(set(extract_mentions(text, GAZETTEER))))
+        return pa.table({"mention": pa.array(out, pa.string()),
+                         "one": pa.array([1] * len(out), pa.int64())})
+
+    df = hash_aggregate(
+        docs.map_batches(per_doc_mentions, batch_format="pyarrow"), ["mention"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "df"})
+
+    j1 = hash_join(cooc, df, "m1", "mention", right_cols=["df"])
+    j2 = hash_join(j1, df, "m2", "mention", right_cols=["df"], suffix="_2")
+
+    def lift(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(object)
+        d1 = batch.column("df").to_numpy(zero_copy_only=False).astype(object)
+        d2 = batch.column("df_2").to_numpy(zero_copy_only=False).astype(object)
+        lm = [int(1_000_000 * int(a) * n_docs_total // (int(b) * int(c)))
+              for a, b, c in zip(n, d1, d2)]
+        return pa.table({"m1": batch.column("m1"), "m2": batch.column("m2"),
+                         "n_docs": batch.column("n_docs"),
+                         "lift_micro": pa.array(lm, pa.int64())})
+
+    return j2.map_batches(lift, batch_format="pyarrow")
+
+
+def sql_kg_cooc_pmi() -> str:
+    return (
+        f"{_CLEANED_CTE}, m AS ({_sql_mentions_body()}), "
+        "cooc AS (SELECT a.mention AS m1, b.mention AS m2, "
+        "CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.mention < b.mention "
+        "GROUP BY 1, 2), "
+        "dfm AS (SELECT mention, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1), "
+        "nn AS (SELECT count(*) AS n FROM cleaned) "
+        "SELECT c.m1, c.m2, c.n_docs, "
+        "CAST(1000000 * c.n_docs * nn.n // (d1.df * d2.df) AS BIGINT) AS lift_micro "
+        "FROM cooc c, nn JOIN dfm d1 ON d1.mention = c.m1 "
+        "JOIN dfm d2 ON d2.mention = c.m2")
+
+
+# --- per-doc entity density -----------------------------------------------------
+
+def q_kg_entity_density(sf_dir: str):
+    """KG-corpus selection signal: distinct mentions per doc, tokens per
+    doc, density_micro = 1e6 * n_mentions // max(n_tokens, 1).  Entirely
+    batch-local (no shuffle) — density is a per-row function."""
+    import re as _re
+
+    from ontoray.text.extract import TOKEN_PATTERN
+
+    tok_re = _re.compile(TOKEN_PATTERN)
+
+    def density(batch: pa.Table) -> pa.Table:
+        ids, nm, nt, dm = [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("doc_text").to_pylist()):
+            ms = set(extract_mentions(text, GAZETTEER))
+            toks = tok_re.findall(text)
+            ids.append(did)
+            nm.append(len(ms))
+            nt.append(len(toks))
+            dm.append(1_000_000 * len(ms) // max(len(toks), 1))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_mentions": pa.array(nm, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "density_micro": pa.array(dm, pa.int64())})
+
+    return _clean_docs_ds(sf_dir).map_batches(density, batch_format="pyarrow")
+
+
+def sql_kg_entity_density() -> str:
+    from ontoray.text.extract import TOKEN_PATTERN
+    return (
+        f"{_CLEANED_CTE}, m AS ({_sql_mentions_body()}), "
+        "mc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_mentions "
+        "FROM m GROUP BY 1), "
+        f"tc AS (SELECT doc_id, CAST(length(regexp_extract_all(ct, "
+        f"'{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens FROM cleaned) "
+        "SELECT tc.doc_id, CAST(coalesce(mc.n_mentions, 0) AS BIGINT) AS n_mentions, "
+        "tc.n_tokens, "
+        "CAST(1000000 * coalesce(mc.n_mentions, 0) // greatest(tc.n_tokens, 1) "
+        "AS BIGINT) AS density_micro "
+        "FROM tc LEFT JOIN mc USING (doc_id)")
