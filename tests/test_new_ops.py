@@ -1116,3 +1116,38 @@ class TestMarkovTransitions:
         want = {(f, t): (n, p) for f, t, n, p in
                 con.execute(SQL_EVENTS_MARKOV).fetchall()}
         assert {k: (v["n"], v["p_micro"]) for k, v in got.items()} == want
+
+
+class TestCoocPMIAndDensity:
+    def test_pmi_and_density_vs_duckdb(self, ray_session, tmp_path):
+        # build a tiny sf-dir-shaped documents.parquet so the sf_dir query
+        # surface itself is exercised end to end
+        import duckdb
+        import pyarrow.parquet as pq
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from ontoray import queries as Q
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array([f"filler text {i}" for i in range(12)], pa.string()),
+            "lang": pa.array(["en"] * 12, pa.string()),
+            "source": pa.array(["s1"] * 6 + ["s2"] * 6, pa.string()),
+            "n_chars": pa.array([20] * 12, pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        sf = str(tmp_path)
+
+        got_pmi = {(r["m1"], r["m2"]): (r["n_docs"], r["lift_micro"])
+                   for r in Q.q_kg_cooc_pmi(sf).take_all()}
+        got_den = {r["doc_id"]: r for r in Q.q_kg_entity_density(sf).take_all()}
+        assert len(got_den) == 12
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        want_pmi = {(a, b): (n, l) for a, b, n, l in
+                    con.execute(Q.sql_kg_cooc_pmi()).fetchall()}
+        assert got_pmi == want_pmi and len(got_pmi) > 0
+        for did, nm, nt, dm in con.execute(Q.sql_kg_entity_density()).fetchall():
+            assert got_den[did]["n_mentions"] == nm
+            assert got_den[did]["n_tokens"] == nt
+            assert got_den[did]["density_micro"] == dm
