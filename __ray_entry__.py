@@ -122,6 +122,12 @@ def _q_kg_taxonomy_depth(sf_dir: str):
     return Q.q_kg_taxonomy_depth_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_hits(sf_dir: str):
+    """Integer fixed-point HITS hubs/authorities (2 max-normalized rounds)
+    — stages/analytics.hits_scores."""
+    return Q.q_kg_hits_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_communities(sf_dir: str):
     """Deterministic synchronous label-propagation communities (3 rounds,
     min-label tie-break) — stages/analytics.label_propagation."""
@@ -585,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": Q.q_events_markov,
         "kg_cooc_pmi": Q.q_kg_cooc_pmi,
         "kg_entity_density": Q.q_kg_entity_density,
+        "kg_hits": _q_kg_hits,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -685,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
                                     fromlist=["SQL_EVENTS_MARKOV"]).SQL_EVENTS_MARKOV,
         "kg_cooc_pmi": Q.sql_kg_cooc_pmi(),
         "kg_entity_density": Q.sql_kg_entity_density(),
+        "kg_hits": Q.SQL_KG_HITS,
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

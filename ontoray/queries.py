@@ -2637,3 +2637,42 @@ def sql_kg_entity_density() -> str:
         "CAST(1000000 * coalesce(mc.n_mentions, 0) // greatest(tc.n_tokens, 1) "
         "AS BIGINT) AS density_micro "
         "FROM tc LEFT JOIN mc USING (doc_id)")
+
+
+# --- HITS hubs & authorities ----------------------------------------------------
+
+def q_kg_hits_from(triples_dedup_ds):
+    """Integer fixed-point HITS (2 rounds, max-normalized) —
+    stages/analytics.hits_scores."""
+    from ontoray.stages.analytics import hits_scores
+    return hits_scores(triples_dedup_ds)
+
+
+def _sql_hits(rounds: int = 2) -> str:
+    ctes = [
+        "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm)",
+        "hn AS (SELECT DISTINCT name FROM ("
+        "SELECT src AS name FROM trip UNION ALL SELECT dst FROM trip))",
+        "h0 AS (SELECT name, CAST(1000000 AS BIGINT) AS s FROM hn)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"ar{t} AS (SELECT t.dst AS name, sum(h{t-1}.s) AS r "
+            f"FROM trip t JOIN h{t-1} ON h{t-1}.name = t.src GROUP BY 1)")
+        ctes.append(
+            f"a{t} AS (SELECT name, CAST(r * 1000000 // "
+            f"(SELECT max(r) FROM ar{t}) AS BIGINT) AS s FROM ar{t} WHERE r > 0)")
+        ctes.append(
+            f"hr{t} AS (SELECT t.src AS name, sum(a{t}.s) AS r "
+            f"FROM trip t JOIN a{t} ON a{t}.name = t.dst GROUP BY 1)")
+        ctes.append(
+            f"h{t} AS (SELECT name, CAST(r * 1000000 // "
+            f"(SELECT max(r) FROM hr{t}) AS BIGINT) AS s FROM hr{t} WHERE r > 0)")
+    return (", ".join(ctes) +
+            f" SELECT hn.name, CAST(coalesce(h{rounds}.s, 0) AS BIGINT) AS hub_micro, "
+            f"CAST(coalesce(a{rounds}.s, 0) AS BIGINT) AS auth_micro "
+            f"FROM hn LEFT JOIN h{rounds} ON h{rounds}.name = hn.name "
+            f"LEFT JOIN a{rounds} ON a{rounds}.name = hn.name")
+
+
+SQL_KG_HITS = f"{_sql_triples_norm_ctes()}, {_sql_hits(2)}"

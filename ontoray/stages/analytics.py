@@ -533,3 +533,72 @@ def label_propagation(triples_dedup_ds, rounds: int = 3,
 
     return rd.from_arrow(pa.table({"name": keys,
                                    "community": pa.array(labs, pa.string())}))
+
+
+def hits_scores(triples_dedup_ds, rounds: int = 2,
+                subj_col: str = "subj_norm", obj_col: str = "obj_norm"):
+    """Kleinberg HITS hubs & authorities over the directed concept graph —
+    the link-analysis complement to PageRank (a concept is a good AUTHORITY
+    if good hubs point at it: the "definitional target" signal in a
+    taxonomy-rich triple graph).
+
+    Exact-integer contract (mirrored by ``SQL_KG_HITS``): scores start at
+    SCALE=1e6; each round computes a_raw(v) = Σ_{u→v} h(u) then rescales
+    a = a_raw * SCALE // max(a_raw) (integer max — no float norm), then the
+    same for h from a.  Nodes without in-edges have authority 0, without
+    out-edges hub 0.  ``rounds`` fixed rounds, no convergence race.
+
+    Scale shape: the pagerank broadcast regime — distinct edges materialize
+    once; each half-round is ONE streaming pass with a broadcast score
+    array + one node-vocabulary-bounded sum exchange; the rescale max is a
+    single integer over the vocabulary-bounded fold."""
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.util import column_lists
+
+    ep = distinct_edges(triples_dedup_ds, subj_col, obj_col).materialize()
+    cl = column_lists(ep, ["src", "dst"])
+    nodes = sorted(set(cl["src"]) | set(cl["dst"]))
+    if not nodes:
+        return pa.table({"name": pa.array([], pa.string()),
+                         "hub_micro": pa.array([], pa.int64()),
+                         "auth_micro": pa.array([], pa.int64())})
+    SC = 1_000_000
+    h = {n: SC for n in nodes}
+    a: dict = {}
+
+    def half_round(scores: dict, key_col: str, out_col: str) -> dict:
+        """One pass: sum scores[key_col-side] grouped by out_col-side."""
+        keys = pa.array(sorted(scores), pa.string())
+        vals = pa.array([scores[k] for k in sorted(scores)], pa.int64())
+        bcast = ray.put((keys, vals))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            k, v = ray.get(bcast)
+            idx = pc.index_in(batch.column(key_col), value_set=k)
+            sv = pc.take(v, idx)
+            sv = pc.coalesce(sv, pa.scalar(0, pa.int64()))
+            return pa.table({"name": batch.column(out_col),
+                             "r": sv.combine_chunks().cast(pa.int64())})
+
+        raw = hash_aggregate(
+            ep.map_batches(contrib, batch_format="pyarrow"), ["name"],
+            partial_aggs=[("r", "sum")], aggs=[("r_sum", "sum")],
+            rename={"r_sum_sum": "r"}).take_all()     # node-vocabulary-bounded
+        mx = max((r["r"] for r in raw), default=0)
+        if mx == 0:
+            return {}
+        return {r["name"]: r["r"] * SC // mx for r in raw if r["r"] > 0}
+
+    for _ in range(rounds):
+        a = half_round(h, "src", "dst")   # authorities from hubs
+        h = half_round(a, "dst", "src")   # hubs from authorities
+
+    return pa.table({
+        "name": pa.array(nodes, pa.string()),
+        "hub_micro": pa.array([h.get(n, 0) for n in nodes], pa.int64()),
+        "auth_micro": pa.array([a.get(n, 0) for n in nodes], pa.int64()),
+    })

@@ -1151,3 +1151,39 @@ class TestCoocPMIAndDensity:
             assert got_den[did]["n_mentions"] == nm
             assert got_den[did]["n_tokens"] == nt
             assert got_den[did]["density_micro"] == dm
+
+
+class TestHITS:
+    def _triples(self) -> pa.Table:
+        # hub h1 points at authorities x, y, z; hub h2 points at x, y;
+        # stray edge z -> q.  h1 should out-hub h2; x,y out-authority z.
+        edges = [("h1", "x"), ("h1", "y"), ("h1", "z"),
+                 ("h2", "x"), ("h2", "y"), ("z", "q")]
+        return pa.table({
+            "subj_norm": pa.array([e[0] for e in edges], pa.string()),
+            "pred_norm": pa.array(["relatedto"] * len(edges), pa.string()),
+            "obj_norm": pa.array([e[1] for e in edges], pa.string()),
+        })
+
+    def test_scores_and_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.queries import _sql_hits
+        from ontoray.stages.analytics import hits_scores
+
+        got = {r["name"]: r for r in hits_scores(
+            rd.from_arrow(self._triples()).repartition(3)).to_pylist()}
+        assert got["h1"]["hub_micro"] == 1_000_000          # best hub
+        assert got["h1"]["hub_micro"] > got["h2"]["hub_micro"] > 0
+        assert got["x"]["auth_micro"] == got["y"]["auth_micro"] == 1_000_000
+        assert got["x"]["auth_micro"] > got["z"]["auth_micro"]
+        assert got["q"]["hub_micro"] == 0                   # no out-edges
+
+        sql = ("WITH tnorm AS (SELECT subj_norm, obj_norm FROM t), "
+               + _sql_hits(2).replace(
+                   "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm)",
+                   "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm)"))
+        con = duckdb.connect()
+        con.register("t", self._triples())
+        want = {n: (h, a) for n, h, a in con.execute(sql).fetchall()}
+        assert {k: (v["hub_micro"], v["auth_micro"]) for k, v in got.items()} == want
