@@ -147,6 +147,18 @@ def _q_kg_triangles(sf_dir: str):
     return Q.q_kg_triangles_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient (exact integer lcc_micro) —
+    stages/analytics.clustering_coeff."""
+    return Q.q_kg_clustering_from(_kg_result(sf_dir).triples_dedup)
+
+
+def _q_kg_kcore(sf_dir: str):
+    """2-core of the concept graph — iterative peel to fixpoint with a
+    convergence guard vs an unrolled-CTE mirror (stages/analytics.kcore)."""
+    return Q.q_kg_kcore_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_text_langid(sf_dir: str):
     import ray.data as rd
     from ontoray.extras.textstats import LangId
@@ -592,6 +604,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooc_pmi": Q.q_kg_cooc_pmi,
         "kg_entity_density": Q.q_kg_entity_density,
         "kg_hits": _q_kg_hits,
+        # new this session (sf0.01-green via the local check_entry gate):
+        "kg_clustering": _q_kg_clustering,
+        "kg_kcore": _q_kg_kcore,
+        "web_host_rank": Q.q_web_host_rank,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -693,6 +709,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooc_pmi": Q.sql_kg_cooc_pmi(),
         "kg_entity_density": Q.sql_kg_entity_density(),
         "kg_hits": Q.SQL_KG_HITS,
+        "kg_clustering": Q.SQL_KG_CLUSTERING,
+        "kg_kcore": Q.sql_kg_kcore(),
+        "web_host_rank": Q.sql_web_host_rank(),
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

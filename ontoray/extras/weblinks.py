@@ -65,6 +65,63 @@ def extract_anchors(ds, text_col: str = "text"):
         num_buckets=16)
 
 
+ABS_RE = r"^[a-z][a-z0-9+.-]*://"
+
+_ABS = re.compile(ABS_RE)
+
+
+def host_edges(pages_ds, url_col: str = "url", text_col: str = "text"):
+    """Distinct (src, dst) host pairs from page links — the host-level web
+    graph (the Common-Crawl "host webgraph" shape that ranks crawl
+    frontiers).  Relative link targets resolve to the page's OWN host
+    (simplified RFC 3986: any target without a scheme stays on-host), so
+    they become self-links; self-links and hostless rows are dropped.
+
+    Scale shape: per-batch compiled-regex extraction with in-batch
+    distinct, then ONE host-vocabulary-bounded exchange — page text never
+    shuffles, and the output is bounded by the distinct host-pair
+    vocabulary (crawl hosts, not pages)."""
+    from ontoray.stages.agg import hash_aggregate
+
+    def links(batch: pa.Table) -> pa.Table:
+        pairs: set = set()
+        for u, t in zip(batch.column(url_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            sh = _host_of(u or "")
+            if not t or not sh:
+                continue
+            for m in _LINK.finditer(t):
+                tgt = m.group(2)
+                dh = _host_of(tgt) if _ABS.match(tgt) else sh
+                if dh and dh != sh:
+                    pairs.add((sh, dh))
+        ps = sorted(pairs)
+        return pa.table({
+            "src": pa.array([p[0] for p in ps], pa.string()),
+            "dst": pa.array([p[1] for p in ps], pa.string())})
+
+    return hash_aggregate(
+        pages_ds.map_batches(links, batch_format="pyarrow"), ["src", "dst"],
+        partial_aggs=[("src", "count")],
+        aggs=[("src_count", "sum")], rename={"src_count_sum": "__n"},
+        num_buckets=8).select_columns(["src", "dst"])
+
+
+def sql_host_edges(pages_cte: str) -> str:
+    """DuckDB mirror of ``host_edges`` over the derived pages CTE — ends in
+    a ``trip(src, dst)`` projection suitable for the pagerank CTE chain."""
+    return (
+        f"pages AS ({pages_cte}), "
+        f"hlinks AS (SELECT regexp_extract(p.url, '{HOST_RE}', 1) AS sh, "
+        f"z.tgt AS target "
+        f"FROM pages p, unnest(regexp_extract_all(p.text, '{LINK_RE}', 2)) "
+        f"AS z(tgt)), "
+        f"trip AS (SELECT DISTINCT src, dst FROM ("
+        f"SELECT sh AS src, CASE WHEN regexp_matches(target, '{ABS_RE}') "
+        f"THEN regexp_extract(target, '{HOST_RE}', 1) ELSE sh END AS dst "
+        f"FROM hlinks WHERE sh <> '') WHERE dst <> '' AND dst <> src)")
+
+
 def sql_web_anchors(pages_cte: str) -> str:
     """DuckDB mirror of ``extract_anchors`` over the derived pages CTE."""
     return (

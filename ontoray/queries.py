@@ -268,14 +268,13 @@ SQL_KG_TRIPLES_NORM = f"{_sql_triples_norm_ctes()} SELECT * FROM tnorm"
 
 # --- kg_pagerank (fixed-point power iteration over the triple graph) --------
 
-def sql_kg_pagerank(iters: int = 5) -> str:
-    """DuckDB mirror of stages.analytics.pagerank over the kg_triples_norm
-    graph: the identical integer recurrence unrolled as ``iters`` chained
-    CTEs — BIGINT floor division everywhere, so both engines land on the
-    same int64 fixed-point scores regardless of summation order."""
+def _sql_pagerank_chain(iters: int = 5) -> list:
+    """The fixed-point pagerank recurrence as chained CTEs over an
+    EXISTING ``trip(src, dst)`` CTE — shared by the concept-graph mirror
+    (``sql_kg_pagerank``) and the host-webgraph mirror
+    (``sql_web_host_rank``).  Final scores live in CTE ``r{iters}``."""
     scale = 10**12
     ctes = [
-        "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm)",
         # DISTINCT-over-UNION-ALL, not UNION: inside a WITH RECURSIVE chain
         # DuckDB 1.0 compiles a plain `a UNION b` CTE without the dedup.
         "nodes AS (SELECT DISTINCT name FROM ("
@@ -294,6 +293,16 @@ def sql_kg_pagerank(iters: int = 5) -> str:
             f"  FROM trip t JOIN r{k-1} p ON t.src = p.name "
             f"  JOIN deg d ON d.src = t.src GROUP BY t.dst) s "
             f"ON nd.name = s.name)")
+    return ctes
+
+
+def sql_kg_pagerank(iters: int = 5) -> str:
+    """DuckDB mirror of stages.analytics.pagerank over the kg_triples_norm
+    graph: the identical integer recurrence unrolled as ``iters`` chained
+    CTEs — BIGINT floor division everywhere, so both engines land on the
+    same int64 fixed-point scores regardless of summation order."""
+    ctes = ["trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst "
+            "FROM tnorm)"] + _sql_pagerank_chain(iters)
     return (f"{_sql_triples_norm_ctes()}, " + ", ".join(ctes) +
             f" SELECT name, CAST(r AS BIGINT) AS rank FROM r{iters}")
 
@@ -383,6 +392,113 @@ SQL_KG_TRIANGLES = (
     "(SELECT count(*) FROM und) AS n_edges_und, "
     "(SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges, "
     "(SELECT n FROM tri) AS n_triangles")
+
+
+def q_kg_clustering_from(triples_dedup_ds):
+    """Per-node local clustering coefficient of the undirected concept
+    graph — (name, degree, n_tri, lcc_micro) with exact integer
+    lcc_micro = 2·t·10^6 // (d·(d-1)); plan in
+    stages/analytics.clustering_coeff (adjacency-forward broadcast)."""
+    from ontoray.stages.analytics import clustering_coeff
+    return clustering_coeff(triples_dedup_ds, "subj_norm", "obj_norm")
+
+
+SQL_KG_CLUSTERING = (
+    f"{_sql_triples_norm_ctes()}, "
+    "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm), "
+    "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM trip WHERE src <> dst), "
+    "tris AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM und e1 "
+    "JOIN und e2 ON e2.a = e1.b "
+    "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), "
+    "pernode AS (SELECT x, count(*) AS t FROM ("
+    "SELECT a AS x FROM tris UNION ALL SELECT b FROM tris "
+    "UNION ALL SELECT c FROM tris) GROUP BY x), "
+    "udeg AS (SELECT x, count(*) AS d FROM ("
+    "SELECT a AS x FROM und UNION ALL SELECT b FROM und) GROUP BY x) "
+    "SELECT udeg.x AS name, udeg.d AS degree, "
+    "CAST(coalesce(p.t, 0) AS BIGINT) AS n_tri, "
+    "CAST(CASE WHEN udeg.d >= 2 THEN (2 * coalesce(p.t, 0) * 1000000) "
+    "// (udeg.d * (udeg.d - 1)) ELSE 0 END AS BIGINT) AS lcc_micro "
+    "FROM udeg LEFT JOIN pernode p ON p.x = udeg.x")
+
+
+def q_kg_kcore_from(triples_dedup_ds, k: int = 2):
+    """k-core of the undirected concept graph (iterative peel to fixpoint,
+    convergence-guarded) — (name, core_degree); plan in
+    stages/analytics.kcore."""
+    from ontoray.stages.analytics import kcore
+    return kcore(triples_dedup_ds, k=k,
+                 src_col="subj_norm", dst_col="obj_norm")
+
+
+def sql_kg_kcore(k: int = 2, rounds: int = 12) -> str:
+    """DuckDB mirror of stages.analytics.kcore: the peel recurrence
+    unrolled ``rounds`` times (the engine raises if not converged within
+    the same bound, so bounded unrolling cannot diverge)."""
+    # Every u{r} is read three times per round (directly + twice through
+    # kd{r}); without MATERIALIZED DuckDB inlines the chain into a 3^rounds
+    # plan blowup.
+    ctes = [
+        "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm)",
+        "u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM trip WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"kd{r} AS MATERIALIZED (SELECT x, count(*) AS d FROM ("
+            f"SELECT a AS x FROM u{r-1} UNION ALL SELECT b FROM u{r-1}) "
+            f"GROUP BY x)")
+        ctes.append(
+            f"u{r} AS MATERIALIZED (SELECT e.a, e.b FROM u{r-1} e "
+            f"JOIN kd{r} da ON da.x = e.a JOIN kd{r} db ON db.x = e.b "
+            f"WHERE da.d >= {k} AND db.d >= {k})")
+    return (f"{_sql_triples_norm_ctes()}, " + ", ".join(ctes) +
+            f" SELECT x AS name, count(*) AS core_degree FROM ("
+            f"SELECT a AS x FROM u{rounds} UNION ALL SELECT b FROM u{rounds}) "
+            f"GROUP BY x")
+
+
+def q_kg_transreduce_from(triples_dedup_ds):
+    """Taxonomy transitive-reduction flags: every subclass edge with
+    ``redundant`` = a 2-hop witness path exists; plan in
+    stages/analytics.transitive_reduction."""
+    from ontoray.stages.analytics import transitive_reduction
+    return transitive_reduction(triples_dedup_ds)
+
+
+SQL_KG_TRANSREDUCE = (
+    f"{_sql_triples_norm_ctes()}, "
+    "tax AS (SELECT DISTINCT subj_norm AS child, obj_norm AS parent "
+    "FROM tnorm WHERE pred_norm = 'subclass_of' AND subj_norm <> obj_norm), "
+    "two AS (SELECT DISTINCT e1.child AS child, e2.parent AS parent "
+    "FROM tax e1 JOIN tax e2 ON e2.child = e1.parent) "
+    "SELECT t.child, t.parent, (tw.child IS NOT NULL) AS redundant "
+    "FROM tax t LEFT JOIN two tw "
+    "ON tw.child = t.child AND tw.parent = t.parent")
+
+
+def q_web_host_rank(sf_dir: str):
+    """Host-level web-graph PageRank — the crawl-frontier authority signal
+    (Common-Crawl host-webgraph shape): distinct host→host link edges from
+    the RAW derived pages (extras/weblinks.host_edges), ranked by the same
+    exact fixed-point pagerank as the concept graph."""
+    import pyarrow as pa  # noqa: F811 — local to keep wrapper self-contained
+
+    from ontoray.extras.weblinks import host_edges
+    from ontoray.pages import pages_from_documents
+    from ontoray.stages.analytics import pagerank
+    ranks = pagerank(host_edges(pages_from_documents(sf_dir)))
+    return pa.table({"host": ranks.column("name"),
+                     "rank": ranks.column("rank")})
+
+
+def sql_web_host_rank() -> str:
+    from ontoray.extras.weblinks import sql_host_edges
+    from ontoray.pages import sql_pages_cte
+    ctes = [sql_host_edges(sql_pages_cte())] + _sql_pagerank_chain()
+    return ("WITH " + ", ".join(ctes) +
+            " SELECT name AS host, CAST(r AS BIGINT) AS rank FROM r5")
 
 
 # --- n-gram LM counts --------------------------------------------------------

@@ -602,3 +602,260 @@ def hits_scores(triples_dedup_ds, rounds: int = 2,
         "hub_micro": pa.array([h.get(n, 0) for n in nodes], pa.int64()),
         "auth_micro": pa.array([a.get(n, 0) for n in nodes], pa.int64()),
     })
+
+
+def clustering_coeff(edges_ds, src_col: str = "src", dst_col: str = "dst"):
+    """Per-node local clustering coefficient over the undirected simple
+    graph — the node-level refinement of ``triangle_census``'s global
+    3*tri/wedges figure (the clustering signal the reference leaves as a
+    TODO in its graph statistics, reference src/evaluation/graph.py:88):
+    how interconnected each concept's neighborhood is, the classic
+    hub-vs-clique discriminator for KG curation.
+
+    Exact contract (mirrored by ``queries.SQL_KG_CLUSTERING``): for node v
+    with undirected degree d(v) and t(v) = triangles through v,
+    lcc_micro = (2 * t * 10^6) // (d * (d-1)) for d >= 2 else 0 — integer
+    floor division, so hash-equal at any partitioning.
+
+    Scale shape: same adjacency-forward regime as ``triangle_census`` —
+    und = distinct {a < b} pairs (one vocabulary-bounded exchange), forward
+    adjacency broadcast once; the per-edge common-neighbor walk emits
+    per-batch (name, t) Counter partials, then ONE node-vocabulary
+    exchange.  Per-node triangle counts: triangle a<b<c found at edge
+    (a, b) via c in adjF[a] ∩ adjF[b] increments all three corners."""
+    import ray
+
+    from collections import Counter
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.util import column_lists
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col).to_pylist()
+        b = batch.column(dst_col).to_pylist()
+        lo, hi = [], []
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            p, q = (x, y) if x < y else (y, x)
+            lo.append(p)
+            hi.append(q)
+        return pa.table({"a": pa.array(lo, pa.string()),
+                         "b": pa.array(hi, pa.string())})
+
+    und = hash_aggregate(
+        edges_ds.map_batches(ordered, batch_format="pyarrow"), ["a", "b"],
+        partial_aggs=[("a", "count")], aggs=[("a_count", "sum")],
+        rename={"a_count_sum": "__n"}).select_columns(["a", "b"]).materialize()
+
+    cols = column_lists(und, ["a", "b"])
+    adj: dict[str, set] = {}
+    deg = Counter(cols["a"])
+    deg.update(cols["b"])
+    for x, y in zip(cols["a"], cols["b"]):
+        adj.setdefault(x, set()).add(y)
+    bcast = ray.put(adj)
+
+    def tri_partials(batch: pa.Table) -> pa.Table:
+        am = ray.get(bcast)
+        t: Counter = Counter()
+        for x, y in zip(batch.column("a").to_pylist(),
+                        batch.column("b").to_pylist()):
+            for c in am.get(x, set()) & am.get(y, set()):
+                t[x] += 1
+                t[y] += 1
+                t[c] += 1
+        names = sorted(t)
+        return pa.table({"name": pa.array(names, pa.string()),
+                         "t": pa.array([t[n] for n in names], pa.int64())})
+
+    tri_rows = column_lists(
+        hash_aggregate(und.map_batches(tri_partials, batch_format="pyarrow"),
+                       ["name"], partial_aggs=[("t", "sum")],
+                       aggs=[("t_sum", "sum")], rename={"t_sum_sum": "t"}),
+        ["name", "t"])
+    tri = dict(zip(tri_rows["name"], tri_rows["t"]))
+
+    names = sorted(deg)
+    degs = [deg[n] for n in names]
+    tris = [tri.get(n, 0) for n in names]
+    return pa.table({
+        "name": pa.array(names, pa.string()),
+        "degree": pa.array(degs, pa.int64()),
+        "n_tri": pa.array(tris, pa.int64()),
+        "lcc_micro": pa.array(
+            [(2 * t * 1_000_000) // (d * (d - 1)) if d >= 2 else 0
+             for d, t in zip(degs, tris)], pa.int64()),
+    })
+
+
+def kcore(edges_ds, k: int = 2, max_rounds: int = 12,
+          src_col: str = "src", dst_col: str = "dst"):
+    """k-core of the undirected simple graph: iteratively peel nodes of
+    degree < k until fixpoint; return (name, core_degree) for survivors.
+
+    The KG-curation rationale: C2 low-degree pruning (stages/curation.py)
+    is a SINGLE pass, so a chain of degree-2 nodes hanging off the core
+    survives it; the k-core is the fixpoint that C2 approximates — the
+    standard "dense kernel" selector for graph-quality reporting
+    (reference src/evaluation/graph.py computes degree stats only).
+
+    Exactness across the iterative gap: the engine peels until NO node is
+    removed (converged fixpoint) and RAISES if still changing after
+    ``max_rounds`` — the DuckDB mirror (``queries.sql_kg_kcore``) unrolls
+    exactly ``max_rounds`` rounds, and once converged every further round
+    is the identity, so bounded unrolling cannot diverge (same guard
+    contract as ``connected_components``).
+
+    Scale shape per round: ONE node-vocabulary-bounded degree exchange
+    (two-phase hash_aggregate over both endpoints) + one streaming filter
+    pass over the current edge set with the REMOVED-node set broadcast
+    (removals are monotone, so the broadcast array only shrinks); edges
+    re-materialize per round.  The driver holds per-round counts and the
+    removed vocabulary only — never corpus-scale state."""
+    import ray
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.util import column_lists
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col).to_pylist()
+        b = batch.column(dst_col).to_pylist()
+        lo, hi = [], []
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            p, q = (x, y) if x < y else (y, x)
+            lo.append(p)
+            hi.append(q)
+        return pa.table({"a": pa.array(lo, pa.string()),
+                         "b": pa.array(hi, pa.string())})
+
+    und = hash_aggregate(
+        edges_ds.map_batches(ordered, batch_format="pyarrow"), ["a", "b"],
+        partial_aggs=[("a", "count")], aggs=[("a_count", "sum")],
+        rename={"a_count_sum": "__n"}).select_columns(["a", "b"]).materialize()
+
+    def degree_rows(e):
+        def both(batch: pa.Table) -> pa.Table:
+            return pa.concat_tables([
+                pa.table({"name": batch.column("a")}),
+                pa.table({"name": batch.column("b")})])
+        return column_lists(
+            hash_aggregate(e.map_batches(both, batch_format="pyarrow"),
+                           ["name"], partial_aggs=[("name", "count")],
+                           aggs=[("name_count", "sum")],
+                           rename={"name_count_sum": "d"}),
+            ["name", "d"])
+
+    for _ in range(max_rounds):
+        dr = degree_rows(und)
+        drop = sorted(n for n, d in zip(dr["name"], dr["d"]) if d < k)
+        if not drop:
+            survivors = sorted(zip(dr["name"], dr["d"]))
+            return pa.table({
+                "name": pa.array([n for n, _ in survivors], pa.string()),
+                "core_degree": pa.array([d for _, d in survivors], pa.int64())})
+        drop_arr = ray.put(pa.array(drop, pa.string()))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            rm = ray.get(drop_arr)
+            m = pc.and_(
+                pc.invert(pc.is_in(batch.column("a"), value_set=rm)),
+                pc.invert(pc.is_in(batch.column("b"), value_set=rm)))
+            return batch.filter(m)
+
+        und = und.map_batches(keep, batch_format="pyarrow").materialize()
+        if und.count() == 0:
+            return pa.table({"name": pa.array([], pa.string()),
+                             "core_degree": pa.array([], pa.int64())})
+    raise RuntimeError(
+        f"kcore: not converged after {max_rounds} peel rounds — raise "
+        f"max_rounds (the SQL mirror unrolls the same bound)")
+
+
+def transitive_reduction(triples_dedup_ds, pred: str = "subclass_of",
+                         subj_col: str = "subj_norm", obj_col: str = "obj_norm"):
+    """Flag redundant taxonomy edges: (child, parent, redundant) where
+    ``redundant`` marks an edge (a, c) for which some b satisfies
+    a→b and b→c — the 2-hop witness form of DAG transitive reduction,
+    the standard ontology-curation cleanup (the reference materializes
+    every extracted SUBCLASS_OF edge verbatim, shortcuts included —
+    reference src/graph_builder.py stores triples as-is).
+
+    Semantics (mirrored by ``queries.SQL_KG_TRANSREDUCE``): self-loops are
+    excluded from the edge set; a 2-hop witness b is implicitly ≠ a and
+    ≠ c because self-loops are gone.  Only DIRECT witnesses are checked
+    (one join) — full path-transitive reduction would iterate this to a
+    fixpoint, but on a taxonomy every shortcut across a longer path is
+    also a shortcut across its first two hops' closure chain; the 2-hop
+    form is the curation-queue shape (each flagged edge has a concrete
+    witness to show a reviewer).
+
+    Scale shape: the taxonomy edge set is concept-vocabulary-bounded; one
+    distinct exchange builds it, one partitioned self-join (hash_join on
+    the shared midpoint) expands candidates, one LEFT join delivers the
+    flag.  No driver structure."""
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    SEP = "\x1f"
+
+    def tax_pairs(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch.column("pred_norm"), pred),
+                    pc.invert(pc.equal(batch.column(subj_col),
+                                       batch.column(obj_col))))
+        t = batch.filter(m)
+        return pa.table({"child": t.column(subj_col),
+                         "parent": t.column(obj_col)})
+
+    tax = hash_aggregate(
+        triples_dedup_ds.map_batches(tax_pairs, batch_format="pyarrow"),
+        ["child", "parent"], partial_aggs=[("child", "count")],
+        aggs=[("child_count", "sum")], rename={"child_count_sum": "__n"},
+    ).select_columns(["child", "parent"]).materialize()
+
+    hop = hash_join(tax, tax, "parent", "child", right_cols=["parent"])
+    # columns: child, parent (= midpoint), parent_r (= grandparent)
+    two = hash_aggregate(
+        hop.map_batches(
+            lambda b: pa.table({"child": b.column("child"),
+                                "parent": b.column("parent_r")}),
+            batch_format="pyarrow"),
+        ["child", "parent"], partial_aggs=[("child", "count")],
+        aggs=[("child_count", "sum")], rename={"child_count_sum": "__n"})
+
+    def keyed(cols_marker: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = pc.binary_join_element_wise(
+                batch.column("child").combine_chunks().cast(pa.string()),
+                batch.column("parent").combine_chunks().cast(pa.string()), SEP)
+            if cols_marker:
+                return pa.table({"__k": k, "redundant": pa.array(
+                    [True] * batch.num_rows, pa.bool_())})
+            return pa.table({"child": batch.column("child"),
+                             "parent": batch.column("parent"), "__k": k})
+        return fn
+
+    two_k = two.map_batches(keyed(True), batch_format="pyarrow").materialize()
+    if two_k.count() == 0:
+        # No 2-hop chains at all (flat taxonomy): schema-less right side —
+        # every edge is trivially non-redundant.
+        def all_false(batch: pa.Table) -> pa.Table:
+            return pa.table({"child": batch.column("child"),
+                             "parent": batch.column("parent"),
+                             "redundant": pa.array([False] * batch.num_rows,
+                                                   pa.bool_())})
+        return tax.map_batches(all_false, batch_format="pyarrow")
+
+    joined = hash_join(
+        tax.map_batches(keyed(False), batch_format="pyarrow"),
+        two_k, "__k", "__k", how="left", right_cols=["redundant"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        red = pc.coalesce(batch.column("redundant"), pa.scalar(False))
+        return pa.table({"child": batch.column("child"),
+                         "parent": batch.column("parent"),
+                         "redundant": red.combine_chunks().cast(pa.bool_())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

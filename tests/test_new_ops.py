@@ -1187,3 +1187,206 @@ class TestHITS:
         con.register("t", self._triples())
         want = {n: (h, a) for n, h, a in con.execute(sql).fetchall()}
         assert {k: (v["hub_micro"], v["auth_micro"]) for k, v in got.items()} == want
+
+
+class TestClusteringCoeff:
+    def _triples(self) -> pa.Table:
+        # K4 on a,b,c,d plus pendant d-e.  lcc: a,b,c = 1.0 (their 3
+        # neighbors fully connected); d has neighbors {a,b,c,e}, 3 of the
+        # C(4,2)=6 pairs connected -> 0.5; e degree 1 -> 0.
+        edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                 ("b", "d"), ("c", "d"), ("d", "e"),
+                 ("b", "a"),          # reverse duplicate must collapse
+                 ("e", "e")]          # self-loop must drop
+        return pa.table({
+            "subj_norm": pa.array([e[0] for e in edges], pa.string()),
+            "pred_norm": pa.array(["relatedto"] * len(edges), pa.string()),
+            "obj_norm": pa.array([e[1] for e in edges], pa.string()),
+        })
+
+    def test_exact_values_and_sql_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import clustering_coeff
+
+        got = {r["name"]: r for r in clustering_coeff(
+            rd.from_arrow(self._triples()).repartition(3),
+            "subj_norm", "obj_norm").to_pylist()}
+        assert got["a"] == {"name": "a", "degree": 3, "n_tri": 3,
+                            "lcc_micro": 1_000_000}
+        assert got["d"]["degree"] == 4 and got["d"]["n_tri"] == 3
+        assert got["d"]["lcc_micro"] == 500_000
+        assert got["e"] == {"name": "e", "degree": 1, "n_tri": 0,
+                            "lcc_micro": 0}
+
+        sql = ("WITH trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM t), "
+               "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+               "FROM trip WHERE src <> dst), "
+               "tris AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM und e1 "
+               "JOIN und e2 ON e2.a = e1.b "
+               "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), "
+               "pernode AS (SELECT x, count(*) AS t FROM ("
+               "SELECT a AS x FROM tris UNION ALL SELECT b FROM tris "
+               "UNION ALL SELECT c FROM tris) GROUP BY x), "
+               "udeg AS (SELECT x, count(*) AS d FROM ("
+               "SELECT a AS x FROM und UNION ALL SELECT b FROM und) GROUP BY x) "
+               "SELECT udeg.x, udeg.d, coalesce(p.t, 0), "
+               "CASE WHEN udeg.d >= 2 THEN (2 * coalesce(p.t, 0) * 1000000) "
+               "// (udeg.d * (udeg.d - 1)) ELSE 0 END "
+               "FROM udeg LEFT JOIN pernode p ON p.x = udeg.x")
+        con = duckdb.connect()
+        con.register("t", self._triples())
+        want = {n: (d, t, l) for n, d, t, l in con.execute(sql).fetchall()}
+        assert {k: (v["degree"], v["n_tri"], v["lcc_micro"])
+                for k, v in got.items()} == want
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import clustering_coeff
+        t = self._triples()
+        a = clustering_coeff(rd.from_arrow(t).repartition(1),
+                             "subj_norm", "obj_norm").to_pylist()
+        b = clustering_coeff(rd.from_arrow(t).repartition(6),
+                             "subj_norm", "obj_norm").to_pylist()
+        assert a == b
+
+
+class TestKCore:
+    def _triples(self, edges) -> pa.Table:
+        return pa.table({
+            "subj_norm": pa.array([e[0] for e in edges], pa.string()),
+            "pred_norm": pa.array(["relatedto"] * len(edges), pa.string()),
+            "obj_norm": pa.array([e[1] for e in edges], pa.string()),
+        })
+
+    def test_triangle_with_tail(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import kcore
+        # triangle x,y,z with a 2-path tail z-w-v: 2-core = the triangle
+        t = self._triples([("x", "y"), ("y", "z"), ("z", "x"),
+                           ("z", "w"), ("w", "v")])
+        got = {r["name"]: r["core_degree"] for r in kcore(
+            rd.from_arrow(t).repartition(3), k=2,
+            src_col="subj_norm", dst_col="obj_norm").to_pylist()}
+        assert got == {"x": 2, "y": 2, "z": 2}
+
+    def test_path_peels_to_empty(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import kcore
+        t = self._triples([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+        got = kcore(rd.from_arrow(t), k=2,
+                    src_col="subj_norm", dst_col="obj_norm").to_pylist()
+        assert got == []
+
+    def test_convergence_guard_raises(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import kcore
+        t = self._triples([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+        with pytest.raises(RuntimeError, match="not converged"):
+            kcore(rd.from_arrow(t), k=2, max_rounds=1,
+                  src_col="subj_norm", dst_col="obj_norm")
+
+    def test_partitioning_invariance_and_sql(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import kcore
+        edges = [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w"), ("w", "v"),
+                 ("p", "q"), ("q", "r"), ("r", "p"), ("r", "x")]
+        t = self._triples(edges)
+        a = kcore(rd.from_arrow(t).repartition(1), k=2,
+                  src_col="subj_norm", dst_col="obj_norm").to_pylist()
+        b = kcore(rd.from_arrow(t).repartition(5), k=2,
+                  src_col="subj_norm", dst_col="obj_norm").to_pylist()
+        assert a == b
+        ctes = ["trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM t)",
+                "u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+                "greatest(src, dst) AS b FROM trip WHERE src <> dst)"]
+        rounds = 6
+        for r in range(1, rounds + 1):
+            ctes.append(f"kd{r} AS MATERIALIZED (SELECT x, count(*) AS d FROM ("
+                        f"SELECT a AS x FROM u{r-1} UNION ALL SELECT b FROM u{r-1}) GROUP BY x)")
+            ctes.append(f"u{r} AS MATERIALIZED (SELECT e.a, e.b FROM u{r-1} e "
+                        f"JOIN kd{r} da ON da.x = e.a JOIN kd{r} db ON db.x = e.b "
+                        f"WHERE da.d >= 2 AND db.d >= 2)")
+        sql = ("WITH " + ", ".join(ctes) +
+               f" SELECT x, count(*) FROM (SELECT a AS x FROM u{rounds} "
+               f"UNION ALL SELECT b FROM u{rounds}) GROUP BY x")
+        con = duckdb.connect()
+        con.register("t", t)
+        want = dict(con.execute(sql).fetchall())
+        assert {r["name"]: r["core_degree"] for r in a} == want
+
+
+class TestTransitiveReduction:
+    def _triples(self, edges, pred="subclass_of") -> pa.Table:
+        return pa.table({
+            "subj_norm": pa.array([e[0] for e in edges], pa.string()),
+            "pred_norm": pa.array([pred] * len(edges), pa.string()),
+            "obj_norm": pa.array([e[1] for e in edges], pa.string()),
+        })
+
+    def test_shortcut_flagged(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import transitive_reduction
+        # chain a->b->c with shortcut a->c; unrelated d->e; self-loop f->f
+        t = self._triples([("a", "b"), ("b", "c"), ("a", "c"),
+                           ("d", "e"), ("f", "f")])
+        got = {(r["child"], r["parent"]): r["redundant"]
+               for r in transitive_reduction(
+                   rd.from_arrow(t).repartition(3)).take_all()}
+        assert got == {("a", "b"): False, ("b", "c"): False,
+                       ("a", "c"): True, ("d", "e"): False}
+
+    def test_flat_taxonomy_all_false(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import transitive_reduction
+        t = self._triples([("a", "p"), ("b", "p"), ("c", "q")])
+        got = {(r["child"], r["parent"]): r["redundant"]
+               for r in transitive_reduction(rd.from_arrow(t)).take_all()}
+        assert got == {("a", "p"): False, ("b", "p"): False,
+                       ("c", "q"): False}
+
+    def test_non_subclass_preds_ignored(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import transitive_reduction
+        t = self._triples([("a", "b"), ("b", "c"), ("a", "c")],
+                          pred="relatedto")
+        assert transitive_reduction(rd.from_arrow(t)).take_all() == []
+
+
+class TestHostRank:
+    def _pages(self) -> pa.Table:
+        rows = [
+            ("https://a.example.org/p1",
+             "see [x](https://hub.example/t) and [rel](img/pic.png)"),
+            ("https://b.example.org/p2",
+             "[y](https://hub.example/u) plus [z](http://a.example.org/q)"),
+            ("https://hub.example/front", "[home](/) no external links"),
+            ("nohost-url", "[x](https://hub.example/t)"),
+        ]
+        return pa.table({"url": pa.array([r[0] for r in rows], pa.string()),
+                         "text": pa.array([r[1] for r in rows], pa.string())})
+
+    def test_edges_and_sql_parity(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.weblinks import host_edges, sql_host_edges
+        got = sorted((r["src"], r["dst"]) for r in
+                     host_edges(rd.from_arrow(self._pages())
+                                .repartition(2)).take_all())
+        # relative links resolve on-host (self-link, dropped); hostless
+        # page urls dropped
+        assert got == [("a.example.org", "hub.example"),
+                       ("b.example.org", "a.example.org"),
+                       ("b.example.org", "hub.example")]
+        con = duckdb.connect()
+        con.register("p", self._pages())
+        sql = "WITH " + sql_host_edges("SELECT url, text FROM p") + \
+              " SELECT src, dst FROM trip ORDER BY 1, 2"
+        assert got == con.execute(sql).fetchall()
+
+    def test_hub_outranks_leaves(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.weblinks import host_edges
+        from ontoray.stages.analytics import pagerank
+        ranks = {r["name"]: r["rank"] for r in pagerank(
+            host_edges(rd.from_arrow(self._pages()))).to_pylist()}
+        assert ranks["hub.example"] > ranks["a.example.org"]
+        assert ranks["a.example.org"] > ranks["b.example.org"]
