@@ -1,0 +1,153 @@
+"""Dominant principal direction of the embeddings table via fixed-point
+power iteration — distributed iterative linear algebra as a Ray Data
+pipeline, hash-checkable against an unrolled-CTE DuckDB mirror.
+
+What it computes: the top right-singular direction of the (uncentered)
+vector matrix X — power iteration on the Gram matrix, v ← Xᵀ(Xv), with
+max-abs integer normalization per round (the HITS contract — no float
+norm) — and every vector's projection onto it.  The training-data use is
+1-D embedding triage: sorting/bucketing a corpus along its dominant
+semantic axis (the cheap precursor to PCA whitening), plus outlier scans
+at the projection tails.
+
+Exact-arithmetic contract (mirrored by ``sql_embed_pca1``): vectors
+quantize once to int64 (floor(x·10⁶ + 0.5), the k-means contract);
+per row d = Σⱼ qxⱼ·vⱼ, s = ⌊d/10⁶⌋, per-element contribution
+c = ⌊qx·s/10⁶⌋ — all floor divisions; partials sum per position; the
+round ends with v' = ⌊w·10⁶ / max|w|⌋ (computed in Python bigint on the
+dim-bounded fold — exact at any magnitude).  Every step is an integer
+sum of per-row integers, so the result is bit-identical under any
+partitioning AND equal to the SQL mirror's HUGEINT evaluation.
+
+Scale shape per round: ONE streaming pass over the materialized corpus
+with the dim-vector broadcast (ray.put), emitting ONE (pos, partial) row
+per position per block, then a dim-bounded exchange.  Overflow headroom:
+per-row |c| ≤ 10⁶·max|s| with |s| ≤ dim·10⁶, so a 10⁹-row corpus of
+unit-norm embeddings sums to ~10¹⁵ — int64-safe; adversarial max-norm
+inputs at extreme row counts would move the partial column to a
+per-block driver fold (Python bigint), the same escape hatch the
+normalization already uses.
+
+Reference basis: the reference projects concept embeddings to 2-D with
+sklearn PCA for its ontology scatter views (reference
+src/schema_ontology_visualizer.py:301-319); this is the at-scale
+distributed equivalent of its first component, deterministic instead of
+LAPACK-dependent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ontoray.extras.kmeans import _quantize
+
+PCA_SCALE = 10**6
+
+
+def pca1_power(ds, rounds: int = 3, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """(vec_id, proj): projection of every vector onto the dominant
+    direction after ``rounds`` power-iteration rounds from the all-ones
+    start vector."""
+    import ray
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.util import column_lists
+
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    first = ds.take(1)
+    if not first:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "proj": pa.array([], pa.int64())})
+    dim = len(first[0][vec_col])
+    v = np.full(dim, PCA_SCALE, np.int64)
+
+    for _ in range(rounds):
+        bcast = ray.put(v)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"pos": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.int64())})
+            vv = ray.get(bcast)
+            q = _quantize(batch, vec_col)
+            d = q @ vv                       # |d| <= dim * 1e6 * 1e6
+            s = d // PCA_SCALE               # numpy floor division
+            c = (q * s[:, None]) // PCA_SCALE
+            w = c.sum(axis=0)
+            return pa.table({"pos": pa.array(range(dim), pa.int64()),
+                             "w": pa.array(w, pa.int64())})
+
+        rows = column_lists(
+            hash_aggregate(ds.map_batches(partials, batch_format="pyarrow"),
+                           ["pos"], partial_aggs=[("w", "sum")],
+                           aggs=[("w_sum", "sum")], rename={"w_sum_sum": "w"}),
+            ["pos", "w"])
+        got = dict(zip(rows["pos"], rows["w"]))
+        wl = [int(got.get(j, 0)) for j in range(dim)]
+        mx = max(abs(x) for x in wl)
+        if mx:  # all-zero fold keeps the previous direction (mirrored)
+            v = np.array([(x * PCA_SCALE) // mx for x in wl], np.int64)
+
+    bv = ray.put(v)
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "proj": pa.array([], pa.int64())})
+        vv = ray.get(bv)
+        q = _quantize(batch, vec_col)
+        d = q @ vv
+        return pa.table({"vec_id": batch.column(id_col),
+                         "proj": pa.array(d // PCA_SCALE, pa.int64())})
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _sql_floordiv(x: str, y: str) -> str:
+    """Floor (not truncating) integer division — DuckDB ``//`` truncates
+    toward zero; numpy/Python floor."""
+    return (f"({x}) // ({y}) - CASE WHEN ({x}) % ({y}) <> 0 "
+            f"AND ({x}) < 0 THEN 1 ELSE 0 END")
+
+
+def sql_embed_pca1(rounds: int = 3, table: str = "embeddings") -> str:
+    """DuckDB mirror of ``pca1_power``: the identical recurrence unrolled
+    as chained MATERIALIZED CTEs (q is read in every round), HUGEINT only
+    where the normalization product needs it."""
+    S = PCA_SCALE
+    ctes = [
+        f"q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {S} + 0.5) AS BIGINT)) "
+        f"AS qv FROM {table})",
+        f"pv0 AS (SELECT t.pos, CAST({S} AS BIGINT) AS v "
+        f"FROM (SELECT len(qv) AS L FROM q LIMIT 1) l, "
+        f"unnest(generate_series(1, l.L)) AS t(pos))",
+    ]
+    for r in range(1, rounds + 1):
+        cs = f"q.qv[t.pos] * s.s"
+        nrm = f"CAST(w.w AS HUGEINT) * {S}"
+        ctes += [
+            f"pd{r} AS MATERIALIZED (SELECT q.vec_id, "
+            f"sum(q.qv[v.pos] * v.v) AS d FROM q, pv{r-1} v "
+            f"GROUP BY q.vec_id)",
+            f"ps{r} AS MATERIALIZED (SELECT vec_id, "
+            f"{_sql_floordiv('d', str(S))} AS s FROM pd{r})",
+            f"pw{r} AS MATERIALIZED (SELECT t.pos, "
+            f"sum({_sql_floordiv(cs, str(S))}) AS w "
+            f"FROM q JOIN ps{r} s USING (vec_id), "
+            f"unnest(generate_series(1, len(q.qv))) AS t(pos) "
+            f"GROUP BY t.pos)",
+            f"pm{r} AS (SELECT max(abs(w)) AS mx FROM pw{r})",
+            f"pv{r} AS MATERIALIZED (SELECT w.pos, "
+            f"CASE WHEN m.mx = 0 THEN vv.v ELSE "
+            f"CAST({_sql_floordiv(nrm, 'm.mx')} AS BIGINT) END AS v "
+            f"FROM pw{r} w CROSS JOIN pm{r} m "
+            f"JOIN pv{r-1} vv ON vv.pos = w.pos)",
+        ]
+    return ("WITH " + ", ".join(ctes) +
+            f", pdf AS (SELECT q.vec_id, sum(q.qv[v.pos] * v.v) AS d "
+            f"FROM q, pv{rounds} v GROUP BY q.vec_id) "
+            f"SELECT vec_id, CAST({_sql_floordiv('d', str(S))} AS BIGINT) "
+            f"AS proj FROM pdf")

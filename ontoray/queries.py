@@ -519,6 +519,25 @@ def sql_lm_bigrams() -> str:
     return sql_bigram_counts(min_count=3)
 
 
+# --- top principal direction (power iteration) -------------------------------
+
+def q_embed_pca1(sf_dir: str):
+    """Projection of every embedding onto the corpus's dominant principal
+    direction — fixed-point power iteration (3 rounds, max-abs integer
+    normalization), hash-checked against the unrolled-CTE mirror.  Plan in
+    extras/pca.pca1_power."""
+    import ray.data as rd
+
+    from ontoray.extras.pca import pca1_power
+    return pca1_power(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                      columns=["vec_id", "embedding"]))
+
+
+def sql_embed_pca1() -> str:
+    from ontoray.extras.pca import sql_embed_pca1 as _s
+    return _s()
+
+
 # --- k-means over the embeddings table ---------------------------------------
 
 def q_embed_kmeans(sf_dir: str):

@@ -1390,3 +1390,49 @@ class TestHostRank:
             host_edges(rd.from_arrow(self._pages()))).to_pylist()}
         assert ranks["hub.example"] > ranks["a.example.org"]
         assert ranks["a.example.org"] > ranks["b.example.org"]
+
+
+class TestPCA1:
+    def _embeds(self, n=60, seed=7) -> pa.Table:
+        # dominant axis e0 with +-2 amplitude, small noise on e1..e3
+        rng = np.random.default_rng(seed)
+        amp = rng.uniform(-2, 2, n)
+        vecs = np.zeros((n, 4))
+        vecs[:, 0] = amp
+        vecs[:, 1:] = rng.normal(0, 0.05, (n, 3))
+        return pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+
+    def test_dominant_direction_and_sql_parity(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.pca import pca1_power, sql_embed_pca1
+        tbl = self._embeds()
+        got = {r["vec_id"]: r["proj"] for r in pca1_power(
+            rd.from_arrow(tbl).repartition(4)).take_all()}
+        # projections must rank by the dominant coordinate (up to sign)
+        amp = np.array(tbl.column("embedding").to_pylist())[:, 0]
+        proj = np.array([got[i] for i in range(len(amp))], dtype=np.float64)
+        corr = np.corrcoef(amp, proj)[0, 1]
+        assert abs(corr) > 0.999
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        want = dict(con.execute(sql_embed_pca1()).fetchall())
+        assert got == want
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.pca import pca1_power
+        tbl = self._embeds(n=30, seed=11)
+        a = sorted(pca1_power(rd.from_arrow(tbl).repartition(1)).take_all(),
+                   key=lambda r: r["vec_id"])
+        b = sorted(pca1_power(rd.from_arrow(tbl).repartition(7)).take_all(),
+                   key=lambda r: r["vec_id"])
+        assert a == b
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.pca import pca1_power
+        tbl = self._embeds(n=0)
+        assert pca1_power(rd.from_arrow(tbl)).to_pylist() == []
