@@ -609,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "web_host_rank": Q.q_web_host_rank,
         "embed_pca1": Q.q_embed_pca1,
+        "embed_outliers": Q.q_embed_outliers,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -714,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": Q.sql_kg_kcore(),
         "web_host_rank": Q.sql_web_host_rank(),
         "embed_pca1": Q.sql_embed_pca1(),
+        "embed_outliers": Q.sql_embed_outliers(),
         "kg_triangles": Q.SQL_KG_TRIANGLES,
         "hll_tokens_by_source": Q.sql_hll_tokens_by_source(),
         "cms_heavy_tokens": Q.sql_cms_heavy_tokens(),

@@ -137,6 +137,55 @@ def kmeans_fixed(ds, k: int = 8, iters: int = 3, seed: int = 42,
     return out
 
 
+def kmeans_outliers(ds, k: int = 8, iters: int = 3, seed: int = 42,
+                    topn: int = 25, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> pa.Table:
+    """Global top-``topn`` embedding outliers by exact integer squared
+    distance to their own (final) k-means centroid — the distance-based
+    quality scan a curation pass runs before training (garbage vectors,
+    mojibake embeddings, wrong-modality rows all surface at the tail).
+
+    Output (vec_id, cluster, d2), ordered by (d2 DESC, vec_id).  Exactness:
+    distances are int64 on quantized vectors against the same final
+    centroids the assignment used, so the mirror (``sql_kmeans_outliers``)
+    reproduces rows AND order bit-for-bit.
+
+    Scale shape: the k-means rounds are ``kmeans_fixed``; the scan is ONE
+    extra streaming pass with the k×dim centroid broadcast, keeping a
+    per-block top-``topn`` (the ann local-top-k + tiny-global-merge
+    pattern) — the driver merges blocks × topn candidate rows only."""
+    import ray
+
+    _, cents, dsq = kmeans_fixed(ds, k, iters, seed, id_col, vec_col,
+                                 return_centroids=True)
+    bcast = ray.put(cents)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        C = ray.get(bcast)
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        q = _quantize(batch, vec_col)
+        d2 = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        dmin = d2[np.arange(len(cl)), cl]
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, -dmin))[:topn]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "cluster": pa.array(cl[order], pa.int64()),
+                         "d2": pa.array(dmin[order], pa.int64())})
+
+    cand = sorted(
+        ((r["d2"], r["vec_id"], r["cluster"]) for r in
+         dsq.map_batches(local_top, batch_format="pyarrow").take_all()),
+        key=lambda t: (-t[0], t[1]))[:topn]
+    return pa.table({
+        "vec_id": pa.array([c[1] for c in cand], pa.int64()),
+        "cluster": pa.array([c[2] for c in cand], pa.int64()),
+        "d2": pa.array([c[0] for c in cand], pa.int64())})
+
+
 def sql_kmeans_ctes(k: int = 8, iters: int = 3, seed: int = 42,
                     table: str = "embeddings") -> tuple[list[str], str]:
     """The unrolled k-means CTE list and the name of the final-assignment
@@ -183,3 +232,21 @@ def sql_kmeans(k: int = 8, iters: int = 3, seed: int = 42,
     means, lowest-cluster tie-break — unrolled over ``iters`` rounds."""
     ctes, final = sql_kmeans_ctes(k, iters, seed, table)
     return "WITH " + ", ".join(ctes) + f" SELECT vec_id, cl AS cluster FROM {final}"
+
+
+def sql_kmeans_outliers(k: int = 8, iters: int = 3, seed: int = 42,
+                        topn: int = 25, table: str = "embeddings") -> str:
+    """DuckDB mirror of ``kmeans_outliers``: the kmeans CTE chain plus one
+    distance scan against the final centroids (c{iters-1}) with the
+    identical (d2 DESC, vec_id) order."""
+    ctes, _final = sql_kmeans_ctes(k, iters, seed, table)
+    d2 = ("list_sum(list_transform(list_zip(q.qv, c.qv), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+    return (
+        "WITH " + ", ".join(ctes) +
+        f", od AS (SELECT vec_id, cl, d2 FROM ("
+        f"SELECT q.vec_id, c.cl, {d2} AS d2, row_number() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {d2}, c.cl) AS rn "
+        f"FROM q CROSS JOIN c{iters-1} c) WHERE rn = 1) "
+        f"SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS d2 FROM od "
+        f"ORDER BY d2 DESC, vec_id LIMIT {topn}")

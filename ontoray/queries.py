@@ -538,6 +538,25 @@ def sql_embed_pca1() -> str:
     return _s()
 
 
+# --- embedding outlier scan ---------------------------------------------------
+
+def q_embed_outliers(sf_dir: str):
+    """Top-25 embedding outliers by exact integer distance to their final
+    k-means centroid — the pre-training garbage-vector scan.  Plan in
+    extras/kmeans.kmeans_outliers (one extra broadcast-centroid pass +
+    local-top-k merge on top of kmeans_fixed)."""
+    import ray.data as rd
+
+    from ontoray.extras.kmeans import kmeans_outliers
+    return kmeans_outliers(rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
+
+
+def sql_embed_outliers() -> str:
+    from ontoray.extras.kmeans import sql_kmeans_outliers
+    return sql_kmeans_outliers()
+
+
 # --- k-means over the embeddings table ---------------------------------------
 
 def q_embed_kmeans(sf_dir: str):

@@ -1436,3 +1436,45 @@ class TestPCA1:
         from ontoray.extras.pca import pca1_power
         tbl = self._embeds(n=0)
         assert pca1_power(rd.from_arrow(tbl)).to_pylist() == []
+
+
+class TestKMeansOutliers:
+    def test_planted_outlier_found_and_sql_parity(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.kmeans import kmeans_outliers, sql_kmeans_outliers
+        rng = np.random.default_rng(3)
+        vecs = np.concatenate([rng.normal(0, 0.1, (20, 4)),
+                               rng.normal(1, 0.1, (20, 4))])
+        # k=2 keeps both centroids pinned to the blobs, so the planted
+        # point scores by distance to its blob's centroid (with k large
+        # enough to isolate it, a singleton cluster gives d2 ~ 0 — correct
+        # for this operator, wrong for this fixture).
+        vecs[7] = [9.0, -9.0, 9.0, -9.0]          # planted garbage vector
+        tbl = pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+        got = kmeans_outliers(rd.from_arrow(tbl).repartition(4), k=2,
+                              topn=5).to_pylist()
+        assert got[0]["vec_id"] == 7                # worst outlier leads
+        assert got[0]["d2"] > got[1]["d2"]
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        want = [{"vec_id": v, "cluster": c, "d2": d} for v, c, d in
+                con.execute(sql_kmeans_outliers(k=2, topn=5)).fetchall()]
+        assert got == want
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.kmeans import kmeans_outliers
+        rng = np.random.default_rng(5)
+        tbl = pa.table({
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in rng.normal(0, 1, (30, 3))],
+                pa.list_(pa.float32()))})
+        a = kmeans_outliers(rd.from_arrow(tbl).repartition(1), k=3,
+                            topn=7).to_pylist()
+        b = kmeans_outliers(rd.from_arrow(tbl).repartition(6), k=3,
+                            topn=7).to_pylist()
+        assert a == b
