@@ -598,6 +598,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_gini": Q.q_orders_gini,
         "events_winsorized": Q.q_events_winsorized,
         "docs_sample_k": Q.q_docs_sample_k,
+        # ---- session-4 additions (locally gate-green, never driver-checked) ----
+        "embed_knn": Q.q_embed_knn,
+        "text_rake": Q.q_text_rake,
+        "lm_renyi2": Q.q_lm_renyi2,
+        "events_attribution": Q.q_events_attribution,
+        "orders_share": Q.q_orders_share,
         "events_mad": Q.q_events_mad,
         "kg_communities": _q_kg_communities,
         "events_markov": Q.q_events_markov,
@@ -802,4 +808,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_winnow": Q.sql_docs_winnow(),
         "embed_semdedup": __import__("ontoray.extras.semdedup", fromlist=["sql_semdedup"]).sql_semdedup(),
         "host_stats": Q.sql_host_stats(),
+        "embed_knn": Q.sql_embed_knn(),
+        "text_rake": Q.sql_text_rake(),
+        "lm_renyi2": Q.sql_lm_renyi2(),
+        "events_attribution": Q.sql_events_attribution(),
+        "orders_share": Q.SQL_ORDERS_SHARE,
     }

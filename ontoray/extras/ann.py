@@ -452,3 +452,109 @@ def sql_lsh_topk(dim: int, k: int = 10, n_planes: int = 8, seed: int = 11,
     FROM b WHERE bucket IN ({blist})
     ORDER BY cosine DESC, vec_id LIMIT {k}
     """
+
+
+# --- exact k-NN graph over an embedding set ------------------------------------
+
+class _KnnGraphBatch:
+    """Per-batch exact cosine k-NN against the broadcast embedding matrix.
+
+    Actor-pool state: the (ids, matrix, norms) triple is ``ray.get`` once per
+    actor in ``__init__`` (T1-style), every ``__call__`` is one float64
+    matmul.  Ranking comparator matches the SQL mirror exactly: round cosine
+    to 6 decimals FIRST, then (-cosine, nbr_id); self-pairs are excluded by
+    id, not by score.  Boundary ties are resolved exactly: argpartition
+    proposes the cut, every row with the cut value joins the candidate set,
+    and the final lexsort picks the k winners under the mirror's comparator.
+    """
+
+    def __init__(self, mat_ref, k: int):
+        ids, mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        self.all_ids = ids                       # (N,) int64
+        self.mt = mat.T                          # (dim, N) float64
+        self.mn = np.linalg.norm(mat, axis=1)
+        self.mn[self.mn == 0] = 1.0
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "nbr_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = 1.0
+        # Norm division AFTER the dot, same op order as list_cosine_similarity.
+        sims = np.round((vecs @ self.mt) / (vn[:, None] * self.mn[None, :]), 6)
+        out_v, out_n, out_c = [], [], []
+        for i in range(len(ids)):
+            r = sims[i]
+            valid = self.all_ids != ids[i]           # exclude self by id
+            cand_idx = np.flatnonzero(valid)
+            k = min(self.k, len(cand_idx))
+            if k == 0:
+                continue
+            rv = r[cand_idx]
+            # cheap cut, then widen to ALL holders of the cut value
+            part = np.argpartition(-rv, k - 1)[:k]
+            cut = rv[part].min()
+            cset = cand_idx[rv >= cut]
+            order = np.lexsort((self.all_ids[cset], -r[cset]))[:k]
+            sel = cset[order]
+            out_v.extend([ids[i]] * k)
+            out_n.extend(self.all_ids[sel])
+            out_c.extend(r[sel])
+        return pa.table({"vec_id": pa.array(out_v, pa.int64()),
+                         "nbr_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+
+def knn_graph(ds, k: int = 5, concurrency: int = 4):
+    """Exact cosine k-NN graph: every vector's top-k neighbors (self
+    excluded) — the similarity-graph build behind SemDeDup-style clustering,
+    label propagation over embeddings, and kNN-classifier features.
+
+    Scale shape: the embedding set is broadcast ONCE (``ray.put``) and every
+    batch scores against it with a single matmul — streaming over the left
+    side, no pairwise shuffle.  The broadcast side is the whole vector set,
+    so this exact variant serves VOCABULARY-BOUNDED embedding sets (cluster
+    representatives, entity vocab, rerank pools — up to ~10^6 x 10^2 floats
+    per worker heap); the corpus-scale path is the banded/bucketed family
+    (``ivf_topk`` partition pruning, ``embed_neardup`` sign-LSH bands) which
+    trades exactness for a bounded candidate set."""
+    tables = ray.get(ds.select_columns(["vec_id", "embedding"]).to_arrow_refs())
+    t = pa.concat_tables([tb for tb in tables if tb.num_rows],
+                         promote_options="permissive")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t.column("embedding").combine_chunks()
+    lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    if len(lens) and (lens == lens[0]).all():    # rectangular: zero-copy path
+        mat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(len(ids), int(lens[0]))
+    else:
+        mat = np.array(col.to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    mat_ref = ray.put((ids[order], mat[order]))
+    return ds.map_batches(_KnnGraphBatch, fn_constructor_args=(mat_ref, k),
+                          batch_format="pyarrow", concurrency=(1, concurrency))
+
+
+def sql_knn_graph(k: int = 5, table: str = "embeddings") -> str:
+    """DuckDB mirror of ``knn_graph``: self cross join + per-source
+    row_number under the identical (round-6 cosine DESC, nbr_id) comparator."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+    ), s AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT vec_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, nbr_id) AS rn
+      FROM s
+    )
+    SELECT vec_id, nbr_id, cosine FROM r WHERE rn <= {k}
+    """

@@ -1856,3 +1856,92 @@ def sql_sample_k(k: int = 100, table: str = "documents",
                  id_col: str = "doc_id", salt: str = "ksample") -> str:
     return (f"SELECT {id_col}, md5('{salt}:' || {id_col}) AS rank_hex "
             f"FROM {table} ORDER BY rank_hex, {id_col} LIMIT {k}")
+
+
+# --- Rényi-2 (collision) concentration per source --------------------------------
+
+def renyi2_by_source(ds, id_col: str = "doc_id", text_col: str = "text",
+                     src_col: str = "source"):
+    """Per-source token-distribution concentration: n_tokens (T), n_distinct
+    (V), sum of squared token counts (S = sum c_w^2) and the EXACT integer
+    collision probability ppb = (S * 10^9) // T^2 — the Renyi-2 entropy's
+    argument with the monotone -log dropped (the repo's standard integer
+    surrogate: same ordering, no float).  High collision ppb = repetitive /
+    low-diversity source; the corpus-mix diagnostic next to tfidf/lm_bigrams.
+
+    Scale shape: round 1 reduces rows to (source, token) counts (per-batch
+    combiner + one vocabulary-bounded exchange); round 2 folds per-source
+    moments from those counts (second tiny exchange).  The ppb division runs
+    driver-side-free in a map_batches over the ~|sources| rows with Python
+    bigints (T^2 overflows int64 at web scale; SQL mirrors with HUGEINT)."""
+    from ontoray.stages.agg import hash_aggregate
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        srcs, toks = [], []
+        for s, t in zip(batch.column(src_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            ws = TOKEN_RE.findall(t or "")
+            toks.extend(ws)
+            srcs.extend([s] * len(ws))
+        tbl = pa.table({src_col: pa.array(srcs, pa.string()),
+                        "token": pa.array(toks, pa.string())})
+        g = tbl.append_column("c", pa.array([1] * len(toks), pa.int64())) \
+               .group_by([src_col, "token"]).aggregate([("c", "sum")])
+        return g.rename_columns([src_col, "token", "c"])
+
+    counts = hash_aggregate(
+        ds.select_columns([src_col, text_col]).map_batches(
+            tok_partial, batch_format="pyarrow"),
+        [src_col, "token"], aggs=[("c", "sum")], rename={"c_sum": "c"})
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        tbl = pa.table({src_col: batch.column(src_col),
+                        "t": pa.array(c, pa.int64()),
+                        "sq": pa.array(c * c, pa.int64()),
+                        "v": pa.array(np.ones(len(c), dtype=np.int64))})
+        g = tbl.group_by([src_col]).aggregate(
+            [("t", "sum"), ("sq", "sum"), ("v", "sum")])
+        return g.rename_columns([src_col, "t", "sq", "v"])
+
+    moments = hash_aggregate(
+        counts.map_batches(moment_partial, batch_format="pyarrow"),
+        [src_col], aggs=[("t", "sum"), ("sq", "sum"), ("v", "sum")],
+        rename={"t_sum": "n_tokens", "sq_sum": "sum_sq", "v_sum": "n_distinct"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = batch.column("n_tokens").to_pylist()
+        ss = batch.column("sum_sq").to_pylist()
+        ppb = [(s * 10**9) // (t * t) if t else 0 for s, t in zip(ss, ts)]
+        return pa.table({
+            src_col: batch.column(src_col),
+            "n_tokens": batch.column("n_tokens"),
+            "n_distinct": batch.column("n_distinct"),
+            "sum_sq": batch.column("sum_sq"),
+            "collision_ppb": pa.array(ppb, pa.int64()),
+        })
+
+    return moments.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_renyi2_by_source(table: str = "documents", text_col: str = "text",
+                         src_col: str = "source") -> str:
+    return f"""
+    WITH tok AS (
+      SELECT {src_col},
+             unnest(regexp_extract_all(coalesce({text_col}, ''), '[a-z0-9]+')) AS w
+      FROM {table}
+    ), c AS (
+      SELECT {src_col}, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY {src_col}, w
+    )
+    SELECT {src_col},
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c * c) AS BIGINT) AS sum_sq,
+           CAST((CAST(sum(c * c) AS HUGEINT) * 1000000000)
+                // (CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT))
+                AS BIGINT) AS collision_ppb
+    FROM c GROUP BY {src_col}
+    """

@@ -2830,3 +2830,144 @@ def _sql_hits(rounds: int = 2) -> str:
 
 
 SQL_KG_HITS = f"{_sql_triples_norm_ctes()}, {_sql_hits(2)}"
+
+
+# --- late-r3 session-4 additions -------------------------------------------------
+
+def q_embed_knn(sf_dir: str, k: int = 5):
+    """Exact cosine k-NN graph over the embeddings table (self excluded):
+    broadcast matrix + one matmul per batch; scale contract in knn_graph."""
+    import ray.data as rd
+    from ontoray.extras.ann import knn_graph
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=k)
+
+
+def sql_embed_knn(k: int = 5) -> str:
+    from ontoray.extras.ann import sql_knn_graph
+    return sql_knn_graph(k=k)
+
+
+def q_text_rake(sf_dir: str, min_freq: int = 3):
+    """RAKE keyword scores (deg/freq over stopword-delimited phrases) with
+    the exact integer score_micro contract."""
+    import ray.data as rd
+    from ontoray.extras.rake import rake_words
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return rake_words(ds, min_freq=min_freq)
+
+
+def sql_text_rake(min_freq: int = 3) -> str:
+    from ontoray.extras.rake import sql_rake_words
+    return sql_rake_words(min_freq=min_freq)
+
+
+def q_lm_renyi2(sf_dir: str):
+    """Per-source collision concentration (Renyi-2 surrogate) — exact
+    integer ppb from two vocabulary-bounded exchanges."""
+    import ray.data as rd
+    from ontoray.extras.textstats import renyi2_by_source
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    return renyi2_by_source(ds)
+
+
+def sql_lm_renyi2() -> str:
+    from ontoray.extras.textstats import sql_renyi2_by_source
+    return sql_renyi2_by_source()
+
+
+def q_events_attribution(sf_dir: str):
+    """Last-touch attribution of purchase events (keyed exchange +
+    vectorized running-last per user)."""
+    import ray.data as rd
+    from ontoray.stages.events import last_touch_attribution
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    return last_touch_attribution(ds)
+
+
+def sql_events_attribution() -> str:
+    from ontoray.stages.events import sql_last_touch_attribution
+    return sql_last_touch_attribution()
+
+
+def q_orders_share(sf_dir: str):
+    """Revenue share per nation WITHIN its region: ratio-to-total as exact
+    integer ppm (share_ppm = 1e6 * nation_cents // region_cents).
+
+    Scale shape: ONE partitioned fact join (orders ⋈ customer) + broadcast
+    dimension maps (the q_orders_rollup spine); the share division runs on
+    the vocabulary-bounded (region × nation) aggregate."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"]).take_all()
+    rmap = {r["r_regionkey"]: r["r_name"] for r in region}
+    n_keys = np.array([r["n_nationkey"] for r in nation], dtype=np.int32)
+    n_names = np.array([r["n_name"] for r in nation], dtype=object)
+    r_names = np.array([rmap[r["n_regionkey"]] for r in nation], dtype=object)
+    side_ref = ray.put((n_keys, n_names, r_names))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j = hash_join(orders, cust, "o_custkey", "c_custkey", how="inner")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nk, nn, rn = ray.get(side_ref)
+        idx = pc.index_in(batch.column("c_nationkey"),
+                          value_set=pa.array(nk, pa.int32()))
+        pos = idx.to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("o_totalprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "r_name": pa.array(list(rn[pos]), pa.string()),
+            "n_name": pa.array(list(nn[pos]), pa.string()),
+            "price_c": cents,
+        })
+
+    lvl2 = hash_aggregate(
+        j.map_batches(derive, batch_format="pyarrow"), ["r_name", "n_name"],
+        partial_aggs=[("price_c", "sum")],
+        aggs=[("price_c_sum", "sum")],
+        rename={"price_c_sum_sum": "price_c"})
+
+    def share(g: pa.Table) -> pa.Table:
+        import numpy as np
+        c = g.column("price_c").to_numpy(zero_copy_only=False)
+        tot = int(c.sum())
+        return pa.table({
+            "r_name": g.column("r_name"),
+            "n_name": g.column("n_name"),
+            "revenue": pa.array(c / 100.0, pa.float64()),
+            "share_ppm": pa.array(c * 1_000_000 // tot if tot else c * 0,
+                                  pa.int64()),
+        })
+
+    return lvl2.groupby("r_name").map_groups(share, batch_format="pyarrow")
+
+
+SQL_ORDERS_SHARE = (
+    "WITH a AS (SELECT r_name, n_name, "
+    f"sum({_CENTS.format(x='o_totalprice')}) AS cents "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name, n_name) "
+    "SELECT r_name, n_name, CAST(cents AS BIGINT) / 100.0 AS revenue, "
+    "(CAST(cents AS BIGINT) * 1000000) "
+    "// CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm "
+    "FROM a")

@@ -774,3 +774,99 @@ SELECT p.from_state, p.to_state, p.n,
        CAST(1000000 * p.n // t.n_from AS BIGINT) AS p_micro
 FROM pairs p JOIN tot t USING (from_state)
 """
+
+
+def last_touch_attribution(events_ds, key: str = "user_id",
+                           conv_type: str = "purchase"):
+    """Last-touch attribution: every conversion event is credited to the
+    most recent STRICTLY-EARLIER non-conversion event of the same user
+    (order: ts, event_id — the grouped_lag comparator).  The classic
+    marketing/metrics join expressed without a self-join: one keyed
+    exchange, then a per-group vectorized running-last fold.
+
+    Scale shape: groupby(key) + per-group lexsort + np.maximum.accumulate
+    over the last-non-conversion index — no corpus self-join, no window
+    materialization.  Same one-user-fits-one-group contract as the other
+    keyed event ops.
+
+    Output: (event_id, user_id, attr_event_id, attr_type, gap_us) for every
+    conversion; attr_* NULL when no prior touch exists."""
+    import numpy as np
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_type": batch.column("event_type"),
+        })
+
+    def attribute(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        types = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((ids, ts))
+        ids, ts, types = ids[order], ts[order], types[order]
+        is_conv = types == conv_type
+        n = len(ids)
+        # running index of the last non-conversion event seen so far
+        idx = np.arange(n)
+        touch = np.where(~is_conv, idx, -1)
+        last_touch = np.maximum.accumulate(touch)
+        conv_pos = np.flatnonzero(is_conv)
+        if len(conv_pos) == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                key: pa.array([], g.column(key).type),
+                "attr_event_id": pa.array([], pa.int64()),
+                "attr_type": pa.array([], pa.string()),
+                "gap_us": pa.array([], pa.int64()),
+            })
+        # strictly earlier: at a conversion position i, last_touch[i] is the
+        # latest non-conversion at index <= i; it can never equal i (i is a
+        # conversion), so <= i means strictly earlier in the sort order.
+        att = last_touch[conv_pos]
+        has = att >= 0
+        attr_ids = np.where(has, ids[np.maximum(att, 0)], 0)
+        gaps = np.where(has, ts[conv_pos] - ts[np.maximum(att, 0)], 0)
+        attr_types = [types[a] if h else None for a, h in zip(att, has)]
+        return pa.table({
+            "event_id": pa.array(ids[conv_pos], pa.int64()),
+            key: pa.array([g.column(key)[0].as_py()] * len(conv_pos),
+                          g.column(key).type),
+            "attr_event_id": pa.array(attr_ids, pa.int64(), mask=~has),
+            "attr_type": pa.array(attr_types, pa.string()),
+            "gap_us": pa.array(gaps, pa.int64(), mask=~has),
+        })
+
+    from ontoray.stages.agg import default_coalesce
+    return (events_ds.select_columns([key, "event_id", "ts", "event_type"])
+            .map_batches(derive, batch_format="pyarrow")
+            .repartition(default_coalesce())
+            .groupby(key).map_groups(attribute, batch_format="pyarrow"))
+
+
+def sql_last_touch_attribution(key: str = "user_id",
+                               conv_type: str = "purchase") -> str:
+    """DuckDB mirror: IGNORE NULLS last_value over a 1-PRECEDING frame —
+    the window-function statement of the same running-last fold."""
+    return f"""
+    WITH o AS (
+      SELECT event_id, {key}, epoch_us(ts) AS ts_us, event_type,
+             last_value(CASE WHEN event_type <> '{conv_type}'
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS attr_event_id,
+             last_value(CASE WHEN event_type <> '{conv_type}'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS attr_type,
+             last_value(CASE WHEN event_type <> '{conv_type}'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS attr_ts_us
+      FROM events
+      WINDOW w AS (PARTITION BY {key} ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, {key}, attr_event_id, attr_type,
+           ts_us - attr_ts_us AS gap_us
+    FROM o WHERE event_type = '{conv_type}'
+    """

@@ -1,0 +1,177 @@
+"""Session-4 additions: k-NN graph, RAKE keywords, Renyi-2 concentration,
+last-touch attribution.  Each test checks semantics on a hand-built fixture
+AND bit-parity with the DuckDB mirror."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+
+class TestKnnGraph:
+    def _embeddings(self) -> pa.Table:
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((30, 6))
+        vecs[11] = 3.0 * vecs[4]          # exact scaled copy: cosine == 1
+        return pa.table({
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+
+    def test_semantics_and_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.ann import knn_graph, sql_knn_graph
+        tbl = self._embeddings()
+        k = 4
+        got = knn_graph(rd.from_arrow(tbl).repartition(3), k=k).take_all()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["vec_id"], []).append(r)
+        # every vector has exactly k neighbors, none of them itself
+        assert set(by_src) == set(range(30))
+        for v, rows in by_src.items():
+            assert len(rows) == k
+            assert all(r["nbr_id"] != v for r in rows)
+        # the exact scaled copy is vec 4's top neighbor at cosine 1.0
+        top11 = max(by_src[4], key=lambda r: (r["cosine"], -r["nbr_id"]))
+        assert top11["nbr_id"] == 11 and top11["cosine"] == 1.0
+        # mirror parity (order-insensitive row set)
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        sql_rows = con.execute(sql_knn_graph(k=k)).fetchall()
+        eng = {(r["vec_id"], r["nbr_id"], r["cosine"]) for r in got}
+        assert eng == set(sql_rows)
+
+    def test_boundary_tie_resolution(self, ray_session):
+        """Three identical neighbors at the k-cut: the lower nbr_id wins,
+        matching the mirror's (cosine DESC, nbr_id) comparator."""
+        import ray.data as rd
+        from ontoray.extras.ann import knn_graph, sql_knn_graph
+        base = [1.0, 0.0]
+        tbl = pa.table({
+            "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [base, base, base, base, [0.0, 1.0]],
+                pa.list_(pa.float32())),
+        })
+        got = knn_graph(rd.from_arrow(tbl), k=2).take_all()
+        mine = sorted((r["nbr_id"]) for r in got if r["vec_id"] == 0)
+        assert mine == [1, 2]             # ids 1,2,3 tie at cosine 1 -> 1,2 win
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        sql_rows = con.execute(sql_knn_graph(k=2)).fetchall()
+        assert {(r["vec_id"], r["nbr_id"], r["cosine"]) for r in got} \
+            == set(sql_rows)
+
+
+class TestRake:
+    def _docs(self) -> pa.Table:
+        rows = [
+            (0, "deep neural networks and the gradient descent of deep networks"),
+            (1, "gradient descent is a convex optimization method"),
+            (2, "the the the and of"),                     # all stopwords
+            (3, ""),                                       # empty
+            (4, "deep gradient networks"),                 # one 3-word phrase
+        ]
+        return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                         "text": pa.array([r[1] for r in rows], pa.string())})
+
+    def test_semantics_and_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.rake import rake_words, sql_rake_words
+        tbl = self._docs()
+        got = {r["token"]: r for r in rake_words(
+            rd.from_arrow(tbl).repartition(2), min_freq=2).take_all()}
+        # 'deep': occurrences in phrases of len 3 ("deep neural networks"),
+        # 2 ("deep networks"), 3 ("deep gradient networks") -> freq 3, deg 8
+        assert got["deep"]["freq"] == 3 and got["deep"]["deg"] == 8
+        assert got["deep"]["score_micro"] == 8 * 1_000_000 // 3
+        # stopword-only and empty docs contribute nothing; stopwords never
+        # appear as keywords
+        assert "the" not in got and "and" not in got and "of" not in got
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql_rows = con.execute(sql_rake_words(min_freq=2)).fetchall()
+        assert {(r["token"], r["freq"], r["deg"], r["score_micro"])
+                for r in got.values()} == set(sql_rows)
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.rake import rake_words
+        tbl = self._docs()
+        a = sorted((r["token"], r["freq"], r["deg"]) for r in rake_words(
+            rd.from_arrow(tbl).repartition(1), min_freq=1).take_all())
+        b = sorted((r["token"], r["freq"], r["deg"]) for r in rake_words(
+            rd.from_arrow(tbl).repartition(4), min_freq=1).take_all())
+        assert a == b
+
+
+class TestRenyi2:
+    def test_semantics_and_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.textstats import (renyi2_by_source,
+                                              sql_renyi2_by_source)
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a a b", "a b c d", ""], pa.string()),
+            "source": pa.array(["s1", "s1", "s2"], pa.string()),
+        })
+        got = {r["source"]: r for r in renyi2_by_source(
+            rd.from_arrow(tbl).repartition(2)).take_all()}
+        # s1: counts a=4, b=2, c=1, d=1 -> T=8, V=4, S=16+4+1+1=22
+        assert got["s1"]["n_tokens"] == 8
+        assert got["s1"]["n_distinct"] == 4
+        assert got["s1"]["sum_sq"] == 22
+        assert got["s1"]["collision_ppb"] == 22 * 10**9 // 64
+        assert "s2" not in got            # zero tokens -> no (source,token) rows
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql_rows = con.execute(sql_renyi2_by_source()).fetchall()
+        assert {(r["source"], r["n_tokens"], r["n_distinct"], r["sum_sq"],
+                 r["collision_ppb"]) for r in got.values()} == set(sql_rows)
+
+
+class TestAttribution:
+    def _events(self) -> pa.Table:
+        us = 1_000_000
+        rows = [
+            # user 1: view -> click -> purchase -> purchase (second purchase
+            # still attributes to the click: purchases are never touches)
+            (1, 10 * us, 1, "view"),
+            (2, 20 * us, 1, "click"),
+            (3, 30 * us, 1, "purchase"),
+            (4, 40 * us, 1, "purchase"),
+            # user 2: purchase with NO prior touch -> NULL attribution
+            (5, 10 * us, 2, "purchase"),
+            (6, 20 * us, 2, "view"),
+            # user 3: ts tie between touch and purchase -> event_id breaks it
+            (7, 50 * us, 3, "click"),
+            (8, 50 * us, 3, "purchase"),
+        ]
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        })
+
+    def test_semantics_and_mirror(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.events import (last_touch_attribution,
+                                           sql_last_touch_attribution)
+        tbl = self._events()
+        got = {r["event_id"]: r for r in last_touch_attribution(
+            rd.from_arrow(tbl).repartition(3)).take_all()}
+        assert set(got) == {3, 4, 5, 8}
+        assert got[3]["attr_event_id"] == 2 and got[3]["attr_type"] == "click"
+        assert got[3]["gap_us"] == 10_000_000
+        assert got[4]["attr_event_id"] == 2     # skips the earlier purchase
+        assert got[4]["gap_us"] == 20_000_000
+        assert got[5]["attr_event_id"] is None and got[5]["gap_us"] is None
+        assert got[8]["attr_event_id"] == 7 and got[8]["gap_us"] == 0
+        con = duckdb.connect()
+        con.register("events", tbl)
+        sql_rows = con.execute(sql_last_touch_attribution()).fetchall()
+        assert {(r["event_id"], r["user_id"], r["attr_event_id"],
+                 r["attr_type"], r["gap_us"]) for r in got.values()} \
+            == set(sql_rows)
