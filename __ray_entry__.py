@@ -604,6 +604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_renyi2": Q.q_lm_renyi2,
         "events_attribution": Q.q_events_attribution,
         "orders_share": Q.q_orders_share,
+        "embed_hardneg": Q.q_embed_hardneg,
+        "custs_rfm": Q.q_custs_rfm,
         "events_mad": Q.q_events_mad,
         "kg_communities": _q_kg_communities,
         "events_markov": Q.q_events_markov,
@@ -813,4 +815,6 @@ def oracle_sql() -> dict[str, str]:
         "lm_renyi2": Q.sql_lm_renyi2(),
         "events_attribution": Q.sql_events_attribution(),
         "orders_share": Q.SQL_ORDERS_SHARE,
+        "embed_hardneg": Q.sql_embed_hardneg(),
+        "custs_rfm": Q.SQL_CUSTS_RFM,
     }

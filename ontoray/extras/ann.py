@@ -558,3 +558,129 @@ def sql_knn_graph(k: int = 5, table: str = "embeddings") -> str:
     )
     SELECT vec_id, nbr_id, cosine FROM r WHERE rn <= {k}
     """
+
+
+# --- hard-negative / positive mining for contrastive training -------------------
+
+class _HardNegBatch:
+    """Per-batch miner against the broadcast (ids, labels, matrix): for every
+    anchor, the top same-label neighbor (positive) and top different-label
+    neighbor (hard negative) under the round-6 (-cosine, id) comparator.
+    Singleton labels yield NULL positives (mask-aware)."""
+
+    def __init__(self, ref):
+        ids, labels, mat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.all_ids = ids
+        self.labels = labels
+        self.mt = mat.T
+        self.mn = np.linalg.norm(mat, axis=1)
+        self.mn[self.mn == 0] = 1.0
+
+    @staticmethod
+    def _pick(r: np.ndarray, ids: np.ndarray, mask: np.ndarray):
+        """Best index under (cosine DESC, id ASC) within mask, or None."""
+        cand = np.flatnonzero(mask)
+        if len(cand) == 0:
+            return None
+        rv = r[cand]
+        best = rv.max()
+        holders = cand[rv == best]
+        return int(holders[np.argmin(ids[holders])])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        blabels = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+        if len(bids) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+                "pos_id": pa.array([], pa.int64()),
+                "pos_cos": pa.array([], pa.float64()),
+                "neg_id": pa.array([], pa.int64()),
+                "neg_cos": pa.array([], pa.float64()),
+            })
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = 1.0
+        sims = np.round((vecs @ self.mt) / (vn[:, None] * self.mn[None, :]), 6)
+        pos_id, pos_c, neg_id, neg_c = [], [], [], []
+        for i in range(len(bids)):
+            r = sims[i]
+            not_self = self.all_ids != bids[i]
+            same = (self.labels == blabels[i]) & not_self
+            diff = (self.labels != blabels[i]) & not_self
+            p = self._pick(r, self.all_ids, same)
+            n = self._pick(r, self.all_ids, diff)
+            pos_id.append(None if p is None else int(self.all_ids[p]))
+            pos_c.append(None if p is None else float(r[p]))
+            neg_id.append(None if n is None else int(self.all_ids[n]))
+            neg_c.append(None if n is None else float(r[n]))
+        return pa.table({
+            "vec_id": pa.array(bids, pa.int64()),
+            "label": pa.array(blabels, pa.int64()),
+            "pos_id": pa.array(pos_id, pa.int64()),
+            "pos_cos": pa.array(pos_c, pa.float64()),
+            "neg_id": pa.array(neg_id, pa.int64()),
+            "neg_cos": pa.array(neg_c, pa.float64()),
+        })
+
+
+def hard_negatives(ds, concurrency: int = 4):
+    """Contrastive-training pair mining over a labeled embedding set: every
+    anchor gets its nearest SAME-label neighbor (positive) and nearest
+    DIFFERENT-label neighbor (hard negative) by exact cosine — the batch
+    construction step for triplet/InfoNCE training-data pipelines.
+
+    Scale shape: same contract as ``knn_graph`` — one broadcast of the
+    labeled vector set, one matmul per batch, anchors stream.  The exact
+    variant serves vocabulary-bounded sets; at corpus scale mine within
+    IVF cells / LSH bands (the bounded-candidate family) instead."""
+    tables = ray.get(
+        ds.select_columns(["vec_id", "label", "embedding"]).to_arrow_refs())
+    t = pa.concat_tables([tb for tb in tables if tb.num_rows],
+                         promote_options="permissive")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t.column("embedding").combine_chunks()
+    lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    if len(lens) and (lens == lens[0]).all():
+        mat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                         dtype=np.float64).reshape(len(ids), int(lens[0]))
+    else:
+        mat = np.array(col.to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], labels[order], mat[order]))
+    return ds.map_batches(_HardNegBatch, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=(1, concurrency))
+
+
+def sql_hard_negatives(table: str = "embeddings") -> str:
+    """DuckDB mirror of ``hard_negatives``: cross join split by label
+    equality, row_number under the identical comparator, LEFT joins so
+    singleton labels keep NULL positives."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM {table}
+    ), s AS (
+      SELECT a.vec_id AS vec_id, a.label AS label,
+             b.vec_id AS o_id, b.label AS o_label,
+             round(list_cosine_similarity(a.v, b.v), 6) AS c
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ), p AS (
+      SELECT vec_id, o_id, c,
+             row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, o_id) AS rn
+      FROM s WHERE label = o_label
+    ), n AS (
+      SELECT vec_id, o_id, c,
+             row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, o_id) AS rn
+      FROM s WHERE label <> o_label
+    )
+    SELECT e.vec_id, e.label,
+           p.o_id AS pos_id, p.c AS pos_cos,
+           n.o_id AS neg_id, n.c AS neg_cos
+    FROM e
+    LEFT JOIN (SELECT * FROM p WHERE rn = 1) p ON e.vec_id = p.vec_id
+    LEFT JOIN (SELECT * FROM n WHERE rn = 1) n ON e.vec_id = n.vec_id
+    """

@@ -2971,3 +2971,123 @@ SQL_ORDERS_SHARE = (
     "(CAST(cents AS BIGINT) * 1000000) "
     "// CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm "
     "FROM a")
+
+
+def q_embed_hardneg(sf_dir: str):
+    """Contrastive pair mining: nearest same-label (positive) + nearest
+    different-label (hard negative) per anchor, exact cosine."""
+    import ray.data as rd
+    from ontoray.extras.ann import hard_negatives
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    return hard_negatives(ds)
+
+
+def sql_embed_hardneg() -> str:
+    from ontoray.extras.ann import sql_hard_negatives
+    return sql_hard_negatives()
+
+
+def q_custs_rfm(sf_dir: str):
+    """RFM segmentation: per customer (recency day, order frequency, money
+    cents) folded in ONE corpus exchange over orders, then three
+    ntile-by-VALUE quintile assignments (per-metric value histograms ->
+    cutpoints broadcast once -> vectorized searchsorted) and
+    rfm_code = 100*r + 10*f + m.  Higher bucket = more recent / more
+    frequent / higher spend.
+
+    Scale note: the money histogram's value vocabulary is distinct cents
+    (corpus-bounded but wide); quantize to coarser units upstream if the
+    histogram exchange ever dominates (same trade the quantile family
+    documents)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_quantile_buckets
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        day = pc.cast(batch.column("o_orderdate"), pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("o_totalprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "c_custkey": batch.column("o_custkey"),
+            "day": pc.divide(day, pa.scalar(86_400_000_000)),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "cents": cents,
+        })
+
+    base = hash_aggregate(
+        orders.map_batches(derive, batch_format="pyarrow"), ["c_custkey"],
+        partial_aggs=[("day", "max"), ("one", "sum"), ("cents", "sum")],
+        aggs=[("day_max", "max"), ("one_sum", "sum"), ("cents_sum", "sum")],
+        rename={"day_max_max": "last_day", "one_sum_sum": "n_orders",
+                "cents_sum_sum": "cents"})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "seg", pa.array(["all"] * batch.num_rows, pa.string()))
+
+    base = base.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def buckets(col: str, out: str):
+        b = grouped_quantile_buckets(base, "seg", col, "c_custkey", n_buckets=5)
+        return b.select_columns(["c_custkey", "bucket"]).map_batches(
+            lambda t, o=out: t.rename_columns(["c_custkey", o]),
+            batch_format="pyarrow")
+
+    r = buckets("last_day", "r_score")
+    f = buckets("n_orders", "f_score")
+    m = buckets("cents", "m_score")
+    j = hash_join(hash_join(r, f, "c_custkey", "c_custkey", how="inner",
+                            right_cols=["f_score"]),
+                  m, "c_custkey", "c_custkey", how="inner",
+                  right_cols=["m_score"])
+
+    def code(batch: pa.Table) -> pa.Table:
+        rr = batch.column("r_score").to_numpy(zero_copy_only=False)
+        ff = batch.column("f_score").to_numpy(zero_copy_only=False)
+        mm = batch.column("m_score").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "r_score": pa.array(rr, pa.int64()),
+            "f_score": pa.array(ff, pa.int64()),
+            "m_score": pa.array(mm, pa.int64()),
+            "rfm_code": pa.array(100 * rr + 10 * ff + mm, pa.int64()),
+        })
+
+    return j.map_batches(code, batch_format="pyarrow")
+
+
+SQL_CUSTS_RFM = (
+    "WITH base AS ("
+    "  SELECT o_custkey AS c_custkey,"
+    "         epoch_us(max(o_orderdate)) // 86400000000 AS last_day,"
+    "         CAST(count(*) AS BIGINT) AS n_orders,"
+    f"         CAST(sum({_CENTS.format(x='o_totalprice')}) AS BIGINT) AS cents"
+    "  FROM orders GROUP BY o_custkey), "
+    + " ".join(
+        f"{p}r AS (SELECT {col} AS v,"
+        f"  row_number() OVER (ORDER BY {col}) AS rn, count(*) OVER () AS n"
+        f"  FROM base),"
+        f" {p}c AS (SELECT q.i, min(v) AS cut FROM {p}r,"
+        f"  (SELECT unnest(range(1, 5)) AS i) q"
+        f"  WHERE rn = (n * q.i + 4) // 5 GROUP BY q.i),"
+        f" {p}b AS (SELECT b.c_custkey,"
+        f"  CAST(sum(CASE WHEN b.{col} > c.cut THEN 1 ELSE 0 END) AS BIGINT)"
+        f"    AS {out}"
+        f"  FROM base b CROSS JOIN {p}c c GROUP BY b.c_custkey),"
+        for p, col, out in [("r", "last_day", "r_score"),
+                            ("f", "n_orders", "f_score"),
+                            ("m", "cents", "m_score")]
+    ).rstrip(",")
+    + " SELECT rb.c_custkey, r_score, f_score, m_score,"
+    "  100 * r_score + 10 * f_score + m_score AS rfm_code"
+    " FROM rb JOIN fb ON rb.c_custkey = fb.c_custkey"
+    " JOIN mb ON rb.c_custkey = mb.c_custkey")

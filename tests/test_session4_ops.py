@@ -175,3 +175,70 @@ class TestAttribution:
         assert {(r["event_id"], r["user_id"], r["attr_event_id"],
                  r["attr_type"], r["gap_us"]) for r in got.values()} \
             == set(sql_rows)
+
+
+class TestHardNegatives:
+    def _embeddings(self) -> pa.Table:
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((20, 5))
+        vecs[7] = 2.0 * vecs[3]            # same-label scaled copy of 3
+        labels = [0, 0, 0, 1, 1, 1, 2, 1, 0, 0,
+                  1, 0, 1, 0, 1, 0, 1, 0, 1, 3]   # label 2 and 3: singletons
+        return pa.table({
+            "vec_id": pa.array(range(20), pa.int64()),
+            "label": pa.array(labels, pa.int32()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+
+    def test_semantics_and_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.ann import hard_negatives, sql_hard_negatives
+        tbl = self._embeddings()
+        got = {r["vec_id"]: r for r in hard_negatives(
+            rd.from_arrow(tbl).repartition(3)).take_all()}
+        assert set(got) == set(range(20))
+        # the scaled same-label copy is 3's positive at cosine 1.0
+        assert got[3]["pos_id"] == 7 and got[3]["pos_cos"] == 1.0
+        # singleton labels have no positive but DO have a negative
+        for v in (6, 19):
+            assert got[v]["pos_id"] is None and got[v]["pos_cos"] is None
+            assert got[v]["neg_id"] is not None
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        sql_rows = con.execute(sql_hard_negatives()).fetchall()
+        eng = {(r["vec_id"], r["label"], r["pos_id"], r["pos_cos"],
+                r["neg_id"], r["neg_cos"]) for r in got.values()}
+        assert eng == set(sql_rows)
+
+
+class TestCustsRfm:
+    def test_engine_vs_sql_on_fixture(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+        from ontoray.queries import SQL_CUSTS_RFM, q_custs_rfm
+        rng = np.random.default_rng(5)
+        n = 200
+        tbl = pa.table({
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "o_orderdate": pa.array(
+                (rng.integers(0, 3650, n) * 86_400_000_000
+                 + 900_000_000 * 1_000_000).tolist(), pa.timestamp("us")),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1, 5000, n), 2), pa.float64()),
+        })
+        pq.write_table(tbl, tmp_path / "orders.parquet")
+        got = {r["c_custkey"]: r for r in
+               q_custs_rfm(str(tmp_path)).take_all()}
+        con = duckdb.connect()
+        con.register("orders", tbl)
+        sql_rows = con.execute(SQL_CUSTS_RFM).fetchall()
+        assert len(sql_rows) == len(got)
+        for ck, r, f, m, code in sql_rows:
+            g = got[ck]
+            assert (g["r_score"], g["f_score"], g["m_score"],
+                    g["rfm_code"]) == (r, f, m, code)
+        # buckets span 0..4 with the top bucket inhabited
+        assert max(r["m_score"] for r in got.values()) == 4
