@@ -606,6 +606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_share": Q.q_orders_share,
         "embed_hardneg": Q.q_embed_hardneg,
         "custs_rfm": Q.q_custs_rfm,
+        "custs_returned": Q.q_custs_returned,
+        "orders_monthly_ma": Q.q_orders_monthly_ma,
+        "docs_topics": Q.q_docs_topics,
         "events_mad": Q.q_events_mad,
         "kg_communities": _q_kg_communities,
         "events_markov": Q.q_events_markov,
@@ -817,4 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_share": Q.SQL_ORDERS_SHARE,
         "embed_hardneg": Q.sql_embed_hardneg(),
         "custs_rfm": Q.SQL_CUSTS_RFM,
+        "custs_returned": Q.SQL_CUSTS_RETURNED,
+        "orders_monthly_ma": Q.SQL_ORDERS_MONTHLY_MA,
+        "docs_topics": Q.sql_docs_topics(),
     }

@@ -3091,3 +3091,143 @@ SQL_CUSTS_RFM = (
     "  100 * r_score + 10 * f_score + m_score AS rfm_code"
     " FROM rb JOIN fb ON rb.c_custkey = fb.c_custkey"
     " JOIN mb ON rb.c_custkey = mb.c_custkey")
+
+
+def q_custs_returned(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: returned-item revenue per customer, top-k.  The
+    l_returnflag predicate pushes into the parquet read (filtered row groups
+    never leave storage); lineitem ⋈ orders is the partitioned spine; the
+    per-customer aggregate is customer-scale, sorted distributed (A11
+    pattern) and cut at k; c_name attaches to the k survivors via a
+    key-filtered dimension read — the corpus never sees customer strings."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"],
+                         filter=pc.field("l_returnflag") == "R")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    spine = hash_join(li, orders, "l_orderkey", "o_orderkey", how="inner",
+                      right_cols=["o_custkey"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        rev_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"c_custkey": batch.column("o_custkey"),
+                         "rev_c": rev_c})
+
+    agg = hash_aggregate(
+        spine.map_batches(cents, batch_format="pyarrow"), ["c_custkey"],
+        partial_aggs=[("rev_c", "sum")],
+        aggs=[("rev_c_sum", "sum")], rename={"rev_c_sum_sum": "rev_c"})
+
+    top = agg.sort(["rev_c", "c_custkey"],
+                   descending=[True, False]).limit(k).take_all()
+    keys = [r["c_custkey"] for r in top]
+    names = {r["c_custkey"]: r["c_name"] for r in rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filter=pc.field("c_custkey").isin(keys)).take_all()}
+    return pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array([names[c] for c in keys], pa.string()),
+        "revenue": pa.array([r["rev_c"] / 100.0 for r in top], pa.float64()),
+    })
+
+
+SQL_CUSTS_RETURNED = (
+    "SELECT o_custkey AS c_custkey, c_name, "
+    f"sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) / 100.0 "
+    "AS revenue FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE l_returnflag = 'R' GROUP BY o_custkey, c_name "
+    f"ORDER BY sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) "
+    "DESC, o_custkey LIMIT 20")
+
+
+def q_orders_monthly_ma(sf_dir: str):
+    """Calendar-month order counts + 3-month trailing moving average (the
+    time-dimension rollup + trend smoothing pair).  ONE corpus exchange
+    folds (ym -> n, cents); the month vocabulary (~decades x 12 rows) then
+    sorts locally in a single group.  ma = window cents / window months in
+    ONE pinned float64 division, int sums underneath — hash-exact."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.cast(pc.year(batch.column("o_orderdate")),
+                                        pa.int64()), pa.scalar(100)),
+                    pc.cast(pc.month(batch.column("o_orderdate")), pa.int64()))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("o_totalprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"ym": ym,
+                         "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                         "cents": cents})
+
+    agg = hash_aggregate(
+        orders.map_batches(derive, batch_format="pyarrow"), ["ym"],
+        partial_aggs=[("one", "sum"), ("cents", "sum")],
+        aggs=[("one_sum", "sum"), ("cents_sum", "sum")],
+        rename={"one_sum_sum": "n_orders", "cents_sum_sum": "cents"})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array([0] * batch.num_rows, pa.int64()))
+
+    def window(g: pa.Table) -> pa.Table:
+        ym = g.column("ym").to_numpy(zero_copy_only=False)
+        n = g.column("n_orders").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        o = np.argsort(ym)
+        ym, n, c = ym[o], n[o], c[o]
+        csum = np.concatenate([[0], np.cumsum(c)])
+        win_c = csum[1:] - csum[np.maximum(np.arange(len(c)) - 2, 0)]
+        win_n = np.minimum(np.arange(len(c)) + 1, 3)
+        return pa.table({
+            "ym": pa.array(ym, pa.int64()),
+            "n_orders": pa.array(n, pa.int64()),
+            "revenue": pa.array(c / 100.0, pa.float64()),
+            "ma3_revenue": pa.array((win_c / win_n) / 100.0, pa.float64()),
+        })
+
+    return (agg.map_batches(tag, batch_format="pyarrow")
+            .groupby("__g").map_groups(window, batch_format="pyarrow"))
+
+
+SQL_ORDERS_MONTHLY_MA = (
+    "WITH m AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) "
+    "AS BIGINT) AS ym, CAST(count(*) AS BIGINT) AS n_orders, "
+    f"CAST(sum({_CENTS.format(x='o_totalprice')}) AS BIGINT) AS cents "
+    "FROM orders GROUP BY 1) "
+    "SELECT ym, n_orders, CAST(cents AS BIGINT) / 100.0 AS revenue, "
+    "(CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w) / 100.0 "
+    "AS ma3_revenue FROM m "
+    "WINDOW w AS (ORDER BY ym ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")
+
+
+def q_docs_topics(sf_dir: str):
+    """Hashed-BoW k-means topic clusters with per-cluster top terms."""
+    import ray.data as rd
+    from ontoray.extras.topics import docs_topics
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return docs_topics(ds)
+
+
+def sql_docs_topics() -> str:
+    from ontoray.extras.topics import sql_docs_topics
+    return sql_docs_topics()

@@ -242,3 +242,109 @@ class TestCustsRfm:
                     g["rfm_code"]) == (r, f, m, code)
         # buckets span 0..4 with the top bucket inhabited
         assert max(r["m_score"] for r in got.values()) == 4
+
+
+class TestCustsReturned:
+    def _tables(self):
+        rng = np.random.default_rng(9)
+        n_li, n_o, n_c = 400, 80, 25
+        lineitem = pa.table({
+            "l_orderkey": pa.array(rng.integers(0, n_o, n_li), pa.int64()),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(10, 900, n_li), 2), pa.float64()),
+            "l_discount": pa.array(
+                np.round(rng.uniform(0, 0.1, n_li), 2), pa.float64()),
+            "l_returnflag": pa.array(
+                [("R" if x < 0.4 else "N") for x in rng.uniform(0, 1, n_li)],
+                pa.string()),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array(range(n_o), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_c, n_o), pa.int64()),
+        })
+        customer = pa.table({
+            "c_custkey": pa.array(range(n_c), pa.int64()),
+            "c_name": pa.array([f"cust-{i:03d}" for i in range(n_c)],
+                               pa.string()),
+        })
+        return lineitem, orders, customer
+
+    def test_engine_vs_sql(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+        from ontoray.queries import SQL_CUSTS_RETURNED, q_custs_returned
+        li, o, c = self._tables()
+        pq.write_table(li, tmp_path / "lineitem.parquet")
+        pq.write_table(o, tmp_path / "orders.parquet")
+        pq.write_table(c, tmp_path / "customer.parquet")
+        got = q_custs_returned(str(tmp_path)).to_pylist()
+        con = duckdb.connect()
+        con.register("lineitem", li)
+        con.register("orders", o)
+        con.register("customer", c)
+        sql_rows = con.execute(SQL_CUSTS_RETURNED).fetchall()
+        assert [(r["c_custkey"], r["c_name"], r["revenue"]) for r in got] \
+            == sql_rows
+        assert len(got) == 20
+        # revenue strictly ordered desc with custkey tiebreak
+        revs = [(-(r["revenue"]), r["c_custkey"]) for r in got]
+        assert revs == sorted(revs)
+
+
+class TestMonthlyMA:
+    def test_engine_vs_sql(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+        from ontoray.queries import SQL_ORDERS_MONTHLY_MA, q_orders_monthly_ma
+        rng = np.random.default_rng(13)
+        n = 300
+        tbl = pa.table({
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_orderdate": pa.array(
+                (rng.integers(0, 720, n) * 86_400_000_000
+                 + 946_684_800 * 1_000_000).tolist(), pa.timestamp("us")),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(5, 2000, n), 2), pa.float64()),
+        })
+        pq.write_table(tbl, tmp_path / "orders.parquet")
+        got = sorted(q_orders_monthly_ma(str(tmp_path)).take_all(),
+                     key=lambda r: r["ym"])
+        con = duckdb.connect()
+        con.register("orders", tbl)
+        sql_rows = con.execute(
+            SQL_ORDERS_MONTHLY_MA + " ORDER BY ym").fetchall()
+        assert [(r["ym"], r["n_orders"], r["revenue"], r["ma3_revenue"])
+                for r in got] == sql_rows
+        # first row's MA equals its own revenue (window of one)
+        assert got[0]["ma3_revenue"] == got[0]["revenue"]
+
+
+class TestDocsTopics:
+    def _docs(self) -> pa.Table:
+        # two crisp vocab islands so clusters are meaningful, plus noise
+        phys = ["resistor capacitor inductor circuit voltage current"] * 6
+        bio = ["enzyme protein cell membrane nucleus ribosome dna"] * 6
+        texts = [f"{t} filler{i}" for i, t in enumerate(phys + bio)]
+        texts.append("")                       # token-less doc: excluded
+        return pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def test_engine_vs_sql_and_invariance(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.topics import docs_topics, sql_docs_topics
+        tbl = self._docs()
+        got = {(r["cluster"], r["rank"]): (r["token"], r["n"])
+               for r in docs_topics(rd.from_arrow(tbl).repartition(3),
+                                    k=3, iters=2, topn=4).take_all()}
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql_rows = con.execute(sql_docs_topics(k=3, iters=2, topn=4)).fetchall()
+        assert {(c, rk): (t, n) for c, t, n, rk in sql_rows} == got
+        # partitioning invariance
+        got1 = {(r["cluster"], r["rank"]): (r["token"], r["n"])
+                for r in docs_topics(rd.from_arrow(tbl).repartition(1),
+                                     k=3, iters=2, topn=4).take_all()}
+        assert got == got1
