@@ -128,6 +128,12 @@ def _q_kg_hits(sf_dir: str):
     return Q.q_kg_hits_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walk sampling (md5 hop selection) over
+    the undirected concept graph — stages/analytics.random_walks."""
+    return Q.q_kg_walks_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_communities(sf_dir: str):
     """Deterministic synchronous label-propagation communities (3 rounds,
     min-label tie-break) — stages/analytics.label_propagation."""
@@ -609,6 +615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_returned": Q.q_custs_returned,
         "orders_monthly_ma": Q.q_orders_monthly_ma,
         "docs_topics": Q.q_docs_topics,
+        "kg_walks": _q_kg_walks,
+        "docs_novelty": Q.q_docs_novelty,
         "events_mad": Q.q_events_mad,
         "kg_communities": _q_kg_communities,
         "events_markov": Q.q_events_markov,
@@ -823,4 +831,6 @@ def oracle_sql() -> dict[str, str]:
         "custs_returned": Q.SQL_CUSTS_RETURNED,
         "orders_monthly_ma": Q.SQL_ORDERS_MONTHLY_MA,
         "docs_topics": Q.sql_docs_topics(),
+        "kg_walks": Q.sql_kg_walks(),
+        "docs_novelty": Q.sql_docs_novelty(),
     }

@@ -1512,3 +1512,113 @@ def sql_neardup_keep(threshold: float = 0.8, k: int = 3,
     WHERE d.doc_id NOT IN (
       SELECT doc_id FROM ({clusters}) WHERE NOT keep)
     """
+
+
+# --- per-doc n-gram novelty (first-occurrence contribution) ----------------------
+
+def novelty_stats(ds, k: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Per-doc corpus novelty: the fraction of the doc's DISTINCT word
+    k-grams whose corpus-wide FIRST occurrence (minimum doc_id) is this doc
+    — the contribution metric behind dedup-aware data valuation ("how much
+    text does this doc add that no earlier doc has?").  Deterministic and
+    order-free: 'first' is min(doc_id), not scan order.
+
+    Scale shape: per-batch distinct (gram-hash, doc) pairs (text never
+    shuffles — only 60-bit hashes), ONE gram-bucketed exchange computes
+    min-doc per gram AND per-doc novel counts in the same fold (the pairs
+    are already co-located by hash bucket), so the whole operator costs a
+    single corpus-scale exchange.  Integer novelty_ppm contract.
+
+    Output: (doc_id, n_grams, n_novel, novelty_ppm); docs with fewer than
+    ``k`` tokens emit no row."""
+    import numpy as np
+
+    from ontoray.extras.sketches import _md5_int60
+    from ontoray.extras.textstats import TOKEN_RE
+    from ontoray.stages.agg import _with_bucket, default_coalesce, hash_aggregate
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        hs, ds_ = [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = TOKEN_RE.findall(t or "")
+            n_g = len(toks) - k + 1
+            if n_g < 1:
+                continue
+            grams = [" ".join(toks[i:i + k]) for i in range(n_g)]
+            h = np.unique(_md5_int60(grams))
+            hs.append(h)
+            ds_.append(np.full(len(h), did, dtype=np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(np.concatenate(hs), pa.int64()),
+                         id_col: pa.array(np.concatenate(ds_), pa.int64())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        d = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        first_doc = d[starts]                      # min doc per gram (sorted)
+        gram_of = np.repeat(np.arange(len(starts)),
+                            np.diff(np.concatenate([starts, [len(h)]])))
+        novel = d == first_doc[gram_of]
+        tbl = pa.table({id_col: pa.array(d, pa.int64()),
+                        "one": pa.array(np.ones(len(d), dtype=np.int64)),
+                        "nov": pa.array(novel.astype(np.int64))})
+        out = tbl.group_by([id_col]).aggregate([("one", "sum"), ("nov", "sum")])
+        return out.rename_columns([id_col, "n_grams_p", "n_novel_p"])
+
+    bucketed = (ds.select_columns([id_col, text_col])
+                .map_batches(pairs, batch_format="pyarrow")
+                .map_batches(lambda b: _with_bucket(b, ["h"], 64),
+                             batch_format="pyarrow")
+                .repartition(default_coalesce())
+                .groupby("__bucket").map_groups(fold, batch_format="pyarrow"))
+
+    agg = hash_aggregate(
+        bucketed, [id_col],
+        aggs=[("n_grams_p", "sum"), ("n_novel_p", "sum")],
+        rename={"n_grams_p_sum": "n_grams", "n_novel_p_sum": "n_novel"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ng = batch.column("n_grams").to_numpy(zero_copy_only=False)
+        nv = batch.column("n_novel").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_novel": pa.array(nv, pa.int64()),
+            "novelty_ppm": pa.array(nv * 1_000_000 // ng, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_novelty_stats(k: int = 5, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    from ontoray.extras.sketches import sql_md5_int60
+    gram = " || ' ' || ".join(f"l[i + {j}]" for j in range(k))
+    return f"""
+    WITH d AS (
+      SELECT {id_col},
+             regexp_extract_all(coalesce({text_col}, ''), '[a-z0-9]+') AS l
+      FROM {table}
+    ), ix AS (
+      SELECT {id_col}, l, unnest(generate_series(1, len(l) - {k - 1})) AS i
+      FROM d
+    ), g AS (
+      SELECT DISTINCT {id_col}, {sql_md5_int60(gram)} AS h FROM ix
+    ), mn AS (
+      SELECT h, min({id_col}) AS first_doc FROM g GROUP BY h
+    )
+    SELECT g.{id_col}, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN mn.first_doc = g.{id_col} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           (CAST(sum(CASE WHEN mn.first_doc = g.{id_col} THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000) // count(*) AS novelty_ppm
+    FROM g JOIN mn USING (h) GROUP BY g.{id_col}
+    """

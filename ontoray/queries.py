@@ -3231,3 +3231,35 @@ def q_docs_topics(sf_dir: str):
 def sql_docs_topics() -> str:
     from ontoray.extras.topics import sql_docs_topics
     return sql_docs_topics()
+
+
+def q_kg_walks_from(triples_dedup_ds, length: int = 3):
+    """Deterministic DeepWalk-style walk sampling over the concept graph
+    (md5 hop selection — the graph-embedding training-data stage)."""
+    from ontoray.stages.analytics import random_walks
+
+    def pairs(batch):
+        return pa.table({"src": batch.column("subj_norm"),
+                         "dst": batch.column("obj_norm")})
+
+    return random_walks(triples_dedup_ds.map_batches(
+        pairs, batch_format="pyarrow"), length=length)
+
+
+def sql_kg_walks(length: int = 3) -> str:
+    from ontoray.stages.analytics import sql_random_walks
+    return sql_random_walks(_sql_triples_norm_ctes(), length=length)
+
+
+def q_docs_novelty(sf_dir: str):
+    """Per-doc first-occurrence k-gram fraction (novelty_ppm)."""
+    import ray.data as rd
+    from ontoray.extras.dedup import novelty_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return novelty_stats(ds)
+
+
+def sql_docs_novelty() -> str:
+    from ontoray.extras.dedup import sql_novelty_stats
+    return sql_novelty_stats()

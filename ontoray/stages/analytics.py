@@ -859,3 +859,113 @@ def transitive_reduction(triples_dedup_ds, pred: str = "subclass_of",
                          "redundant": red.combine_chunks().cast(pa.bool_())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def random_walks(edges_ds, length: int = 3, src_col: str = "src",
+                 dst_col: str = "dst"):
+    """Deterministic 'random' walks over the undirected simple graph — the
+    DeepWalk/node2vec SAMPLING stage of a graph-embedding training pipeline,
+    with the library RNG replaced by the repo's md5 determinism contract:
+    at step t from node v (walk started at s), the next hop is
+
+        sorted_neighbors(v)[ md5_int60(f"{s}|{t}|{v}") % deg(v) ]
+
+    so the walk set is a pure function of the edge set — bit-identical at
+    any parallelism and SQL-mirrorable.  One walk starts at every node.
+
+    Scale shape: the sorted-adjacency map is concept-vocabulary-bounded and
+    broadcasts ONCE (the triangle_census regime); each of the ``length``
+    steps is a streaming map_batches over the walk rows (walk-count-scale,
+    no shuffle).  A vocabulary beyond driver memory would swap the broadcast
+    for a per-step hash_join on the current node.
+
+    Output: (start, step, node), step 0..length."""
+    import ray
+
+    from ontoray.extras.sketches import _md5_int60
+    from ontoray.stages.agg import hash_aggregate
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col).to_pylist()
+        b = batch.column(dst_col).to_pylist()
+        lo, hi = [], []
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            p, q = (x, y) if x < y else (y, x)
+            lo.append(p)
+            hi.append(q)
+        return pa.table({"a": pa.array(lo, pa.string()),
+                         "b": pa.array(hi, pa.string())})
+
+    und = hash_aggregate(
+        edges_ds.map_batches(ordered, batch_format="pyarrow"), ["a", "b"],
+        partial_aggs=[("a", "count")], aggs=[("a_count", "sum")],
+        rename={"a_count_sum": "__n"}).select_columns(["a", "b"]).materialize()
+
+    from ontoray.util import column_lists
+    cols = column_lists(und, ["a", "b"])
+    adj: dict[str, list] = {}
+    for x, y in zip(cols["a"], cols["b"]):
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    adj = {v: sorted(ns) for v, ns in adj.items()}
+    bcast = ray.put(adj)
+
+    import ray.data as rd
+    starts = rd.from_arrow(pa.table({
+        "start": pa.array(sorted(adj), pa.string())}))
+
+    def seed(batch: pa.Table) -> pa.Table:
+        s = batch.column("start")
+        return pa.table({"start": s,
+                         "step": pa.array([0] * len(s), pa.int64()),
+                         "node": s})
+
+    walks = starts.map_batches(seed, batch_format="pyarrow")
+    frontier = walks
+    for t in range(1, length + 1):
+        def hop(batch: pa.Table, t=t) -> pa.Table:
+            am = ray.get(bcast)
+            ss = batch.column("start").to_pylist()
+            vs = batch.column("node").to_pylist()
+            keys = [f"{s}|{t}|{v}" for s, v in zip(ss, vs)]
+            h = _md5_int60(keys)
+            nxt = [am[v][int(hv) % len(am[v])] for v, hv in zip(vs, h)]
+            return pa.table({"start": pa.array(ss, pa.string()),
+                             "step": pa.array([t] * len(ss), pa.int64()),
+                             "node": pa.array(nxt, pa.string())})
+
+        frontier = frontier.map_batches(hop, batch_format="pyarrow").materialize()
+        walks = walks.union(frontier)
+    return walks
+
+
+def sql_random_walks(triples_cte: str, length: int = 3) -> str:
+    """DuckDB mirror of ``random_walks`` over the tnorm triple graph:
+    sorted-neighbor ranks via row_number, the identical md5-int60 hop
+    selection, one chained CTE per step."""
+    from ontoray.extras.sketches import sql_md5_int60
+
+    h = sql_md5_int60("w.start || '|' || {t} || '|' || w.node")
+    ctes = [
+        "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm)",
+        "undw AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM trip WHERE src <> dst)",
+        "adjw AS (SELECT a AS v, b AS n FROM undw "
+        "UNION ALL SELECT b, a FROM undw)",
+        "degw AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adjw GROUP BY v)",
+        "nbw AS (SELECT v, n, row_number() OVER "
+        "(PARTITION BY v ORDER BY n) - 1 AS r FROM adjw)",
+        "w0 AS (SELECT v AS start, v AS node FROM degw)",
+    ]
+    for t in range(1, length + 1):
+        ctes.append(
+            f"w{t} AS (SELECT w.start, nb.n AS node FROM w{t-1} w "
+            f"JOIN degw d ON d.v = w.node "
+            f"JOIN nbw nb ON nb.v = w.node "
+            f"AND nb.r = {h.format(t=t)} % d.d)")
+    sel = " UNION ALL ".join(
+        f"SELECT start, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(0, length + 1))
+    return f"{triples_cte}, " + ", ".join(ctes) + " " + sel

@@ -348,3 +348,96 @@ class TestDocsTopics:
                 for r in docs_topics(rd.from_arrow(tbl).repartition(1),
                                      k=3, iters=2, topn=4).take_all()}
         assert got == got1
+
+
+class TestRandomWalks:
+    def _edges(self) -> pa.Table:
+        # path a-b-c-d plus triangle d-e-f-d and isolated pair g-h
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                 ("e", "f"), ("f", "d"), ("g", "h")]
+        return pa.table({
+            "src": pa.array([p[0] for p in pairs], pa.string()),
+            "dst": pa.array([p[1] for p in pairs], pa.string()),
+        })
+
+    def test_semantics_and_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.analytics import random_walks, sql_random_walks
+        tbl = self._edges()
+        L = 3
+        got = random_walks(rd.from_arrow(tbl).repartition(3),
+                           length=L).take_all()
+        by_walk = {}
+        for r in got:
+            by_walk.setdefault(r["start"], {})[r["step"]] = r["node"]
+        # one walk per node, complete 0..L, starting at itself
+        assert set(by_walk) == set("abcdefgh")
+        adj = {}
+        for s, d in zip(tbl.column("src").to_pylist(),
+                        tbl.column("dst").to_pylist()):
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        for s, steps in by_walk.items():
+            assert set(steps) == set(range(L + 1)) and steps[0] == s
+            for t in range(1, L + 1):
+                assert steps[t] in adj[steps[t - 1]]
+        # partitioning invariance (md5 determinism)
+        got1 = random_walks(rd.from_arrow(tbl).repartition(1),
+                            length=L).take_all()
+        key = lambda rows: sorted((r["start"], r["step"], r["node"])
+                                  for r in rows)
+        assert key(got) == key(got1)
+        # SQL mirror over a registered stand-in for the tnorm CTE
+        con = duckdb.connect()
+        con.register("tnorm_tbl", pa.table({
+            "subj_norm": tbl.column("src"),
+            "obj_norm": tbl.column("dst"),
+        }))
+        sql = sql_random_walks(
+            "WITH tnorm AS (SELECT subj_norm, obj_norm FROM tnorm_tbl)",
+            length=L)
+        sql_rows = con.execute(sql).fetchall()
+        assert key(got) == sorted(sql_rows)
+
+
+class TestNovelty:
+    def _docs(self) -> pa.Table:
+        shared = "one two three four five"          # a full 5-gram
+        rows = [
+            (0, f"{shared} alpha beta gamma delta"),   # first owner of shared
+            (1, f"{shared} epsilon zeta eta theta"),   # shares the first gram
+            (2, "iota kappa lambda mu nu xi"),         # fully novel
+            (3, "tiny doc"),                           # < k tokens: no row
+        ]
+        return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                         "text": pa.array([r[1] for r in rows], pa.string())})
+
+    def test_semantics_and_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.extras.dedup import novelty_stats, sql_novelty_stats
+        tbl = self._docs()
+        got = {r["doc_id"]: r for r in novelty_stats(
+            rd.from_arrow(tbl).repartition(2), k=5).take_all()}
+        assert set(got) == {0, 1, 2}
+        # doc 0 owns all its grams; doc 2 fully novel; doc 1 loses exactly
+        # the one gram fully inside the shared prefix
+        assert got[0]["novelty_ppm"] == 1_000_000
+        assert got[2]["novelty_ppm"] == 1_000_000
+        assert got[1]["n_novel"] == got[1]["n_grams"] - 1
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql_rows = con.execute(sql_novelty_stats(k=5)).fetchall()
+        assert {(r["doc_id"], r["n_grams"], r["n_novel"], r["novelty_ppm"])
+                for r in got.values()} == set(sql_rows)
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import novelty_stats
+        tbl = self._docs()
+        a = sorted(map(tuple, (r.values() for r in novelty_stats(
+            rd.from_arrow(tbl).repartition(1), k=5).take_all())))
+        b = sorted(map(tuple, (r.values() for r in novelty_stats(
+            rd.from_arrow(tbl).repartition(3), k=5).take_all())))
+        assert a == b
