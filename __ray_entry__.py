@@ -128,6 +128,12 @@ def _q_kg_hits(sf_dir: str):
     return Q.q_kg_hits_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_degree_dist(sf_dir: str):
+    """Log2-band degree distribution of the curated edge table — the skew
+    diagnostic (queries.q_kg_degree_dist_from)."""
+    return Q.q_kg_degree_dist_from(_kg_result(sf_dir).edges)
+
+
 def _q_kg_walks(sf_dir: str):
     """Deterministic DeepWalk-style walk sampling (md5 hop selection) over
     the undirected concept graph — stages/analytics.random_walks."""
@@ -617,6 +623,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_topics": Q.q_docs_topics,
         "kg_walks": _q_kg_walks,
         "docs_novelty": Q.q_docs_novelty,
+        "lineitem_q6": Q.q_lineitem_q6,
+        "kg_degree_dist": _q_kg_degree_dist,
+        "events_bursts": Q.q_events_bursts,
+        "events_ab": Q.q_events_ab,
         "events_mad": Q.q_events_mad,
         "kg_communities": _q_kg_communities,
         "events_markov": Q.q_events_markov,
@@ -833,4 +843,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_topics": Q.sql_docs_topics(),
         "kg_walks": Q.sql_kg_walks(),
         "docs_novelty": Q.sql_docs_novelty(),
+        "lineitem_q6": Q.SQL_LINEITEM_Q6,
+        "kg_degree_dist": QL.sql_linker_ctes() + Q.SQL_KG_DEGREE_DIST_TAIL,
+        "events_bursts": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_BURSTS"]).SQL_EVENTS_BURSTS,
+        "events_ab": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_AB"]).SQL_EVENTS_AB,
     }

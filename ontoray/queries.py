@@ -3263,3 +3263,105 @@ def q_docs_novelty(sf_dir: str):
 def sql_docs_novelty() -> str:
     from ontoray.extras.dedup import sql_novelty_stats
     return sql_novelty_stats()
+
+
+def q_lineitem_q6(sf_dir: str):
+    """TPC-H Q6 shape: forecast-revenue delta — ONE filtered streaming
+    aggregate, every predicate pushed into the parquet read (date range,
+    discount band, quantity cap prune row groups at storage), per-batch
+    cents partials, no shuffle at all (single global sum)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    expr = ((pc.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pc.field("l_shipdate") < datetime.datetime(1997, 1, 1))
+            & (pc.field("l_discount") >= 0.02)
+            & (pc.field("l_discount") <= 0.04)
+            & (pc.field("l_quantity") < 24))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount"],
+                         filter=expr)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          batch.column("l_discount"))
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "rev_c": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    parts = li.map_batches(cents, batch_format="pyarrow").take_all()
+    total_c = sum(r["rev_c"] for r in parts)
+    n = sum(r["n"] for r in parts)
+    return pa.table({"revenue": pa.array([total_c / 100.0], pa.float64()),
+                     "n_items": pa.array([n], pa.int64())})
+
+
+SQL_LINEITEM_Q6 = (
+    f"SELECT sum({_CENTS.format(x='l_extendedprice * l_discount')}) / 100.0 "
+    "AS revenue, CAST(count(*) AS BIGINT) AS n_items FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24")
+
+
+def q_kg_degree_dist_from(edges_ds):
+    """Degree distribution of the concept graph in log2 bands — the
+    power-law / skew diagnostic a shuffle planner reads before picking salt
+    factors: (band, n_nodes, min_degree, max_degree), band = bit_length-1
+    (EXACT integer log2 — no float log near power-of-two boundaries).
+
+    Scale shape: distributed two-sided degree count (curation._degree_table,
+    one vocabulary-bounded exchange) + a band-vocabulary second fold."""
+    import numpy as np
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.curation import _degree_table
+
+    deg = _degree_table(edges_ds, pa.array([], pa.string()))
+
+    def band(batch: pa.Table) -> pa.Table:
+        d = batch.column("degree").to_numpy(zero_copy_only=False)
+        b = np.array([int(x).bit_length() - 1 for x in d], dtype=np.int64)
+        return pa.table({"band": pa.array(b, pa.int64()),
+                         "one": pa.array(np.ones(len(d), dtype=np.int64)),
+                         "degree": pa.array(d, pa.int64())})
+
+    return hash_aggregate(
+        deg.map_batches(band, batch_format="pyarrow"), ["band"],
+        partial_aggs=[("one", "sum"), ("degree", "min"), ("degree", "max")],
+        aggs=[("one_sum", "sum"), ("degree_min", "min"), ("degree_max", "max")],
+        rename={"one_sum_sum": "n_nodes", "degree_min_min": "min_degree",
+                "degree_max_max": "max_degree"}, num_buckets=8)
+
+
+SQL_KG_DEGREE_DIST_TAIL = (
+    ", dt AS (SELECT name, CAST(count(*) AS BIGINT) AS degree FROM ("
+    "SELECT src AS name FROM lk_edges_cur UNION ALL SELECT dst "
+    "FROM lk_edges_cur) GROUP BY name) "
+    "SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS band, "
+    "CAST(count(*) AS BIGINT) AS n_nodes, min(degree) AS min_degree, "
+    "max(degree) AS max_degree FROM dt GROUP BY 1")
+
+
+def q_events_bursts(sf_dir: str):
+    """Peak events-per-minute per event type (burst detection)."""
+    import ray.data as rd
+    from ontoray.stages.events import burst_peaks
+    return burst_peaks(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["event_type", "ts"]))
+
+
+def q_events_ab(sf_dir: str):
+    """Hash-split A/B micro-mean comparison per event type."""
+    import ray.data as rd
+    from ontoray.stages.events import ab_metrics
+    return ab_metrics(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"]))

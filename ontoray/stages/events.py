@@ -870,3 +870,140 @@ def sql_last_touch_attribution(key: str = "user_id",
            ts_us - attr_ts_us AS gap_us
     FROM o WHERE event_type = '{conv_type}'
     """
+
+
+def burst_peaks(events_ds, bucket_s: int = 60, key: str = "event_type"):
+    """Peak-rate detection: for every key, the busiest ``bucket_s``-second
+    window and its event count (ties -> earliest window).  Two-phase
+    (key, minute) counts, then a key-vocabulary argmax fold.
+
+    Output: (event_type, peak_minute, peak_events)."""
+    import numpy as np
+
+    from ontoray.stages.agg import hash_aggregate
+
+    div = bucket_s * 1_000_000
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({
+            key: batch.column(key),
+            "minute": pc.divide(ts, pa.scalar(div)),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    counts = hash_aggregate(
+        events_ds.select_columns([key, "ts"]).map_batches(
+            derive, batch_format="pyarrow"),
+        [key, "minute"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n"})
+
+    def peak(g: pa.Table) -> pa.Table:
+        m = g.column("minute").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        i = np.lexsort((m, -n))[0]
+        return pa.table({
+            key: pa.array([g.column(key)[0].as_py()], g.column(key).type),
+            "peak_minute": pa.array([int(m[i])], pa.int64()),
+            "peak_events": pa.array([int(n[i])], pa.int64()),
+        })
+
+    return counts.groupby(key).map_groups(peak, batch_format="pyarrow")
+
+
+SQL_EVENTS_BURSTS = """
+WITH m AS (
+  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, minute, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, minute) AS rn
+  FROM m
+)
+SELECT event_type, minute AS peak_minute, n AS peak_events
+FROM r WHERE rn = 1
+"""
+
+
+def ab_metrics(events_ds, key: str = "event_type"):
+    """Hash-split A/B comparison: treatment = user_id % 2, per-key exact
+    integer micro-mean of ``value`` in each arm plus the treatment-control
+    delta — the experiment-analysis fold, all in the int64 micro contract
+    (mean = sum_micro // n, floor div both sides).
+
+    Output: (event_type, n_treat, n_ctrl, mean_treat_micro, mean_ctrl_micro,
+    diff_micro)."""
+    import numpy as np
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        arm = pc.cast(pc.bit_wise_and(batch.column("user_id"),
+                                      pa.scalar(1)), pa.int64())
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64()),
+            pa.scalar(1_000_000.0)), pa.scalar(0.5))), pa.int64())
+        arm_np = arm.to_numpy(zero_copy_only=False)
+        v_np = v.to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: batch.column(key),
+            "n_t": pa.array((arm_np == 1).astype(np.int64)),
+            "n_c": pa.array((arm_np == 0).astype(np.int64)),
+            "s_t": pa.array(np.where(arm_np == 1, v_np, 0), pa.int64()),
+            "s_c": pa.array(np.where(arm_np == 0, v_np, 0), pa.int64()),
+        })
+
+    agg = hash_aggregate(
+        events_ds.select_columns([key, "user_id", "value"]).map_batches(
+            derive, batch_format="pyarrow"),
+        [key],
+        partial_aggs=[("n_t", "sum"), ("n_c", "sum"),
+                      ("s_t", "sum"), ("s_c", "sum")],
+        aggs=[("n_t_sum", "sum"), ("n_c_sum", "sum"),
+              ("s_t_sum", "sum"), ("s_c_sum", "sum")],
+        rename={"n_t_sum_sum": "n_treat", "n_c_sum_sum": "n_ctrl",
+                "s_t_sum_sum": "s_treat", "s_c_sum_sum": "s_ctrl"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_treat").to_pylist()
+        nc = batch.column("n_ctrl").to_pylist()
+        st = batch.column("s_treat").to_pylist()
+        sc = batch.column("s_ctrl").to_pylist()
+        mt = [s // n if n else 0 for s, n in zip(st, nt)]
+        mc = [s // n if n else 0 for s, n in zip(sc, nc)]
+        return pa.table({
+            key: batch.column(key),
+            "n_treat": pa.array(nt, pa.int64()),
+            "n_ctrl": pa.array(nc, pa.int64()),
+            "mean_treat_micro": pa.array(mt, pa.int64()),
+            "mean_ctrl_micro": pa.array(mc, pa.int64()),
+            "diff_micro": pa.array([a - b for a, b in zip(mt, mc)], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_AB = """
+WITH v AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), a AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+         CAST(sum(CASE WHEN arm = 1 THEN vm ELSE 0 END) AS BIGINT) AS s_treat,
+         CAST(sum(CASE WHEN arm = 0 THEN vm ELSE 0 END) AS BIGINT) AS s_ctrl
+  FROM v GROUP BY event_type
+)
+SELECT event_type, n_treat, n_ctrl,
+       CASE WHEN n_treat = 0 THEN 0 ELSE s_treat // n_treat END
+         AS mean_treat_micro,
+       CASE WHEN n_ctrl = 0 THEN 0 ELSE s_ctrl // n_ctrl END
+         AS mean_ctrl_micro,
+       (CASE WHEN n_treat = 0 THEN 0 ELSE s_treat // n_treat END)
+       - (CASE WHEN n_ctrl = 0 THEN 0 ELSE s_ctrl // n_ctrl END) AS diff_micro
+FROM a
+"""

@@ -441,3 +441,84 @@ class TestNovelty:
         b = sorted(map(tuple, (r.values() for r in novelty_stats(
             rd.from_arrow(tbl).repartition(3), k=5).take_all())))
         assert a == b
+
+
+class TestBurstsAndAB:
+    def _events(self) -> pa.Table:
+        us = 1_000_000
+        rows = []
+        eid = 0
+        # 'click': 3 events in minute 2, 1 in minute 5 -> peak minute 2
+        for t in (120, 130, 140, 300):
+            rows.append((eid, t * us, eid, "click", 10.0)); eid += 1
+        # 'view': 2 in minute 0, 2 in minute 1 -> tie, earliest minute wins
+        for t in (10, 20, 60, 70):
+            rows.append((eid, t * us, eid, "view", 5.5)); eid += 1
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
+    def test_bursts(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.events import SQL_EVENTS_BURSTS, burst_peaks
+        tbl = self._events()
+        got = {r["event_type"]: r for r in burst_peaks(
+            rd.from_arrow(tbl).repartition(3)).take_all()}
+        assert got["click"]["peak_minute"] == 2
+        assert got["click"]["peak_events"] == 3
+        assert got["view"]["peak_minute"] == 0       # tie -> earliest
+        con = duckdb.connect()
+        con.register("events", tbl)
+        sql_rows = con.execute(SQL_EVENTS_BURSTS).fetchall()
+        assert {(r["event_type"], r["peak_minute"], r["peak_events"])
+                for r in got.values()} == set(sql_rows)
+
+    def test_ab(self, ray_session):
+        import duckdb
+        import ray.data as rd
+        from ontoray.stages.events import SQL_EVENTS_AB, ab_metrics
+        tbl = self._events()
+        got = {r["event_type"]: r for r in ab_metrics(
+            rd.from_arrow(tbl).repartition(2)).take_all()}
+        # click: user_ids 0-3 -> arms alternate; values all 10.0
+        assert got["click"]["n_treat"] == 2 and got["click"]["n_ctrl"] == 2
+        assert got["click"]["mean_treat_micro"] == 10_000_000
+        assert got["click"]["diff_micro"] == 0
+        con = duckdb.connect()
+        con.register("events", tbl)
+        sql_rows = con.execute(SQL_EVENTS_AB).fetchall()
+        assert {tuple(r.values()) for r in got.values()} == set(sql_rows)
+
+
+class TestLineitemQ6:
+    def test_engine_vs_sql(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+        from ontoray.queries import SQL_LINEITEM_Q6, q_lineitem_q6
+        rng = np.random.default_rng(17)
+        n = 500
+        base = 820_454_400  # 1996-01-01
+        tbl = pa.table({
+            "l_orderkey": pa.array(range(n), pa.int64()),
+            "l_shipdate": pa.array(
+                ((base + rng.integers(-200, 400, n) * 86_400) * 1_000_000)
+                .tolist(), pa.timestamp("us")),
+            "l_discount": pa.array(
+                np.round(rng.uniform(0, 0.1, n), 2), pa.float64()),
+            "l_quantity": pa.array(
+                rng.integers(1, 50, n).astype(np.float64), pa.float64()),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(100, 9000, n), 2), pa.float64()),
+        })
+        pq.write_table(tbl, tmp_path / "lineitem.parquet")
+        got = q_lineitem_q6(str(tmp_path)).to_pylist()[0]
+        con = duckdb.connect()
+        con.register("lineitem", tbl)
+        rev, cnt = con.execute(SQL_LINEITEM_Q6).fetchone()
+        assert got["revenue"] == rev and got["n_items"] == cnt
+        assert cnt > 0                               # predicate non-vacuous
