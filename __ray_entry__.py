@@ -134,6 +134,13 @@ def _q_kg_degree_dist(sf_dir: str):
     return Q.q_kg_degree_dist_from(_kg_result(sf_dir).edges)
 
 
+def _q_kg_resource_alloc(sf_dir: str):
+    """Resource-allocation link prediction over the extracted concept graph
+    (hub-capped pair expansion, partitioned left-anti existing-edge removal —
+    stages/analytics.resource_allocation)."""
+    return Q.q_kg_resource_alloc_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_walks(sf_dir: str):
     """Deterministic DeepWalk-style walk sampling (md5 hop selection) over
     the undirected concept graph — stages/analytics.random_walks."""
@@ -627,6 +634,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_dist": _q_kg_degree_dist,
         "events_bursts": Q.q_events_bursts,
         "events_ab": Q.q_events_ab,
+        "lm_bpe": Q.q_lm_bpe,
+        "docs_readability": Q.q_docs_readability,
+        "kg_resource_alloc": _q_kg_resource_alloc,
+        "orders_q3": Q.q_orders_q3,
+        "lineitem_q14": Q.q_lineitem_q14,
+        "orders_late_ship": Q.q_orders_late_ship,
         "events_mad": Q.q_events_mad,
         "kg_communities": _q_kg_communities,
         "events_markov": Q.q_events_markov,
@@ -847,4 +860,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_dist": QL.sql_linker_ctes() + Q.SQL_KG_DEGREE_DIST_TAIL,
         "events_bursts": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_BURSTS"]).SQL_EVENTS_BURSTS,
         "events_ab": __import__("ontoray.stages.events", fromlist=["SQL_EVENTS_AB"]).SQL_EVENTS_AB,
+        "lm_bpe": Q.sql_lm_bpe(),
+        "docs_readability": Q.sql_docs_readability(),
+        "kg_resource_alloc": Q.SQL_KG_RESOURCE_ALLOC,
+        "orders_q3": Q.SQL_ORDERS_Q3,
+        "lineitem_q14": Q.SQL_LINEITEM_Q14,
+        "orders_late_ship": Q.SQL_ORDERS_LATE_SHIP,
     }

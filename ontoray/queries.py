@@ -3365,3 +3365,269 @@ def q_events_ab(sf_dir: str):
     return ab_metrics(rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_type", "user_id", "value"]))
+
+
+# --- TPC-H Q3 / Q14 shapes, late-shipment semi-join ----------------------------
+
+def q_orders_q3(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    semi-join orders, join lineitem, top-k unshipped orders by revenue.
+
+    Scale shape: every predicate pushed into the parquet reads (segment,
+    both date bounds prune row groups at storage); the customer side is a
+    partitioned LEFT-SEMI join (no broadcast — customers are
+    corpus-proportional); revenue folds in the int64-cents contract; top-k
+    is local per block then one single-block merge under the SAME
+    comparator (rev_c DESC, l_orderkey ASC) — never a global sort."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    cutoff = datetime.datetime(1998, 7, 1)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == "BUILDING"),
+    ).select_columns(["c_custkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < cutoff))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > cutoff))
+
+    o2 = hash_join(orders, cust, "o_custkey", "c_custkey", how="left_semi")
+    spine = hash_join(li, o2.select_columns(["o_orderkey", "o_orderdate"]),
+                      "l_orderkey", "o_orderkey")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        rev_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        days = pc.divide(pc.cast(batch.column("o_orderdate"), pa.int64()),
+                         pa.scalar(86_400_000_000))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "o_date_days": days, "rev_c": rev_c})
+
+    agg = hash_aggregate(
+        spine.map_batches(derive, batch_format="pyarrow"),
+        ["l_orderkey", "o_date_days"], partial_aggs=[("rev_c", "sum")],
+        aggs=[("rev_c_sum", "sum")], rename={"rev_c_sum_sum": "rev_c"})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = batch.column("rev_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -rev))[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    cand = agg.map_batches(topk, batch_format="pyarrow").repartition(1)\
+        .map_batches(topk, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "o_date_days": batch.column("o_date_days"),
+            "revenue": pc.divide(pc.cast(batch.column("rev_c"), pa.float64()),
+                                 pa.scalar(100.0)),
+        })
+
+    return cand.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_Q3 = (
+    "SELECT l_orderkey, "
+    "epoch_us(o_orderdate) // 86400000000 AS o_date_days, "
+    f"sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) / 100.0 "
+    "AS revenue FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1998-07-01' "
+    "AND l_shipdate > TIMESTAMP '1998-07-01' "
+    "GROUP BY 1, 2 "
+    f"ORDER BY sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) "
+    "DESC, l_orderkey LIMIT 10")
+
+
+def q_lineitem_q14(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue): one-quarter shipdate window,
+    lineitem ⋈ part partitioned hash join, promo share of revenue as an
+    exact integer micro-percent (bigint-safe floor division on both sides).
+
+    Output: (promo_revenue, total_revenue, promo_pct_micro)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.joins import hash_join
+
+    lo, hi = datetime.datetime(1997, 1, 1), datetime.datetime(1997, 4, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)))
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    sp = hash_join(li, part, "l_partkey", "p_partkey", right_cols=["p_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        rev_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        promo = pc.equal(batch.column("p_type"), pa.scalar("PROMO"))
+        p = pc.sum(rev_c.filter(promo)).as_py() or 0
+        t = pc.sum(rev_c).as_py() or 0
+        return pa.table({"promo_c": pa.array([p], pa.int64()),
+                         "total_c": pa.array([t], pa.int64())})
+
+    parts = sp.map_batches(partials, batch_format="pyarrow").take_all()
+    promo_c = sum(r["promo_c"] for r in parts)
+    total_c = sum(r["total_c"] for r in parts)
+    pct = (100_000_000 * promo_c) // total_c if total_c else 0
+    return pa.table({
+        "promo_revenue": pa.array([promo_c / 100.0], pa.float64()),
+        "total_revenue": pa.array([total_c / 100.0], pa.float64()),
+        "promo_pct_micro": pa.array([pct], pa.int64()),
+    })
+
+
+_Q14_CENTS = _CENTS.format(x="l_extendedprice * (1 - l_discount)")
+SQL_LINEITEM_Q14 = (
+    f"SELECT sum(CASE WHEN p_type = 'PROMO' THEN {_Q14_CENTS} ELSE 0 END) "
+    "/ 100.0 AS promo_revenue, "
+    f"sum({_Q14_CENTS}) / 100.0 AS total_revenue, "
+    "CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+    f"{_Q14_CENTS} ELSE 0 END) AS HUGEINT) * 100000000) "
+    f"// sum({_Q14_CENTS}) AS BIGINT) AS promo_pct_micro "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-04-01'")
+
+
+def q_orders_late_ship(sf_dir: str):
+    """Late-shipment order counts per priority — the TPC-H Q4 EXISTS
+    semi-join shape without the missing commitdate column: an order is late
+    when ANY of its lineitems shipped > 60 days after the order date
+    (max(l_shipdate) > o_orderdate + 60d — EXISTS folded into a per-key MAX
+    so the corpus side exchanges one row per order, not one per lineitem)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "ship_us": pc.cast(batch.column("l_shipdate"), pa.int64()),
+        })
+
+    ms = hash_aggregate(
+        li.map_batches(to_us, batch_format="pyarrow"), ["l_orderkey"],
+        partial_aggs=[("ship_us", "max")], aggs=[("ship_us_max", "max")],
+        rename={"ship_us_max_max": "ship_us"})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = hash_join(ms, orders, "l_orderkey", "o_orderkey",
+                  right_cols=["o_orderdate", "o_orderpriority"])
+
+    def late(batch: pa.Table) -> pa.Table:
+        ship = batch.column("ship_us").to_numpy(zero_copy_only=False)
+        od = pc.cast(batch.column("o_orderdate"), pa.int64())\
+            .to_numpy(zero_copy_only=False)
+        keep = pa.array(ship > od + 60 * 86_400_000_000)
+        t = batch.filter(keep)
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    return hash_aggregate(
+        j.map_batches(late, batch_format="pyarrow"), ["o_orderpriority"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_late"}, num_buckets=8)
+
+
+SQL_ORDERS_LATE_SHIP = (
+    "WITH ms AS (SELECT l_orderkey, max(epoch_us(l_shipdate)) AS ship_us "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late "
+    "FROM orders JOIN ms ON o_orderkey = l_orderkey "
+    "WHERE ship_us > epoch_us(o_orderdate) + 5184000000000 GROUP BY 1")
+
+
+# --- readability / BPE / resource-allocation wrappers --------------------------
+
+def q_docs_readability(sf_dir: str):
+    """Flesch-shaped readability per document, exact int64 micro contract
+    (extras/textstats.readability)."""
+    import ray.data as rd
+    from ontoray.extras.textstats import readability
+    return readability(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id", "text"]))
+
+
+def sql_docs_readability() -> str:
+    from ontoray.extras.textstats import sql_readability
+    return sql_readability()
+
+
+def q_lm_bpe(sf_dir: str, k: int = 6):
+    """First k BPE tokenizer merges over the documents corpus
+    (extras/bpe.bpe_merges — ONE distributed word-count pass, then the
+    vocabulary-bounded trainer loop)."""
+    import ray.data as rd
+    from ontoray.extras.bpe import bpe_merges
+    return bpe_merges(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["text"]), k=k)
+
+
+def sql_lm_bpe(k: int = 6) -> str:
+    from ontoray.extras.bpe import sql_bpe_merges
+    return sql_bpe_merges(k=k)
+
+
+def q_kg_resource_alloc_from(triples_dedup_ds):
+    """Resource-allocation link prediction over the concept graph
+    (stages/analytics.resource_allocation)."""
+    from ontoray.stages.analytics import resource_allocation
+    return resource_allocation(triples_dedup_ds)
+
+
+SQL_KG_RESOURCE_ALLOC = (
+    f"{_sql_triples_norm_ctes()}, "
+    "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm "
+    "WHERE subj_norm <> obj_norm), "
+    "und AS (SELECT src AS v, dst AS x FROM trip UNION SELECT dst, src FROM trip), "
+    "deg AS (SELECT v, count(*) AS d FROM und GROUP BY 1), "
+    "caps AS (SELECT u.v, u.x, CAST(1000000000 // deg.d AS BIGINT) AS w "
+    "FROM und u JOIN deg ON deg.v = u.v WHERE deg.d <= 32), "
+    "pairs AS (SELECT c1.x AS na, c2.x AS nb, c1.w FROM caps c1 "
+    "JOIN caps c2 ON c1.v = c2.v AND c1.x < c2.x), "
+    "ra AS (SELECT na, nb, CAST(sum(w) AS BIGINT) AS ra_nano, "
+    "CAST(count(*) AS BIGINT) AS common FROM pairs GROUP BY 1, 2), "
+    "ep AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM trip) "
+    "SELECT ra.na AS node_a, ra.nb AS node_b, ra.common, ra.ra_nano "
+    "FROM ra LEFT JOIN ep ON ep.a = ra.na AND ep.b = ra.nb "
+    "WHERE ep.a IS NULL AND ra.ra_nano >= 50000000")

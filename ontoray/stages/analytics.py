@@ -969,3 +969,95 @@ def sql_random_walks(triples_cte: str, length: int = 3) -> str:
         f"SELECT start, CAST({t} AS BIGINT) AS step, node FROM w{t}"
         for t in range(0, length + 1))
     return f"{triples_cte}, " + ", ".join(ctes) + " " + sel
+
+
+def resource_allocation(triples_dedup_ds, cap: int = 32,
+                        min_ra_nano: int = 50_000_000,
+                        subj_col: str = "subj_norm", obj_col: str = "obj_norm"):
+    """Resource-allocation link prediction (Zhou et al. 2009): for each
+    UNLINKED node pair, score = sum over common neighbors z of 1/deg(z) —
+    the strongest of the cheap common-neighbor indices (Adamic-Adar with
+    1/deg instead of 1/log deg, which keeps it exact-integer:
+    ra_nano = sum(10^9 // deg(z))).
+
+    Same hub-cap contract as :func:`similar_nodes` (only shared neighbors
+    with degree <= ``cap`` expand pairs, bounding the exchange at
+    cap * |edges|), PLUS the link-prediction twist: pairs already joined by
+    an edge are removed by a partitioned LEFT-ANTI join (no edge-set
+    broadcast — the edge table is corpus-derived).  Output:
+    (node_a, node_b, common, ra_nano), node_a < node_b,
+    ra_nano >= ``min_ra_nano``."""
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column(subj_col).to_pylist()
+        o = batch.column(obj_col).to_pylist()
+        v, x = [], []
+        for a, b in zip(s, o):
+            if a != b:
+                v.append(a); x.append(b)
+                v.append(b); x.append(a)
+        return pa.table({"v": pa.array(v, pa.string()),
+                         "x": pa.array(x, pa.string())})
+
+    und = hash_aggregate(
+        triples_dedup_ds.map_batches(sym, batch_format="pyarrow"), ["v", "x"],
+        partial_aggs=[("v", "count")], aggs=[("v_count", "sum")],
+        rename={"v_count_sum": "__n"}).select_columns(["v", "x"]).materialize()
+
+    deg = hash_aggregate(
+        und, ["v"], partial_aggs=[("v", "count")],
+        aggs=[("v_count", "sum")], rename={"v_count_sum": "d"}).materialize()
+
+    small = deg.filter(expr=f"d <= {cap}")
+
+    def weight(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": batch.column("v"),
+                         "w": pa.array(1_000_000_000 // d, pa.int64())})
+
+    wsmall = small.map_batches(weight, batch_format="pyarrow")
+    caps = hash_join(und, wsmall, "v", "v", right_cols=["w"])
+
+    pairs = hash_join(caps, caps.select_columns(["v", "x"]), "v", "v",
+                      right_cols=["x"])
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("x"), batch.column("x_r"))
+        t = batch.filter(m)
+        return pa.table({"na": t.column("x"), "nb": t.column("x_r"),
+                         "w": t.column("w"),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    ra = hash_aggregate(
+        pairs.map_batches(ordered, batch_format="pyarrow"), ["na", "nb"],
+        partial_aggs=[("w", "sum"), ("one", "sum")],
+        aggs=[("w_sum", "sum"), ("one_sum", "sum")],
+        rename={"w_sum_sum": "ra_nano", "one_sum_sum": "common"})
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("na"), batch.column("nb"), "\x1f")
+        return batch.append_column("pk", key)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("v"), batch.column("x"))
+        t = batch.filter(m)
+        return pa.table({"pk": pc.binary_join_element_wise(
+            t.column("v"), t.column("x"), "\x1f")})
+
+    epairs = und.map_batches(edge_keys, batch_format="pyarrow")
+    new_pairs = hash_join(
+        ra.map_batches(keyed, batch_format="pyarrow"), epairs,
+        "pk", "pk", how="left_anti")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("ra_nano"),
+                                pa.scalar(min_ra_nano))
+        t = batch.filter(keep)
+        return pa.table({"node_a": t.column("na"), "node_b": t.column("nb"),
+                         "common": t.column("common"),
+                         "ra_nano": t.column("ra_nano")})
+
+    return new_pairs.map_batches(finish, batch_format="pyarrow")
