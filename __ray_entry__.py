@@ -652,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_rank": Q.q_web_host_rank,
         "embed_pca1": Q.q_embed_pca1,
         "embed_outliers": Q.q_embed_outliers,
+        "lm_bpe_encode": Q.q_lm_bpe_encode,
+        "events_cusum": Q.q_events_cusum,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -866,4 +868,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_q3": Q.SQL_ORDERS_Q3,
         "lineitem_q14": Q.SQL_LINEITEM_Q14,
         "orders_late_ship": Q.SQL_ORDERS_LATE_SHIP,
+        "lm_bpe_encode": Q.sql_lm_bpe_encode(),
+        "events_cusum": __import__(
+            "ontoray.stages.events",
+            fromlist=["SQL_EVENTS_CUSUM"]).SQL_EVENTS_CUSUM,
     }

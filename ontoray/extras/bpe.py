@@ -94,10 +94,14 @@ def bpe_merges(ds, k: int = 6, min_count: int = 2, text_col: str = "text",
                      "pair_count": pa.array(cnts, pa.int64())})
 
 
-def sql_bpe_merges(k: int = 6, min_count: int = 2, table: str = "documents",
-                   text_col: str = "text") -> str:
-    """Unrolled-CTE mirror: step i = pair counts over state i-1 → best pair
-    (ORDER BY cnt DESC, a, b LIMIT 1) → replace-applied state i."""
+def _sql_bpe_train_ctes(k: int = 6, min_count: int = 2,
+                        table: str = "documents",
+                        text_col: str = "text") -> str:
+    """The WITH-chain shared by the train and encode mirrors: wc/s0 plus,
+    per step i, p{i} (pair counts) → b{i} (best pair) → s{i} (merge applied),
+    and bb{i} — b{i} padded with a never-matching sentinel row so encode's
+    apply chain survives pair exhaustion (cross join with an empty b{i}
+    would wipe the corpus; the engine just stops merging)."""
     parts = [f"""
 WITH wc AS (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS n
@@ -115,14 +119,114 @@ WITH wc AS (
   WHERE pr[2] IS NOT NULL GROUP BY 1, 2
 ), b{i} AS (
   SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+), bb{i} AS (
+  SELECT a, b FROM b{i}
+  UNION ALL SELECT chr(1), chr(1)
+  WHERE NOT EXISTS (SELECT 1 FROM b{i})
 ), s{i} AS (
   SELECT w.word, w.n,
          replace(w.st, ' ' || b.a || '  ' || b.b || ' ',
                  ' ' || b.a || b.b || ' ') AS st
   FROM s{i - 1} w, b{i} b
 )""")
+    return "".join(parts)
+
+
+def sql_bpe_merges(k: int = 6, min_count: int = 2, table: str = "documents",
+                   text_col: str = "text") -> str:
+    """Unrolled-CTE mirror: step i = pair counts over state i-1 → best pair
+    (ORDER BY cnt DESC, a, b LIMIT 1) → replace-applied state i."""
     sel = " UNION ALL ".join(
         f"SELECT {i} AS step, a AS left_sym, b AS right_sym, "
         f"cnt AS pair_count FROM b{i}" for i in range(1, k + 1))
-    parts.append(f" SELECT * FROM ({sel}) ORDER BY step")
+    return (_sql_bpe_train_ctes(k, min_count, table, text_col)
+            + f" SELECT * FROM ({sel}) ORDER BY step")
+
+
+def bpe_encode(ds, k: int = 6, min_count: int = 2, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Apply the ``k`` learned merges back to the corpus — the tokenizer
+    ENCODE step, closing the train→apply loop: per document,
+
+        n_words      = [a-z0-9]+ token count,
+        n_chars_tok  = total characters inside those tokens,
+        n_bpe_tokens = symbol count after all merges,
+        ratio_micro  = 1_000_000 * n_bpe_tokens // n_chars_tok
+
+    (the achieved compression vs character-level).  Zero-token docs emit no
+    row.  Scale shape: training is :func:`bpe_merges` (one distributed
+    word-count pass + the vocabulary-bounded trainer loop); the merge list
+    (<= k pairs) is broadcast into a stateless vectorized-enough
+    map_batches that memoizes merged forms per UNIQUE word within the
+    batch (Zipf makes the per-batch word set far smaller than the token
+    stream)."""
+    merges_tbl = bpe_merges(ds, k=k, min_count=min_count, text_col=text_col)
+    merges = list(zip(merges_tbl.column("left_sym").to_pylist(),
+                      merges_tbl.column("right_sym").to_pylist()))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
+        ids, nw, nc, nb = [], [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = TOKEN_RE.findall(t or "")
+            if not toks:
+                continue
+            total = 0
+            for w in toks:
+                got = cache.get(w)
+                if got is None:
+                    syms = list(w)
+                    for a, b in merges:
+                        if a in syms:
+                            syms = _merge_word(syms, a, b)
+                    got = cache[w] = len(syms)
+                total += got
+            chars = sum(len(w) for w in toks)
+            ids.append(did)
+            nw.append(len(toks))
+            nc.append(chars)
+            nb.append(total)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+            "n_chars_tok": pa.array(nc, pa.int64()),
+            "n_bpe_tokens": pa.array(nb, pa.int64()),
+            "ratio_micro": pa.array(
+                [1_000_000 * b // c for b, c in zip(nb, nc)], pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        encode, batch_format="pyarrow")
+
+
+def sql_bpe_encode(k: int = 6, min_count: int = 2, table: str = "documents",
+                   text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Encode mirror: the training chain's bb{i} merges applied to every
+    corpus token occurrence, symbol counts folded per document."""
+    parts = [_sql_bpe_train_ctes(k, min_count, table, text_col)]
+    parts.append(f""", tok AS (
+  SELECT {id_col}, unnest(regexp_extract_all(coalesce({text_col}, ''),
+                                             '[a-z0-9]+')) AS w
+  FROM {table}
+), a0 AS (
+  SELECT {id_col}, w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS st FROM tok
+)""")
+    for i in range(1, k + 1):
+        parts.append(f""", a{i} AS (
+  SELECT {id_col}, w,
+         replace(st, ' ' || b.a || '  ' || b.b || ' ',
+                 ' ' || b.a || b.b || ' ') AS st
+  FROM a{i - 1}, bb{i} b
+)""")
+    parts.append(f""", enc AS (
+  SELECT {id_col}, CAST(length(w) AS BIGINT) AS nch,
+         CAST(length(string_split(trim(st), '  ')) AS BIGINT) AS nsym
+  FROM a{k}
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nch) AS BIGINT) AS n_chars_tok,
+       CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens,
+       CAST(1000000 * sum(nsym) // sum(nch) AS BIGINT) AS ratio_micro
+FROM enc GROUP BY {id_col}""")
     return "".join(parts)

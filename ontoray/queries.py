@@ -3631,3 +3631,28 @@ SQL_KG_RESOURCE_ALLOC = (
     "SELECT ra.na AS node_a, ra.nb AS node_b, ra.common, ra.ra_nano "
     "FROM ra LEFT JOIN ep ON ep.a = ra.na AND ep.b = ra.nb "
     "WHERE ep.a IS NULL AND ra.ra_nano >= 50000000")
+
+
+def q_lm_bpe_encode(sf_dir: str, k: int = 6):
+    """Apply the k learned BPE merges back to every document — the
+    tokenizer ENCODE step (extras/bpe.bpe_encode): per doc, word/char/BPE
+    symbol counts and the achieved micro-fixed-point compression ratio."""
+    import ray.data as rd
+    from ontoray.extras.bpe import bpe_encode
+    return bpe_encode(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"]), k=k)
+
+
+def sql_lm_bpe_encode(k: int = 6) -> str:
+    from ontoray.extras.bpe import sql_bpe_encode
+    return sql_bpe_encode(k=k)
+
+
+def q_events_cusum(sf_dir: str):
+    """Per-type one-sided CUSUM change statistic per event, via the
+    parallel-prefix closed form (stages/events.cusum_scan)."""
+    import ray.data as rd
+    from ontoray.stages.events import cusum_scan
+    return cusum_scan(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "event_id", "ts", "value"]))

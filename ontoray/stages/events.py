@@ -1007,3 +1007,159 @@ SELECT event_type, n_treat, n_ctrl,
        - (CASE WHEN n_ctrl = 0 THEN 0 ELSE s_ctrl // n_ctrl END) AS diff_micro
 FROM a
 """
+
+
+def cusum_scan(events_ds, key: str = "event_type"):
+    """Per-key CUSUM change detection: with x_i the micro-quantized value in
+    (ts, event_id) order and mu the key's exact integer micro-mean,
+
+        s_i = max(0, s_{i-1} + (x_i - mu))      (the classic one-sided CUSUM)
+
+    computed via its closed form s_i = cs_i - min(0, min_{j<=i} cs_j) over
+    prefix sums cs of the deltas — which makes the sequential recursion a
+    PARALLEL-PREFIX problem:
+
+    1. one metadata pass folds per-key (sum, count) -> mu (key vocabulary
+       bounded, broadcast);
+    2. ONE keyed exchange groups events by (key, epoch-day) — day buckets
+       are ordered, so each group scans locally (numpy cumsum + running
+       min) and tags its rows with the group's total and min-prefix;
+    3. a metadata-only aggregate ships one row per (key, day) to the
+       driver, which cumulates exclusive offsets off_cs and the running
+       min-prefix seen BEFORE each bucket;
+    4. a final vectorized map_batches rebases: cs = cs_local + off_cs,
+       rm_i = min(minpref_before, off_cs + rm_local_i),
+       cusum = cs - min(0, rm_i).
+
+    Exact int64 end to end (values are nonnegative, so mu = sum // n floors
+    identically in Python and DuckDB).  Output:
+    (key, event_id, ts_us, cusum_micro) — one row per event."""
+    import numpy as np
+    import ray
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def q(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key: batch.column(key),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "vm": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(batch.column("value"), pa.float64()),
+                pa.scalar(1_000_000.0)), pa.scalar(0.5))), pa.int64()),
+        })
+
+    v = events_ds.select_columns([key, "event_id", "ts", "value"])\
+        .map_batches(q, batch_format="pyarrow").materialize()
+
+    means = hash_aggregate(
+        v.select_columns([key, "vm"]), [key],
+        partial_aggs=[("vm", "sum"), ("vm", "count")],
+        aggs=[("vm_sum", "sum"), ("vm_count", "sum")],
+        rename={"vm_sum_sum": "s", "vm_count_sum": "n"},
+        num_buckets=8).take_all()
+    mu = {r[key]: r["s"] // r["n"] for r in means}
+    mu_ref = ray.put(mu)
+
+    def gk_of(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key).to_pylist()
+        day = pc.divide(batch.column("ts_us"), pa.scalar(86_400_000_000))\
+            .to_numpy(zero_copy_only=False)
+        m = ray.get(mu_ref)
+        return pa.table({
+            "gk": pa.array([f"{kk}\x1f{d:012d}" for kk, d in zip(ks, day)],
+                           pa.string()),
+            key: batch.column(key),
+            "event_id": batch.column("event_id"),
+            "ts_us": batch.column("ts_us"),
+            "delta": pa.array(
+                batch.column("vm").to_numpy(zero_copy_only=False)
+                - np.array([m[kk] for kk in ks], dtype=np.int64), pa.int64()),
+        })
+
+    def local_scan(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        d = g.column("delta").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        cs = np.cumsum(d[order])
+        rm = np.minimum.accumulate(cs)
+        n = len(order)
+        return pa.table({
+            "gk": g.column("gk").take(pa.array(order, pa.int64())),
+            key: g.column(key).take(pa.array(order, pa.int64())),
+            "event_id": pa.array(ids[order], pa.int64()),
+            "ts_us": pa.array(ts[order], pa.int64()),
+            "cs_local": pa.array(cs, pa.int64()),
+            "rm_local": pa.array(rm, pa.int64()),
+            "g_total": pa.array(np.full(n, cs[-1]), pa.int64()),
+            "g_minpref": pa.array(np.full(n, rm[-1]), pa.int64()),
+        })
+
+    scanned = v.map_batches(gk_of, batch_format="pyarrow")\
+        .groupby("gk").map_groups(local_scan, batch_format="pyarrow")\
+        .materialize()
+
+    summaries = hash_aggregate(
+        scanned.select_columns(["gk", "g_total", "g_minpref"]), ["gk"],
+        partial_aggs=[("g_total", "max"), ("g_minpref", "max")],
+        aggs=[("g_total_max", "max"), ("g_minpref_max", "max")],
+        rename={"g_total_max_max": "t", "g_minpref_max_max": "mp"},
+        num_buckets=8).take_all()                      # keys x days, bounded
+    summaries.sort(key=lambda r: r["gk"])
+    BIG = 1 << 62
+    off, before, cur = {}, {}, None
+    for r in summaries:
+        kk = r["gk"].rsplit("\x1f", 1)[0]
+        if kk != cur:
+            cur, acc, mseen = kk, 0, BIG
+        off[r["gk"]] = acc
+        before[r["gk"]] = mseen
+        mseen = min(mseen, acc + r["mp"])
+        acc += r["t"]
+    fold_ref = ray.put((off, before))
+
+    def rebase(batch: pa.Table) -> pa.Table:
+        o, b = ray.get(fold_ref)
+        gks = batch.column("gk").to_pylist()
+        offs = np.array([o[g] for g in gks], dtype=np.int64)
+        bef = np.array([b[g] for g in gks], dtype=np.int64)
+        cs = batch.column("cs_local").to_numpy(zero_copy_only=False) + offs
+        rm = np.minimum(
+            bef, offs + batch.column("rm_local").to_numpy(zero_copy_only=False))
+        cusum = cs - np.minimum(rm, 0)
+        return pa.table({
+            key: batch.column(key),
+            "event_id": batch.column("event_id"),
+            "ts_us": batch.column("ts_us"),
+            "cusum_micro": pa.array(cusum, pa.int64()),
+        })
+
+    return scanned.map_batches(rebase, batch_format="pyarrow")
+
+
+SQL_EVENTS_CUSUM = """
+WITH v AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(sum(vm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+  FROM v GROUP BY 1
+), d AS (
+  SELECT v.event_type, event_id, ts_us, vm - mu AS delta
+  FROM v JOIN m USING (event_type)
+), c AS (
+  SELECT event_type, event_id, ts_us,
+         CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY ts_us,
+              event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+  FROM d
+), r AS (
+  SELECT event_type, event_id, ts_us, cs,
+         min(cs) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS rm
+  FROM c
+)
+SELECT event_type, event_id, ts_us, cs - least(0, rm) AS cusum_micro FROM r
+"""
