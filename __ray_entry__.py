@@ -654,6 +654,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_outliers": Q.q_embed_outliers,
         "lm_bpe_encode": Q.q_lm_bpe_encode,
         "events_cusum": Q.q_events_cusum,
+        "orders_bigqty": Q.q_orders_bigqty,
+        "parts_supplier_cnt": Q.q_parts_supplier_cnt,
+        "lineitem_disjunct_rev": Q.q_lineitem_disjunct_rev,
+        "custs_above_avg_idle": Q.q_custs_above_avg_idle,
+        "docs_span_dedup": Q.q_docs_span_dedup,
+        "embed_dim_stats": Q.q_embed_dim_stats,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -872,4 +878,10 @@ def oracle_sql() -> dict[str, str]:
         "events_cusum": __import__(
             "ontoray.stages.events",
             fromlist=["SQL_EVENTS_CUSUM"]).SQL_EVENTS_CUSUM,
+        "orders_bigqty": Q.SQL_ORDERS_BIGQTY,
+        "parts_supplier_cnt": Q.SQL_PARTS_SUPPLIER_CNT,
+        "lineitem_disjunct_rev": Q.SQL_LINEITEM_DISJUNCT_REV,
+        "custs_above_avg_idle": Q.SQL_CUSTS_ABOVE_AVG_IDLE,
+        "docs_span_dedup": Q.sql_docs_span_dedup(),
+        "embed_dim_stats": Q.sql_embed_dim_stats(),
     }

@@ -1622,3 +1622,123 @@ def sql_novelty_stats(k: int = 5, table: str = "documents",
                  AS BIGINT) * 1000000) // count(*) AS novelty_ppm
     FROM g JOIN mn USING (h) GROUP BY g.{id_col}
     """
+
+
+# --- corpus-wide exact-span dedup (keep-first winners) -------------------------
+
+def span_dedup_keep_first(ds, tile: int = 8, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Corpus-wide EXACT substring-span deduplication with keep-first
+    winner semantics — the Lee et al. 2022 'Deduplicating Training Data
+    Makes Language Models Better' recipe at tile granularity: the token
+    stream splits into non-overlapping ``tile``-token tiles, and every
+    distinct tile survives only at its FIRST corpus occurrence (minimal
+    (doc_id, tile_idx)); every other occurrence anywhere is a drop.
+
+    Distinct from ``dup_span_stats``: that reports each doc's duplicated-
+    span FRACTION (symmetric — both copies count); this ASSIGNS the single
+    surviving copy, which is what a dedup pass that rewrites the corpus
+    needs (the winner keeps the span, losers scrub it).
+
+    Contract: tokens = [a-z0-9]+ over the raw text; tiles are consecutive
+    token groups of ``tile`` (trailing partial tile included), 1-based
+    index; tile identity is the 60-bit md5 prefix of the space-joined tile
+    (md5-int60 — the SQL mirror hashes identically, so parity holds even
+    under collisions); occurrence order is the packed key doc_id·10⁶ + idx
+    (docs assumed < 10⁶ tiles).
+
+    Scale shape: the corpus explodes to (hash, packed) METADATA rows — two
+    int64s per tile, text never leaves the map stage; winners fold via a
+    two-phase min; ONE partitioned hash join re-attaches winners to
+    occurrences; the per-doc summary is a vocabulary-bounded aggregate.
+
+    Output: (doc_id, n_tiles, n_kept, n_dropped) — docs with no token emit
+    no row."""
+    import pyarrow.compute as pc
+
+    from ontoray.extras.fastmd5 import md5_int60
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, hs, packed = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            toks = _TOKEN_RE.findall(t or "")
+            if not toks:
+                continue
+            tiles = [" ".join(toks[j:j + tile])
+                     for j in range(0, len(toks), tile)]
+            hs.append(md5_int60([s.encode() for s in tiles]))
+            ids.extend([did] * len(tiles))
+            packed.extend(did * 1_000_000 + i
+                          for i in range(1, len(tiles) + 1))
+        h = np.concatenate(hs) if hs else np.array([], dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "packed": pa.array(packed, pa.int64()),
+        })
+
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow").materialize()
+
+    winners = hash_aggregate(
+        occ.select_columns(["h", "packed"]), ["h"],
+        partial_aggs=[("packed", "min")], aggs=[("packed_min", "min")],
+        rename={"packed_min_min": "win"})
+
+    j = hash_join(occ, winners, "h", "h", right_cols=["win"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        kept = pc.cast(pc.equal(batch.column("packed"), batch.column("win")),
+                       pa.int64())
+        return pa.table({id_col: batch.column(id_col),
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 dtype=np.int64)),
+                         "kept": kept})
+
+    out = hash_aggregate(
+        j.map_batches(per_doc, batch_format="pyarrow"), [id_col],
+        partial_aggs=[("one", "sum"), ("kept", "sum")],
+        aggs=[("one_sum", "sum"), ("kept_sum", "sum")],
+        rename={"one_sum_sum": "n_tiles", "kept_sum_sum": "n_kept"})
+
+    def final(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_dropped", pc.subtract(batch.column("n_tiles"),
+                                     batch.column("n_kept")))
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+def sql_span_dedup_keep_first(tile: int = 8, table: str = "documents",
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`span_dedup_keep_first` — identical tiling,
+    md5-int60 tile hashing, packed-key argmin, per-doc fold."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             unnest(regexp_extract_all(coalesce({text_col}, ''),
+                                       '[a-z0-9]+')) AS w,
+             generate_subscripts(regexp_extract_all(coalesce({text_col}, ''),
+                                                    '[a-z0-9]+'), 1) AS i
+      FROM {table}
+    ), tiles AS (
+      SELECT {id_col}, CAST((i - 1) // {tile} + 1 AS BIGINT) AS ti,
+             string_agg(w, ' ' ORDER BY i) AS s
+      FROM toks GROUP BY 1, 2
+    ), k AS (
+      SELECT {id_col}, ti AS i, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM tiles
+    ), w AS (
+      SELECT h, min({id_col} * 1000000 + i) AS win FROM k GROUP BY 1
+    )
+    SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tiles,
+           CAST(sum(CASE WHEN {id_col} * 1000000 + i = win
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN {id_col} * 1000000 + i = win
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM k JOIN w USING (h) GROUP BY 1
+    """

@@ -151,3 +151,74 @@ def sql_embed_pca1(rounds: int = 3, table: str = "embeddings") -> str:
             f"FROM q, pv{rounds} v GROUP BY q.vec_id) "
             f"SELECT vec_id, CAST({_sql_floordiv('d', str(S))} AS BIGINT) "
             f"AS proj FROM pdf")
+
+
+def dim_stats(ds, vec_col: str = "embedding"):
+    """Per-dimension feature profile of the embedding matrix — the data-
+    validation op (TFDV-style) a training pipeline runs before/after every
+    embedding-producing stage: n, sum, sum-of-squares, min, max per
+    coordinate, all in the exact micro fixed-point contract (floor(x·10⁶ +
+    0.5), the k-means quantizer) so any parallelism gives bit-identical
+    moments.  Downstream uses: drift detection between snapshots, dead/
+    saturated-dimension scans, whitening-stat precompute.
+
+    Scale shape: each batch folds to ONE (dim, n, s, ss, mn, mx) row per
+    dimension via numpy column reductions, so the exchange is dim-bounded
+    (64 rows per block here), never row-scale.  Overflow headroom: ss per
+    row ≤ dim·(10⁶·max|x|)²; unit-scale vectors stay int64-safe to ~3·10⁶
+    rows per dimension PER BLOCK partial and ~9·10¹⁸ total — beyond that,
+    shard the dim key (the grouped-centroids escape hatch).
+
+    Output: (dim [1-based, matching SQL generate_subscripts], n, sum_micro,
+    ssq_micro2, min_micro, max_micro)."""
+    from ontoray.stages.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(batch, vec_col)            # (rows, dim) int64 micro
+        if q.size == 0:
+            return pa.table({
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "ss": pa.array([], pa.int64()),
+                "mn": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            })
+        dim = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+            "n": pa.array(np.full(dim, q.shape[0], dtype=np.int64)),
+            "s": pa.array(q.sum(axis=0, dtype=np.int64)),
+            "ss": pa.array((q * q).sum(axis=0, dtype=np.int64)),
+            "mn": pa.array(q.min(axis=0)),
+            "mx": pa.array(q.max(axis=0)),
+        })
+
+    return hash_aggregate(
+        ds.select_columns([vec_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["dim"],
+        aggs=[("n", "sum"), ("s", "sum"), ("ss", "sum"),
+              ("mn", "min"), ("mx", "max")],
+        rename={"n_sum": "n", "s_sum": "sum_micro", "ss_sum": "ssq_micro2",
+                "mn_min": "min_micro", "mx_max": "max_micro"},
+        num_buckets=8)
+
+
+def sql_dim_stats(table: str = "embeddings", vec_col: str = "embedding") -> str:
+    """DuckDB mirror of :func:`dim_stats` — unnest + generate_subscripts
+    zip into (dim, q) pairs; identical micro quantization."""
+    return f"""
+    WITH q AS (
+      SELECT generate_subscripts({vec_col}, 1) AS dim,
+             CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM {table}
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_micro,
+           CAST(sum(q * q) AS BIGINT) AS ssq_micro2,
+           CAST(min(q) AS BIGINT) AS min_micro,
+           CAST(max(q) AS BIGINT) AS max_micro
+    FROM q GROUP BY 1
+    """

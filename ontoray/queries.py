@@ -3656,3 +3656,354 @@ def q_events_cusum(sf_dir: str):
     return cusum_scan(rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_type", "event_id", "ts", "value"]))
+
+
+# --- TPC-H Q18/Q16/Q19/Q22 shapes ----------------------------------------------
+
+def q_orders_bigqty(sf_dir: str, min_qty: int = 250):
+    """TPC-H Q18 shape (large-volume orders): per-order quantity totals
+    (two-phase hash_aggregate — the fact table exchanges one combiner row
+    per order, never a lineitem row), HAVING-filtered to > ``min_qty``, then
+    two partitioned hash joins pull the order header and the customer name.
+    The HAVING filter runs BEFORE either join, so join input is the handful
+    of qualifying orders, not the corpus."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "q": pc.cast(pc.floor(pc.add(
+                pc.cast(batch.column("l_quantity"), pa.float64()),
+                pa.scalar(0.5))), pa.int64()),
+        })
+
+    ms = hash_aggregate(
+        li.map_batches(qty, batch_format="pyarrow"), ["l_orderkey"],
+        partial_aggs=[("q", "sum")], aggs=[("q_sum", "sum")],
+        rename={"q_sum_sum": "sum_qty"})
+    big = ms.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"),
+                                      pa.scalar(min_qty, pa.int64()))),
+        batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = hash_join(big, orders, "l_orderkey", "o_orderkey",
+                  right_cols=["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    j2 = hash_join(j, cust, "o_custkey", "c_custkey", right_cols=["c_name"])
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": batch.column("c_name"),
+            "o_orderkey": batch.column("l_orderkey"),
+            "o_orderdate_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+            "total_cents": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(batch.column("o_totalprice"), pa.float64()),
+                pa.scalar(100.0)), pa.scalar(0.5))), pa.int64()),
+            "sum_qty": batch.column("sum_qty"),
+        })
+
+    return j2.map_batches(out, batch_format="pyarrow")
+
+
+SQL_ORDERS_BIGQTY = (
+    "WITH ms AS (SELECT l_orderkey, "
+    "CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty "
+    "FROM lineitem GROUP BY 1 HAVING sum_qty > 250) "
+    "SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, "
+    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents, sum_qty "
+    "FROM ms JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey")
+
+
+def q_parts_supplier_cnt(sf_dir: str, bal_cents_lt: int = 100000):
+    """TPC-H Q16 shape (supplier count per part attribute group) over the
+    lineitem-evidenced (part, supplier) pairs — the synthetic schema has no
+    partsupp table, so distinct (l_partkey, l_suppkey) stands in for it.
+
+    Scale shape: the fact table collapses to distinct pairs via a two-phase
+    hash_aggregate (per-batch combiner first); the supplier blocklist
+    (low-standing suppliers, the Q16 'complaints' surrogate: acctbal cents <
+    ``bal_cents_lt``) is dimension-bounded and broadcasts as a set; part
+    attributes arrive by partitioned hash join; a second vocabulary-scale
+    distinct on (brand, type, size, suppkey) feeds the final count —
+    count(DISTINCT suppkey) without ever shipping a non-distinct row."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    pairs = hash_aggregate(
+        li.map_batches(one, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        partial_aggs=[("one", "max")], aggs=[("one_max", "max")],
+        rename={"one_max_max": "one"})
+
+    import pyarrow.parquet as pq
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    cents = pc.cast(pc.floor(pc.add(pc.multiply(
+        pc.cast(sup.column("s_acctbal"), pa.float64()),
+        pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+    blocked = set(sup.column("s_suppkey").filter(
+        pc.less(cents, pa.scalar(bal_cents_lt, pa.int64()))).to_pylist())
+    blocked_ref = ray.put(blocked)
+
+    def drop_blocked(batch: pa.Table) -> pa.Table:
+        bl = ray.get(blocked_ref)
+        keep = pa.array([s not in bl
+                         for s in batch.column("l_suppkey").to_pylist()])
+        return batch.filter(keep)
+
+    ok = pairs.map_batches(drop_blocked, batch_format="pyarrow")
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_type",
+                                    "p_size"])
+    j = hash_join(ok, part, "l_partkey", "p_partkey",
+                  right_cols=["p_brand", "p_type", "p_size"])
+
+    SIZES = {1, 7, 14, 21, 28, 35, 42, 49}
+
+    def attr_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(batch.column("p_size"),
+                     value_set=pa.array(sorted(SIZES), pa.int32())),
+            pc.invert(pc.equal(batch.column("p_brand"), "Brand#13")))
+        t = batch.filter(keep)
+        return t.select(["p_brand", "p_type", "p_size", "l_suppkey"])\
+            .append_column("one",
+                           pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    quads = hash_aggregate(
+        j.map_batches(attr_filter, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        partial_aggs=[("one", "max")], aggs=[("one_max", "max")],
+        rename={"one_max_max": "one"})
+    return hash_aggregate(
+        quads, ["p_brand", "p_type", "p_size"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "supplier_cnt"}, num_buckets=8)
+
+
+SQL_PARTS_SUPPLIER_CNT = (
+    "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
+    "ok AS (SELECT * FROM pairs WHERE l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier "
+    "WHERE CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) < 100000)) "
+    "SELECT p_brand, p_type, p_size, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM ok JOIN part ON p_partkey = l_partkey "
+    "WHERE p_size IN (1, 7, 14, 21, 28, 35, 42, 49) "
+    "AND p_brand <> 'Brand#13' GROUP BY 1, 2, 3")
+
+
+def q_lineitem_disjunct_rev(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicates): ONE
+    partitioned hash join carries (brand, size) onto the quantity-pruned
+    fact rows (the OR's union quantity envelope [1, 30] pushes into the
+    parquet read), the three-clause disjunction evaluates as vectorized
+    Arrow boolean algebra, and revenue folds as int64-cents partials —
+    a single global sum, no further exchange.
+
+    Output: one row (n_items, revenue_cents)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_quantity") >= 1)
+                & (pc.field("l_quantity") <= 30)))
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+    j = hash_join(li, part, "l_partkey", "p_partkey",
+                  right_cols=["p_brand", "p_size"])
+
+    def clause(batch, brand, size_hi, q_lo, q_hi):
+        return pc.and_(pc.and_(
+            pc.equal(batch.column("p_brand"), brand),
+            pc.and_(pc.greater_equal(batch.column("p_size"), 1),
+                    pc.less_equal(batch.column("p_size"), size_hi))),
+            pc.and_(pc.greater_equal(batch.column("l_quantity"), q_lo),
+                    pc.less_equal(batch.column("l_quantity"), q_hi)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.or_(clause(batch, "Brand#12", 15, 1.0, 11.0),
+                             clause(batch, "Brand#23", 25, 10.0, 20.0)),
+                      clause(batch, "Brand#34", 35, 20.0, 30.0))
+        t = batch.filter(keep)
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "rc": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+        })
+
+    parts_ds = j.map_batches(partials, batch_format="pyarrow")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_items": pa.array([pc.sum(batch.column("n")).as_py() or 0],
+                                pa.int64()),
+            "revenue_cents": pa.array(
+                [pc.sum(batch.column("rc")).as_py() or 0], pa.int64()),
+        })
+
+    return fold(pa.concat_tables(
+        [pa.table(b) for b in parts_ds.iter_batches(batch_format="pyarrow")]))
+
+
+SQL_LINEITEM_DISJUNCT_REV = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "AND l_quantity BETWEEN 1 AND 11) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+    "AND l_quantity BETWEEN 10 AND 20) "
+    "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 "
+    "AND l_quantity BETWEEN 20 AND 30)")
+
+
+def q_custs_above_avg_idle(sf_dir: str, cutoff: str = "2000-07-01"):
+    """TPC-H Q22 shape (above-average-balance customers with no recent
+    orders), restated distributed-exact:
+
+    * the global positive-balance average broadcasts as TWO integers
+      (n, sum_cents) and the per-row test is the cross-multiplication
+      ``cents * n > sum`` — exact, no division, no float;
+    * 'no recent order' is the repo's EXCEPT operator (stages/setops): both
+      sides collapse to per-batch distinct keys before ONE vocabulary-scale
+      exchange; the recent-order date predicate pushes into the parquet
+      read so pruned row groups never leave storage;
+    * customer attributes re-attach by partitioned hash join and the final
+      per-segment (count, balance-cents) aggregate is vocabulary-bounded.
+
+    Output: (c_mktsegment, n_custs, bal_cents)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+    from ontoray.stages.setops import except_distinct
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal",
+                                    "c_mktsegment"])
+
+    def cents_of(batch: pa.Table):
+        return pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("c_acctbal"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        c = cents_of(batch)
+        pos = pc.filter(c, pc.greater(c, pa.scalar(0, pa.int64())))
+        return pa.table({
+            "n": pa.array([len(pos)], pa.int64()),
+            "s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+        })
+
+    st = pa.concat_tables([pa.table(b) for b in cust.map_batches(
+        stat_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")])
+    n_tot = pc.sum(st.column("n")).as_py() or 0
+    s_tot = pc.sum(st.column("s")).as_py() or 0
+
+    lo = datetime.datetime.fromisoformat(cutoff)
+    recent = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"],
+                             filter=(pc.field("o_orderdate") >= lo))
+    idle = except_distinct(cust, recent, "c_custkey", "o_custkey")
+    j = hash_join(idle, cust, "c_custkey", "c_custkey",
+                  right_cols=["c_acctbal", "c_mktsegment"])
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        c = cents_of(batch)
+        keep = pc.greater(pc.multiply(c, pa.scalar(n_tot, pa.int64())),
+                          pa.scalar(s_tot, pa.int64()))
+        t = batch.filter(keep)
+        ck = pc.filter(c, keep)
+        return pa.table({
+            "c_mktsegment": t.column("c_mktsegment"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "cents": ck,
+        })
+
+    return hash_aggregate(
+        j.map_batches(seg_partial, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        partial_aggs=[("one", "sum"), ("cents", "sum")],
+        aggs=[("one_sum", "sum"), ("cents_sum", "sum")],
+        rename={"one_sum_sum": "n_custs", "cents_sum_sum": "bal_cents"},
+        num_buckets=8)
+
+
+SQL_CUSTS_ABOVE_AVG_IDLE = (
+    "WITH c AS (SELECT c_custkey, c_mktsegment, "
+    "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer), "
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(cents) AS BIGINT) AS s FROM c WHERE cents > 0), "
+    "idle AS (SELECT c_custkey FROM customer EXCEPT "
+    "SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-07-01') "
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs, "
+    "CAST(sum(cents) AS BIGINT) AS bal_cents "
+    "FROM c JOIN idle USING (c_custkey), s "
+    "WHERE cents * s.n > s.s GROUP BY 1")
+
+
+def q_docs_span_dedup(sf_dir: str):
+    """Corpus-wide keep-first exact 8-token-tile dedup summary
+    (extras/dedup.span_dedup_keep_first — the Lee et al. substring-dedup
+    winner assignment)."""
+    import ray.data as rd
+    from ontoray.extras.dedup import span_dedup_keep_first
+    return span_dedup_keep_first(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def sql_docs_span_dedup() -> str:
+    from ontoray.extras.dedup import sql_span_dedup_keep_first
+    return sql_span_dedup_keep_first()
+
+
+def q_embed_dim_stats(sf_dir: str):
+    """Per-dimension embedding feature profile (extras/pca.dim_stats)."""
+    import ray.data as rd
+    from ontoray.extras.pca import dim_stats
+    return dim_stats(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["embedding"]))
+
+
+def sql_embed_dim_stats() -> str:
+    from ontoray.extras.pca import sql_dim_stats
+    return sql_dim_stats()

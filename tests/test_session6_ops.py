@@ -124,3 +124,196 @@ class TestCusumScan:
         early = max(path[: len(path) // 4])
         late = max(path[-len(path) // 4:])
         assert late > early * 2
+
+
+def _duck(views: dict) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for name, tbl in views.items():
+        con.register(name, tbl)
+    return con
+
+
+class TestRelationalShapes:
+    """Q18/Q16/Q19/Q22 shapes on a hand-built micro star schema."""
+
+    def _star(self):
+        import datetime as dt
+        lineitem = pa.table({
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 3, 3, 3], pa.int64()),
+            "l_partkey": pa.array([10, 11, 10, 12, 11, 10, 12, 13, 11], pa.int64()),
+            "l_suppkey": pa.array([100, 101, 100, 102, 101, 100, 102, 103, 101], pa.int64()),
+            "l_quantity": pa.array([50.0, 50.0, 50.0, 5.0, 10.0, 50.0, 50.0, 50.0, 50.0]),
+            "l_extendedprice": pa.array([100.5, 200.25, 50.0, 10.0, 20.0,
+                                         30.0, 40.0, 55.5, 60.0]),
+            "l_discount": pa.array([0.1, 0.0, 0.05, 0.02, 0.04, 0.0, 0.1, 0.03, 0.06]),
+            "l_shipdate": pa.array([dt.datetime(1997, 2, 1)] * 9,
+                                   pa.timestamp("us")),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([7, 8, 7], pa.int64()),
+            "o_orderstatus": pa.array(["F", "O", "F"]),
+            "o_totalprice": pa.array([350.75, 30.0, 185.5]),
+            "o_orderdate": pa.array([dt.datetime(1999, 1, 1),
+                                     dt.datetime(2001, 1, 1),
+                                     dt.datetime(1998, 6, 1)],
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "2-HIGH"]),
+        })
+        customer = pa.table({
+            "c_custkey": pa.array([7, 8, 9, 10], pa.int64()),
+            "c_name": pa.array(["ann", "bob", "cat", "dan"]),
+            "c_nationkey": pa.array([0, 1, 0, 1], pa.int32()),
+            "c_acctbal": pa.array([900.0, 100.0, 5000.0, -20.0]),
+            "c_mktsegment": pa.array(["BUILDING", "BUILDING", "MACHINERY",
+                                      "AUTOMOBILE"]),
+        })
+        supplier = pa.table({
+            "s_suppkey": pa.array([100, 101, 102, 103], pa.int64()),
+            "s_name": pa.array(["s0", "s1", "s2", "s3"]),
+            "s_nationkey": pa.array([0, 1, 0, 1], pa.int32()),
+            "s_acctbal": pa.array([5000.0, 500.0, 2000.0, 3000.0]),
+        })
+        part = pa.table({
+            "p_partkey": pa.array([10, 11, 12, 13], pa.int64()),
+            "p_name": pa.array(["pa", "pb", "pc", "pd"]),
+            "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#34",
+                                 "Brand#13"]),
+            "p_type": pa.array(["t1", "t2", "t1", "t2"]),
+            "p_size": pa.array([7, 14, 28, 1], pa.int32()),
+            "p_retailprice": pa.array([1.0, 2.0, 3.0, 4.0]),
+        })
+        return {"lineitem": lineitem, "orders": orders,
+                "customer": customer, "supplier": supplier, "part": part}
+
+    def _sf_dir(self, tmp_path, views):
+        import pyarrow.parquet as pq
+        for name, tbl in views.items():
+            pq.write_table(tbl, str(tmp_path / f"{name}.parquet"))
+        return str(tmp_path)
+
+    def _cmp(self, got_ds, sql, views):
+        got = sorted(tuple(r.values())
+                     for r in got_ds.to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(sql).fetchall())
+        assert got == want
+        return got
+
+    def test_orders_bigqty(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_ORDERS_BIGQTY, q_orders_bigqty
+        views = self._star()
+        sf = self._sf_dir(tmp_path, views)
+        # orders 1 (150) and 3 (200) fail > 250? no: order 3 = 50*4 = 200;
+        # threshold 250 -> none pass; use the callable's min_qty override
+        got = q_orders_bigqty(sf, min_qty=149)
+        rows = sorted(tuple(r.values())
+                      for r in got.to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(
+            SQL_ORDERS_BIGQTY.replace("> 250", "> 149")).fetchall())
+        assert rows == want
+        assert len(rows) == 2          # orders 1 (sum 150) and 3 (sum 200)
+        assert {r[0] for r in rows} == {"ann"}
+
+    def test_parts_supplier_cnt(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_PARTS_SUPPLIER_CNT,
+                                     q_parts_supplier_cnt)
+        views = self._star()
+        sf = self._sf_dir(tmp_path, views)
+        rows = self._cmp(q_parts_supplier_cnt(sf),
+                         SQL_PARTS_SUPPLIER_CNT, views)
+        # supplier 101 (acctbal 500 < 1000) is blocked everywhere;
+        # Brand#13 part 13 excluded; part 11 only had supplier 101 -> gone.
+        by_key = {(b, t, s): c for b, t, s, c in rows}
+        assert by_key[("Brand#12", "t1", 7)] == 1        # only supp 100
+        assert ("Brand#23", "t2", 14) not in by_key      # 101 blocked
+        assert by_key[("Brand#34", "t1", 28)] == 1       # supp 102
+
+    def test_lineitem_disjunct_rev(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_LINEITEM_DISJUNCT_REV,
+                                     q_lineitem_disjunct_rev)
+        views = self._star()
+        sf = self._sf_dir(tmp_path, views)
+        rows = self._cmp(q_lineitem_disjunct_rev(sf),
+                         SQL_LINEITEM_DISJUNCT_REV, views)
+        # qualifying rows: part 12 (Brand#34, size 28) with qty 20-30 -> none
+        # (qtys are 5 and 50); part 11 (Brand#23 size 14) qty 10 and 50 -> one;
+        # part 10 (Brand#12 size 7) qty in 1..11 -> none (50s).  n_items == 1.
+        assert rows[0][0] == 1
+
+    def test_custs_above_avg_idle(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_CUSTS_ABOVE_AVG_IDLE,
+                                     q_custs_above_avg_idle)
+        views = self._star()
+        sf = self._sf_dir(tmp_path, views)
+        rows = self._cmp(q_custs_above_avg_idle(sf),
+                         SQL_CUSTS_ABOVE_AVG_IDLE, views)
+        # positive balances: 900, 100, 5000 -> avg 2000; only cust 9 (5000,
+        # MACHINERY, never ordered) qualifies; cust 8 ordered in 2001 (recent).
+        assert rows == [("MACHINERY", 1, 500000)]
+
+
+class TestSpanDedupKeepFirst:
+    def _docs(self) -> pa.Table:
+        a = "w0 w1 w2 w3 w4 w5 w6 w7 x0 x1 x2 x3 x4 x5 x6 x7"
+        b = "w0 w1 w2 w3 w4 w5 w6 w7 y0 y1 y2 y3 y4 y5 y6 y7"
+        c = "x0 x1 x2 x3 x4 x5 x6 x7 tail"
+        return pa.table({"doc_id": pa.array([3, 1, 2], pa.int64()),
+                         "text": pa.array([a, b, c], pa.string())})
+
+    def test_engine_vs_sql(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import (span_dedup_keep_first,
+                                          sql_span_dedup_keep_first)
+        tbl = self._docs()
+        got = span_dedup_keep_first(rd.from_arrow(tbl).repartition(3))
+        eng = sorted(tuple(r.values())
+                     for r in got.to_pandas().to_dict("records"))
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        sql = sorted(con.execute(sql_span_dedup_keep_first()).fetchall())
+        assert eng == sql
+
+    def test_keep_first_semantics(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import span_dedup_keep_first
+        got = {r["doc_id"]: r for r in span_dedup_keep_first(
+            rd.from_arrow(self._docs())).to_pandas().to_dict("records")}
+        # tile 'w0..w7' occurs in docs 1 and 3 -> doc 1 (lower id) keeps it;
+        # tile 'x0..x7' occurs in docs 2 and 3 -> doc 2 keeps it;
+        # doc 3 loses both of its tiles.
+        assert got[1]["n_kept"] == 2 and got[1]["n_dropped"] == 0
+        assert got[2]["n_kept"] == 2 and got[2]["n_dropped"] == 0
+        assert got[3]["n_tiles"] == 2 and got[3]["n_kept"] == 0
+
+
+class TestDimStats:
+    def test_engine_vs_sql(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.pca import dim_stats, sql_dim_stats
+        rng = np.random.default_rng(3)
+        vecs = (rng.normal(0, 0.3, (40, 5)).astype(np.float32))
+        tbl = pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        got = dim_stats(rd.from_arrow(tbl).repartition(4))
+        eng = sorted(tuple(r.values())
+                     for r in got.to_pandas().to_dict("records"))
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        sql = sorted(con.execute(sql_dim_stats()).fetchall())
+        assert eng == sql
+        assert len(eng) == 5 and all(r[1] == 40 for r in eng)
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.pca import dim_stats
+        vecs = [[0.1, -0.2], [0.3, 0.4], [-0.5, 0.0]]
+        tbl = pa.table({"embedding": pa.array(vecs, pa.list_(pa.float32()))})
+        a = sorted(tuple(r.values()) for r in dim_stats(
+            rd.from_arrow(tbl)).to_pandas().to_dict("records"))
+        b = sorted(tuple(r.values()) for r in dim_stats(
+            rd.from_arrow(tbl).repartition(3)).to_pandas().to_dict("records"))
+        assert a == b
+        assert a[0][0] == 1 and a[0][4] == -500000   # dim 1 min = -0.5 micro
