@@ -660,6 +660,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_above_avg_idle": Q.q_custs_above_avg_idle,
         "docs_span_dedup": Q.q_docs_span_dedup,
         "embed_dim_stats": Q.q_embed_dim_stats,
+        "parts_min_supplier": Q.q_parts_min_supplier,
+        "orders_nation_flows": Q.q_orders_nation_flows,
+        "parts_value_share": Q.q_parts_value_share,
+        "docs_snapshot_diff": Q.q_docs_snapshot_diff,
+        "supplier_wait_blame": Q.q_supplier_wait_blame,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -884,4 +889,9 @@ def oracle_sql() -> dict[str, str]:
         "custs_above_avg_idle": Q.SQL_CUSTS_ABOVE_AVG_IDLE,
         "docs_span_dedup": Q.sql_docs_span_dedup(),
         "embed_dim_stats": Q.sql_embed_dim_stats(),
+        "parts_min_supplier": Q.sql_parts_min_supplier(),
+        "orders_nation_flows": Q.SQL_ORDERS_NATION_FLOWS,
+        "parts_value_share": Q.SQL_PARTS_VALUE_SHARE,
+        "docs_snapshot_diff": Q.SQL_DOCS_SNAPSHOT_DIFF,
+        "supplier_wait_blame": Q.SQL_SUPPLIER_WAIT_BLAME,
     }

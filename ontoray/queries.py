@@ -4007,3 +4007,436 @@ def q_embed_dim_stats(sf_dir: str):
 def sql_embed_dim_stats() -> str:
     from ontoray.extras.pca import sql_dim_stats
     return sql_dim_stats()
+
+
+# --- TPC-H Q2/Q7/Q11 shapes + incremental snapshot diff -------------------------
+
+def q_parts_min_supplier(sf_dir: str, region: str = "AFRICA",
+                         max_size: int = 10):
+    """TPC-H Q2 shape (min-cost supplier per part): the ARGMIN-JOIN-BACK
+    pattern — per-(part, supplier) offer prices fold via a two-phase min
+    (the synthetic schema has no partsupp, so min lineitem price per pair
+    stands in for supply cost); suppliers prune to the target region
+    through the dimension-bounded supplier⋈nation⋈region broadcast; the
+    per-part minimum is a second vocabulary-scale aggregate joined BACK
+    onto the offers so ties surface every winning supplier (Q2 semantics);
+    part attributes attach by partitioned hash join with the size filter.
+
+    Output: (p_partkey, p_name, s_name, n_name, offer_cents)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "c": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(batch.column("l_extendedprice"), pa.float64()),
+                pa.scalar(100.0)), pa.scalar(0.5))), pa.int64()),
+        })
+
+    offers = hash_aggregate(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        partial_aggs=[("c", "min")], aggs=[("c_min", "min")],
+        rename={"c_min_min": "offer_cents"})
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = {r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region}
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
+            if r["n_regionkey"] in rk}
+    smap = {r["s_suppkey"]: (r["s_name"], nmap[r["s_nationkey"]])
+            for r in sup.to_pylist() if r["s_nationkey"] in nmap}
+    smap_ref = ray.put(smap)
+
+    def attach_sup(batch: pa.Table) -> pa.Table:
+        m = ray.get(smap_ref)
+        rows = batch.column("l_suppkey").to_pylist()
+        keep = pa.array([s in m for s in rows])
+        t = batch.filter(keep)
+        kept = [m[s] for s in t.column("l_suppkey").to_pylist()]
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "offer_cents": t.column("offer_cents"),
+            "s_name": pa.array([x[0] for x in kept], pa.string()),
+            "n_name": pa.array([x[1] for x in kept], pa.string()),
+        })
+
+    ro = offers.map_batches(attach_sup, batch_format="pyarrow").materialize()
+    mn = hash_aggregate(
+        ro.select_columns(["l_partkey", "offer_cents"]), ["l_partkey"],
+        partial_aggs=[("offer_cents", "min")],
+        aggs=[("offer_cents_min", "min")],
+        rename={"offer_cents_min_min": "mn"})
+    j = hash_join(ro, mn, "l_partkey", "l_partkey", right_cols=["mn"])
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name", "p_size"],
+                           filter=(pc.field("p_size") <= max_size))
+    j2 = hash_join(j, part, "l_partkey", "p_partkey",
+                   right_cols=["p_name", "p_size"])
+
+    def out(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("offer_cents"),
+                                  batch.column("mn")))
+        return pa.table({
+            "p_partkey": t.column("l_partkey"),
+            "p_name": t.column("p_name"),
+            "s_name": t.column("s_name"),
+            "n_name": t.column("n_name"),
+            "offer_cents": t.column("offer_cents"),
+        })
+
+    return j2.map_batches(out, batch_format="pyarrow")
+
+
+def sql_parts_min_supplier(region: str = "AFRICA", max_size: int = 10) -> str:
+    return f"""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS offer_cents
+      FROM lineitem GROUP BY 1, 2
+    ), rs AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey WHERE r_name = '{region}'
+    ), ro AS (
+      SELECT o.l_partkey, o.offer_cents, rs.s_name, rs.n_name
+      FROM offers o JOIN rs ON rs.s_suppkey = o.l_suppkey
+    ), mn AS (
+      SELECT l_partkey, min(offer_cents) AS mn FROM ro GROUP BY 1
+    )
+    SELECT p_partkey, p_name, s_name, n_name, offer_cents
+    FROM ro JOIN mn USING (l_partkey) JOIN part ON p_partkey = l_partkey
+    WHERE offer_cents = mn AND p_size <= {max_size}
+    """
+
+
+def q_orders_nation_flows(sf_dir: str):
+    """TPC-H Q7 shape (trade volume between nation pairs by year): the
+    lineitem⋈orders partitioned spine carries the order date; the customer
+    nation arrives by a second partitioned hash join; the supplier→nation
+    and nation→name maps are dimension-bounded broadcasts (ray.put once,
+    dict lookup per batch); the final (supp_nation × cust_nation × year)
+    aggregate is vocabulary-bounded (25×25×years rows).
+
+    Output: (supp_nation, cust_nation, o_year, n_items, revenue_cents)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                  right_cols=["o_custkey", "o_orderdate"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j2 = hash_join(j, cust, "o_custkey", "c_custkey",
+                   right_cols=["c_nationkey"])
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    smap = {r["s_suppkey"]: nmap[r["s_nationkey"]] for r in sup.to_pylist()}
+    maps_ref = ray.put((smap, nmap))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sm, nm = ray.get(maps_ref)
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "supp_nation": pa.array(
+                [sm[s] for s in batch.column("l_suppkey").to_pylist()],
+                pa.string()),
+            "cust_nation": pa.array(
+                [nm[k] for k in batch.column("c_nationkey").to_pylist()],
+                pa.string()),
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64()),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "c": c,
+        })
+
+    return hash_aggregate(
+        j2.map_batches(partial, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "o_year"],
+        partial_aggs=[("one", "sum"), ("c", "sum")],
+        aggs=[("one_sum", "sum"), ("c_sum", "sum")],
+        rename={"one_sum_sum": "n_items", "c_sum_sum": "revenue_cents"},
+        num_buckets=16)
+
+
+SQL_ORDERS_NATION_FLOWS = (
+    "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+    "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+    "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+    "GROUP BY 1, 2, 3")
+
+
+def q_parts_value_share(sf_dir: str, denom: int = 2000):
+    """TPC-H Q11 shape (important stock): per-part revenue vs a GLOBAL
+    total — the global-scalar HAVING, restated exact: the per-part cents
+    fold is one two-phase aggregate; the grand total folds from the SAME
+    vocabulary-bounded group table (driver fold over part-vocabulary rows,
+    never corpus rows); the share test is the integer cross-multiplication
+    ``v * denom > total`` — no division, no float.
+
+    Output: (l_partkey, value_cents) for parts above 1/denom of total."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "c": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(batch.column("l_extendedprice"), pa.float64()),
+                pa.scalar(100.0)), pa.scalar(0.5))), pa.int64()),
+        })
+
+    pv = hash_aggregate(
+        li.map_batches(cents, batch_format="pyarrow"), ["l_partkey"],
+        partial_aggs=[("c", "sum")], aggs=[("c_sum", "sum")],
+        rename={"c_sum_sum": "value_cents"}).materialize()
+
+    tot = 0
+    for b in pv.select_columns(["value_cents"]).iter_batches(
+            batch_format="pyarrow"):
+        tot += pc.sum(b.column("value_cents")).as_py() or 0
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(
+            pc.multiply(batch.column("value_cents"),
+                        pa.scalar(denom, pa.int64())),
+            pa.scalar(tot, pa.int64())))
+
+    return pv.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_PARTS_VALUE_SHARE = (
+    "WITH pv AS (SELECT l_partkey, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS value_cents FROM lineitem GROUP BY 1), "
+    "t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot FROM pv) "
+    "SELECT l_partkey, value_cents FROM pv, t "
+    "WHERE value_cents * 2000 > tot")
+
+
+def q_docs_snapshot_diff(sf_dir: str):
+    """Incremental-ingest snapshot diff — the op a 100 TB pipeline runs
+    between crawl snapshots to process only what moved: two snapshots
+    derive deterministically from the corpus (old = doc_id % 10 <> 0,
+    new = doc_id % 10 <> 1, with new-side text revised where doc_id % 7 =
+    3), each side carries only (doc_id, md5-int60(text)) METADATA rows,
+    and ONE partitioned full-outer hash join classifies every doc as
+    added / removed / changed (unchanged rows drop — the point of the op:
+    downstream stages see only the delta).
+
+    Output: (doc_id, status)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.fastmd5 import md5_int60
+    from ontoray.stages.joins import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def side(new: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            txts = batch.column("text").to_pylist()
+            out_ids, msgs = [], []
+            for i, t in zip(ids, txts):
+                if new and i % 10 == 1:
+                    continue
+                if not new and i % 10 == 0:
+                    continue
+                t = t or ""
+                if new and i % 7 == 3:
+                    t = t + " rev2"
+                out_ids.append(i)
+                msgs.append(t.encode())
+            col = "h_new" if new else "h_old"
+            return pa.table({
+                "doc_id": pa.array(out_ids, pa.int64()),
+                col: pa.array(md5_int60(msgs), pa.int64()),
+            })
+        return f
+
+    old = docs.map_batches(side(False), batch_format="pyarrow")
+    new = docs.map_batches(side(True), batch_format="pyarrow")
+    j = hash_join(old, new, "doc_id", "doc_id", how="full_outer",
+                  right_cols=["h_new"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ho, hn = batch.column("h_old"), batch.column("h_new")
+        added = pc.is_null(ho)
+        removed = pc.is_null(hn)
+        changed = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(ho), pc.is_valid(hn)),
+            pc.invert(pc.equal(ho, hn)))
+        status = pc.if_else(added, pa.scalar("added"),
+                            pc.if_else(removed, pa.scalar("removed"),
+                                       pa.scalar("changed")))
+        keep = pc.or_kleene(pc.or_kleene(added, removed),
+                            pc.fill_null(changed, False))
+        t = pa.table({"doc_id": batch.column("doc_id"), "status": status})
+        return t.filter(keep)
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_DOCS_SNAPSHOT_DIFF = (
+    "WITH old AS (SELECT doc_id, "
+    "('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS h "
+    "FROM documents WHERE doc_id % 10 <> 0), "
+    "new AS (SELECT doc_id, ('0x' || substr(md5(CASE WHEN doc_id % 7 = 3 "
+    "THEN coalesce(text, '') || ' rev2' ELSE coalesce(text, '') END), "
+    "1, 15))::BIGINT AS h FROM documents WHERE doc_id % 10 <> 1) "
+    "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+    "CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "WHEN n.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS status "
+    "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id "
+    "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h")
+
+
+def q_supplier_wait_blame(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders with >= 2 distinct suppliers where EXACTLY ONE supplier shipped
+    late, count blamed orders per supplier — the EXISTS/NOT-EXISTS double
+    correlated subquery folded into per-key aggregates:
+
+    * lateness (ship > orderdate + 60d — the commitdate surrogate shared
+      with q_orders_late_ship) folds into a distinct (order, supplier,
+      max-late) pair table via ONE two-phase aggregate, so the corpus
+      exchanges one row per pair;
+    * the per-order (n_suppliers, n_late, blamed) fold exploits nl = 1:
+      sum(suppkey·late) IS the unique late supplier's key — no second pass;
+    * supplier names attach from the dimension-bounded broadcast map.
+
+    Output: (s_name, numwait)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"],
+                             filter=(pc.field("o_orderstatus") == "F"))
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                  right_cols=["o_orderdate"])
+
+    def late_of(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64())
+        od = pc.cast(batch.column("o_orderdate"), pa.int64())
+        late = pc.cast(pc.greater(ship, pc.add(
+            od, pa.scalar(60 * 86_400_000_000, pa.int64()))), pa.int64())
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "late": late})
+
+    pairs = hash_aggregate(
+        j.map_batches(late_of, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"],
+        partial_aggs=[("late", "max")], aggs=[("late_max", "max")],
+        rename={"late_max_max": "late"})
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "late": batch.column("late"),
+            "sk_late": pc.multiply(batch.column("l_suppkey"),
+                                   batch.column("late")),
+        })
+
+    per_order = hash_aggregate(
+        pairs.map_batches(order_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        partial_aggs=[("one", "sum"), ("late", "sum"), ("sk_late", "sum")],
+        aggs=[("one_sum", "sum"), ("late_sum", "sum"),
+              ("sk_late_sum", "sum")],
+        rename={"one_sum_sum": "ns", "late_sum_sum": "nl",
+                "sk_late_sum_sum": "blamed"})
+
+    smap = {r["s_suppkey"]: r["s_name"] for r in pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"]).to_pylist()}
+    smap_ref = ray.put(smap)
+
+    def blame(batch: pa.Table) -> pa.Table:
+        m = ray.get(smap_ref)
+        keep = pc.and_(pc.greater_equal(batch.column("ns"),
+                                        pa.scalar(2, pa.int64())),
+                       pc.equal(batch.column("nl"), pa.scalar(1, pa.int64())))
+        t = batch.filter(keep)
+        return pa.table({
+            "s_name": pa.array([m[s] for s in
+                                t.column("blamed").to_pylist()], pa.string()),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    return hash_aggregate(
+        per_order.map_batches(blame, batch_format="pyarrow"), ["s_name"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "numwait"}, num_buckets=8)
+
+
+SQL_SUPPLIER_WAIT_BLAME = (
+    "WITH f AS (SELECT l_orderkey, l_suppkey, "
+    "max(CASE WHEN epoch_us(l_shipdate) > epoch_us(o_orderdate) "
+    "+ 5184000000000 THEN 1 ELSE 0 END) AS late "
+    "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+    "WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+    "o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS ns, "
+    "CAST(sum(late) AS BIGINT) AS nl, "
+    "CAST(sum(l_suppkey * late) AS BIGINT) AS blamed FROM f GROUP BY 1) "
+    "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+    "FROM o JOIN supplier ON s_suppkey = blamed "
+    "WHERE ns >= 2 AND nl = 1 GROUP BY 1")

@@ -317,3 +317,172 @@ class TestDimStats:
             rd.from_arrow(tbl).repartition(3)).to_pandas().to_dict("records"))
         assert a == b
         assert a[0][0] == 1 and a[0][4] == -500000   # dim 1 min = -0.5 micro
+
+
+class TestArgminShareFlows:
+    """Q2 argmin-join-back, Q7 nation flows, Q11 global share, snapshot diff."""
+
+    def _schema(self, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+        tables = {
+            "lineitem": pa.table({
+                "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                "l_partkey": pa.array([10, 10, 10, 11, 11], pa.int64()),
+                "l_suppkey": pa.array([100, 101, 102, 100, 101], pa.int64()),
+                "l_extendedprice": pa.array([50.0, 40.0, 40.0, 70.0, 80.0]),
+                "l_discount": pa.array([0.1, 0.0, 0.0, 0.5, 0.0]),
+            }),
+            "orders": pa.table({
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([7, 8, 7], pa.int64()),
+                "o_orderdate": pa.array([dt.datetime(1999, 3, 1),
+                                         dt.datetime(1999, 9, 1),
+                                         dt.datetime(2000, 1, 1)],
+                                        pa.timestamp("us")),
+            }),
+            "customer": pa.table({
+                "c_custkey": pa.array([7, 8], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int32()),
+            }),
+            "supplier": pa.table({
+                "s_suppkey": pa.array([100, 101, 102], pa.int64()),
+                "s_name": pa.array(["s0", "s1", "s2"]),
+                "s_nationkey": pa.array([0, 1, 1], pa.int32()),
+            }),
+            "nation": pa.table({
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(["ALPHA", "BETA"]),
+                "n_regionkey": pa.array([0, 0], pa.int32()),
+            }),
+            "region": pa.table({
+                "r_regionkey": pa.array([0], pa.int32()),
+                "r_name": pa.array(["AFRICA"]),
+            }),
+            "part": pa.table({
+                "p_partkey": pa.array([10, 11], pa.int64()),
+                "p_name": pa.array(["pa", "pb"]),
+                "p_size": pa.array([5, 50], pa.int32()),
+            }),
+        }
+        for name, tbl in tables.items():
+            pq.write_table(tbl, str(tmp_path / f"{name}.parquet"))
+        return str(tmp_path), tables
+
+    def test_parts_min_supplier(self, ray_session, tmp_path):
+        from ontoray.queries import q_parts_min_supplier, sql_parts_min_supplier
+        sf, views = self._schema(tmp_path)
+        got = sorted(tuple(r.values()) for r in q_parts_min_supplier(sf)
+                     .to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(sql_parts_min_supplier()).fetchall())
+        assert got == want
+        # part 10 offers: s100 min 50, s101 min 40, s102 min 40 -> TIE at
+        # 4000 cents between s1 and s2 (both surface); part 11 size 50 > 10
+        # filtered out.
+        assert len(got) == 2
+        assert {g[2] for g in got} == {"s1", "s2"}
+
+    def test_orders_nation_flows(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_ORDERS_NATION_FLOWS, q_orders_nation_flows
+        sf, views = self._schema(tmp_path)
+        got = sorted(tuple(r.values()) for r in q_orders_nation_flows(sf)
+                     .to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_ORDERS_NATION_FLOWS).fetchall())
+        assert got == want
+        # order 1 (cust 7/ALPHA, 1999): supp 100 (ALPHA) rev 50*0.9 = 45
+        # and supp 101 (BETA) rev 40; order 3 (cust 7/ALPHA, 2000): supp
+        # 101 (BETA) rev 80.
+        by_key = {(a, b, y): (n, c) for a, b, y, n, c in got}
+        assert by_key[("ALPHA", "ALPHA", 1999)] == (1, 4500)
+        assert by_key[("BETA", "ALPHA", 1999)] == (1, 4000)
+        assert by_key[("BETA", "ALPHA", 2000)] == (1, 8000)
+
+    def test_parts_value_share(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_PARTS_VALUE_SHARE, q_parts_value_share
+        sf, views = self._schema(tmp_path)
+        got = sorted(tuple(r.values()) for r in q_parts_value_share(sf)
+                     .to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_PARTS_VALUE_SHARE).fetchall())
+        assert got == want
+        # both parts are far above 1/2000 of total on this fixture
+        assert [g[0] for g in got] == [10, 11]
+
+    def test_exact_share_boundary(self, ray_session, tmp_path):
+        """Strict > on the cross-multiplication: a part at EXACTLY 1/denom
+        of total must be excluded on both engines."""
+        import pyarrow.parquet as pq
+        from ontoray.queries import q_parts_value_share
+        li = pa.table({
+            "l_partkey": pa.array([1, 2], pa.int64()),
+            "l_extendedprice": pa.array([1.0, 3.0]),
+        })
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        got = q_parts_value_share(str(tmp_path), denom=4).to_pandas()
+        # totals: 100 + 300 = 400 cents; part 1 = exactly 1/4 -> excluded
+        assert got["l_partkey"].tolist() == [2]
+
+    def test_docs_snapshot_diff(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from ontoray.queries import SQL_DOCS_SNAPSHOT_DIFF, q_docs_snapshot_diff
+        docs = pa.table({
+            "doc_id": pa.array(list(range(24)), pa.int64()),
+            "text": pa.array([f"doc body {i}" for i in range(24)]),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_snapshot_diff(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs}).execute(
+            SQL_DOCS_SNAPSHOT_DIFF).fetchall())
+        assert got == want
+        by = {}
+        for did, st in got:
+            by.setdefault(st, []).append(did)
+        # added: % 10 == 0 (old excluded) except doc 0? 0 % 10 == 0 ->
+        # old-missing, new has it (0 % 10 != 1) -> added: 0, 10, 20
+        assert by["added"] == [0, 10, 20]
+        # removed: % 10 == 1 -> new-missing: 1, 11, 21
+        assert by["removed"] == [1, 11, 21]
+        # changed: % 7 == 3 and present in both: 3, 17 (10 is added,
+        # 24 out of range)
+        assert by["changed"] == [3, 17]
+
+
+class TestSupplierWaitBlame:
+    def test_engine_vs_sql_and_semantics(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+        from ontoray.queries import SQL_SUPPLIER_WAIT_BLAME, q_supplier_wait_blame
+        d0 = dt.datetime(1999, 1, 1)
+        late = dt.datetime(1999, 6, 1)     # > 60 days after d0
+        ok = dt.datetime(1999, 1, 15)
+        lineitem = pa.table({
+            # order 1: supps 100 (late) + 101 (on time) -> blame 100
+            # order 2: supps 100 + 101 both late -> nl=2, no blame
+            # order 3: single supplier late -> ns=1, no blame
+            # order 4: status 'O' -> excluded entirely
+            "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4], pa.int64()),
+            "l_suppkey": pa.array([100, 101, 100, 101, 100, 100, 101],
+                                  pa.int64()),
+            "l_shipdate": pa.array([late, ok, late, late, late, late, ok],
+                                   pa.timestamp("us")),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderdate": pa.array([d0] * 4, pa.timestamp("us")),
+            "o_orderstatus": pa.array(["F", "F", "F", "O"]),
+        })
+        supplier = pa.table({
+            "s_suppkey": pa.array([100, 101], pa.int64()),
+            "s_name": pa.array(["slow", "fast"]),
+        })
+        views = {"lineitem": lineitem, "orders": orders,
+                 "supplier": supplier}
+        for name, tbl in views.items():
+            pq.write_table(tbl, str(tmp_path / f"{name}.parquet"))
+        got = sorted(tuple(r.values()) for r in q_supplier_wait_blame(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_SUPPLIER_WAIT_BLAME).fetchall())
+        assert got == want
+        assert got == [("slow", 1)]
