@@ -172,6 +172,12 @@ def _q_kg_clustering(sf_dir: str):
     return Q.q_kg_clustering_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_bfs(sf_dir: str):
+    """Multi-source BFS hop distances over the undirected concept graph
+    (stages/analytics.multi_source_bfs)."""
+    return Q.q_kg_bfs_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_kcore(sf_dir: str):
     """2-core of the concept graph — iterative peel to fixpoint with a
     convergence guard vs an unrolled-CTE mirror (stages/analytics.kcore)."""
@@ -665,6 +671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_value_share": Q.q_parts_value_share,
         "docs_snapshot_diff": Q.q_docs_snapshot_diff,
         "supplier_wait_blame": Q.q_supplier_wait_blame,
+        "embed_whiten": Q.q_embed_whiten,
+        "kg_bfs": _q_kg_bfs,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -894,4 +902,6 @@ def oracle_sql() -> dict[str, str]:
         "parts_value_share": Q.SQL_PARTS_VALUE_SHARE,
         "docs_snapshot_diff": Q.SQL_DOCS_SNAPSHOT_DIFF,
         "supplier_wait_blame": Q.SQL_SUPPLIER_WAIT_BLAME,
+        "embed_whiten": Q.sql_embed_whiten(),
+        "kg_bfs": Q.SQL_KG_BFS,
     }

@@ -222,3 +222,84 @@ def sql_dim_stats(table: str = "embeddings", vec_col: str = "embedding") -> str:
            CAST(max(q) AS BIGINT) AS max_micro
     FROM q GROUP BY 1
     """
+
+
+def whiten(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Diagonal whitening of the embedding matrix: every coordinate
+    standardized by ITS dimension's population mean/std — the preprocessing
+    step before cosine/PCA work when dimensions carry wildly different
+    scales (z = (q - mean_d) / std_d over the micro-quantized values; a
+    zero-variance dimension maps to 0).
+
+    Exactness: the moments come from :func:`dim_stats` (exact int64), and
+    mean/std derive in the SAME double expression order as the SQL mirror
+    (s/n, sqrt(greatest(ss/n - mean², 0)) — the grouped_zscore contract),
+    so both engines land on identical doubles; round(·, 6) output.
+
+    Scale shape: the dim-bounded stats table broadcasts once (ray.put);
+    the corpus streams through ONE vectorized pass emitting the unpivoted
+    (vec_id, dim, z) rows — dim·rows output, no shuffle.
+
+    Output: (vec_id, dim [1-based], z)."""
+    import ray
+
+    stats = {r["dim"]: (r["n"], r["sum_micro"], r["ssq_micro2"])
+             for b in dim_stats(ds, vec_col=vec_col).iter_batches(
+                 batch_format="pyarrow")
+             for r in b.to_pylist()}
+    dims = sorted(stats)
+    mean = np.array([stats[d][1] / stats[d][0] for d in dims])
+    var = np.array([max(stats[d][2] / stats[d][0]
+                        - (stats[d][1] / stats[d][0])
+                        * (stats[d][1] / stats[d][0]), 0.0) for d in dims])
+    std = np.sqrt(var)
+    ms_ref = ray.put((mean, std))
+
+    def z_of(batch: pa.Table) -> pa.Table:
+        m, s = ray.get(ms_ref)
+        q = _quantize(batch, vec_col).astype(np.float64)
+        if q.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.float64())})
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(s == 0.0, 0.0, (q - m) / s)
+        n, d = q.shape
+        ids = np.repeat(np.asarray(batch.column(id_col).to_pylist(),
+                                   dtype=np.int64), d)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "z": pa.array(np.round(z, 6).ravel(), pa.float64()),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        z_of, batch_format="pyarrow")
+
+
+def sql_whiten(table: str = "embeddings", id_col: str = "vec_id",
+               vec_col: str = "embedding") -> str:
+    """DuckDB mirror of :func:`whiten` — identical micro quantization and
+    double expression order."""
+    return f"""
+    WITH q AS (
+      SELECT {id_col}, generate_subscripts({vec_col}, 1) AS dim,
+             CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM {table}
+    ), stats AS (
+      SELECT dim, count(*) AS n, sum(q)::BIGINT AS s,
+             sum(q * q)::BIGINT AS ss
+      FROM q GROUP BY 1
+    ), ms AS (
+      SELECT dim, s::DOUBLE / n::DOUBLE AS mean,
+             sqrt(greatest(ss::DOUBLE / n::DOUBLE
+                           - (s::DOUBLE / n::DOUBLE)
+                           * (s::DOUBLE / n::DOUBLE), 0.0)) AS std
+      FROM stats
+    )
+    SELECT q.{id_col}, CAST(q.dim AS BIGINT) AS dim,
+           round(CASE WHEN ms.std = 0.0 THEN 0.0
+                      ELSE (q.q::DOUBLE - ms.mean) / ms.std END, 6) AS z
+    FROM q JOIN ms USING (dim)
+    """

@@ -4440,3 +4440,39 @@ SQL_SUPPLIER_WAIT_BLAME = (
     "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
     "FROM o JOIN supplier ON s_suppkey = blamed "
     "WHERE ns >= 2 AND nl = 1 GROUP BY 1")
+
+
+def q_embed_whiten(sf_dir: str):
+    """Diagonal whitening of the embeddings table — unpivoted per-coordinate
+    z-scores (extras/pca.whiten)."""
+    import ray.data as rd
+    from ontoray.extras.pca import whiten
+    return whiten(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]))
+
+
+def sql_embed_whiten() -> str:
+    from ontoray.extras.pca import sql_whiten
+    return sql_whiten()
+
+
+def q_kg_bfs_from(triples_dedup_ds, n_seeds: int = 4, max_hops: int = 4):
+    """Multi-source BFS hop distances from md5-chosen probe concepts
+    (stages/analytics.multi_source_bfs)."""
+    from ontoray.stages.analytics import multi_source_bfs
+    return multi_source_bfs(triples_dedup_ds, n_seeds=n_seeds,
+                            max_hops=max_hops)
+
+
+SQL_KG_BFS = (
+    f"{_sql_triples_norm_ctes()}, "
+    "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm), "
+    "und AS (SELECT src AS a, dst AS b FROM trip WHERE src <> dst "
+    "UNION SELECT dst, src FROM trip WHERE src <> dst), "
+    "unodes AS (SELECT DISTINCT a AS x FROM und), "
+    "seeds AS (SELECT x FROM unodes ORDER BY md5(x || ':bfs'), x LIMIT 4), "
+    "walk AS (SELECT x AS seed, x AS name, 0 AS dist FROM seeds "
+    "UNION SELECT w.seed, u.b, w.dist + 1 FROM walk w "
+    "JOIN und u ON u.a = w.name WHERE w.dist < 4) "
+    "SELECT seed, name, CAST(min(dist) AS BIGINT) AS dist "
+    "FROM walk GROUP BY 1, 2")

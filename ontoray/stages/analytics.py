@@ -1061,3 +1061,117 @@ def resource_allocation(triples_dedup_ds, cap: int = 32,
                          "ra_nano": t.column("ra_nano")})
 
     return new_pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def multi_source_bfs(triples_dedup_ds, n_seeds: int = 4, max_hops: int = 4,
+                     subj_col: str = "subj_norm", obj_col: str = "obj_norm"):
+    """Multi-source BFS hop distances over the undirected concept graph —
+    the graph-distance profile (how far is everything from k probe
+    concepts?) behind neighborhood sampling, landmark-distance sketches and
+    locality debugging of a learned KG.
+
+    Semantics (identical in the mirror): seeds = the ``n_seeds`` nodes with
+    the smallest (md5(name || ':bfs'), name) rank — deterministic at any
+    parallelism; dist(seed, v) = fewest undirected hops, walked at most
+    ``max_hops`` levels (both engines bound identically, and min-dist under
+    a shared bound is exact BFS distance).
+
+    Scale shape: the symmetric distinct edge table builds via one
+    vocabulary-bounded exchange; seed selection is per-batch local top-k +
+    a (blocks × k)-row driver merge (the k-means seeding pattern); each BFS
+    level is ONE partitioned hash join frontier⋈edges, deduped by a
+    two-phase aggregate on the (seed, node) key and anti-joined against the
+    visited Dataset — the driver sees only per-round counts.
+
+    Output: (seed, name, dist) — one row per reached (seed, node) pair."""
+    import hashlib
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    SEP = "\x1f"
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column(subj_col).to_pylist()
+        o = batch.column(obj_col).to_pylist()
+        a, b = [], []
+        for x, y in zip(s, o):
+            if x == y:
+                continue
+            a.append(x); b.append(y)
+            a.append(y); b.append(x)
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string())})
+
+    und = hash_aggregate(
+        triples_dedup_ds.map_batches(sym, batch_format="pyarrow"),
+        ["a", "b"], partial_aggs=[("a", "count")],
+        aggs=[("a_count", "sum")], rename={"a_count_sum": "__n"},
+    ).select_columns(["a", "b"]).materialize()
+
+    nodes = hash_aggregate(
+        und.select_columns(["a"]), ["a"], partial_aggs=[("a", "count")],
+        aggs=[("a_count", "sum")], rename={"a_count_sum": "__n"},
+    ).select_columns(["a"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        names = batch.column("a").to_pylist()
+        ranked = sorted((hashlib.md5(f"{x}:bfs".encode()).hexdigest(), x)
+                        for x in names)[:n_seeds]
+        return pa.table({
+            "rank": pa.array([r for r, _ in ranked], pa.string()),
+            "name": pa.array([x for _, x in ranked], pa.string()),
+        })
+
+    cand = sorted(
+        (r["rank"], r["name"])
+        for b in nodes.map_batches(local_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") for r in b.to_pylist())
+    seeds = [x for _, x in cand[:n_seeds]]
+
+    def seed_rows(d: int, pairs: list[tuple[str, str]]) -> pa.Table:
+        return pa.table({
+            "key": pa.array([s + SEP + v for s, v in pairs], pa.string()),
+            "seed": pa.array([s for s, _ in pairs], pa.string()),
+            "name": pa.array([v for _, v in pairs], pa.string()),
+            "dist": pa.array([d] * len(pairs), pa.int64()),
+        })
+
+    import ray.data as rd
+    visited = rd.from_arrow(seed_rows(0, [(s, s) for s in seeds]))\
+        .materialize()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nx = hash_join(frontier.select_columns(["seed", "name"]), und,
+                       "name", "a", right_cols=["b"])
+
+        def cand_rows(batch: pa.Table) -> pa.Table:
+            ss = batch.column("seed").to_pylist()
+            bs = batch.column("b").to_pylist()
+            return pa.table({
+                "key": pa.array([s + SEP + v for s, v in zip(ss, bs)],
+                                pa.string()),
+                "seed": pa.array(ss, pa.string()),
+                "name": pa.array(bs, pa.string()),
+            })
+
+        cds = hash_aggregate(
+            nx.map_batches(cand_rows, batch_format="pyarrow"), ["key"],
+            partial_aggs=[("seed", "max"), ("name", "max")],
+            aggs=[("seed_max", "max"), ("name_max", "max")],
+            rename={"seed_max_max": "seed", "name_max_max": "name"})
+        new = hash_join(cds, visited.select_columns(["key"]), "key", "key",
+                        how="left_anti").materialize()
+        if new.count() == 0:
+            break
+
+        def with_dist(batch: pa.Table, d: int = h) -> pa.Table:
+            # d bound at definition time: lvl is lazy and re-read next round
+            # as the frontier, after h has advanced.
+            return batch.append_column(
+                "dist", pa.array([d] * batch.num_rows, pa.int64()))
+
+        lvl = new.map_batches(with_dist, batch_format="pyarrow").materialize()
+        visited = visited.union(lvl).materialize()
+        frontier = lvl
+    return visited.select_columns(["seed", "name", "dist"])

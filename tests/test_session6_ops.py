@@ -486,3 +486,95 @@ class TestSupplierWaitBlame:
         want = sorted(_duck(views).execute(SQL_SUPPLIER_WAIT_BLAME).fetchall())
         assert got == want
         assert got == [("slow", 1)]
+
+
+class TestWhiten:
+    def test_engine_vs_sql(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.pca import sql_whiten, whiten
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(0, [0.1, 5.0, 1.0], (30, 3)).astype(np.float32)
+        vecs[:, 2] = 0.25                      # zero-variance dim -> z = 0
+        tbl = pa.table({
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        got = whiten(rd.from_arrow(tbl).repartition(4))
+        eng = sorted(tuple(r.values())
+                     for r in got.to_pandas().to_dict("records"))
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        sql = sorted(con.execute(sql_whiten()).fetchall())
+        assert eng == sql
+        assert len(eng) == 90
+        # zero-variance dim rows are exactly 0
+        assert all(z == 0.0 for _, d, z in eng if d == 3)
+
+    def test_standardizes(self, ray_session):
+        """Mean of z per dim ~ 0, population std ~ 1 (up to rounding)."""
+        import ray.data as rd
+        from ontoray.extras.pca import whiten
+        rng = np.random.default_rng(2)
+        vecs = rng.normal(3.0, 2.0, (200, 2)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        df = whiten(rd.from_arrow(tbl)).to_pandas()
+        for d in (1, 2):
+            z = df[df["dim"] == d]["z"]
+            assert abs(z.mean()) < 1e-3
+            assert abs(z.std(ddof=0) - 1.0) < 1e-3
+
+
+class TestMultiSourceBfs:
+    def _triples(self, edges) -> pa.Table:
+        return pa.table({
+            "subj_norm": pa.array([a for a, _ in edges], pa.string()),
+            "pred_norm": pa.array(["related_to"] * len(edges), pa.string()),
+            "obj_norm": pa.array([b for _, b in edges], pa.string()),
+        })
+
+    def test_distances_exact(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import multi_source_bfs
+        # path a-b-c-d-e plus an isolated pair f-g
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                 ("f", "g")]
+        got = multi_source_bfs(rd.from_arrow(self._triples(edges)),
+                               n_seeds=2, max_hops=3)
+        rows = {(r["seed"], r["name"]): r["dist"]
+                for r in got.to_pandas().to_dict("records")}
+        import hashlib
+        nodes = sorted({x for e in edges for x in e},
+                       key=lambda x: (hashlib.md5(
+                           f"{x}:bfs".encode()).hexdigest(), x))
+        seeds = set(nodes[:2])
+        assert {s for s, _ in rows} == seeds
+        for s in seeds:
+            assert rows[(s, s)] == 0
+        # brute-force check every reported distance
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for s in seeds:
+            dist, frontier = {s: 0}, [s]
+            for h in (1, 2, 3):
+                nxt = [v for u in frontier for v in adj[u] if v not in dist]
+                for v in nxt:
+                    dist.setdefault(v, h)
+                frontier = list(dict.fromkeys(nxt))
+            want = {(s, v): d for v, d in dist.items()}
+            assert {k: v for k, v in rows.items() if k[0] == s} == want
+
+    def test_max_hops_bound(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import multi_source_bfs
+        edges = [(f"n{i}", f"n{i+1}") for i in range(9)]
+        got = multi_source_bfs(rd.from_arrow(self._triples(edges)),
+                               n_seeds=1, max_hops=2).to_pandas()
+        assert got["dist"].max() == 2
+        assert len(got) <= 5
