@@ -178,6 +178,12 @@ def _q_kg_bfs(sf_dir: str):
     return Q.q_kg_bfs_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_conf_calibration(sf_dir: str):
+    """Edge-confidence reliability profile of the deduped triple table
+    (queries.q_kg_conf_calibration_from)."""
+    return Q.q_kg_conf_calibration_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_kcore(sf_dir: str):
     """2-core of the concept graph — iterative peel to fixpoint with a
     convergence guard vs an unrolled-CTE mirror (stages/analytics.kcore)."""
@@ -673,6 +679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_wait_blame": Q.q_supplier_wait_blame,
         "embed_whiten": Q.q_embed_whiten,
         "kg_bfs": _q_kg_bfs,
+        "orders_cohort_ltv": Q.q_orders_cohort_ltv,
+        "events_dau_mau": Q.q_events_dau_mau,
+        "kg_conf_calibration": _q_kg_conf_calibration,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -904,4 +913,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_wait_blame": Q.SQL_SUPPLIER_WAIT_BLAME,
         "embed_whiten": Q.sql_embed_whiten(),
         "kg_bfs": Q.SQL_KG_BFS,
+        "orders_cohort_ltv": Q.SQL_ORDERS_COHORT_LTV,
+        "events_dau_mau": Q.SQL_EVENTS_DAU_MAU,
+        "kg_conf_calibration": Q.SQL_KG_CONF_CALIBRATION,
     }

@@ -4476,3 +4476,239 @@ SQL_KG_BFS = (
     "JOIN und u ON u.a = w.name WHERE w.dist < 4) "
     "SELECT seed, name, CAST(min(dist) AS BIGINT) AS dist "
     "FROM walk GROUP BY 1, 2")
+
+
+# --- cohort LTV / DAU-MAU / KG confidence calibration ---------------------------
+
+def q_orders_cohort_ltv(sf_dir: str):
+    """Customer-cohort lifetime-value triangle — the product-analytics
+    cohort table: cohort = year of the customer's FIRST order (per-customer
+    two-phase min over the fact table, never a sorted window), joined back
+    onto every order by partitioned hash join, folded to the
+    vocabulary-bounded (cohort_year × order_year) grid.
+
+    Output: (cohort_year, order_year, n_orders, revenue_cents)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def date_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "d": pc.cast(batch.column("o_orderdate"), pa.int64()),
+        })
+
+    first = hash_aggregate(
+        orders.map_batches(date_us, batch_format="pyarrow"), ["o_custkey"],
+        partial_aggs=[("d", "min")], aggs=[("d_min", "min")],
+        rename={"d_min_min": "first_us"})
+
+    def cohort_of(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "cohort_year": pc.cast(pc.year(pc.cast(
+                batch.column("first_us"), pa.timestamp("us"))), pa.int64()),
+        })
+
+    cohorts = first.map_batches(cohort_of, batch_format="pyarrow")
+    j = hash_join(orders, cohorts, "o_custkey", "o_custkey",
+                  right_cols=["cohort_year"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_year": batch.column("cohort_year"),
+            "order_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                                  pa.int64()),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "c": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(batch.column("o_totalprice"), pa.float64()),
+                pa.scalar(100.0)), pa.scalar(0.5))), pa.int64()),
+        })
+
+    return hash_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["cohort_year", "order_year"],
+        partial_aggs=[("one", "sum"), ("c", "sum")],
+        aggs=[("one_sum", "sum"), ("c_sum", "sum")],
+        rename={"one_sum_sum": "n_orders", "c_sum_sum": "revenue_cents"},
+        num_buckets=8)
+
+
+SQL_ORDERS_COHORT_LTV = (
+    "WITH first AS (SELECT o_custkey, min(o_orderdate) AS fd "
+    "FROM orders GROUP BY 1) "
+    "SELECT CAST(year(fd) AS BIGINT) AS cohort_year, "
+    "CAST(year(o_orderdate) AS BIGINT) AS order_year, "
+    "CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents "
+    "FROM orders JOIN first USING (o_custkey) GROUP BY 1, 2")
+
+
+def q_events_dau_mau(sf_dir: str):
+    """DAU/MAU stickiness per month — exact distinct actives at two
+    granularities: the (user, day) and (user, month) universes each
+    collapse to per-batch distincts before ONE vocabulary-scale exchange
+    (the setops shape), daily counts fold to per-month (Σ dau, n_days),
+    and stickiness is the exact integer micro-ratio
+    1e6·Σdau // (n_days·mau) — the average-DAU/MAU definition with the
+    division LAST, so both engines divide identical integers.
+
+    Output: (month, sum_dau, n_days, mau, stickiness_micro)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        y = pc.year(batch.column("ts"))
+        m = pc.month(batch.column("ts"))
+        month = pc.add(pc.multiply(pc.cast(y, pa.int64()),
+                                   pa.scalar(100, pa.int64())),
+                       pc.cast(m, pa.int64()))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "day": day, "month": month})
+
+    k = ev.map_batches(keys, batch_format="pyarrow").materialize()
+
+    ud = hash_aggregate(
+        k.select_columns(["user_id", "day", "month"]),
+        ["user_id", "day"],
+        partial_aggs=[("month", "max")], aggs=[("month_max", "max")],
+        rename={"month_max_max": "month"})
+    dau = hash_aggregate(
+        ud.map_batches(
+            lambda b: pa.table({
+                "day": b.column("day"), "month": b.column("month"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["day"],
+        partial_aggs=[("one", "sum"), ("month", "max")],
+        aggs=[("one_sum", "sum"), ("month_max", "max")],
+        rename={"one_sum_sum": "dau", "month_max_max": "month"},
+        num_buckets=8)
+    per_month = hash_aggregate(
+        dau.map_batches(
+            lambda b: pa.table({
+                "month": b.column("month"), "dau": b.column("dau"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["month"],
+        partial_aggs=[("dau", "sum"), ("one", "sum")],
+        aggs=[("dau_sum", "sum"), ("one_sum", "sum")],
+        rename={"dau_sum_sum": "sum_dau", "one_sum_sum": "n_days"},
+        num_buckets=4)
+
+    um = hash_aggregate(
+        k.select_columns(["user_id", "month"]), ["user_id", "month"],
+        partial_aggs=[("user_id", "count")], aggs=[("user_id_count", "sum")],
+        rename={"user_id_count_sum": "__n"})
+    mau = hash_aggregate(
+        um.map_batches(
+            lambda b: pa.table({
+                "month": b.column("month"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["month"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "mau"}, num_buckets=4)
+
+    from ontoray.stages.joins import hash_join
+    j = hash_join(per_month, mau, "month", "month", right_cols=["mau"])
+
+    def final(batch: pa.Table) -> pa.Table:
+        sd = batch.column("sum_dau").to_numpy(zero_copy_only=False)
+        nd = batch.column("n_days").to_numpy(zero_copy_only=False)
+        ma = batch.column("mau").to_numpy(zero_copy_only=False)
+        stick = (1_000_000 * sd) // (nd * ma)
+        return pa.table({
+            "month": batch.column("month"),
+            "sum_dau": batch.column("sum_dau"),
+            "n_days": batch.column("n_days"),
+            "mau": batch.column("mau"),
+            "stickiness_micro": pa.array(stick, pa.int64()),
+        })
+
+    return j.map_batches(final, batch_format="pyarrow")
+
+
+SQL_EVENTS_DAU_MAU = (
+    "WITH k AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, "
+    "CAST(year(ts) AS BIGINT) * 100 + CAST(month(ts) AS BIGINT) AS month "
+    "FROM events), "
+    "ud AS (SELECT DISTINCT user_id, day, month FROM k), "
+    "dau AS (SELECT day, max(month) AS month, "
+    "CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1), "
+    "pm AS (SELECT month, CAST(sum(dau) AS BIGINT) AS sum_dau, "
+    "CAST(count(*) AS BIGINT) AS n_days FROM dau GROUP BY 1), "
+    "mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau "
+    "FROM k GROUP BY 1) "
+    "SELECT month, sum_dau, n_days, mau, "
+    "CAST(1000000 * sum_dau // (n_days * mau) AS BIGINT) "
+    "AS stickiness_micro "
+    "FROM pm JOIN mau USING (month)")
+
+
+def q_kg_conf_calibration_from(triples_dedup_ds):
+    """Edge-confidence calibration profile of the extracted triple table:
+    per confidence decile bucket (floor(conf·10) over the round-6 conf —
+    the kg_triples_norm parity contract), how many deduped triples land
+    there and how well-supported they are (exact integer micro mean of
+    n_obs).  The reliability-diagram input for tuning extraction pattern
+    confidences.  One vocabulary-bounded aggregate (≤ 11 buckets).
+
+    Output: (conf_bucket, n_triples, sum_obs, avg_obs_micro)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        conf = pc.round(pc.cast(batch.column("conf"), pa.float64()), 6)
+        bucket = pc.cast(pc.floor(pc.multiply(
+            conf, pa.scalar(10.0))), pa.int64())
+        return pa.table({
+            "conf_bucket": bucket,
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "n_obs": pc.cast(batch.column("n_obs"), pa.int64()),
+        })
+
+    agg = hash_aggregate(
+        triples_dedup_ds.map_batches(partial, batch_format="pyarrow"),
+        ["conf_bucket"],
+        partial_aggs=[("one", "sum"), ("n_obs", "sum")],
+        aggs=[("one_sum", "sum"), ("n_obs_sum", "sum")],
+        rename={"one_sum_sum": "n_triples", "n_obs_sum_sum": "sum_obs"},
+        num_buckets=4)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "avg_obs_micro",
+            pa.array((1_000_000
+                      * batch.column("sum_obs").to_numpy(zero_copy_only=False))
+                     // batch.column("n_triples").to_numpy(zero_copy_only=False),
+                     pa.int64()))
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_KG_CONF_CALIBRATION = (
+    f"{_sql_triples_norm_ctes()} "
+    "SELECT CAST(floor(conf * 10) AS BIGINT) AS conf_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_triples, "
+    "CAST(sum(n_obs) AS BIGINT) AS sum_obs, "
+    "CAST(1000000 * sum(n_obs) // count(*) AS BIGINT) AS avg_obs_micro "
+    "FROM tnorm GROUP BY 1")

@@ -578,3 +578,72 @@ class TestMultiSourceBfs:
                                n_seeds=1, max_hops=2).to_pandas()
         assert got["dist"].max() == 2
         assert len(got) <= 5
+
+
+class TestCohortDauMauCalibration:
+    def test_orders_cohort_ltv(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+        from ontoray.queries import SQL_ORDERS_COHORT_LTV, q_orders_cohort_ltv
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 8, 8], pa.int64()),
+            "o_orderdate": pa.array([dt.datetime(1998, 5, 1),
+                                     dt.datetime(1999, 2, 1),
+                                     dt.datetime(1999, 11, 1),
+                                     dt.datetime(1999, 3, 1),
+                                     dt.datetime(1999, 4, 1)],
+                                    pa.timestamp("us")),
+            "o_totalprice": pa.array([10.0, 20.0, 30.5, 5.25, 4.75]),
+        })
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = sorted(tuple(r.values()) for r in q_orders_cohort_ltv(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"orders": orders})
+                      .execute(SQL_ORDERS_COHORT_LTV).fetchall())
+        assert got == want
+        # cust 7 cohort 1998 (orders in 1998 + 2x1999), cust 8 cohort 1999
+        assert got == [(1998, 1998, 1, 1000), (1998, 1999, 2, 5050),
+                       (1999, 1999, 2, 1000)]
+
+    def test_events_dau_mau(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+        from ontoray.queries import SQL_EVENTS_DAU_MAU, q_events_dau_mau
+        rows = []
+        # Jan: users 1,2 on day 1; user 1 again on day 2 (twice -> distinct)
+        rows += [(1, dt.datetime(2024, 1, 1, 8)), (2, dt.datetime(2024, 1, 1, 9)),
+                 (1, dt.datetime(2024, 1, 2, 8)), (1, dt.datetime(2024, 1, 2, 9))]
+        # Feb: user 3 only
+        rows += [(3, dt.datetime(2024, 2, 10, 1))]
+        events = pa.table({
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+        })
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_dau_mau(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": events})
+                      .execute(SQL_EVENTS_DAU_MAU).fetchall())
+        assert got == want
+        # Jan: dau day1=2, day2=1 -> sum 3 over 2 days; mau=2;
+        # stickiness = 1e6*3 // (2*2) = 750000.  Feb: 1/1/1 -> 1e6.
+        assert got == [(202401, 3, 2, 2, 750000), (202402, 1, 1, 1, 1000000)]
+
+    def test_kg_conf_calibration(self, ray_session):
+        import ray.data as rd
+        from ontoray.queries import q_kg_conf_calibration_from
+        trip = pa.table({
+            "subj_norm": pa.array(["a", "b", "c", "d"], pa.string()),
+            "pred_norm": pa.array(["p"] * 4, pa.string()),
+            "obj_norm": pa.array(["x", "y", "z", "w"], pa.string()),
+            "conf": pa.array([0.9, 0.9, 0.75, 0.65], pa.float32()),
+            "n_obs": pa.array([4, 2, 10, 1], pa.int64()),
+        })
+        got = sorted(tuple(r.values()) for r in q_kg_conf_calibration_from(
+            rd.from_arrow(trip).repartition(2))
+            .to_pandas().to_dict("records"))
+        assert got == [(6, 1, 1, 1000000), (7, 1, 10, 10000000),
+                       (9, 2, 6, 3000000)]
