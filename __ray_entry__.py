@@ -682,6 +682,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cohort_ltv": Q.q_orders_cohort_ltv,
         "events_dau_mau": Q.q_events_dau_mau,
         "kg_conf_calibration": _q_kg_conf_calibration,
+        "orders_priority_exists": Q.q_orders_priority_exists,
+        "orders_local_revenue": Q.q_orders_local_revenue,
+        "nation_market_share": Q.q_nation_market_share,
+        "custs_order_histogram": Q.q_custs_order_histogram,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -916,4 +920,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_cohort_ltv": Q.SQL_ORDERS_COHORT_LTV,
         "events_dau_mau": Q.SQL_EVENTS_DAU_MAU,
         "kg_conf_calibration": Q.SQL_KG_CONF_CALIBRATION,
+        "orders_priority_exists": Q.SQL_ORDERS_PRIORITY_EXISTS,
+        "orders_local_revenue": Q.SQL_ORDERS_LOCAL_REVENUE,
+        "nation_market_share": Q.SQL_NATION_MARKET_SHARE,
+        "custs_order_histogram": Q.SQL_CUSTS_ORDER_HISTOGRAM,
     }

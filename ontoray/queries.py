@@ -4712,3 +4712,309 @@ SQL_KG_CONF_CALIBRATION = (
     "CAST(sum(n_obs) AS BIGINT) AS sum_obs, "
     "CAST(1000000 * sum(n_obs) // count(*) AS BIGINT) AS avg_obs_micro "
     "FROM tnorm GROUP BY 1")
+
+
+# --- TPC-H Q4 / Q5 / Q8 / Q13 shapes ---------------------------------------
+
+
+def q_orders_priority_exists(sf_dir: str, slack_days: int = 30):
+    """TPC-H Q4 shape (order-priority checking): count orders per priority
+    class that have AT LEAST ONE slow lineitem (shipped > ``slack_days``
+    after the order date — this schema has no commit/receipt dates, so
+    ship-vs-order lateness stands in for commit-vs-receipt).
+
+    Scale shape: the EXISTS collapses to a distinct over (orderkey,
+    priority) — orderkey→priority is functional, so ONE keyed exchange
+    dedups the slow evidence, then the survivor rows fold to the
+    5-priority vocabulary grid.  Lineitem never carries text; both fact
+    reads are column-pruned."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                  right_cols=["o_orderdate", "o_orderpriority"])
+
+    def slow(batch: pa.Table) -> pa.Table:
+        l_day = pc.divide(pc.cast(batch.column("l_shipdate"), pa.int64()),
+                          pa.scalar(86_400_000_000, pa.int64()))
+        o_day = pc.divide(pc.cast(batch.column("o_orderdate"), pa.int64()),
+                          pa.scalar(86_400_000_000, pa.int64()))
+        keep = pc.greater(l_day, pc.add(o_day, pa.scalar(slack_days,
+                                                         pa.int64())))
+        out = batch.filter(keep)
+        return pa.table({"l_orderkey": out.column("l_orderkey"),
+                         "o_orderpriority": out.column("o_orderpriority")})
+
+    distinct = hash_aggregate(
+        j.map_batches(slow, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderpriority"],
+        partial_aggs=[("l_orderkey", "count")],
+        aggs=[("l_orderkey_count", "sum")],
+        rename={"l_orderkey_count_sum": "__n"})
+
+    return hash_aggregate(
+        distinct.map_batches(
+            lambda b: pa.table({
+                "o_orderpriority": b.column("o_orderpriority"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["o_orderpriority"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_orders"}, num_buckets=4)
+
+
+SQL_ORDERS_PRIORITY_EXISTS = (
+    "WITH slow AS (SELECT DISTINCT l_orderkey, o_orderpriority "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE epoch_us(l_shipdate) // 86400000000 "
+    "> epoch_us(o_orderdate) // 86400000000 + 30) "
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM slow GROUP BY 1")
+
+
+def q_orders_local_revenue(sf_dir: str, region: str = "ASIA",
+                           year: int = 1997):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    orders placed in ``year`` by customers of a region, counting only
+    lineitems whose SUPPLIER sits in the customer's own nation.
+
+    Scale shape: the year predicate is pushed into the orders read; the
+    three corpus-proportional joins (orders⋈customer, lineitem⋈orders,
+    lineitem⋈supplier) are partitioned hash joins; nation/region are
+    vocabulary tables joined AFTER the facts collapse — the
+    same-nation equality filter runs vectorized per batch before the
+    final 25-key aggregate."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    lo = datetime.datetime(year, 1, 1)
+    hi = datetime.datetime(year + 1, 1, 1)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pc.field("o_orderdate") >= lo)
+                & (pc.field("o_orderdate") < hi)))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+
+    o2 = hash_join(orders, cust, "o_custkey", "c_custkey",
+                   right_cols=["c_nationkey"])
+    j = hash_join(li, o2.select_columns(["o_orderkey", "c_nationkey"]),
+                  "l_orderkey", "o_orderkey", right_cols=["c_nationkey"])
+    j = hash_join(j, supp, "l_suppkey", "s_suppkey",
+                  right_cols=["s_nationkey"])
+
+    def local_rev(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("c_nationkey"),
+                        batch.column("s_nationkey"))
+        out = batch.filter(keep)
+        rev = pc.multiply(out.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), out.column("l_discount")))
+        rev_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"c_nationkey": out.column("c_nationkey"),
+                         "rev_c": rev_c})
+
+    per_nation = hash_aggregate(
+        j.map_batches(local_rev, batch_format="pyarrow"), ["c_nationkey"],
+        partial_aggs=[("rev_c", "sum")], aggs=[("rev_c_sum", "sum")],
+        rename={"rev_c_sum_sum": "revenue_cents"}, num_buckets=4)
+
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet",
+                          filter=(pc.field("r_name") == region),
+                          columns=["r_regionkey"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name", "n_regionkey"])
+    nat_in = hash_join(nat, reg, "n_regionkey", "r_regionkey",
+                       how="left_semi", num_partitions=1)
+    out = hash_join(per_nation, nat_in, "c_nationkey", "n_nationkey",
+                    right_cols=["n_name"], num_partitions=4)
+    return out.select_columns(["n_name", "revenue_cents"])
+
+
+SQL_ORDERS_LOCAL_REVENUE = (
+    "SELECT n_name, CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) "
+    "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "AND c_nationkey = s_nationkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1997-01-01' "
+    "AND o_orderdate < DATE '1998-01-01' GROUP BY 1")
+
+
+def q_nation_market_share(sf_dir: str, region: str = "ASIA",
+                          nation: str = "NATION_7",
+                          p_type: str = "PROMO"):
+    """TPC-H Q8 shape (national market share): per order year, the share
+    of ``p_type`` revenue sold into ``region`` that was supplied by
+    ``nation``.  Share is the exact integer micro-ratio with the division
+    LAST (1e6·num // den) so both engines divide identical int64 cents.
+
+    Scale shape: the part filter semi-joins lineitem FIRST (biggest
+    selectivity cut before any wide join); supplier-nation membership is
+    resolved by joining the 25-row nation table onto the already-collapsed
+    fact rows; num/den fold in one per-year aggregate (conditional sum —
+    no second pass)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           filter=(pc.field("p_type") == p_type),
+                           columns=["p_partkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+    li = hash_join(li, part, "l_partkey", "p_partkey", how="left_semi")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet",
+                          filter=(pc.field("r_name") == region),
+                          columns=["r_regionkey"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name", "n_regionkey"])
+    nat_in = hash_join(nat, reg, "n_regionkey", "r_regionkey",
+                       how="left_semi", num_partitions=1)
+    cust_in = hash_join(cust, nat_in.select_columns(["n_nationkey"]),
+                        "c_nationkey", "n_nationkey", how="left_semi")
+    o2 = hash_join(orders, cust_in.select_columns(["c_custkey"]),
+                   "o_custkey", "c_custkey", how="left_semi")
+
+    j = hash_join(li, o2.select_columns(["o_orderkey", "o_orderdate"]),
+                  "l_orderkey", "o_orderkey", right_cols=["o_orderdate"])
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    j = hash_join(j, supp, "l_suppkey", "s_suppkey",
+                  right_cols=["s_nationkey"])
+    j = hash_join(j, nat.select_columns(["n_nationkey", "n_name"]),
+                  "s_nationkey", "n_nationkey", right_cols=["n_name"],
+                  num_partitions=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        rev_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        is_nat = pc.cast(pc.equal(batch.column("n_name"),
+                                  pa.scalar(nation)), pa.int64())
+        return pa.table({
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64()),
+            "num_c": pc.multiply(rev_c, is_nat),
+            "den_c": rev_c,
+        })
+
+    agg = hash_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"), ["o_year"],
+        partial_aggs=[("num_c", "sum"), ("den_c", "sum")],
+        aggs=[("num_c_sum", "sum"), ("den_c_sum", "sum")],
+        rename={"num_c_sum_sum": "num_c", "den_c_sum_sum": "den_c"},
+        num_buckets=4)
+
+    def final(batch: pa.Table) -> pa.Table:
+        num = batch.column("num_c").to_numpy(zero_copy_only=False)
+        den = batch.column("den_c").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "share_micro", pa.array((1_000_000 * num) // den, pa.int64()))
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_NATION_MARKET_SHARE = (
+    "WITH f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) "
+    "AS rev_c, "
+    "CASE WHEN sn.n_name = 'NATION_7' THEN 1 ELSE 0 END AS is_nat "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "JOIN region ON cn.n_regionkey = r_regionkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "WHERE p_type = 'PROMO' AND r_name = 'ASIA') "
+    "SELECT o_year, CAST(sum(rev_c * is_nat) AS BIGINT) AS num_c, "
+    "CAST(sum(rev_c) AS BIGINT) AS den_c, "
+    "CAST(1000000 * sum(rev_c * is_nat) // sum(rev_c) AS BIGINT) "
+    "AS share_micro FROM f GROUP BY 1")
+
+
+def q_custs_order_histogram(sf_dir: str):
+    """TPC-H Q13 shape (customer distribution): histogram of customers by
+    their order count, INCLUDING zero-order customers (the left join is
+    the point of the query).
+
+    Scale shape: orders fold per-custkey first (two-phase count), the
+    customer spine LEFT-joins that collapsed table (one partitioned
+    exchange of key+count only), nulls fill to 0 vectorized, and the
+    histogram is a count-bounded aggregate."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    per_cust = hash_aggregate(
+        orders, ["o_custkey"],
+        partial_aggs=[("o_custkey", "count")],
+        aggs=[("o_custkey_count", "sum")],
+        rename={"o_custkey_count_sum": "n_orders"})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    j = hash_join(cust, per_cust, "c_custkey", "o_custkey",
+                  how="left", right_cols=["n_orders"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(batch.column("n_orders"), pa.int64()),
+                         pa.scalar(0, pa.int64()))
+        return pa.table({
+            "n_orders": n,
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    return hash_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"), ["n_orders"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_custs"}, num_buckets=4)
+
+
+SQL_CUSTS_ORDER_HISTOGRAM = (
+    "WITH c AS (SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) "
+    "AS n_orders FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+    "GROUP BY 1) "
+    "SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs FROM c GROUP BY 1")

@@ -1,0 +1,123 @@
+"""Session-7 additions: TPC-H Q4/Q5/Q8/Q13 shapes on a hand-built micro
+star schema.  Each test checks semantics on the fixture AND bit-parity
+with the DuckDB mirror."""
+
+import datetime as dt
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _duck(views: dict) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for name, tbl in views.items():
+        con.register(name, tbl)
+    return con
+
+
+def _star(tmp_path) -> dict:
+    """Micro star schema: 2 regions, 3 nations, 3 customers, 2 suppliers,
+    2 parts, 4 orders, 6 lineitems — crafted so every new shape is
+    non-vacuous (a slow order, a local-supplier line, a zero-order
+    customer, both share buckets)."""
+    region = pa.table({"r_regionkey": pa.array([0, 1], pa.int64()),
+                       "r_name": pa.array(["ASIA", "EUROPE"], pa.string())})
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["NATION_7", "NATION_8", "NATION_9"], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64())})
+    customer = pa.table({
+        "c_custkey": pa.array([10, 11, 12], pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2], pa.int64())})
+    supplier = pa.table({
+        "s_suppkey": pa.array([20, 21], pa.int64()),
+        "s_nationkey": pa.array([0, 1], pa.int64())})
+    part = pa.table({
+        "p_partkey": pa.array([30, 31], pa.int64()),
+        "p_type": pa.array(["PROMO", "ECONOMY"], pa.string())})
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 10, 11, 12], pa.int64()),
+        "o_orderdate": pa.array(
+            [dt.datetime(1997, 3, 1), dt.datetime(1997, 6, 1),
+             dt.datetime(1997, 9, 1), dt.datetime(1996, 2, 1)],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "2-HIGH", "1-URGENT", "3-MEDIUM"], pa.string())})
+    lineitem = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 3, 4], pa.int64()),
+        "l_partkey": pa.array([30, 31, 30, 30, 31, 30], pa.int64()),
+        "l_suppkey": pa.array([20, 21, 21, 21, 20, 20], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 80.0, 40.0, 20.0, 60.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.5, 0.0, 0.25, 0.0]),
+        # order 1 has a line 40 days late; others within 30 days
+        "l_shipdate": pa.array(
+            [dt.datetime(1997, 4, 10), dt.datetime(1997, 3, 5),
+             dt.datetime(1997, 6, 10), dt.datetime(1997, 9, 20),
+             dt.datetime(1997, 9, 2), dt.datetime(1996, 2, 10)],
+            pa.timestamp("us"))})
+    views = {"region": region, "nation": nation, "customer": customer,
+             "supplier": supplier, "part": part, "orders": orders,
+             "lineitem": lineitem}
+    for name, tbl in views.items():
+        pq.write_table(tbl, str(tmp_path / f"{name}.parquet"))
+    return views
+
+
+class TestQ4Q5Q8Q13:
+    def test_orders_priority_exists(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_ORDERS_PRIORITY_EXISTS,
+                                     q_orders_priority_exists)
+        views = _star(tmp_path)
+        got = sorted(tuple(r.values()) for r in q_orders_priority_exists(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_ORDERS_PRIORITY_EXISTS)
+                      .fetchall())
+        assert got == want
+        # only order 1 (URGENT) has a >30-day-late line, counted ONCE
+        assert got == [("1-URGENT", 1)]
+
+    def test_orders_local_revenue(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_ORDERS_LOCAL_REVENUE,
+                                     q_orders_local_revenue)
+        views = _star(tmp_path)
+        got = sorted(tuple(r.values()) for r in q_orders_local_revenue(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_ORDERS_LOCAL_REVENUE)
+                      .fetchall())
+        assert got == want
+        # local lines in 1997/ASIA: o1/l1 (cust nat0, supp nat0, 90.00) and
+        # o3/l3 (cust nat1, supp nat1, 40.00); order 4 is 1996.
+        assert got == [("NATION_7", 9000), ("NATION_8", 4000)]
+
+    def test_nation_market_share(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_NATION_MARKET_SHARE,
+                                     q_nation_market_share)
+        views = _star(tmp_path)
+        got = sorted(tuple(r.values()) for r in q_nation_market_share(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_NATION_MARKET_SHARE)
+                      .fetchall())
+        assert got == want
+        # PROMO lines into ASIA custs (order 4's cust 12 is EUROPE — out):
+        # 1997 o1/l1 (supp nat0=NATION_7, 9000c), o2/l3 (nat1, 4000c),
+        # o3/l4 (nat1, 4000c) -> num 9000 / den 17000
+        assert got == [(1997, 9000, 17000, 529411)]
+
+    def test_custs_order_histogram(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_CUSTS_ORDER_HISTOGRAM,
+                                     q_custs_order_histogram)
+        views = _star(tmp_path)
+        # add a zero-order customer
+        cust = pa.table({"c_custkey": pa.array([10, 11, 12, 13], pa.int64()),
+                         "c_nationkey": pa.array([0, 1, 2, 2], pa.int64())})
+        pq.write_table(cust, str(tmp_path / "customer.parquet"))
+        views["customer"] = cust
+        got = sorted(tuple(r.values()) for r in q_custs_order_histogram(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_CUSTS_ORDER_HISTOGRAM)
+                      .fetchall())
+        assert got == want
+        # cust 10 -> 2 orders, 11/12 -> 1 each, 13 -> 0
+        assert got == [(0, 1), (1, 2), (2, 1)]
