@@ -686,6 +686,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_local_revenue": Q.q_orders_local_revenue,
         "nation_market_share": Q.q_nation_market_share,
         "custs_order_histogram": Q.q_custs_order_histogram,
+        "supplier_top_revenue": Q.q_supplier_top_revenue,
+        "lineitem_small_qty": Q.q_lineitem_small_qty,
+        "basket_brand_lift": Q.q_basket_brand_lift,
+        "docs_lang_confusion": Q.q_docs_lang_confusion,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -924,4 +928,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_local_revenue": Q.SQL_ORDERS_LOCAL_REVENUE,
         "nation_market_share": Q.SQL_NATION_MARKET_SHARE,
         "custs_order_histogram": Q.SQL_CUSTS_ORDER_HISTOGRAM,
+        "supplier_top_revenue": Q.SQL_SUPPLIER_TOP_REVENUE,
+        "lineitem_small_qty": Q.SQL_LINEITEM_SMALL_QTY,
+        "basket_brand_lift": Q.SQL_BASKET_BRAND_LIFT,
+        "docs_lang_confusion": Q.sql_docs_lang_confusion(),
     }

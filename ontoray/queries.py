@@ -5018,3 +5018,336 @@ SQL_CUSTS_ORDER_HISTOGRAM = (
     "AS n_orders FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
     "GROUP BY 1) "
     "SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs FROM c GROUP BY 1")
+
+
+# --- TPC-H Q15 / Q17, market-basket lift, langid confusion ------------------
+
+
+def q_supplier_top_revenue(sf_dir: str, year: int = 1997):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, returning the supplier(s) achieving the GLOBAL maximum —
+    tie-preserving (the view + max subquery form, not LIMIT 1).
+
+    Scale shape: revenue folds per-suppkey first (two-phase, metadata-only
+    exchange); the collapsed per-supplier table is materialized once (it is
+    supplier-cardinality, orders of magnitude below the fact table), the
+    global max is a driver SCALAR (O(1)), and the equality filter + name
+    join run over the collapsed table only."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    lo = datetime.datetime(year, 1, 1)
+    hi = datetime.datetime(year, 4, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        rev_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_suppkey": batch.column("l_suppkey"),
+                         "rev_c": rev_c})
+
+    per_supp = hash_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"), ["l_suppkey"],
+        partial_aggs=[("rev_c", "sum")], aggs=[("rev_c_sum", "sum")],
+        rename={"rev_c_sum_sum": "revenue_cents"}).materialize()
+
+    best = per_supp.max("revenue_cents")
+    top = per_supp.filter(expr=f"revenue_cents == {best}")
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    out = hash_join(top, supp, "l_suppkey", "s_suppkey",
+                    right_cols=["s_name"], num_partitions=1)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": batch.column("l_suppkey"),
+                         "s_name": batch.column("s_name"),
+                         "revenue_cents": batch.column("revenue_cents")})
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+SQL_SUPPLIER_TOP_REVENUE = (
+    "WITH r AS (SELECT l_suppkey, CAST(sum(CAST(floor(l_extendedprice "
+    "* (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents FROM lineitem "
+    "WHERE l_shipdate >= DATE '1997-01-01' "
+    "AND l_shipdate < DATE '1997-04-01' GROUP BY 1) "
+    "SELECT l_suppkey AS s_suppkey, s_name, revenue_cents "
+    "FROM r JOIN supplier ON l_suppkey = supplier.s_suppkey "
+    "WHERE revenue_cents = (SELECT max(revenue_cents) FROM r)")
+
+
+def q_lineitem_small_qty(sf_dir: str, brand: str = "Brand#1"):
+    """TPC-H Q17 shape (small-quantity-order revenue): total revenue and
+    line count of ``brand`` lineitems whose quantity is below 20% of the
+    part's average quantity.  The correlated AVG comparison is exact: with
+    quantities scaled to int64 hundredths, ``q < 0.2·avg`` becomes the
+    cross-multiplication ``5·q·n < Σq`` — both engines compare identical
+    integers, no float division anywhere.
+
+    Scale shape: brand semi-join prunes lineitem first; per-part (Σq, n)
+    folds two-phase; the join back is partitioned on partkey; the final
+    global fold always emits exactly one row (zero-match safe)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           filter=(pc.field("p_brand") == brand),
+                           columns=["p_partkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+    li = hash_join(li, part, "l_partkey", "p_partkey", how="left_semi")
+
+    def scale(batch: pa.Table) -> pa.Table:
+        q_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("l_quantity"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        p_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_partkey": batch.column("l_partkey"),
+                         "q_c": q_c, "p_c": p_c,
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 dtype=np.int64))})
+
+    scaled = li.map_batches(scale, batch_format="pyarrow")
+    st = hash_aggregate(
+        scaled.select_columns(["l_partkey", "q_c", "one"]), ["l_partkey"],
+        partial_aggs=[("q_c", "sum"), ("one", "sum")],
+        aggs=[("q_c_sum", "sum"), ("one_sum", "sum")],
+        rename={"q_c_sum_sum": "sum_qc", "one_sum_sum": "n"})
+    j = hash_join(scaled, st, "l_partkey", "l_partkey",
+                  right_cols=["sum_qc", "n"])
+
+    def small(batch: pa.Table) -> pa.Table:
+        q = batch.column("q_c").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_qc").to_numpy(zero_copy_only=False)
+        p = batch.column("p_c").to_numpy(zero_copy_only=False)
+        keep = (5 * q * n) < s
+        return pa.table({
+            "n_lines": pa.array([np.int64(keep.sum())], pa.int64()),
+            "revenue_cents": pa.array([np.int64(p[keep].sum())],
+                                      pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        nl = batch.column("n_lines").to_numpy(zero_copy_only=False)
+        rc = batch.column("revenue_cents").to_numpy(zero_copy_only=False)
+        return pa.table({"n_lines": pa.array([np.int64(nl.sum())], pa.int64()),
+                         "revenue_cents": pa.array([np.int64(rc.sum())],
+                                                   pa.int64())})
+
+    return (j.map_batches(small, batch_format="pyarrow")
+             .repartition(1).map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_LINEITEM_SMALL_QTY = (
+    "WITH pq AS (SELECT l_partkey, "
+    "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q_c, "
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p_c "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand = 'Brand#1'), "
+    "st AS (SELECT l_partkey, sum(q_c) AS sum_qc, count(*) AS n "
+    "FROM pq GROUP BY 1) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(coalesce(sum(p_c), 0) AS BIGINT) AS revenue_cents "
+    "FROM pq JOIN st USING (l_partkey) WHERE 5 * q_c * n < sum_qc")
+
+
+def q_basket_brand_lift(sf_dir: str, num_buckets: int = 64):
+    """Market-basket brand-pair lift over orders: for every unordered pair
+    of part brands co-purchased in one order, the observed co-order count
+    vs the independence expectation — lift as the exact integer micro-ratio
+    1e6·n_pair·n_orders // (n_a·n_b), division LAST.
+
+    Scale shape: lineitem joins the brand in, orders bucket by orderkey
+    (co-locating each basket WITHOUT a per-order group explosion — one
+    bounded-fan exchange), pair expansion is per-bucket with per-bucket
+    partial counts (brand vocabulary is fixed, so partials are
+    vocab²-bounded), marginals reuse the same distinct table, and the total
+    order count is the only driver scalar."""
+    from itertools import combinations
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    ob = hash_join(li, part, "l_partkey", "p_partkey",
+                   right_cols=["p_brand"])
+
+    distinct = hash_aggregate(
+        ob.select_columns(["l_orderkey", "p_brand"]),
+        ["l_orderkey", "p_brand"],
+        partial_aggs=[("l_orderkey", "count")],
+        aggs=[("l_orderkey_count", "sum")],
+        rename={"l_orderkey_count_sum": "__n"}).materialize()
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        g = pc.cast(pc.bit_wise_and(batch.column("l_orderkey"),
+                                    pa.scalar(num_buckets - 1, pa.int64())),
+                    pa.int64())
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "p_brand": batch.column("p_brand"), "__g": g})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        import collections
+        by_order: dict = collections.defaultdict(list)
+        for okey, brand in zip(
+                group.column("l_orderkey").to_pylist(),
+                group.column("p_brand").to_pylist()):
+            by_order[okey].append(brand)
+        counts: dict = collections.Counter()
+        for brands in by_order.values():
+            for a, b in combinations(sorted(brands), 2):
+                counts[(a, b)] += 1
+        if not counts:
+            return pa.table({"brand_a": pa.array([], pa.string()),
+                             "brand_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks = sorted(counts)
+        return pa.table({
+            "brand_a": pa.array([k[0] for k in ks], pa.string()),
+            "brand_b": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([counts[k] for k in ks], pa.int64())})
+
+    pair_partials = (distinct
+                     .map_batches(bucketize, batch_format="pyarrow")
+                     .groupby("__g").map_groups(pairs,
+                                                batch_format="pyarrow"))
+    pair_counts = hash_aggregate(
+        pair_partials, ["brand_a", "brand_b"],
+        partial_aggs=[("n", "sum")], aggs=[("n_sum", "sum")],
+        rename={"n_sum_sum": "n_pair"}, num_buckets=4)
+
+    marg = hash_aggregate(
+        distinct.map_batches(
+            lambda b: pa.table({
+                "p_brand": b.column("p_brand"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["p_brand"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_brand"}, num_buckets=4).materialize()
+
+    n_orders = hash_aggregate(
+        distinct.map_batches(
+            lambda b: pa.table({"l_orderkey": b.column("l_orderkey")}),
+            batch_format="pyarrow"),
+        ["l_orderkey"],
+        partial_aggs=[("l_orderkey", "count")],
+        aggs=[("l_orderkey_count", "sum")],
+        rename={"l_orderkey_count_sum": "__n"}).count()
+
+    j = hash_join(pair_counts, marg, "brand_a", "p_brand",
+                  right_cols=["n_brand"], num_partitions=4)
+    j = j.map_batches(lambda b: b.rename_columns(
+        [c if c != "n_brand" else "n_a" for c in b.column_names]),
+        batch_format="pyarrow")
+    j = hash_join(j, marg, "brand_b", "p_brand",
+                  right_cols=["n_brand"], num_partitions=4)
+
+    def final(batch: pa.Table) -> pa.Table:
+        np_ = batch.column("n_pair").to_numpy(zero_copy_only=False)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_brand").to_numpy(zero_copy_only=False)
+        lift = (1_000_000 * np_ * int(n_orders)) // (na * nb)
+        return pa.table({
+            "brand_a": batch.column("brand_a"),
+            "brand_b": batch.column("brand_b"),
+            "n_pair": batch.column("n_pair"),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "lift_micro": pa.array(lift, pa.int64())})
+
+    return j.map_batches(final, batch_format="pyarrow")
+
+
+SQL_BASKET_BRAND_LIFT = (
+    "WITH ob AS (SELECT DISTINCT l_orderkey, p_brand "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+    "pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, "
+    "CAST(count(*) AS BIGINT) AS n_pair FROM ob a JOIN ob b "
+    "ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand GROUP BY 1, 2), "
+    "marg AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM ob "
+    "GROUP BY 1), "
+    "tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders "
+    "FROM ob) "
+    "SELECT brand_a, brand_b, n_pair, ma.n AS n_a, mb.n AS n_b, "
+    "CAST(1000000 * n_pair * n_orders // (ma.n * mb.n) AS BIGINT) "
+    "AS lift_micro "
+    "FROM pairs JOIN marg ma ON brand_a = ma.p_brand "
+    "JOIN marg mb ON brand_b = mb.p_brand CROSS JOIN tot")
+
+
+def q_docs_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: declared ``lang`` column vs the
+    stopword-profile detector's prediction (the text_langid contract),
+    counted per (declared, predicted) cell — the eval table for the
+    heuristic's precision per language.
+
+    Scale shape: detection is per-batch with profiles built once per
+    worker; the output folds to the |langs|²-bounded grid in one
+    vocabulary exchange."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.extras.textstats import STOP_PROFILES, TOKEN_RE
+    from ontoray.stages.agg import hash_aggregate
+
+    profiles = {k: frozenset(v) for k, v in sorted(STOP_PROFILES.items())}
+
+    def predict(batch: pa.Table) -> pa.Table:
+        decl = batch.column("lang").to_pylist()
+        preds = []
+        for t in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(t)
+            best, best_n = "und", 0
+            for lang in sorted(profiles):
+                n = sum(1 for w in toks if w in profiles[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({
+            "lang_decl": pa.array(decl, pa.string()),
+            "lang_pred": pa.array(preds, pa.string()),
+            "one": pa.array(np.ones(len(preds), dtype=np.int64))})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return hash_aggregate(
+        ds.map_batches(predict, batch_format="pyarrow"),
+        ["lang_decl", "lang_pred"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_docs"}, num_buckets=4)
+
+
+def sql_docs_lang_confusion() -> str:
+    return (f"WITH lp AS ({_sql_langid_query()}) "
+            "SELECT d.lang AS lang_decl, lp.lang_pred, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents d JOIN lp USING (doc_id) GROUP BY 1, 2")

@@ -121,3 +121,114 @@ class TestQ4Q5Q8Q13:
         assert got == want
         # cust 10 -> 2 orders, 11/12 -> 1 each, 13 -> 0
         assert got == [(0, 1), (1, 2), (2, 1)]
+
+
+class TestQ15Q17BasketLangid:
+    def test_supplier_top_revenue(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_SUPPLIER_TOP_REVENUE,
+                                     q_supplier_top_revenue)
+        views = _star(tmp_path)
+        # give suppliers names and put two lines in the Q1-1997 window with
+        # a revenue TIE between both suppliers
+        supp = pa.table({"s_suppkey": pa.array([20, 21], pa.int64()),
+                         "s_nationkey": pa.array([0, 1], pa.int64()),
+                         "s_name": pa.array(["S20", "S21"], pa.string())})
+        pq.write_table(supp, str(tmp_path / "supplier.parquet"))
+        views["supplier"] = supp
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_partkey": pa.array([30, 31, 30], pa.int64()),
+            "l_suppkey": pa.array([20, 21, 21], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 60.0, 40.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0]),
+            "l_shipdate": pa.array(
+                [dt.datetime(1997, 2, 1), dt.datetime(1997, 3, 1),
+                 dt.datetime(1997, 3, 15)], pa.timestamp("us"))})
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        views["lineitem"] = li
+        got = sorted(tuple(r.values()) for r in q_supplier_top_revenue(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_SUPPLIER_TOP_REVENUE)
+                      .fetchall())
+        assert got == want
+        # both suppliers total 10000 cents -> tie preserved
+        assert got == [(20, "S20", 10000), (21, "S21", 10000)]
+
+    def test_lineitem_small_qty(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_LINEITEM_SMALL_QTY,
+                                     q_lineitem_small_qty)
+        views = _star(tmp_path)
+        part = pa.table({"p_partkey": pa.array([30, 31], pa.int64()),
+                         "p_type": pa.array(["PROMO", "ECONOMY"], pa.string()),
+                         "p_brand": pa.array(["Brand#1", "Brand#2"],
+                                             pa.string())})
+        pq.write_table(part, str(tmp_path / "part.parquet"))
+        views["part"] = part
+        # part 30 (Brand#1): quantities 1, 10, 10, 10 -> avg 7.75,
+        # 0.2*avg = 1.55 -> only the q=1 line (price 7.00) qualifies
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "l_partkey": pa.array([30, 30, 30, 30, 31], pa.int64()),
+            "l_suppkey": pa.array([20] * 5, pa.int64()),
+            "l_quantity": pa.array([1.0, 10.0, 10.0, 10.0, 1.0]),
+            "l_extendedprice": pa.array([7.0, 70.0, 70.0, 70.0, 5.0]),
+            "l_discount": pa.array([0.0] * 5),
+            "l_shipdate": pa.array([dt.datetime(1997, 2, 1)] * 5,
+                                   pa.timestamp("us"))})
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        views["lineitem"] = li
+        got = sorted(tuple(r.values()) for r in q_lineitem_small_qty(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_LINEITEM_SMALL_QTY)
+                      .fetchall())
+        assert got == want
+        assert got == [(1, 700)]
+
+    def test_basket_brand_lift(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_BASKET_BRAND_LIFT, q_basket_brand_lift
+        views = _star(tmp_path)
+        part = pa.table({"p_partkey": pa.array([30, 31, 32], pa.int64()),
+                         "p_type": pa.array(["PROMO"] * 3, pa.string()),
+                         "p_brand": pa.array(["A", "B", "C"], pa.string())})
+        pq.write_table(part, str(tmp_path / "part.parquet"))
+        views["part"] = part
+        # order 1: {A, B} (A twice -> distinct), order 2: {A, B, C},
+        # order 3: {C}
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+            "l_partkey": pa.array([30, 30, 31, 30, 31, 32, 32], pa.int64()),
+            "l_suppkey": pa.array([20] * 7, pa.int64()),
+            "l_extendedprice": pa.array([1.0] * 7),
+            "l_discount": pa.array([0.0] * 7),
+            "l_quantity": pa.array([1.0] * 7),
+            "l_shipdate": pa.array([dt.datetime(1997, 2, 1)] * 7,
+                                   pa.timestamp("us"))})
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        views["lineitem"] = li
+        got = sorted(tuple(r.values()) for r in q_basket_brand_lift(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_BASKET_BRAND_LIFT).fetchall())
+        assert got == want
+        # n_orders=3; AB in 2 of (nA=2, nB=2) -> 1e6*2*3//4 = 1500000;
+        # AC in 1 of (2,2) -> 750000; BC in 1 of (2,2) -> 750000
+        assert got == [("A", "B", 2, 2, 2, 1500000),
+                       ("A", "C", 1, 2, 2, 750000),
+                       ("B", "C", 1, 2, 2, 750000)]
+
+    def test_docs_lang_confusion(self, ray_session, tmp_path):
+        from ontoray.queries import (q_docs_lang_confusion,
+                                     sql_docs_lang_confusion)
+        # 'the and of' -> en profile; declared labels differ on purpose
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["the cat and the dog of note",
+                              "the cat and the dog of note",
+                              "zzz qqq"], pa.string()),
+            "lang": pa.array(["en", "de", "en"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_lang_confusion(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_docs_lang_confusion()).fetchall())
+        assert got == want
+        assert ("de", "en", 1) in got and ("en", "und", 1) in got
