@@ -184,6 +184,12 @@ def _q_kg_conf_calibration(sf_dir: str):
     return Q.q_kg_conf_calibration_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_edge_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the deduped concept graph
+    (queries.q_kg_edge_reciprocity_from)."""
+    return Q.q_kg_edge_reciprocity_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_kcore(sf_dir: str):
     """2-core of the concept graph — iterative peel to fixpoint with a
     convergence guard vs an unrolled-CTE mirror (stages/analytics.kcore)."""
@@ -690,6 +696,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_small_qty": Q.q_lineitem_small_qty,
         "basket_brand_lift": Q.q_basket_brand_lift,
         "docs_lang_confusion": Q.q_docs_lang_confusion,
+        "ann_recall_eval": Q.q_ann_recall_eval,
+        "events_interarrival": Q.q_events_interarrival,
+        "kg_edge_reciprocity": _q_kg_edge_reciprocity,
+        "orders_open_by_month": Q.q_orders_open_by_month,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -932,4 +942,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_small_qty": Q.SQL_LINEITEM_SMALL_QTY,
         "basket_brand_lift": Q.SQL_BASKET_BRAND_LIFT,
         "docs_lang_confusion": Q.sql_docs_lang_confusion(),
+        "ann_recall_eval": Q.sql_ann_recall_eval("/root/testdata/sf0.01"),
+        "events_interarrival": Q.SQL_EVENTS_INTERARRIVAL,
+        "kg_edge_reciprocity": Q.SQL_KG_EDGE_RECIPROCITY,
+        "orders_open_by_month": Q.SQL_ORDERS_OPEN_BY_MONTH,
     }

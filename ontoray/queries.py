@@ -5351,3 +5351,279 @@ def sql_docs_lang_confusion() -> str:
             "SELECT d.lang AS lang_decl, lp.lang_pred, "
             "CAST(count(*) AS BIGINT) AS n_docs "
             "FROM documents d JOIN lp USING (doc_id) GROUP BY 1, 2")
+
+
+# --- ANN recall eval, inter-arrival histogram, reciprocity, open orders -----
+
+
+def q_ann_recall_eval(sf_dir: str, k: int = 10):
+    """Index-quality evaluation: recall@k of the exact-arithmetic IVF index
+    against the brute-force cosine ground truth for the fixed probe query —
+    the metric that gates an ANN index rollout.  Exact integer micro-recall
+    (1e6·hits // k), division last.
+
+    Scale shape: both sides are existing streaming operators (IVF probe
+    scan vs one-matmul-per-batch brute force); the comparison is a
+    k-bounded semi-join and the output is ONE row."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.joins import hash_join
+
+    def _as_ds(res):
+        return rd.from_arrow(res) if isinstance(res, pa.Table) else res
+
+    ivf = _as_ds(q_ann_ivf(sf_dir, k=k)).select_columns(["vec_id"])
+    brute = _as_ds(q_ann_topk(sf_dir, k=k)).select_columns(["vec_id"])
+    hits = hash_join(ivf, brute, "vec_id", "vec_id", how="left_semi",
+                     num_partitions=1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_hits": pa.array([np.int64(batch.num_rows)],
+                                            pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = np.int64(batch.column("n_hits")
+                     .to_numpy(zero_copy_only=False).sum())
+        return pa.table({
+            "n_hits": pa.array([n], pa.int64()),
+            "k": pa.array([np.int64(k)], pa.int64()),
+            "recall_micro": pa.array([np.int64(1_000_000 * n // k)],
+                                     pa.int64())})
+
+    return (hits.map_batches(partial, batch_format="pyarrow")
+                .repartition(1).map_batches(fold, batch_format="pyarrow"))
+
+
+def sql_ann_recall_eval(sf_dir: str, k: int = 10) -> str:
+    return (f"WITH ivf AS ({sql_ann_ivf(sf_dir, k=k)}), "
+            f"brute AS ({sql_ann_topk(sf_dir, k=k)}) "
+            f"SELECT CAST(count(*) AS BIGINT) AS n_hits, "
+            f"CAST({k} AS BIGINT) AS k, "
+            f"CAST(1000000 * count(*) // {k} AS BIGINT) AS recall_micro "
+            f"FROM ivf WHERE vec_id IN (SELECT vec_id FROM brute)")
+
+
+def q_events_interarrival(sf_dir: str, cap_minutes: int = 60):
+    """Inter-arrival-time histogram per event type: consecutive same-user
+    same-type gaps (ordered by ts, event_id), bucketed to whole minutes
+    capped at ``cap_minutes`` — the latency-profile table behind session
+    gap tuning.  Bucketing is integer division (exact on both engines).
+
+    Scale shape: ONE keyed exchange on the composite (user, type) key,
+    per-group vectorized lexsort+diff (a user's per-type history is
+    bounded), then the two-phase vocabulary-grid count."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("user_id"), pa.string()),
+            batch.column("event_type"), "|")
+        return pa.table({
+            "__k": key,
+            "event_type": batch.column("event_type"),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64())})
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        st = ts[order]
+        d = st[1:] - st[:-1]
+        bucket = np.minimum(d // 60_000_000, cap_minutes)
+        et = g.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * len(bucket), pa.string()),
+            "gap_bucket": pa.array(bucket, pa.int64()),
+            "one": pa.array(np.ones(len(bucket), dtype=np.int64))})
+
+    per_gap = (ev.map_batches(derive, batch_format="pyarrow")
+                 .groupby("__k").map_groups(gaps, batch_format="pyarrow"))
+    return hash_aggregate(
+        per_gap, ["event_type", "gap_bucket"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_gaps"}, num_buckets=4)
+
+
+SQL_EVENTS_INTERARRIVAL = (
+    "WITH g AS (SELECT event_type, epoch_us(ts) AS ts_us, "
+    "lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type "
+    "ORDER BY ts, event_id) AS prev FROM events) "
+    "SELECT event_type, "
+    "CAST(least((ts_us - prev) // 60000000, 60) AS BIGINT) AS gap_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_gaps "
+    "FROM g WHERE prev IS NOT NULL GROUP BY 1, 2")
+
+
+def q_kg_edge_reciprocity_from(triples_dedup_ds):
+    """Directed-graph reciprocity of the concept graph: the fraction of
+    distinct directed (subj→obj) edges whose reverse edge also exists —
+    taxonomy-quality smell (hypernym edges should NOT reciprocate).  One
+    row: (n_edges, n_recip_edges, reciprocity_micro), exact integers.
+
+    Scale shape: distinct directed pairs fold two-phase, then ONE
+    undirected-key exchange (lo=min, hi=max) counts directions per pair;
+    the final fold is metadata-only."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def directed(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch.column("subj_norm"),
+                                  batch.column("obj_norm")))
+        out = batch.filter(keep)
+        return pa.table({"s": out.column("subj_norm"),
+                         "o": out.column("obj_norm")})
+
+    dpairs = hash_aggregate(
+        triples_dedup_ds.map_batches(directed, batch_format="pyarrow"),
+        ["s", "o"], partial_aggs=[("s", "count")],
+        aggs=[("s_count", "sum")], rename={"s_count_sum": "__n"})
+
+    def undirected(batch: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(batch.column("s"), batch.column("o"))
+        hi = pc.max_element_wise(batch.column("s"), batch.column("o"))
+        return pa.table({"lo": lo, "hi": hi,
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 dtype=np.int64))})
+
+    per_und = hash_aggregate(
+        dpairs.map_batches(undirected, batch_format="pyarrow"),
+        ["lo", "hi"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n_dir"})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_dir").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_edges": pa.array([np.int64(nd.sum())], pa.int64()),
+            "n_recip": pa.array([np.int64(2 * (nd == 2).sum())],
+                                pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ne = np.int64(batch.column("n_edges")
+                      .to_numpy(zero_copy_only=False).sum())
+        nr = np.int64(batch.column("n_recip")
+                      .to_numpy(zero_copy_only=False).sum())
+        micro = np.int64(1_000_000 * nr // ne) if ne else np.int64(0)
+        return pa.table({
+            "n_edges": pa.array([ne], pa.int64()),
+            "n_recip_edges": pa.array([nr], pa.int64()),
+            "reciprocity_micro": pa.array([micro], pa.int64())})
+
+    return (per_und.map_batches(partial, batch_format="pyarrow")
+                   .repartition(1).map_batches(fold, batch_format="pyarrow"))
+
+
+SQL_KG_EDGE_RECIPROCITY = (
+    f"{_sql_triples_norm_ctes()}, "
+    "d AS (SELECT DISTINCT subj_norm AS s, obj_norm AS o FROM tnorm "
+    "WHERE subj_norm <> obj_norm), "
+    "u AS (SELECT least(s, o) AS lo, greatest(s, o) AS hi, "
+    "count(*) AS n_dir FROM d GROUP BY 1, 2) "
+    "SELECT CAST(sum(n_dir) AS BIGINT) AS n_edges, "
+    "CAST(2 * sum(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_recip_edges, "
+    "CAST(1000000 * (2 * sum(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END)) "
+    "// sum(n_dir) AS BIGINT) AS reciprocity_micro FROM u")
+
+
+def q_orders_open_by_month(sf_dir: str):
+    """Open-order load over time: for each month where the count CHANGES,
+    the number of orders open in it — an order is open from its order
+    month through the month of its LAST lineitem shipment (orders with no
+    lineitems close in their own month).  The interval-counting shape:
+    ±1 deltas at interval ends, then a prefix sum.
+
+    Scale shape: per-order close month folds two-phase over lineitem
+    (metadata only); each order emits exactly two delta rows; deltas fold
+    per linear month index (calendar-bounded vocabulary), and the prefix
+    sum runs over that tiny grid in one block."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    last_ship = hash_aggregate(
+        li.map_batches(
+            lambda b: pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "ship_us": pc.cast(b.column("l_shipdate"), pa.int64())}),
+            batch_format="pyarrow"),
+        ["l_orderkey"], partial_aggs=[("ship_us", "max")],
+        aggs=[("ship_us_max", "max")], rename={"ship_us_max_max": "ship_us"})
+
+    j = hash_join(orders, last_ship, "o_orderkey", "l_orderkey",
+                  how="left", right_cols=["ship_us"])
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        start = (pc.cast(pc.year(od), pa.int64()).to_numpy(
+            zero_copy_only=False) * 12
+            + pc.cast(pc.month(od), pa.int64()).to_numpy(
+                zero_copy_only=False) - 1)
+        ship = pc.fill_null(batch.column("ship_us"),
+                            pa.scalar(0, pa.int64()))
+        st = pc.cast(ship, pa.timestamp("us"))
+        end = (pc.cast(pc.year(st), pa.int64()).to_numpy(
+            zero_copy_only=False) * 12
+            + pc.cast(pc.month(st), pa.int64()).to_numpy(
+                zero_copy_only=False) - 1)
+        end = np.maximum(end, start)       # null ship filled to epoch
+        ym = np.concatenate([start, end + 1])
+        dl = np.concatenate([np.ones(len(start), dtype=np.int64),
+                             -np.ones(len(end), dtype=np.int64)])
+        return pa.table({"ym": pa.array(ym, pa.int64()),
+                         "delta": pa.array(dl, pa.int64())})
+
+    agg = hash_aggregate(
+        j.map_batches(deltas, batch_format="pyarrow"), ["ym"],
+        partial_aggs=[("delta", "sum")], aggs=[("delta_sum", "sum")],
+        rename={"delta_sum_sum": "delta"}, num_buckets=4)
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        ym = batch.column("ym").to_numpy(zero_copy_only=False)
+        dl = batch.column("delta").to_numpy(zero_copy_only=False)
+        order = np.argsort(ym)
+        ym, dl = ym[order], dl[order]
+        run = np.cumsum(dl)
+        month = (ym // 12) * 100 + (ym % 12) + 1
+        return pa.table({"month": pa.array(month, pa.int64()),
+                         "n_open": pa.array(run, pa.int64())})
+
+    return agg.repartition(1).map_batches(prefix, batch_format="pyarrow")
+
+
+SQL_ORDERS_OPEN_BY_MONTH = (
+    "WITH ls AS (SELECT l_orderkey, max(epoch_us(l_shipdate)) AS ship_us "
+    "FROM lineitem GROUP BY 1), "
+    "iv AS (SELECT CAST(year(o_orderdate) AS BIGINT) * 12 "
+    "+ CAST(month(o_orderdate) AS BIGINT) - 1 AS sm, "
+    "greatest(CAST(year(make_timestamp(coalesce(ship_us, 0))) AS BIGINT) "
+    "* 12 "
+    "+ CAST(month(make_timestamp(coalesce(ship_us, 0))) AS BIGINT) - 1, "
+    "CAST(year(o_orderdate) AS BIGINT) * 12 "
+    "+ CAST(month(o_orderdate) AS BIGINT) - 1) AS em "
+    "FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey), "
+    "d AS (SELECT sm AS ym, 1 AS delta FROM iv "
+    "UNION ALL SELECT em + 1, -1 FROM iv), "
+    "g AS (SELECT ym, CAST(sum(delta) AS BIGINT) AS delta FROM d "
+    "GROUP BY 1) "
+    "SELECT CAST((ym // 12) * 100 + (ym % 12) + 1 AS BIGINT) AS month, "
+    "CAST(sum(delta) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) "
+    "AS BIGINT) AS n_open FROM g")

@@ -232,3 +232,93 @@ class TestQ15Q17BasketLangid:
                       .execute(sql_docs_lang_confusion()).fetchall())
         assert got == want
         assert ("de", "en", 1) in got and ("en", "und", 1) in got
+
+
+class TestRecallInterarrivalReciprocityOpen:
+    def test_events_interarrival(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_EVENTS_INTERARRIVAL,
+                                     q_events_interarrival)
+        # user 1 type a: gaps 30s (bucket 0), 90min (capped to 60);
+        # user 1 type b: single event (no gap); user 2 type a: gap 5min
+        rows = [
+            (1, 1, "a", dt.datetime(2024, 1, 1, 10, 0, 0)),
+            (2, 1, "a", dt.datetime(2024, 1, 1, 10, 0, 30)),
+            (3, 1, "a", dt.datetime(2024, 1, 1, 11, 30, 30)),
+            (4, 1, "b", dt.datetime(2024, 1, 1, 10, 0, 0)),
+            (5, 2, "a", dt.datetime(2024, 1, 1, 10, 0, 0)),
+            (6, 2, "a", dt.datetime(2024, 1, 1, 10, 5, 0)),
+        ]
+        events = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us"))})
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_interarrival(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": events})
+                      .execute(SQL_EVENTS_INTERARRIVAL).fetchall())
+        assert got == want
+        assert got == [("a", 0, 1), ("a", 5, 1), ("a", 60, 1)]
+
+    def test_kg_edge_reciprocity(self, ray_session):
+        import ray.data as rd
+        from ontoray.queries import q_kg_edge_reciprocity_from
+        trip = pa.table({
+            "subj_norm": pa.array(["a", "b", "a", "c", "d"], pa.string()),
+            "pred_norm": pa.array(["p", "q", "r", "p", "p"], pa.string()),
+            "obj_norm": pa.array(["b", "a", "b", "d", "d"], pa.string()),
+            "conf": pa.array([0.9] * 5, pa.float32()),
+            "n_obs": pa.array([1] * 5, pa.int64())})
+        # directed distinct pairs (self-loop d->d dropped): a->b, b->a, c->d
+        # -> 3 edges, a<->b reciprocated (2 edges)
+        got = q_kg_edge_reciprocity_from(
+            rd.from_arrow(trip).repartition(2)).to_pandas()
+        assert got.to_dict("records") == [
+            {"n_edges": 3, "n_recip_edges": 2,
+             "reciprocity_micro": 666666}]
+
+    def test_orders_open_by_month(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_ORDERS_OPEN_BY_MONTH,
+                                     q_orders_open_by_month)
+        views = _star(tmp_path)
+        # order 1: Jan->Mar (last ship Mar); order 2: Feb, no lineitem
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([10, 10], pa.int64()),
+            "o_orderdate": pa.array([dt.datetime(1997, 1, 15),
+                                     dt.datetime(1997, 2, 10)],
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2, pa.string())})
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1], pa.int64()),
+            "l_partkey": pa.array([30, 30], pa.int64()),
+            "l_suppkey": pa.array([20, 20], pa.int64()),
+            "l_extendedprice": pa.array([1.0, 1.0]),
+            "l_discount": pa.array([0.0, 0.0]),
+            "l_quantity": pa.array([1.0, 1.0]),
+            "l_shipdate": pa.array([dt.datetime(1997, 2, 1),
+                                    dt.datetime(1997, 3, 20)],
+                                   pa.timestamp("us"))})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        views["orders"], views["lineitem"] = orders, li
+        got = sorted(tuple(r.values()) for r in q_orders_open_by_month(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_ORDERS_OPEN_BY_MONTH)
+                      .fetchall())
+        assert got == want
+        # Jan: 1 open; Feb: 2 (order2 opens+closes Feb -> delta rows at
+        # 199702 (+1) and 199703 (-1)); Mar: 1 (order1 still open), Apr: 0
+        assert got == [(199701, 1), (199702, 2), (199703, 1), (199704, 0)]
+
+    def test_ann_recall_eval_perfect_on_tiny(self, ray_session, tmp_path):
+        # semantics-only check on the real sf0.001 tables is covered by the
+        # driver gate; here: recall over identical inputs is k-bounded and
+        # the micro ratio uses division last
+        from ontoray.queries import q_ann_recall_eval
+        row = q_ann_recall_eval("/root/testdata/sf0.001", k=5)\
+            .to_pandas().to_dict("records")[0]
+        assert row["k"] == 5
+        assert 0 <= row["n_hits"] <= 5
+        assert row["recall_micro"] == 1_000_000 * row["n_hits"] // 5
