@@ -184,6 +184,12 @@ def _q_kg_conf_calibration(sf_dir: str):
     return Q.q_kg_conf_calibration_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_coupling(sf_dir: str):
+    """Bibliographic coupling (subject pairs sharing >=2 objects) over the
+    deduped concept graph (queries.q_kg_coupling_from)."""
+    return Q.q_kg_coupling_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_edge_reciprocity(sf_dir: str):
     """Directed-edge reciprocity of the deduped concept graph
     (queries.q_kg_edge_reciprocity_from)."""
@@ -700,6 +706,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": Q.q_events_interarrival,
         "kg_edge_reciprocity": _q_kg_edge_reciprocity,
         "orders_open_by_month": Q.q_orders_open_by_month,
+        "kg_coupling": _q_kg_coupling,
+        "orders_reorder_interval": Q.q_orders_reorder_interval,
+        "embed_cosine_hist": Q.q_embed_cosine_hist,
+        "docs_wordlen_profile": Q.q_docs_wordlen_profile,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -946,4 +956,8 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival": Q.SQL_EVENTS_INTERARRIVAL,
         "kg_edge_reciprocity": Q.SQL_KG_EDGE_RECIPROCITY,
         "orders_open_by_month": Q.SQL_ORDERS_OPEN_BY_MONTH,
+        "kg_coupling": Q.SQL_KG_COUPLING,
+        "orders_reorder_interval": Q.SQL_ORDERS_REORDER_INTERVAL,
+        "embed_cosine_hist": Q.SQL_EMBED_COSINE_HIST,
+        "docs_wordlen_profile": Q.SQL_DOCS_WORDLEN_PROFILE,
     }

@@ -5627,3 +5627,238 @@ SQL_ORDERS_OPEN_BY_MONTH = (
     "SELECT CAST((ym // 12) * 100 + (ym % 12) + 1 AS BIGINT) AS month, "
     "CAST(sum(delta) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) "
     "AS BIGINT) AS n_open FROM g")
+
+
+# --- 2-path composition, reorder intervals, cosine histogram, word lengths --
+
+
+def q_kg_coupling_from(triples_dedup_ds, min_shared: int = 2):
+    """Bibliographic coupling over the concept graph: pairs of SUBJECTS
+    that assert triples about ≥``min_shared`` common OBJECTS — the
+    sibling-concept candidate generator (the graph is bipartite by
+    construction: normalized subjects and objects never overlap, so
+    2-hop directed paths are structurally empty and coupling is the
+    informative composition).
+
+    Scale shape: distinct (subj, obj) edges fold two-phase, then ONE
+    composition join partitioned on the shared object (per-object subject
+    fan-out is bounded by the concept vocabulary; a df-cap belongs here if
+    objects ever go open-vocabulary), and pair counts fold per (s1, s2)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def directed(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": batch.column("subj_norm"),
+                         "o": batch.column("obj_norm")})
+
+    edges = hash_aggregate(
+        triples_dedup_ds.map_batches(directed, batch_format="pyarrow"),
+        ["s", "o"], partial_aggs=[("s", "count")],
+        aggs=[("s_count", "sum")], rename={"s_count_sum": "__n"})\
+        .select_columns(["s", "o"]).materialize()
+
+    right = edges.map_batches(
+        lambda b: pa.table({"o2": b.column("o"), "s2": b.column("s")}),
+        batch_format="pyarrow")
+    comp = hash_join(edges, right, "o", "o2", right_cols=["s2"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("s"), batch.column("s2"))
+        out = batch.filter(keep)
+        return pa.table({
+            "s1": out.column("s"), "s2": out.column("s2"),
+            "one": pa.array(np.ones(out.num_rows, dtype=np.int64))})
+
+    counts = hash_aggregate(
+        comp.map_batches(partial, batch_format="pyarrow"), ["s1", "s2"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_shared"})
+    return counts.filter(expr=f"n_shared >= {min_shared}")
+
+
+SQL_KG_COUPLING = (
+    f"{_sql_triples_norm_ctes()}, "
+    "e AS (SELECT DISTINCT subj_norm AS s, obj_norm AS o FROM tnorm) "
+    "SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM e a JOIN e b ON a.o = b.o AND a.s < b.s "
+    "GROUP BY 1, 2 HAVING count(*) >= 2")
+
+
+def q_orders_reorder_interval(sf_dir: str, cap_weeks: int = 52):
+    """Repeat-purchase latency histogram: gaps between a customer's
+    consecutive orders (ordered by date, key as tiebreak) bucketed to
+    whole weeks capped at ``cap_weeks`` — the replenishment-cycle profile.
+
+    Scale shape: ONE keyed exchange on custkey, per-group vectorized
+    lexsort+diff (a customer's order history is bounded), then the
+    two-phase week-grid count."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "d_us": pc.cast(batch.column("o_orderdate"), pa.int64())})
+
+    def gaps(g: pa.Table) -> pa.Table:
+        keys = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        d = g.column("d_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, d))
+        sd = d[order]
+        gap = sd[1:] - sd[:-1]
+        bucket = np.minimum(gap // (7 * 86_400_000_000), cap_weeks)
+        return pa.table({
+            "gap_weeks": pa.array(bucket, pa.int64()),
+            "one": pa.array(np.ones(len(bucket), dtype=np.int64))})
+
+    per_gap = (orders.map_batches(derive, batch_format="pyarrow")
+                     .groupby("o_custkey")
+                     .map_groups(gaps, batch_format="pyarrow"))
+    return hash_aggregate(
+        per_gap, ["gap_weeks"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_gaps"}, num_buckets=4)
+
+
+SQL_ORDERS_REORDER_INTERVAL = (
+    "WITH g AS (SELECT epoch_us(o_orderdate) AS d_us, "
+    "lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey) AS prev FROM orders) "
+    "SELECT CAST(least((d_us - prev) // 604800000000, 52) AS BIGINT) "
+    "AS gap_weeks, CAST(count(*) AS BIGINT) AS n_gaps "
+    "FROM g WHERE prev IS NOT NULL GROUP BY 1")
+
+
+def q_embed_cosine_hist(sf_dir: str, bucket_size: int = 4096):
+    """Pairwise-similarity profile of the embedding space: cosine of each
+    vector with its successor (vec_id+1 — a deterministic, uniformly
+    spread pairing that needs NO all-pairs work), bucketed to tenths over
+    the round-6 cosine (the ann_topk float contract).
+
+    Scale shape: pair (i, i+1) lives in bucket i // ``bucket_size``; each
+    vector ships ONCE to its own bucket plus (boundary rows only) the
+    previous one — a single keyed exchange, no join, list columns never
+    cross a join (pyarrow joins reject list payloads).  Cosine is one
+    numpy pass per bucket; the histogram folds to the 21-bucket grid."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id")
+        own = pa.table({
+            "__g": pc.divide(vid, pa.scalar(bucket_size, pa.int64())),
+            "vec_id": vid, "embedding": batch.column("embedding")})
+        # bucket-leading rows also serve as the RIGHT member of the
+        # previous bucket's last pair
+        lead = pc.equal(pc.bit_wise_and(
+            vid, pa.scalar(bucket_size - 1, pa.int64())),
+            pa.scalar(0, pa.int64()))
+        b = batch.filter(lead)
+        prev = pa.table({
+            "__g": pc.subtract(pc.divide(b.column("vec_id"),
+                                         pa.scalar(bucket_size, pa.int64())),
+                               pa.scalar(1, pa.int64())),
+            "vec_id": b.column("vec_id"),
+            "embedding": b.column("embedding")})
+        return pa.concat_tables([own, prev])
+
+    def cos_pairs(g: pa.Table) -> pa.Table:
+        gid = g.column("__g")[0].as_py()
+        vid = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(vid)
+        vid = vid[order]
+        emb = np.asarray(g.column("embedding").take(
+            pa.array(order, pa.int64())).to_pylist(), dtype=np.float64)
+        # consecutive ids whose PAIR belongs to this bucket
+        adj = (vid[1:] - vid[:-1] == 1) & (vid[:-1] // bucket_size == gid)
+        if not adj.any():
+            return pa.table({"cos_bucket": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        a = emb[:-1][adj]
+        b = emb[1:][adj]
+        dot = (a * b).sum(axis=1)
+        na = np.sqrt((a * a).sum(axis=1))
+        nb = np.sqrt((b * b).sum(axis=1))
+        cos = np.round(dot / (na * nb), 6)
+        bucket = np.floor(cos * 10).astype(np.int64)
+        return pa.table({
+            "cos_bucket": pa.array(bucket, pa.int64()),
+            "one": pa.array(np.ones(len(bucket), dtype=np.int64))})
+
+    per_pair = (ds.map_batches(assign, batch_format="pyarrow")
+                  .groupby("__g").map_groups(cos_pairs,
+                                             batch_format="pyarrow"))
+    return hash_aggregate(
+        per_pair, ["cos_bucket"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_pairs"}, num_buckets=4)
+
+
+SQL_EMBED_COSINE_HIST = (
+    "SELECT CAST(floor(round(list_cosine_similarity("
+    "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) "
+    "* 10) AS BIGINT) AS cos_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_pairs "
+    "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "
+    "GROUP BY 1")
+
+
+def q_docs_wordlen_profile(sf_dir: str, cap_len: int = 20):
+    """Word-length distribution per language — the subword statistic that
+    sizes tokenizer vocabularies: (lang, word length capped at
+    ``cap_len``, count), exact.
+
+    Scale shape: per-batch regex extraction + numpy length fold (text
+    never leaves the batch), then the vocabulary-grid count."""
+    import re
+
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    rx = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs, lens = [], []
+        for lg, t in zip(batch.column("lang").to_pylist(),
+                         batch.column("text").to_pylist()):
+            for w in rx.findall(t):
+                langs.append(lg)
+                lens.append(min(len(w), cap_len))
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "word_len": pa.array(np.asarray(lens, dtype=np.int64)),
+            "one": pa.array(np.ones(len(lens), dtype=np.int64))})
+
+    return hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "word_len"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_words"}, num_buckets=4)
+
+
+SQL_DOCS_WORDLEN_PROFILE = (
+    "SELECT lang, CAST(least(length(w), 20) AS BIGINT) AS word_len, "
+    "CAST(count(*) AS BIGINT) AS n_words "
+    "FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w "
+    "FROM documents) GROUP BY 1, 2")

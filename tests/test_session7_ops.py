@@ -322,3 +322,94 @@ class TestRecallInterarrivalReciprocityOpen:
         assert row["k"] == 5
         assert 0 <= row["n_hits"] <= 5
         assert row["recall_micro"] == 1_000_000 * row["n_hits"] // 5
+
+
+class TestCouplingReorderCosineWordlen:
+    def test_kg_coupling(self, ray_session):
+        import ray.data as rd
+        from ontoray.queries import q_kg_coupling_from
+        trip = pa.table({
+            "subj_norm": pa.array(["a", "a", "b", "b", "c", "c"],
+                                  pa.string()),
+            "pred_norm": pa.array(["p"] * 6, pa.string()),
+            "obj_norm": pa.array(["x", "y", "x", "y", "x", "z"],
+                                 pa.string()),
+            "conf": pa.array([0.9] * 6, pa.float32()),
+            "n_obs": pa.array([1] * 6, pa.int64())})
+        # a&b share {x,y} (2); a&c share {x} (1, below min); b&c share {x}
+        got = sorted(tuple(r.values()) for r in q_kg_coupling_from(
+            rd.from_arrow(trip).repartition(2)).to_pandas()
+            .to_dict("records"))
+        assert got == [("a", "b", 2)]
+
+    def test_orders_reorder_interval(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_ORDERS_REORDER_INTERVAL,
+                                     q_orders_reorder_interval)
+        views = _star(tmp_path)
+        # cust 10: gaps 10 days (1 week) and 400 days (capped 52);
+        # cust 11: single order
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([10, 10, 10, 11], pa.int64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(1997, 1, 1), dt.datetime(1997, 1, 11),
+                 dt.datetime(1998, 2, 15), dt.datetime(1997, 5, 1)],
+                pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string())})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        views["orders"] = orders
+        got = sorted(tuple(r.values()) for r in q_orders_reorder_interval(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_ORDERS_REORDER_INTERVAL)
+                      .fetchall())
+        assert got == want
+        assert got == [(1, 1), (52, 1)]
+
+    def test_embed_cosine_hist(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_EMBED_COSINE_HIST, q_embed_cosine_hist
+        # ids 0..5 with a GAP at 3: pairs (0,1),(1,2),(4,5); vectors chosen
+        # for exact cosines 1.0, -1.0, 0.0
+        emb = pa.table({
+            "vec_id": pa.array([0, 1, 2, 4, 5], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [2.0, 0.0], [-1.0, 0.0],
+                 [0.0, 3.0], [5.0, 0.0]],
+                pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        got = sorted(tuple(r.values()) for r in q_embed_cosine_hist(
+            str(tmp_path), bucket_size=4).to_pandas().to_dict("records"))
+        want = sorted(_duck({"embeddings": emb})
+                      .execute(SQL_EMBED_COSINE_HIST).fetchall())
+        assert got == want
+        # cos buckets: 1.0 -> 10, -1.0 -> -10, 0.0 -> 0
+        assert got == [(-10, 1), (0, 1), (10, 1)]
+
+    def test_embed_cosine_hist_bucket_boundary(self, ray_session, tmp_path):
+        from ontoray.queries import q_embed_cosine_hist
+        # ids straddling a bucket boundary at 4 (bucket_size=4): the pair
+        # (3,4) must be computed exactly once via the duplicated lead row
+        emb = pa.table({
+            "vec_id": pa.array([3, 4], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [1.0, 0.0]],
+                                  pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        got = q_embed_cosine_hist(str(tmp_path), bucket_size=4)\
+            .to_pandas().to_dict("records")
+        assert got == [{"cos_bucket": 10, "n_pairs": 1}]
+
+    def test_docs_wordlen_profile(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_DOCS_WORDLEN_PROFILE,
+                                     q_docs_wordlen_profile)
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["ab abc ab", "x " + "y" * 30], pa.string()),
+            "lang": pa.array(["en", "de"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_wordlen_profile(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_DOCS_WORDLEN_PROFILE).fetchall())
+        assert got == want
+        # en: two len-2, one len-3; de: len-1 and len-30 capped to 20
+        assert got == [("de", 1, 1), ("de", 20, 1), ("en", 2, 2),
+                       ("en", 3, 1)]
