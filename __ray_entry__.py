@@ -710,6 +710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_reorder_interval": Q.q_orders_reorder_interval,
         "embed_cosine_hist": Q.q_embed_cosine_hist,
         "docs_wordlen_profile": Q.q_docs_wordlen_profile,
+        "orders_yoy_growth": Q.q_orders_yoy_growth,
+        "docs_dedup_survivorship": Q.q_docs_dedup_survivorship,
+        "docs_source_overlap": Q.q_docs_source_overlap,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -960,4 +963,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_reorder_interval": Q.SQL_ORDERS_REORDER_INTERVAL,
         "embed_cosine_hist": Q.SQL_EMBED_COSINE_HIST,
         "docs_wordlen_profile": Q.SQL_DOCS_WORDLEN_PROFILE,
+        "orders_yoy_growth": Q.SQL_ORDERS_YOY_GROWTH,
+        "docs_dedup_survivorship": Q.SQL_DOCS_DEDUP_SURVIVORSHIP,
+        "docs_source_overlap": Q.SQL_DOCS_SOURCE_OVERLAP,
     }

@@ -5862,3 +5862,288 @@ SQL_DOCS_WORDLEN_PROFILE = (
     "CAST(count(*) AS BIGINT) AS n_words "
     "FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w "
     "FROM documents) GROUP BY 1, 2")
+
+
+# --- YoY growth, dedup survivorship, source vocabulary overlap --------------
+
+
+def q_orders_yoy_growth(sf_dir: str):
+    """Year-over-year revenue growth per customer nation — the trend table:
+    each (nation, year) joined to its own previous year, growth as the
+    exact signed integer micro-ratio trunc(1e6·(cur − prev) / prev)
+    (division last, truncated toward zero — DuckDB's integer `//`
+    truncates while Python's floors, so negative growth needs the
+    explicit sign·(abs//prev) form; years without a predecessor drop,
+    the YoY contract).
+
+    Scale shape: the fact table folds to the (nation × year) vocabulary
+    grid FIRST (one partitioned customer join + one two-phase aggregate);
+    the self-join on the computed (nation, year−1) key runs over the
+    collapsed grid only."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+
+    j = hash_join(orders, cust, "o_custkey", "c_custkey",
+                  right_cols=["c_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("o_totalprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "c_nationkey": batch.column("c_nationkey"),
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64()),
+            "cents": cents})
+
+    grid = hash_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["c_nationkey", "o_year"],
+        partial_aggs=[("cents", "sum")], aggs=[("cents_sum", "sum")],
+        rename={"cents_sum_sum": "rev_c"}, num_buckets=8).materialize()
+
+    named = hash_join(grid, nat, "c_nationkey", "n_nationkey",
+                      right_cols=["n_name"], num_partitions=4)
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("n_name"),
+            pc.cast(batch.column("o_year"), pa.string()), "|")
+        return pa.table({"__k": key, "n_name": batch.column("n_name"),
+                         "o_year": batch.column("o_year"),
+                         "rev_c": batch.column("rev_c")})
+
+    def prev_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("n_name"),
+            pc.cast(pc.add(batch.column("o_year"),
+                           pa.scalar(1, pa.int64())), pa.string()), "|")
+        return pa.table({"__kp": key, "prev_c": batch.column("rev_c")})
+
+    cur = named.map_batches(with_key, batch_format="pyarrow")
+    prev = named.map_batches(prev_key, batch_format="pyarrow")
+    yoy = hash_join(cur, prev, "__k", "__kp", right_cols=["prev_c"],
+                    num_partitions=4)
+
+    def final(batch: pa.Table) -> pa.Table:
+        cur_c = batch.column("rev_c").to_numpy(zero_copy_only=False)
+        prev_c = batch.column("prev_c").to_numpy(zero_copy_only=False)
+        num = 1_000_000 * (cur_c - prev_c)
+        growth = np.sign(num) * (np.abs(num) // prev_c)
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "o_year": batch.column("o_year"),
+            "rev_c": batch.column("rev_c"),
+            "prev_c": batch.column("prev_c"),
+            "growth_micro": pa.array(growth, pa.int64())})
+
+    return yoy.map_batches(final, batch_format="pyarrow")
+
+
+SQL_ORDERS_YOY_GROWTH = (
+    "WITH g AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS rev_c FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2) "
+    "SELECT a.n_name, a.o_year, a.rev_c, b.rev_c AS prev_c, "
+    "CAST(1000000 * (a.rev_c - b.rev_c) // b.rev_c AS BIGINT) "
+    "AS growth_micro "
+    "FROM g a JOIN g b ON a.n_name = b.n_name AND a.o_year = b.o_year + 1")
+
+
+def q_docs_dedup_survivorship(sf_dir: str):
+    """Curation audit for exact dedup: per source, how many documents
+    arrived, how many survive as exact-text winners (min doc_id per text —
+    the dedup_exact contract), and how many drop — the per-mixture loss
+    report a curation run ships with its output.
+
+    Scale shape: text hashes per batch (text never shuffles); winners fold
+    two-phase on the fixed-width hash; kept-flags attach by ONE partitioned
+    semi-join on doc_id; per-source counts are vocabulary-bounded."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        hs = [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") >> 4
+              for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "h": pa.array(np.asarray(hs, dtype=np.int64))})
+
+    rows = ds.map_batches(hashed, batch_format="pyarrow").materialize()
+
+    winners = hash_aggregate(
+        rows.select_columns(["h", "doc_id"]), ["h"],
+        partial_aggs=[("doc_id", "min")], aggs=[("doc_id_min", "min")],
+        rename={"doc_id_min_min": "wd"}).select_columns(["wd"])
+
+    kept = hash_join(rows.select_columns(["doc_id", "source"]), winners,
+                     "doc_id", "wd", how="left_semi")
+    kept_by_src = hash_aggregate(
+        kept.map_batches(
+            lambda b: pa.table({
+                "source": b.column("source"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["source"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n_kept"},
+        num_buckets=4)
+    total_by_src = hash_aggregate(
+        rows.map_batches(
+            lambda b: pa.table({
+                "source": b.column("source"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["source"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n_docs"},
+        num_buckets=4)
+
+    j = hash_join(total_by_src, kept_by_src, "source", "source",
+                  how="left", right_cols=["n_kept"], num_partitions=4)
+
+    def final(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nk = pc.fill_null(pc.cast(batch.column("n_kept"), pa.int64()),
+                          pa.scalar(0, pa.int64()))
+        return pa.table({
+            "source": batch.column("source"),
+            "n_docs": batch.column("n_docs"),
+            "n_kept": nk,
+            "n_dropped": pc.subtract(batch.column("n_docs"), nk)})
+
+    return j.map_batches(final, batch_format="pyarrow")
+
+
+SQL_DOCS_DEDUP_SURVIVORSHIP = (
+    "WITH w AS (SELECT min(doc_id) AS wd FROM documents GROUP BY text), "
+    "k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept "
+    "FROM documents JOIN w ON doc_id = wd GROUP BY 1), "
+    "t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY 1) "
+    "SELECT source, n_docs, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, "
+    "CAST(n_docs - coalesce(n_kept, 0) AS BIGINT) AS n_dropped "
+    "FROM t LEFT JOIN k USING (source)")
+
+
+def q_docs_source_overlap(sf_dir: str):
+    """Corpus-mixture vocabulary overlap: for every pair of sources, the
+    exact token-vocabulary intersection and Jaccard (micro, division last)
+    — the mixture-design table that says which corpora are redundant.
+
+    Scale shape: distinct (source, token) folds two-phase (text never
+    shuffles); the pair expansion is a composition join partitioned on the
+    token (per-token fan is bounded by the source vocabulary); marginals
+    reuse the distinct table; union size derives as n_a + n_b − n_common."""
+    import re
+
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    rx = re.compile(r"[a-z0-9]+")
+
+    def toks(batch: pa.Table) -> pa.Table:
+        srcs, ts = [], []
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for w in set(rx.findall(t)):
+                srcs.append(s)
+                ts.append(w)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "tok": pa.array(ts, pa.string())})
+
+    distinct = hash_aggregate(
+        ds.map_batches(toks, batch_format="pyarrow"), ["source", "tok"],
+        partial_aggs=[("source", "count")], aggs=[("source_count", "sum")],
+        rename={"source_count_sum": "__n"})\
+        .select_columns(["source", "tok"]).materialize()
+
+    marg = hash_aggregate(
+        distinct.map_batches(
+            lambda b: pa.table({
+                "source": b.column("source"),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["source"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n_tok"},
+        num_buckets=4).materialize()
+
+    right = distinct.map_batches(
+        lambda b: pa.table({"tok2": b.column("tok"),
+                            "s2": b.column("source")}),
+        batch_format="pyarrow")
+    comp = hash_join(distinct, right, "tok", "tok2", right_cols=["s2"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.less(batch.column("source"), batch.column("s2"))
+        out = batch.filter(keep)
+        return pa.table({
+            "s1": out.column("source"), "s2": out.column("s2"),
+            "one": pa.array(np.ones(out.num_rows, dtype=np.int64))})
+
+    common = hash_aggregate(
+        comp.map_batches(partial, batch_format="pyarrow"), ["s1", "s2"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_common"}, num_buckets=4)
+
+    j = hash_join(common, marg, "s1", "source", right_cols=["n_tok"],
+                  num_partitions=4)
+    j = j.map_batches(lambda b: b.rename_columns(
+        [c if c != "n_tok" else "n_a" for c in b.column_names]),
+        batch_format="pyarrow")
+    j = hash_join(j, marg, "s2", "source", right_cols=["n_tok"],
+                  num_partitions=4)
+
+    def final(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_common").to_numpy(zero_copy_only=False)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        jac = (1_000_000 * nc) // (na + nb - nc)
+        return pa.table({
+            "s1": batch.column("s1"), "s2": batch.column("s2"),
+            "n_common": batch.column("n_common"),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "jaccard_micro": pa.array(jac, pa.int64())})
+
+    return j.map_batches(final, batch_format="pyarrow")
+
+
+SQL_DOCS_SOURCE_OVERLAP = (
+    "WITH st AS (SELECT DISTINCT source, "
+    "unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok FROM documents), "
+    "marg AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st "
+    "GROUP BY 1), "
+    "c AS (SELECT a.source AS s1, b.source AS s2, "
+    "CAST(count(*) AS BIGINT) AS n_common FROM st a JOIN st b "
+    "ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2) "
+    "SELECT s1, s2, n_common, ma.n AS n_a, mb.n AS n_b, "
+    "CAST(1000000 * n_common // (ma.n + mb.n - n_common) AS BIGINT) "
+    "AS jaccard_micro "
+    "FROM c JOIN marg ma ON s1 = ma.source JOIN marg mb ON s2 = mb.source")

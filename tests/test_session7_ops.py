@@ -413,3 +413,66 @@ class TestCouplingReorderCosineWordlen:
         # en: two len-2, one len-3; de: len-1 and len-30 capped to 20
         assert got == [("de", 1, 1), ("de", 20, 1), ("en", 2, 2),
                        ("en", 3, 1)]
+
+
+class TestYoySurvivorshipOverlap:
+    def test_orders_yoy_growth(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_ORDERS_YOY_GROWTH, q_orders_yoy_growth
+        views = _star(tmp_path)
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([10, 10, 10, 11, 11], pa.int64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1),
+                 dt.datetime(1998, 6, 1), dt.datetime(1997, 5, 1),
+                 dt.datetime(1998, 5, 1)],
+                pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 5, pa.string()),
+            "o_totalprice": pa.array([100.0, 80.0, 70.0, 7.0, 3.33])})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        views["orders"] = orders
+        got = sorted(tuple(r.values()) for r in q_orders_yoy_growth(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck(views).execute(SQL_ORDERS_YOY_GROWTH).fetchall())
+        assert got == want
+        # NATION_7 (cust 10): 1997=10000c, 1998=15000c -> +50%;
+        # NATION_8 (cust 11): 700c -> 333c: 1e6*(-367)/700 = -524285.71,
+        # TRUNCATED toward zero (DuckDB // semantics), not floored
+        assert got == [("NATION_7", 1998, 15000, 10000, 500000),
+                       ("NATION_8", 1998, 333, 700, -524285)]
+
+    def test_docs_dedup_survivorship(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_DOCS_DEDUP_SURVIVORSHIP,
+                                     q_docs_dedup_survivorship)
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["dup", "dup", "dup", "solo", "other"],
+                             pa.string()),
+            "source": pa.array(["web", "web", "book", "book", "web"],
+                               pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_dedup_survivorship(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_DOCS_DEDUP_SURVIVORSHIP).fetchall())
+        assert got == want
+        # winner of 'dup' is doc 0 (web); doc 1 (web) and 2 (book) drop
+        assert got == [("book", 2, 1, 1), ("web", 3, 2, 1)]
+
+    def test_docs_source_overlap(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_DOCS_SOURCE_OVERLAP,
+                                     q_docs_source_overlap)
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c", "b c d", "c d e x"], pa.string()),
+            "source": pa.array(["s1", "s2", "s3"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_source_overlap(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_DOCS_SOURCE_OVERLAP).fetchall())
+        assert got == want
+        # s1={a,b,c}, s2={b,c,d}, s3={c,d,e,x}
+        assert got == [("s1", "s2", 2, 3, 3, 500000),
+                       ("s1", "s3", 1, 3, 4, 166666),
+                       ("s2", "s3", 2, 3, 4, 400000)]
