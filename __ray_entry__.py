@@ -101,6 +101,13 @@ def _q_kg_degree_topk(sf_dir: str):
     return deg.sort(["degree", "name"], descending=[True, False]).limit(25)
 
 
+def _q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the concept graph — exact integer moment
+    partials over edge-endpoint degrees through grouped_corr, mirrored by
+    the identical pinned float expression in SQL."""
+    return Q.q_kg_assortativity_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Concept-importance PageRank over the extracted triple graph —
     iterative distributed graph analytics in exact int64 fixed-point (the
@@ -713,6 +720,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_yoy_growth": Q.q_orders_yoy_growth,
         "docs_dedup_survivorship": Q.q_docs_dedup_survivorship,
         "docs_source_overlap": Q.q_docs_source_overlap,
+        "orders_lorenz": Q.q_orders_lorenz,
+        "docs_heaps": Q.q_docs_heaps,
+        "kg_assortativity": _q_kg_assortativity,
+        "embed_mmr": Q.q_embed_mmr,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -966,4 +977,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_yoy_growth": Q.SQL_ORDERS_YOY_GROWTH,
         "docs_dedup_survivorship": Q.SQL_DOCS_DEDUP_SURVIVORSHIP,
         "docs_source_overlap": Q.SQL_DOCS_SOURCE_OVERLAP,
+        "orders_lorenz": Q.SQL_ORDERS_LORENZ,
+        "docs_heaps": Q.SQL_DOCS_HEAPS,
+        "kg_assortativity": Q._sql_kg_assortativity(),
+        "embed_mmr": Q.sql_embed_mmr("/root/testdata/sf0.01"),
     }

@@ -6147,3 +6147,391 @@ SQL_DOCS_SOURCE_OVERLAP = (
     "CAST(1000000 * n_common // (ma.n + mb.n - n_common) AS BIGINT) "
     "AS jaccard_micro "
     "FROM c JOIN marg ma ON s1 = ma.source JOIN marg mb ON s2 = mb.source")
+
+
+# --- Lorenz curve, Heaps curve, assortativity, MMR retrieval ----------------
+
+
+def q_orders_lorenz(sf_dir: str, n_buckets: int = 10):
+    """Revenue-concentration (Lorenz) table: customers bucketed into spend
+    deciles by VALUE (the deterministic ntile variant — ties land together,
+    a pure function of the value histogram), then cumulative customer and
+    revenue shares per decile — the whale-curve behind per-host caps and
+    mixture budgeting.
+
+    Scale shape: orders collapse to per-customer cents in ONE exchange;
+    decile cutpoints come from the value histogram (vocabulary exchange,
+    broadcast once); the final grid is <= n_buckets rows, cumsummed on the
+    driver with exact integer ppm (division last)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_quantile_buckets
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("o_totalprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"c_custkey": batch.column("o_custkey"),
+                         "cents": cents})
+
+    base = hash_aggregate(
+        orders.map_batches(derive, batch_format="pyarrow"), ["c_custkey"],
+        partial_aggs=[("cents", "sum")], aggs=[("cents_sum", "sum")],
+        rename={"cents_sum_sum": "cents"})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "k", pa.array(["all"] * batch.num_rows, pa.string()))
+
+    base = base.map_batches(tag, batch_format="pyarrow").materialize()
+    b = grouped_quantile_buckets(base, "k", "cents", "c_custkey",
+                                 n_buckets=n_buckets)
+    withv = hash_join(b.select_columns(["c_custkey", "bucket"]),
+                      base.select_columns(["c_custkey", "cents"]),
+                      "c_custkey", "c_custkey", right_cols=["cents"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": batch.column("bucket"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "cents": batch.column("cents")})
+
+    grid = hash_aggregate(
+        withv.map_batches(partial, batch_format="pyarrow"), ["bucket"],
+        partial_aggs=[("one", "sum"), ("cents", "sum")],
+        aggs=[("one_sum", "sum"), ("cents_sum", "sum")],
+        rename={"one_sum_sum": "n_custs", "cents_sum_sum": "cents"},
+        num_buckets=4).take_all()                 # <= n_buckets rows
+
+    grid.sort(key=lambda r: r["bucket"])
+    tot_n = sum(int(r["n_custs"]) for r in grid)
+    tot_c = sum(int(r["cents"]) for r in grid)
+    bs, ns, cs, cn, cc = [], [], [], [], []
+    run_n = run_c = 0
+    for r in grid:                                # exact Python bigints
+        run_n += int(r["n_custs"])
+        run_c += int(r["cents"])
+        bs.append(int(r["bucket"]))
+        ns.append(int(r["n_custs"]))
+        cs.append(int(r["cents"]))
+        cn.append(1_000_000 * run_n // tot_n)
+        cc.append(1_000_000 * run_c // tot_c)
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array(bs, pa.int64()),
+        "n_custs": pa.array(ns, pa.int64()),
+        "cents": pa.array(cs, pa.int64()),
+        "cum_cust_ppm": pa.array(cn, pa.int64()),
+        "cum_rev_ppm": pa.array(cc, pa.int64())}))
+
+
+SQL_ORDERS_LORENZ = (
+    "WITH base AS (SELECT o_custkey AS c_custkey, "
+    f"CAST(sum({_CENTS.format(x='o_totalprice')}) AS BIGINT) AS cents "
+    "FROM orders GROUP BY 1), "
+    "r AS (SELECT cents AS v, row_number() OVER (ORDER BY cents) AS rn, "
+    "count(*) OVER () AS n FROM base), "
+    "c AS (SELECT q.i, min(v) AS cut FROM r, "
+    "(SELECT unnest(range(1, 10)) AS i) q "
+    "WHERE rn = (n * q.i + 9) // 10 GROUP BY q.i), "
+    "b AS (SELECT base.c_custkey, base.cents, "
+    "CAST(sum(CASE WHEN base.cents > c.cut THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS bucket FROM base CROSS JOIN c GROUP BY 1, 2), "
+    "g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_custs, "
+    "CAST(sum(cents) AS BIGINT) AS cents FROM b GROUP BY 1) "
+    "SELECT bucket, n_custs, cents, "
+    "CAST(1000000 * sum(n_custs) OVER (ORDER BY bucket) "
+    "// (SELECT sum(n_custs) FROM g) AS BIGINT) AS cum_cust_ppm, "
+    "CAST(1000000 * sum(cents) OVER (ORDER BY bucket) "
+    "// (SELECT sum(cents) FROM g) AS BIGINT) AS cum_rev_ppm FROM g")
+
+
+def q_docs_heaps(sf_dir: str):
+    """Heaps-law vocabulary-growth curve over word BIGRAMS: new distinct
+    bigram types first seen in each LOG2 doc_id band (doc 0, 1-2, 3-6,
+    7-14, ...), plus the cumulative vocabulary — the diminishing-returns
+    profile that says when more corpus stops buying phrase vocabulary.
+    Bigrams, not unigrams, and log bands, not linear: the corpus unigram
+    vocabulary is CLOSED (~31 types, saturates inside the first band —
+    the non-vacuity lesson), and log bands resolve exactly the early
+    region where growth happens.
+
+    Scale shape: each bigram's first-occurrence doc folds two-phase on the
+    gram (text never shuffles; per-batch group_by min is the combiner);
+    the band grid is <= 63 rows; the only driver structure is the tiny
+    cumsum.  bucket = bit_length(fd + 1) - 1, exact integer on both sides
+    (the SQL counts powers of two <= fd + 1 — no float log)."""
+    import re
+
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rx = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, fds = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            ws = rx.findall(t)
+            for g in {f"{a} {b}" for a, b in zip(ws, ws[1:])}:
+                toks.append(g)
+                fds.append(d)
+        t = pa.table({"tok": pa.array(toks, pa.string()),
+                      "fd": pa.array(np.asarray(fds, dtype=np.int64))})
+        g = t.group_by(["tok"]).aggregate([("fd", "min")])
+        return g.rename_columns(["tok", "fd"])
+
+    first = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["tok"],
+        aggs=[("fd", "min")], rename={"fd_min": "fd"})
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        fd = batch.column("fd").to_pylist()
+        # token-vocabulary-bounded rows; exact integer log2 via bit_length
+        b = [(int(v) + 1).bit_length() - 1 for v in fd]
+        return pa.table({
+            "bucket": pa.array(np.asarray(b, dtype=np.int64)),
+            "one": pa.array(np.ones(len(fd), dtype=np.int64))})
+
+    grid = hash_aggregate(
+        first.map_batches(to_bucket, batch_format="pyarrow"), ["bucket"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "new_tokens"}, num_buckets=4).take_all()
+
+    grid.sort(key=lambda r: r["bucket"])
+    run = 0
+    bs, news, cums = [], [], []
+    for r in grid:
+        run += int(r["new_tokens"])
+        bs.append(int(r["bucket"]))
+        news.append(int(r["new_tokens"]))
+        cums.append(run)
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array(bs, pa.int64()),
+        "new_tokens": pa.array(news, pa.int64()),
+        "cum_tokens": pa.array(cums, pa.int64())}))
+
+
+SQL_DOCS_HEAPS = (
+    "WITH w AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ws "
+    "FROM documents), "
+    "idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w), "
+    "f AS (SELECT ws[i] || ' ' || ws[i + 1] AS tok, min(doc_id) AS fd "
+    "FROM idx GROUP BY 1), "
+    "pow AS (SELECT (CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS v "
+    "FROM (SELECT unnest(range(0, 63)) AS e)), "
+    "g AS (SELECT CAST((SELECT count(*) FROM pow WHERE pow.v <= f.fd + 1) "
+    "- 1 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS new_tokens "
+    "FROM f GROUP BY 1) "
+    "SELECT bucket, new_tokens, "
+    "CAST(sum(new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens "
+    "FROM g")
+
+
+def q_kg_assortativity_from(triples_dedup_ds):
+    """Degree assortativity of the undirected concept graph: Pearson
+    correlation between the degrees at the two ends of every edge (both
+    orientations — the standard undirected convention).  Negative values =
+    hub-and-spoke (hubs attach to leaves), positive = core-periphery.
+
+    Scale shape: distinct edges fold two-phase; degrees are ONE
+    vocabulary-bounded exchange; degrees attach to edge endpoints by two
+    partitioned hash joins; the moments ride ``grouped_corr``'s exact
+    int64 partials (degrees enter as whole numbers, so the cents
+    quantization is exact), and the driver sees one stats row."""
+    from ontoray.extras.quantiles import grouped_corr
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    import numpy as np
+
+    def directed(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("subj_norm"),
+                         "v": batch.column("obj_norm")})
+
+    edges = hash_aggregate(
+        triples_dedup_ds.map_batches(directed, batch_format="pyarrow"),
+        ["u", "v"], partial_aggs=[("u", "count")],
+        aggs=[("u_count", "sum")], rename={"u_count_sum": "__n"})\
+        .select_columns(["u", "v"])
+
+    rev = edges.map_batches(
+        lambda b: pa.table({"u": b.column("v"), "v": b.column("u")}),
+        batch_format="pyarrow")
+    ue = hash_aggregate(
+        edges.union(rev), ["u", "v"], partial_aggs=[("u", "count")],
+        aggs=[("u_count", "sum")], rename={"u_count_sum": "__n"})\
+        .select_columns(["u", "v"]).materialize()
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("u"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    deg = hash_aggregate(
+        ue.map_batches(ones, batch_format="pyarrow"), ["node"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "d"}).materialize()
+
+    degx = deg.map_batches(
+        lambda b: pa.table({"nx": b.column("node"), "x": b.column("d")}),
+        batch_format="pyarrow")
+    degy = deg.map_batches(
+        lambda b: pa.table({"ny": b.column("node"), "y": b.column("d")}),
+        batch_format="pyarrow")
+    j = hash_join(ue, degx, "u", "nx", right_cols=["x"])
+    j = hash_join(j, degy, "v", "ny", right_cols=["y"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array(["all"] * batch.num_rows, pa.string()),
+            "x": batch.column("x"), "y": batch.column("y")})
+
+    return grouped_corr(j.map_batches(keyed, batch_format="pyarrow"),
+                        "k", "x", "y")
+
+
+def _sql_kg_assortativity() -> str:
+    from ontoray.extras.quantiles import sql_grouped_corr
+    pairs = (
+        f"({_sql_triples_norm_ctes()}, "
+        "e AS (SELECT DISTINCT subj_norm AS u, obj_norm AS v FROM tnorm), "
+        "ue AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e), "
+        "deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d "
+        "FROM ue GROUP BY 1) "
+        "SELECT 'all' AS k, du.d AS x, dv.d AS y "
+        "FROM ue JOIN deg du ON ue.u = du.node "
+        "JOIN deg dv ON ue.v = dv.node) t")
+    return sql_grouped_corr(pairs, "k", "x", "y")
+
+
+def q_embed_mmr(sf_dir: str, m: int = 40, k: int = 10):
+    """Maximal-marginal-relevance diversified top-k retrieval: the greedy
+    reranker over the brute-force top-m candidate set — at each step pick
+    argmax of lambda*rel − (1−lambda)*max-sim-to-selected (lambda = 0.7,
+    spelled in scaled integers: score = 7*rel_u − 3*max_sim_u over
+    micro-cosines, max term 0 at step 1; ties break on vec_id).  The
+    training-data-selection shape: relevance without redundancy.
+
+    Scale shape: the candidate cut is the distributed brute-force top-m
+    (broadcast query, one matmul per batch, final-comparator local top-k);
+    everything after is m-bounded on the driver by contract — the greedy
+    recursion is inherently sequential, so the operator's cost model is
+    "distributed scan + O(m^2) driver epilogue", documented."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.extras.ann import brute_force_topk, query_vector
+
+    dim = _embedding_dim(sf_dir)
+    q = query_vector(dim)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cand = brute_force_topk(ds, q, k=m)           # m-bounded pa.table
+    ids = cand.column("vec_id").to_pylist()
+    rel_u = [int(round(c * 1_000_000))
+             for c in cand.column("cosine").to_pylist()]
+
+    import ray
+    idref = ray.put(np.array(sorted(ids), dtype=np.int64))
+
+    def only_cands(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        want = ray.get(idref)
+        mask = pc.is_in(batch.column("vec_id"),
+                        value_set=pa.array(want, pa.int64()))
+        return batch.filter(mask)
+
+    # Candidate vectors come back through a distributed filter — only the
+    # m winners cross to the driver, never the corpus.
+    rows = ds.map_batches(only_cands, batch_format="pyarrow").take_all()
+    by_id = {r["vec_id"]: r["embedding"] for r in rows}
+    vecs = np.array([by_id[i] for i in ids], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    # Same op order as list_cosine_similarity: dot, then the norm product.
+    sims = np.round((vecs @ vecs.T) / (norms[:, None] * norms[None, :]), 6)
+    sim_u = np.round(sims * 1_000_000).astype(np.int64)
+
+    selected: list[int] = []
+    out_rank, out_id, out_rel, out_score = [], [], [], []
+    remaining = list(range(len(ids)))
+    for step in range(1, min(k, len(ids)) + 1):
+        best = None
+        for i in remaining:
+            mx = max(int(sim_u[i, j]) for j in selected) if selected else 0
+            score = 7 * rel_u[i] - 3 * mx
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        _, pick, score = best
+        selected.append(pick)
+        remaining.remove(pick)
+        out_rank.append(step)
+        out_id.append(ids[pick])
+        out_rel.append(rel_u[pick])
+        out_score.append(score)
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_id, pa.int64()),
+        "rel_u": pa.array(out_rel, pa.int64()),
+        "score": pa.array(out_score, pa.int64())}))
+
+
+def sql_embed_mmr(sf_dir: str, m: int = 40, k: int = 10) -> str:
+    """DuckDB mirror of ``q_embed_mmr``: the greedy selection unrolled into
+    k chained CTE steps (the kmeans/pagerank unrolled-mirror pattern — NOT
+    a recursive CTE, whose correlated-subquery interaction is the
+    documented footgun).  ``p{i}`` accumulates picks; ``s{i}`` selects the
+    argmax over the remainder with the identical integer score."""
+    from ontoray.extras.ann import query_vector
+    dim = _embedding_dim(sf_dir)
+    q = query_vector(dim)
+    qlit = "[" + ", ".join(repr(float(x)) for x in q) + "]"
+    parts = [
+        # MATERIALIZED: the correlated max-sim subqueries in s2..sk would
+        # otherwise re-open the embeddings scan per evaluated row (fd
+        # exhaustion, verified).  Safe here — no recursive CTE reads them
+        # (the documented recursive+MATERIALIZED footgun does not apply).
+        "WITH cand AS MATERIALIZED (SELECT vec_id, "
+        "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        f"CAST({qlit} AS DOUBLE[])), 6) AS rel, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+        f"ORDER BY rel DESC, vec_id LIMIT {m}), "
+        "relu AS MATERIALIZED (SELECT vec_id, "
+        "CAST(round(rel * 1000000) AS BIGINT) AS rel_u FROM cand), "
+        "pr AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j, "
+        "CAST(round(round(list_cosine_similarity(a.v, b.v), 6) * 1000000) "
+        "AS BIGINT) AS sim_u FROM cand a JOIN cand b "
+        "ON a.vec_id <> b.vec_id), "
+        # Every step CTE is MATERIALIZED: s{i} references p{i-1} twice and
+        # p{i} references both — inlined, the chain re-evaluates its whole
+        # prefix per step (the kcore mirror's documented 3^rounds blowup).
+        "s1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, rel_u, "
+        "7 * rel_u AS score "
+        "FROM relu ORDER BY score DESC, vec_id LIMIT 1), "
+        "p1 AS MATERIALIZED (SELECT vec_id FROM s1)"]
+    for i in range(2, k + 1):
+        parts.append(
+            f", s{i} AS MATERIALIZED (SELECT {i} AS rank, r.vec_id, "
+            "r.rel_u, 7 * r.rel_u - 3 * (SELECT max(sim_u) FROM pr "
+            f"WHERE pr.i = r.vec_id AND pr.j IN (SELECT vec_id FROM p{i-1})"
+            ") AS score FROM relu r WHERE r.vec_id NOT IN "
+            f"(SELECT vec_id FROM p{i-1}) ORDER BY score DESC, r.vec_id "
+            "LIMIT 1)")
+        parts.append(
+            f", p{i} AS MATERIALIZED (SELECT vec_id FROM p{i-1} "
+            f"UNION ALL SELECT vec_id FROM s{i})")
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    parts.append(f" SELECT rank, vec_id, rel_u, score FROM ({union})")
+    return "".join(parts)

@@ -1,0 +1,146 @@
+"""Session-8 additions: Lorenz concentration curve, Heaps vocabulary-growth
+bands, degree assortativity, and MMR diversified retrieval.  Each test checks
+hand-computed semantics on a micro fixture AND bit-parity with the DuckDB
+mirror."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _duck(views: dict) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for name, tbl in views.items():
+        con.register(name, tbl)
+    return con
+
+
+class TestLorenzHeaps:
+    def test_orders_lorenz(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_ORDERS_LORENZ, q_orders_lorenz
+        # 5 customers, one order each, distinct spends 100..500 cents
+        orders = pa.table({
+            "o_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = sorted(tuple(r.values()) for r in q_orders_lorenz(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"orders": orders})
+                      .execute(SQL_ORDERS_LORENZ).fetchall())
+        assert got == want
+        # deciles of 5 distinct values land customers in buckets 0,2,4,6,8;
+        # cum_rev walks 100/1500, 300/1500, 600/1500, 1000/1500, 1500/1500
+        assert got == [
+            (0, 1, 100, 200000, 66666),
+            (2, 1, 200, 400000, 200000),
+            (4, 1, 300, 600000, 400000),
+            (6, 1, 400, 800000, 666666),
+            (8, 1, 500, 1000000, 1000000)]
+
+    def test_orders_lorenz_multi_order_ties(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_ORDERS_LORENZ, q_orders_lorenz
+        # per-customer sums collide (two customers at 300c) — value-ntile
+        # puts ties in the SAME bucket on both sides
+        orders = pa.table({
+            "o_custkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0, 9.0])})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = sorted(tuple(r.values()) for r in q_orders_lorenz(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"orders": orders})
+                      .execute(SQL_ORDERS_LORENZ).fetchall())
+        assert got == want
+        buckets = {row[0]: row[1] for row in got}
+        assert sum(buckets.values()) == 3          # every customer counted
+        # the two 300c customers share one bucket
+        assert 2 in buckets.values()
+
+    def test_docs_heaps(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_DOCS_HEAPS, q_docs_heaps
+        # doc 0: bigrams {a b, b c} fd=0 -> band 0; doc 1 adds {b d} fd=1
+        # -> band 1; doc 3 adds {x y} fd=3 -> band 2
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 3], pa.int64()),
+            "text": pa.array(["a b c", "a b d", "x y"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_heaps(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_DOCS_HEAPS).fetchall())
+        assert got == want
+        assert got == [(0, 2, 2), (1, 1, 3), (2, 1, 4)]
+
+
+class TestAssortativityMmr:
+    def test_kg_assortativity_star(self, ray_session):
+        import ray.data as rd
+        from ontoray.queries import q_kg_assortativity_from
+        # star graph: hub degree 3, leaves degree 1 -> assortativity -1;
+        # the duplicate (c, a) triple must dedup to one edge first
+        triples = rd.from_arrow(pa.table({
+            "subj_norm": pa.array(["c", "c", "c", "c"], pa.string()),
+            "obj_norm": pa.array(["a", "b", "d", "a"], pa.string())}))
+        rows = q_kg_assortativity_from(triples).to_pandas()\
+            .to_dict("records")
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n"] == 6                          # 3 edges x 2 directions
+        assert r["corr"] == -1.0
+        # mean endpoint degree is (3+1)/2 = 2 on both ends (cents scale)
+        assert r["mean_x_cents"] == 200.0
+        assert r["mean_y_cents"] == 200.0
+
+    def test_kg_assortativity_regular(self, ray_session):
+        import ray.data as rd
+        from ontoray.queries import q_kg_assortativity_from
+        # 3-cycle: every degree 2 -> zero variance -> corr NULL
+        triples = rd.from_arrow(pa.table({
+            "subj_norm": pa.array(["a", "b", "c"], pa.string()),
+            "obj_norm": pa.array(["b", "c", "a"], pa.string())}))
+        r = q_kg_assortativity_from(triples).to_pandas().to_dict("records")[0]
+        assert r["n"] == 6
+        assert r["corr"] is None or r["corr"] != r["corr"]  # NULL/NaN
+
+    def test_embed_mmr_mirror_parity(self, ray_session, tmp_path):
+        import numpy as np
+        from ontoray.extras.ann import query_vector
+        from ontoray.queries import q_embed_mmr, sql_embed_mmr
+        q = query_vector(2)
+        p = np.array([-q[1], q[0]])                 # unit vector ⊥ q
+        c, s = np.cos(np.radians(26.0)), np.sin(np.radians(26.0))
+        # A (id 0) and C (id 2) mirror each other at ±26° from q — equal
+        # relevance, mutual sim cos(52°)≈0.62; B (id 1) duplicates A
+        # (sim 1.0).  Pure relevance ranks B second; MMR must demote it
+        # below C (penalty gap 3e6·(1−0.62) ≫ micro-rounding noise).
+        vecs = np.array([
+            c * q + s * p,                          # id 0: A
+            2.0 * (c * q + s * p),                  # id 1: B = dup of A
+            c * q - s * p,                          # id 2: C, mirror of A
+            -q,                                     # id 3: anti, rel -1
+        ])
+        emb = pa.table({
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        got = sorted(tuple(r.values()) for r in q_embed_mmr(
+            str(tmp_path), m=4, k=3).to_pandas().to_dict("records"))
+        want = sorted(_duck({"embeddings": emb})
+                      .execute(sql_embed_mmr(str(tmp_path), m=4, k=3))
+                      .fetchall())
+        assert got == want
+        by_id = {r[1]: r[0] for r in got}
+        assert set(by_id) == {0, 1, 2}              # anti vector excluded
+        assert by_id[1] == 3                        # dup demoted to last
+        assert by_id[2] <= 2                        # mirror promoted
+
+    def test_embed_mmr_k_exceeds_corpus(self, ray_session, tmp_path):
+        from ontoray.queries import q_embed_mmr
+        emb = pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        rows = q_embed_mmr(str(tmp_path), m=10, k=5).to_pandas()
+        assert len(rows) == 2                       # truncates gracefully
+        assert sorted(rows["rank"]) == [1, 2]
