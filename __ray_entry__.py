@@ -108,6 +108,13 @@ def _q_kg_assortativity(sf_dir: str):
     return Q.q_kg_assortativity_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_twohop(sf_dir: str):
+    """Two-hop reach bands over the undirected concept graph — wedge join
+    partitioned on the shared mid node, candidate pairs deduped two-phase
+    before counting."""
+    return Q.q_kg_twohop_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Concept-importance PageRank over the extracted triple graph —
     iterative distributed graph analytics in exact int64 fixed-point (the
@@ -724,6 +731,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heaps": Q.q_docs_heaps,
         "kg_assortativity": _q_kg_assortativity,
         "embed_mmr": Q.q_embed_mmr,
+        "orders_streaks": Q.q_orders_streaks,
+        "embed_quantize_error": Q.q_embed_quantize_error,
+        "kg_twohop": _q_kg_twohop,
+        "events_top_types_window": Q.q_events_top_types_window,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -981,4 +992,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_heaps": Q.SQL_DOCS_HEAPS,
         "kg_assortativity": Q._sql_kg_assortativity(),
         "embed_mmr": Q.sql_embed_mmr("/root/testdata/sf0.01"),
+        "orders_streaks": Q.SQL_ORDERS_STREAKS,
+        "embed_quantize_error": Q.SQL_EMBED_QUANTIZE_ERROR,
+        "kg_twohop": Q._sql_kg_twohop(),
+        "events_top_types_window": Q.SQL_EVENTS_TOP_TYPES_WINDOW,
     }

@@ -6535,3 +6535,293 @@ def sql_embed_mmr(sf_dir: str, m: int = 40, k: int = 10) -> str:
     union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
     parts.append(f" SELECT rank, vec_id, rel_u, score FROM ({union})")
     return "".join(parts)
+
+
+# --- order streaks, int8 quantization QA, 2-hop bands, windowed top-k -------
+
+
+def q_orders_streaks(sf_dir: str):
+    """Longest consecutive-month purchase streak per customer (the
+    gaps-and-islands shape), folded to a streak-length histogram — the
+    engagement-continuity profile behind churn models.
+
+    Scale shape: orders collapse to distinct (custkey, month-index) rows
+    two-phase (the per-batch combiner dedups before the exchange); ONE
+    keyed exchange, per-group numpy island scan (a customer's month set is
+    calendar-bounded); the histogram grid is months-of-history small."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        m = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()),
+                               pa.scalar(12, pa.int64())),
+                   pc.cast(pc.subtract(pc.month(d),
+                                       pa.scalar(1, pa.int32())), pa.int64()))
+        return pa.table({"o_custkey": batch.column("o_custkey"), "m": m})
+
+    months = hash_aggregate(
+        orders.map_batches(derive, batch_format="pyarrow"),
+        ["o_custkey", "m"], partial_aggs=[("m", "count")],
+        aggs=[("m_count", "sum")], rename={"m_count_sum": "__n"})\
+        .select_columns(["o_custkey", "m"])
+
+    def best(g: pa.Table) -> pa.Table:
+        m = np.sort(g.column("m").to_numpy(zero_copy_only=False))
+        brk = np.flatnonzero(np.diff(m) != 1)
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(m) - 1]))
+        streak = int((ends - starts + 1).max())
+        return pa.table({"streak": pa.array([streak], pa.int64()),
+                         "one": pa.array([1], pa.int64())})
+
+    per_cust = months.groupby("o_custkey").map_groups(
+        best, batch_format="pyarrow")
+    return hash_aggregate(
+        per_cust, ["streak"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n_custs"},
+        num_buckets=4)
+
+
+SQL_ORDERS_STREAKS = (
+    "WITH mo AS (SELECT DISTINCT o_custkey, "
+    "CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT) AS m "
+    "FROM orders), "
+    "r AS (SELECT o_custkey, m, m - row_number() OVER ("
+    "PARTITION BY o_custkey ORDER BY m) AS grp FROM mo), "
+    "runs AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS len "
+    "FROM r GROUP BY o_custkey, grp), "
+    "best AS (SELECT o_custkey, max(len) AS streak FROM runs GROUP BY 1) "
+    "SELECT streak, CAST(count(*) AS BIGINT) AS n_custs FROM best GROUP BY 1")
+
+
+def q_embed_quantize_error(sf_dir: str):
+    """Int8 scalar-quantization QA: per-vector reconstruction SSE of the
+    symmetric per-vector int8 quantizer (scale = max|x|), folded to log2
+    bands — the storage-vs-recall profiler run before shipping a quantized
+    embedding table.
+
+    All arithmetic is integer micro-units on BOTH sides: xq = floor(1e6·x
+    + 0.5); q = (254·|xq| + s) // (2·s) — round-half-up on MAGNITUDES, so
+    floor division equals DuckDB's truncating `//`; recon = q·s // 127;
+    sse = Σ (|xq| − recon)².  int64-safe: err ≤ s/254 + 1, so err²·dim
+    stays far under 2^63 for |x| ≤ 10³.  Zero vectors quantize exactly
+    (sse 0) by contract.  Band = bit_length(sse + 1) − 1, the docs_heaps
+    powers-of-two mirror."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def per_vec(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        xq = np.floor(v * 1_000_000.0 + 0.5).astype(np.int64)
+        ax = np.abs(xq)
+        s = ax.max(axis=1)
+        s_safe = np.where(s == 0, 1, s)
+        q = (254 * ax + s_safe[:, None]) // (2 * s_safe[:, None])
+        recon = (q * s_safe[:, None]) // 127
+        err = ax - recon
+        sse = np.where(s == 0, 0, (err * err).sum(axis=1))
+        band = np.asarray([(int(x) + 1).bit_length() - 1 for x in sse],
+                          dtype=np.int64)       # per-VECTOR rows, not hot
+        return pa.table({
+            "band": pa.array(band),
+            "one": pa.array(np.ones(len(sse), dtype=np.int64)),
+            "sse": pa.array(sse.astype(np.int64))})
+
+    return hash_aggregate(
+        ds.map_batches(per_vec, batch_format="pyarrow"), ["band"],
+        partial_aggs=[("one", "sum"), ("sse", "sum")],
+        aggs=[("one_sum", "sum"), ("sse_sum", "sum")],
+        rename={"one_sum_sum": "n_vecs", "sse_sum_sum": "sse_sum"},
+        num_buckets=4)
+
+
+SQL_EMBED_QUANTIZE_ERROR = (
+    "WITH el AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings), "
+    "xq AS (SELECT vec_id, "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq "
+    "FROM el), "
+    "sv AS (SELECT vec_id, max(abs(xq)) AS s FROM xq GROUP BY 1), "
+    "e AS (SELECT xq.vec_id, CASE WHEN sv.s = 0 THEN 0 ELSE "
+    "abs(xq.xq) - (((254 * abs(xq.xq) + sv.s) // (2 * sv.s)) * sv.s) // 127 "
+    "END AS err FROM xq JOIN sv USING (vec_id)), "
+    "per AS (SELECT vec_id, CAST(sum(err * err) AS BIGINT) AS sse "
+    "FROM e GROUP BY 1), "
+    "pow AS (SELECT (CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS v "
+    "FROM (SELECT unnest(range(0, 63)) AS e)), "
+    "b AS (SELECT CAST((SELECT count(*) FROM pow WHERE pow.v <= per.sse + 1)"
+    " - 1 AS BIGINT) AS band, per.sse FROM per) "
+    "SELECT band, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "CAST(sum(sse) AS BIGINT) AS sse_sum FROM b GROUP BY 1")
+
+
+def q_kg_twohop_from(triples_dedup_ds):
+    """Two-hop reach profile: |N≤2(u)| per node over the undirected distinct
+    concept graph, folded to log2 bands — the local-density fingerprint
+    (neighborhood blowup predicts join costs for graph-feature stages).
+
+    Scale shape: distinct edges fold two-phase; the wedge join partitions
+    on the shared mid node; (u, x) candidate pairs dedup two-phase BEFORE
+    counting; the band grid is ≤63 rows.  Hub wedges are deg² of the
+    stopword-pruned concept vocabulary — bounded by contract, the same
+    budget the triangle counter documents."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def directed(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("subj_norm"),
+                         "v": batch.column("obj_norm")})
+
+    edges = hash_aggregate(
+        triples_dedup_ds.map_batches(directed, batch_format="pyarrow"),
+        ["u", "v"], partial_aggs=[("u", "count")],
+        aggs=[("u_count", "sum")], rename={"u_count_sum": "__n"})\
+        .select_columns(["u", "v"])
+    rev = edges.map_batches(
+        lambda b: pa.table({"u": b.column("v"), "v": b.column("u")}),
+        batch_format="pyarrow")
+    ue = hash_aggregate(
+        edges.union(rev), ["u", "v"], partial_aggs=[("u", "count")],
+        aggs=[("u_count", "sum")], rename={"u_count_sum": "__n"})\
+        .select_columns(["u", "v"]).materialize()
+
+    mid = ue.map_batches(
+        lambda b: pa.table({"m": b.column("u"), "w": b.column("v")}),
+        batch_format="pyarrow")
+    wedges = hash_join(ue, mid, "v", "m", right_cols=["w"])
+
+    def hop2(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("u"), "x": batch.column("w")})
+
+    one_hop = ue.map_batches(
+        lambda b: pa.table({"u": b.column("u"), "x": b.column("v")}),
+        batch_format="pyarrow")
+    cand = one_hop.union(wedges.map_batches(hop2, batch_format="pyarrow"))
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.equal(batch.column("u"),
+                                               batch.column("x"))))
+
+    nb = hash_aggregate(
+        cand.map_batches(drop_self, batch_format="pyarrow"), ["u", "x"],
+        partial_aggs=[("u", "count")], aggs=[("u_count", "sum")],
+        rename={"u_count_sum": "__n"}).select_columns(["u", "x"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": batch.column("u"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    reach = hash_aggregate(
+        nb.map_batches(ones, batch_format="pyarrow"), ["u"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n"})
+
+    def to_band(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_pylist()
+        band = [(int(x) + 1).bit_length() - 1 for x in n]
+        return pa.table({
+            "band": pa.array(np.asarray(band, dtype=np.int64)),
+            "one": pa.array(np.ones(len(n), dtype=np.int64)),
+            "n": batch.column("n")})
+
+    return hash_aggregate(
+        reach.map_batches(to_band, batch_format="pyarrow"), ["band"],
+        partial_aggs=[("one", "sum"), ("n", "sum")],
+        aggs=[("one_sum", "sum"), ("n_sum", "sum")],
+        rename={"one_sum_sum": "n_nodes", "n_sum_sum": "reach_sum"},
+        num_buckets=4)
+
+
+def _sql_kg_twohop() -> str:
+    # nb is spelled DISTINCT-over-UNION-ALL, not a bare UNION: inside this
+    # WITH RECURSIVE chain DuckDB 1.0 silently degrades a CTE-level UNION
+    # whose second arm self-joins another CTE to UNION ALL semantics
+    # (verified: 2112 rows vs the 400 the same UNION yields standalone).
+    return (
+        f"{_sql_triples_norm_ctes()}, "
+        "e AS (SELECT DISTINCT subj_norm AS u, obj_norm AS v FROM tnorm), "
+        "ue AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e), "
+        "nb AS (SELECT DISTINCT u, x FROM (SELECT u, v AS x FROM ue "
+        "UNION ALL SELECT a.u, b.v AS x FROM ue a JOIN ue b "
+        "ON a.v = b.u)), "
+        "d AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM nb "
+        "WHERE x <> u GROUP BY 1), "
+        "pow AS (SELECT (CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS v "
+        "FROM (SELECT unnest(range(0, 63)) AS e)), "
+        "b AS (SELECT CAST((SELECT count(*) FROM pow "
+        "WHERE pow.v <= d.n + 1) - 1 AS BIGINT) AS band, d.n FROM d) "
+        "SELECT band, CAST(count(*) AS BIGINT) AS n_nodes, "
+        "CAST(sum(n) AS BIGINT) AS reach_sum FROM b GROUP BY 1")
+
+
+def q_events_top_types_window(sf_dir: str, window_s: int = 86400,
+                              k: int = 3):
+    """Windowed leaderboard: top-k event types per tumbling day window by
+    count (ties break on type name) — the per-slice heavy-hitter view that
+    feeds dashboard tiles and drift alarms.
+
+    Scale shape: the corpus folds to the (window × type) vocabulary grid
+    two-phase; ranking runs per window-group over the tiny grid — no
+    corpus rows survive to the rank step."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    wus = window_s * 1_000_000
+
+    def derive(batch: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                      pa.scalar(wus, pa.int64()))
+        return pa.table({
+            "window_id": w,
+            "event_type": batch.column("event_type"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    grid = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["window_id", "event_type"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n"},
+        num_buckets=8)
+
+    def rank(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        ts = np.asarray(g.column("event_type").to_pylist())
+        order = np.lexsort((ts, -n))[:k]
+        return pa.table({
+            "window_id": pc.take(g.column("window_id"),
+                                 pa.array(order, pa.int64())),
+            "event_type": pc.take(g.column("event_type"),
+                                  pa.array(order, pa.int64())),
+            "n": pc.take(g.column("n"), pa.array(order, pa.int64())),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))})
+
+    return grid.groupby("window_id").map_groups(rank, batch_format="pyarrow")
+
+
+SQL_EVENTS_TOP_TYPES_WINDOW = (
+    "SELECT window_id, event_type, n, rnk FROM ("
+    "SELECT window_id, event_type, n, CAST(row_number() OVER ("
+    "PARTITION BY window_id ORDER BY n DESC, event_type) AS BIGINT) AS rnk "
+    "FROM (SELECT epoch_us(ts) // CAST(86400000000 AS BIGINT) AS window_id, "
+    "event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)) "
+    "WHERE rnk <= 3")

@@ -144,3 +144,80 @@ class TestAssortativityMmr:
         rows = q_embed_mmr(str(tmp_path), m=10, k=5).to_pandas()
         assert len(rows) == 2                       # truncates gracefully
         assert sorted(rows["rank"]) == [1, 2]
+
+
+class TestStreaksQuantTwohopTopk:
+    def test_orders_streaks(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import SQL_ORDERS_STREAKS, q_orders_streaks
+        # cust 1: Jan+Jan(dup month)+Feb+Mar 1997 then Jun -> streak 3;
+        # cust 2: Jan and May -> streak 1; Dec->Jan year rollover: cust 3
+        # Dec 1996 + Jan 1997 -> streak 2 (month index is year*12+m)
+        orders = pa.table({
+            "o_custkey": pa.array([1, 1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(1997, 1, 5), dt.datetime(1997, 1, 20),
+                 dt.datetime(1997, 2, 1), dt.datetime(1997, 3, 1),
+                 dt.datetime(1997, 6, 1), dt.datetime(1997, 1, 1),
+                 dt.datetime(1997, 5, 1), dt.datetime(1996, 12, 1),
+                 dt.datetime(1997, 1, 1)], pa.timestamp("us"))})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = sorted(tuple(r.values()) for r in q_orders_streaks(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"orders": orders})
+                      .execute(SQL_ORDERS_STREAKS).fetchall())
+        assert got == want
+        assert got == [(1, 1), (2, 1), (3, 1)]
+
+    def test_embed_quantize_error(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_EMBED_QUANTIZE_ERROR,
+                                     q_embed_quantize_error)
+        # zero vector -> sse 0 band 0; [1.0, 0.5]: 5e5 quantizes to 64,
+        # recon 503937, err -3937 -> sse 15499969, band 23
+        emb = pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0, 0.0], [1.0, 0.5]],
+                                  pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        got = sorted(tuple(r.values()) for r in q_embed_quantize_error(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"embeddings": emb})
+                      .execute(SQL_EMBED_QUANTIZE_ERROR).fetchall())
+        assert got == want
+        assert got == [(0, 1, 0), (23, 1, 15499969)]
+
+    def test_kg_twohop_path(self, ray_session):
+        import ray.data as rd
+        from ontoray.queries import q_kg_twohop_from
+        # path a-b-c-d (+ dup edge and a self loop, both must not count):
+        # reach a,d = 2 (band 1), b,c = 3 (band 2)
+        triples = rd.from_arrow(pa.table({
+            "subj_norm": pa.array(["a", "b", "c", "a", "a"], pa.string()),
+            "obj_norm": pa.array(["b", "c", "d", "b", "a"], pa.string())}))
+        got = sorted(tuple(r.values()) for r in q_kg_twohop_from(
+            triples).to_pandas().to_dict("records"))
+        assert got == [(1, 2, 4), (2, 2, 6)]
+
+    def test_events_top_types_window(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (SQL_EVENTS_TOP_TYPES_WINDOW,
+                                     q_events_top_types_window)
+        # day 1: x3 y3 z2 w1 -> ranks x,y,z (tie x<y by name), w cut;
+        # day 2: only q1 -> single row
+        base = dt.datetime(2024, 1, 1)
+        types = ["x", "x", "x", "y", "y", "y", "z", "z", "w"]
+        ts = [base + dt.timedelta(minutes=i) for i in range(9)]
+        types.append("q")
+        ts.append(base + dt.timedelta(days=1, hours=2))
+        ev = pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us"))})
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_top_types_window(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": ev})
+                      .execute(SQL_EVENTS_TOP_TYPES_WINDOW).fetchall())
+        assert got == want
+        d = 19723                                   # 2024-01-01 epoch days
+        assert got == [(d, "x", 3, 1), (d, "y", 3, 2), (d, "z", 2, 3),
+                       (d + 1, "q", 1, 1)]
