@@ -115,6 +115,12 @@ def _q_kg_twohop(sf_dir: str):
     return Q.q_kg_twohop_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_jaccard(sf_dir: str):
+    """Jaccard link prediction — hub-capped wedge expansion, full-degree
+    union denominator, existing edges removed by partitioned anti-join."""
+    return Q.q_kg_jaccard_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Concept-importance PageRank over the extracted triple graph —
     iterative distributed graph analytics in exact int64 fixed-point (the
@@ -735,6 +741,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize_error": Q.q_embed_quantize_error,
         "kg_twohop": _q_kg_twohop,
         "events_top_types_window": Q.q_events_top_types_window,
+        "kg_jaccard": _q_kg_jaccard,
+        "parts_abc": Q.q_parts_abc,
+        "docs_hapax": Q.q_docs_hapax,
+        "multimodal_phash_neardup": Q.q_multimodal_phash_neardup,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -996,4 +1006,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_quantize_error": Q.SQL_EMBED_QUANTIZE_ERROR,
         "kg_twohop": Q._sql_kg_twohop(),
         "events_top_types_window": Q.SQL_EVENTS_TOP_TYPES_WINDOW,
+        "kg_jaccard": Q.SQL_KG_JACCARD,
+        "parts_abc": Q.SQL_PARTS_ABC,
+        "docs_hapax": Q.SQL_DOCS_HAPAX,
+        "multimodal_phash_neardup": Q.sql_multimodal_phash_neardup(),
     }

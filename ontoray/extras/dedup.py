@@ -1742,3 +1742,82 @@ def sql_span_dedup_keep_first(tile: int = 8, table: str = "documents",
                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
     FROM k JOIN w USING (h) GROUP BY 1
     """
+
+
+def hamming_candidate_pairs(sig_ds, id_col: str, sig_col: str,
+                            max_hamming: int = 3, bands: int = 4):
+    """Generic banded-Hamming near-dup pairs over ANY 64-bit signature
+    column (simhash, perceptual phash, audio fingerprint) — the
+    :func:`simhash_candidate_pairs` engine generalized to a caller-supplied
+    (id, signature) dataset so multimodal fingerprints reuse the exact
+    pigeonhole band plan (<= ``max_hamming`` differing bits with
+    ``bands`` > max_hamming leave one band identical).
+
+    Only (band_id, band_val, id, sig) rows shuffle; singleton buckets are
+    pruned before pair expansion.  Ids may be strings or ints; output
+    (id_a, id_b, hamming) with id_a < id_b under the column's natural
+    order."""
+    import pandas as pd
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    assert 64 % bands == 0 and bands > max_hamming
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sigs = batch.column(sig_col).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        parts = []
+        for b in range(bands):
+            vals = ((sigs >> np.uint64(b * width)) & mask).astype(np.int64)
+            parts.append(pa.table({
+                "band_id": pa.array([b] * len(sigs), pa.int32()),
+                "band_val": pa.array(vals, pa.int64()),
+                "__id": batch.column(id_col),
+                "__sig": batch.column(sig_col)}))
+        return pa.concat_tables(parts)
+
+    rows = sig_ds.map_batches(band_rows, batch_format="pyarrow").materialize()
+
+    colliding = hash_aggregate(
+        rows.select_columns(["band_id", "band_val"]), ["band_id", "band_val"],
+        partial_aggs=[("band_val", "count")],
+        aggs=[("band_val_count", "sum")], rename={"band_val_count_sum": "n"},
+    ).filter(expr="n >= 2")
+    keep_vals = pa.array(sorted({r["band_val"] for r in colliding.take_all()}),
+                         pa.int64())
+
+    def only_colliding(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch.column("band_val"),
+                                     value_set=keep_vals))
+
+    _sch = sig_ds.schema()                          # resolved on the driver
+    id_type = getattr(_sch, "base_schema", _sch).field(id_col).type
+
+    def pairs_of(g: pd.DataFrame) -> pa.Table:
+        recs = sorted(zip(g["__id"].tolist(), g["__sig"].tolist()))
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, sa = recs[i]
+                b, sb = recs[j]
+                if a == b:
+                    continue
+                h = ((int(sa) ^ int(sb)) & ((1 << 64) - 1)).bit_count()
+                if h <= max_hamming:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_h.append(h)
+        return pa.table({"id_a": pa.array(out_a, id_type),
+                         "id_b": pa.array(out_b, id_type),
+                         "hamming": pa.array(out_h, pa.int64())})
+
+    pairs = (rows.map_batches(only_colliding, batch_format="pyarrow")
+             .repartition(default_coalesce())
+             .groupby(["band_id", "band_val"])
+             .map_groups(pairs_of, batch_format="pandas"))
+    return hash_aggregate(pairs, ["id_a", "id_b"],
+                          partial_aggs=[("hamming", "min")],
+                          aggs=[("hamming_min", "min")],
+                          rename={"hamming_min_min": "hamming"})

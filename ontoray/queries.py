@@ -6825,3 +6825,236 @@ SQL_EVENTS_TOP_TYPES_WINDOW = (
     "FROM (SELECT epoch_us(ts) // CAST(86400000000 AS BIGINT) AS window_id, "
     "event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)) "
     "WHERE rnk <= 3")
+
+
+# --- Jaccard link prediction, ABC analysis, phash near-dup, hapax ratio -----
+
+
+def q_kg_jaccard_from(triples_dedup_ds):
+    """Jaccard-coefficient link prediction over the concept graph
+    (stages/analytics.jaccard_linkpred) — the normalized companion of
+    kg_resource_alloc, same hub-cap contract."""
+    from ontoray.stages.analytics import jaccard_linkpred
+    return jaccard_linkpred(triples_dedup_ds)
+
+
+SQL_KG_JACCARD = (
+    f"{_sql_triples_norm_ctes()}, "
+    "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm "
+    "WHERE subj_norm <> obj_norm), "
+    "und AS (SELECT src AS v, dst AS x FROM trip UNION SELECT dst, src FROM trip), "
+    "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1), "
+    "capped AS (SELECT u.v, u.x FROM und u JOIN deg ON deg.v = u.v "
+    "WHERE deg.d <= 32), "
+    "pairs AS (SELECT c1.x AS na, c2.x AS nb FROM capped c1 "
+    "JOIN capped c2 ON c1.v = c2.v AND c1.x < c2.x), "
+    "cmn AS (SELECT na, nb, CAST(count(*) AS BIGINT) AS common "
+    "FROM pairs GROUP BY 1, 2), "
+    "jd AS (SELECT cmn.na, cmn.nb, cmn.common, "
+    "CAST(1000000 * cmn.common // (da.d + db.d - cmn.common) AS BIGINT) "
+    "AS jac_micro FROM cmn JOIN deg da ON da.v = cmn.na "
+    "JOIN deg db ON db.v = cmn.nb), "
+    "ep AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "FROM trip) "
+    "SELECT jd.na AS node_a, jd.nb AS node_b, jd.common, jd.jac_micro "
+    "FROM jd LEFT JOIN ep ON ep.a = jd.na AND ep.b = jd.nb "
+    "WHERE ep.a IS NULL AND jd.jac_micro >= 100000")
+
+
+def q_parts_abc(sf_dir: str):
+    """ABC inventory analysis: parts classified A/B/C by cumulative revenue
+    share (80% / 95% cut points over parts ranked by revenue desc, partkey
+    tiebreak) — the classic Pareto stratification behind stocking policy.
+
+    Scale shape: per-part revenue folds two-phase to the PART VOCABULARY
+    (bounded by contract — the same regime as every dimension-keyed
+    aggregate here); the ranked cumsum + classification runs over that
+    bounded table on the driver in exact Python bigints (ppm division
+    last), and the output is the 3-row class grid."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ext = pc.cast(batch.column("l_extendedprice"), pa.float64())
+        disc = pc.cast(batch.column("l_discount"), pa.float64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc)),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_partkey": batch.column("l_partkey"),
+                         "cents": cents})
+
+    per_part = hash_aggregate(
+        li.map_batches(derive, batch_format="pyarrow"), ["l_partkey"],
+        partial_aggs=[("cents", "sum")], aggs=[("cents_sum", "sum")],
+        rename={"cents_sum_sum": "cents"}).take_all()  # part vocabulary
+
+    per_part.sort(key=lambda r: (-int(r["cents"]), int(r["l_partkey"])))
+    tot = sum(int(r["cents"]) for r in per_part)
+    cum = 0
+    agg: dict[str, list[int]] = {}
+    for r in per_part:
+        cum += int(r["cents"])
+        ppm = 1_000_000 * cum // tot
+        cls = "A" if ppm <= 800_000 else ("B" if ppm <= 950_000 else "C")
+        a = agg.setdefault(cls, [0, 0])
+        a[0] += 1
+        a[1] += int(r["cents"])
+    ks = sorted(agg)
+    return rd.from_arrow(pa.table({
+        "abc_class": pa.array(ks, pa.string()),
+        "n_parts": pa.array([agg[k][0] for k in ks], pa.int64()),
+        "cents": pa.array([agg[k][1] for k in ks], pa.int64())}))
+
+
+SQL_PARTS_ABC = (
+    "WITH pr AS (SELECT l_partkey, "
+    f"CAST(sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) "
+    "AS BIGINT) AS cents FROM lineitem GROUP BY 1), "
+    "c AS (SELECT l_partkey, cents, "
+    "sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum, "
+    "(SELECT sum(cents) FROM pr) AS tot FROM pr), "
+    "k AS (SELECT CASE WHEN CAST(1000000 AS HUGEINT) * cum // tot "
+    "<= 800000 THEN 'A' WHEN CAST(1000000 AS HUGEINT) * cum // tot "
+    "<= 950000 THEN 'B' ELSE 'C' END AS abc_class, cents FROM c) "
+    "SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts, "
+    "CAST(sum(cents) AS BIGINT) AS cents FROM k GROUP BY 1")
+
+
+def q_docs_hapax(sf_dir: str):
+    """Hapax-legomena profile per source: vocabulary size, number of
+    once-occurring types, and the hapax ratio — the classic
+    corpus-freshness/quality signal (high hapax = open vocabulary or noise;
+    low = templated text).
+
+    Scale shape: (source, token) counts fold two-phase (per-batch combiner
+    before the token-vocabulary exchange); the per-source rollup is a
+    second vocabulary-bounded fold; division last, exact integer."""
+    import re
+
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    rx = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs, toks, ns = [], [], []
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            cnt: dict[str, int] = {}
+            for w in rx.findall(t):
+                cnt[w] = cnt.get(w, 0) + 1
+            for w, n in cnt.items():
+                srcs.append(s)
+                toks.append(w)
+                ns.append(n)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "w": pa.array(toks, pa.string()),
+                         "n": pa.array(np.asarray(ns, dtype=np.int64))})
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source", "w"],
+        aggs=[("n", "sum")], rename={"n_sum": "n"})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        one = np.ones(batch.num_rows, dtype=np.int64)
+        hap = pc.cast(pc.equal(batch.column("n"), pa.scalar(1, pa.int64())),
+                      pa.int64())
+        return pa.table({"source": batch.column("source"),
+                         "one": pa.array(one), "hap": hap})
+
+    s = hash_aggregate(
+        counts.map_batches(fold, batch_format="pyarrow"), ["source"],
+        partial_aggs=[("one", "sum"), ("hap", "sum")],
+        aggs=[("one_sum", "sum"), ("hap_sum", "sum")],
+        rename={"one_sum_sum": "n_types", "hap_sum_sum": "n_hapax"},
+        num_buckets=4)
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        ty = batch.column("n_types").to_numpy(zero_copy_only=False)
+        hp = batch.column("n_hapax").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "hapax_micro", pa.array(1_000_000 * hp // ty, pa.int64()))
+
+    return s.map_batches(ratio, batch_format="pyarrow")
+
+
+SQL_DOCS_HAPAX = (
+    "WITH tok AS (SELECT source, "
+    "unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM documents), "
+    "c AS (SELECT source, w, count(*) AS n FROM tok GROUP BY 1, 2), "
+    "s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types, "
+    "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax "
+    "FROM c GROUP BY 1) "
+    "SELECT source, n_types, n_hapax, "
+    "CAST(1000000 * n_hapax // n_types AS BIGINT) AS hapax_micro FROM s")
+
+
+def q_multimodal_phash_neardup(sf_dir: str, max_hamming: int = 3,
+                               thumb_chars: int = 16):
+    """Perceptual-hash near-duplicate pairs over the (fake-decoded) image
+    payloads: the image-dedup stage of a multimodal pipeline — banded
+    64-bit Hamming pairs (extras/dedup.hamming_candidate_pairs, the simhash
+    pigeonhole plan) over the phash column the DecodeImage actor pool
+    emits.  Real deployments swap the fake decode for a PIL/opencv phash
+    over decoded pixels; the banding, shuffle and pair-verify shape is the
+    production one.
+
+    The fake payload is the first ``thumb_chars`` bytes of the text (a
+    "thumbnail" stand-in): a full-text md5 fake would be vacuous on this
+    corpus (every text unique → no collisions anywhere — the non-vacuity
+    probe caught exactly that), while thumbnails collide the way real
+    near-identical images hash together (25 collision groups at sf0.001).
+    True 1-3-bit pairs are exercised by the hamming_candidate_pairs unit
+    fixture; here the corpus yields hamming-0 groups."""
+    import ray.data as rd
+
+    from ontoray.extras.dedup import hamming_candidate_pairs
+    from ontoray.extras.multimodal import decode_images
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([f"doc-{d}" for d in
+                             batch.column("doc_id").to_pylist()], pa.string()),
+            "payload": pa.array([t[:thumb_chars].encode() for t in
+                                 batch.column("text").to_pylist()],
+                                pa.binary())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    feats = decode_images(ds.map_batches(to_payload, batch_format="pyarrow"),
+                          fake=True).select_columns(["url", "phash"])
+    pairs = hamming_candidate_pairs(feats, "url", "phash",
+                                    max_hamming=max_hamming)
+    return pairs.map_batches(
+        lambda b: pa.table({"url_a": b.column("id_a"),
+                            "url_b": b.column("id_b"),
+                            "hamming": b.column("hamming")}),
+        batch_format="pyarrow")
+
+
+def sql_multimodal_phash_neardup(max_hamming: int = 3,
+                                 thumb_chars: int = 16) -> str:
+    # Same md5-32 bit-twiddles as multimodal.sql_image_features, over the
+    # thumbnail prefix instead of the whole text (ASCII corpus: substr
+    # characters == utf-8 bytes, matching the engine's t[:n].encode()).
+    return (
+        "WITH f AS (SELECT 'doc-' || doc_id AS url, "
+        "((('0x' || substr(md5(substr(coalesce(text, ''), 1, "
+        f"{thumb_chars})), 1, 8))::UBIGINT * 2654435761) "
+        "& 9223372036854775807)::BIGINT AS phash FROM documents) "
+        "SELECT a.url AS url_a, b.url AS url_b, "
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming "
+        "FROM f a JOIN f b ON a.url < b.url "
+        f"WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}")

@@ -1175,3 +1175,98 @@ def multi_source_bfs(triples_dedup_ds, n_seeds: int = 4, max_hops: int = 4,
         visited = visited.union(lvl).materialize()
         frontier = lvl
     return visited.select_columns(["seed", "name", "dist"])
+
+
+def jaccard_linkpred(triples_dedup_ds, cap: int = 32,
+                     min_jac_micro: int = 100_000,
+                     subj_col: str = "subj_norm", obj_col: str = "obj_norm"):
+    """Jaccard-coefficient link prediction: for each UNLINKED node pair,
+    score = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the normalized companion of
+    :func:`resource_allocation` (RA rewards rare shared neighbors; Jaccard
+    rewards high overlap relative to the combined neighborhoods).
+
+    Identical hub-cap contract: only shared neighbors z with deg(z) <=
+    ``cap`` expand candidate pairs (bounding the exchange at cap·|edges|),
+    while the union denominator uses FULL endpoint degrees — documented,
+    and the SQL mirror spells the same asymmetry.  Exact integer:
+    jac_micro = 10^6 · common // (d_a + d_b − common).  Output:
+    (node_a, node_b, common, jac_micro), node_a < node_b, existing edges
+    removed by a partitioned LEFT-ANTI join."""
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column(subj_col).to_pylist()
+        o = batch.column(obj_col).to_pylist()
+        v, x = [], []
+        for a, b in zip(s, o):
+            if a != b:
+                v.append(a); x.append(b)
+                v.append(b); x.append(a)
+        return pa.table({"v": pa.array(v, pa.string()),
+                         "x": pa.array(x, pa.string())})
+
+    und = hash_aggregate(
+        triples_dedup_ds.map_batches(sym, batch_format="pyarrow"), ["v", "x"],
+        partial_aggs=[("v", "count")], aggs=[("v_count", "sum")],
+        rename={"v_count_sum": "__n"}).select_columns(["v", "x"]).materialize()
+
+    deg = hash_aggregate(
+        und, ["v"], partial_aggs=[("v", "count")],
+        aggs=[("v_count", "sum")], rename={"v_count_sum": "d"}).materialize()
+
+    capped = hash_join(und, deg.filter(expr=f"d <= {cap}")
+                       .select_columns(["v"]), "v", "v", how="left_semi")
+    pairs = hash_join(capped, capped.select_columns(["v", "x"]), "v", "v",
+                      right_cols=["x"])
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("x"), batch.column("x_r"))
+        t = batch.filter(m)
+        return pa.table({"na": t.column("x"), "nb": t.column("x_r"),
+                         "one": pa.array([1] * t.num_rows, pa.int64())})
+
+    common = hash_aggregate(
+        pairs.map_batches(ordered, batch_format="pyarrow"), ["na", "nb"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "common"})
+
+    dega = deg.map_batches(
+        lambda b: pa.table({"va": b.column("v"), "da": b.column("d")}),
+        batch_format="pyarrow")
+    degb = deg.map_batches(
+        lambda b: pa.table({"vb": b.column("v"), "db": b.column("d")}),
+        batch_format="pyarrow")
+    j = hash_join(common, dega, "na", "va", right_cols=["da"])
+    j = hash_join(j, degb, "nb", "vb", right_cols=["db"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = batch.column("common").to_numpy(zero_copy_only=False)
+        da = batch.column("da").to_numpy(zero_copy_only=False)
+        db = batch.column("db").to_numpy(zero_copy_only=False)
+        jac = 1_000_000 * c // (da + db - c)
+        t = batch.append_column("jac_micro", pa.array(jac, pa.int64()))
+        t = t.append_column("pk", pc.binary_join_element_wise(
+            t.column("na"), t.column("nb"), "\x1f"))
+        return t.select(["na", "nb", "common", "jac_micro", "pk"])
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("v"), batch.column("x"))
+        t = batch.filter(m)
+        return pa.table({"pk": pc.binary_join_element_wise(
+            t.column("v"), t.column("x"), "\x1f")})
+
+    new_pairs = hash_join(
+        j.map_batches(score, batch_format="pyarrow"),
+        und.map_batches(edge_keys, batch_format="pyarrow"),
+        "pk", "pk", how="left_anti")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("jac_micro"),
+                                pa.scalar(min_jac_micro))
+        t = batch.filter(keep)
+        return pa.table({"node_a": t.column("na"), "node_b": t.column("nb"),
+                         "common": t.column("common"),
+                         "jac_micro": t.column("jac_micro")})
+
+    return new_pairs.map_batches(finish, batch_format="pyarrow")

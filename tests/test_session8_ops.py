@@ -221,3 +221,96 @@ class TestStreaksQuantTwohopTopk:
         d = 19723                                   # 2024-01-01 epoch days
         assert got == [(d, "x", 3, 1), (d, "y", 3, 2), (d, "z", 2, 3),
                        (d + 1, "q", 1, 1)]
+
+
+class TestJaccardAbcPhashHapax:
+    def test_kg_jaccard_shared_pair(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import jaccard_linkpred
+        # a and b share neighbors z1, z2 (and nothing else): common 2,
+        # union 2+2-2 -> jac 1.0; symmetric for (z1, z2)
+        triples = rd.from_arrow(pa.table({
+            "subj_norm": pa.array(["a", "a", "b", "b"], pa.string()),
+            "obj_norm": pa.array(["z1", "z2", "z1", "z2"], pa.string())}))
+        got = sorted(tuple(r.values()) for r in jaccard_linkpred(
+            triples).to_pandas().to_dict("records"))
+        assert got == [("a", "b", 2, 1000000), ("z1", "z2", 2, 1000000)]
+
+    def test_kg_jaccard_hub_cap(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import jaccard_linkpred
+        # cap=1 disqualifies every shared neighbor (all have degree 2)
+        triples = rd.from_arrow(pa.table({
+            "subj_norm": pa.array(["a", "a", "b", "b"], pa.string()),
+            "obj_norm": pa.array(["z1", "z2", "z1", "z2"], pa.string())}))
+        assert jaccard_linkpred(triples, cap=1).count() == 0
+
+    def test_kg_jaccard_existing_edge_removed(self, ray_session):
+        import ray.data as rd
+        from ontoray.stages.analytics import jaccard_linkpred
+        # triangle a-b, a-z, b-z: (a,b) share z but are ALREADY linked ->
+        # removed by the anti-join; remaining pairs share nothing capped
+        # above threshold except... a,b each neighbor {z, other}: (a,b)
+        # out; no other pair has common >= 1 with jac >= 0.1? (a,z) linked,
+        # (b,z) linked -> empty output
+        triples = rd.from_arrow(pa.table({
+            "subj_norm": pa.array(["a", "a", "b"], pa.string()),
+            "obj_norm": pa.array(["b", "z", "z"], pa.string())}))
+        assert jaccard_linkpred(triples).count() == 0
+
+    def test_parts_abc(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_PARTS_ABC, q_parts_abc
+        # revenues 80/15/5 land exactly on the 80% and 95% cut points
+        lineitem = pa.table({
+            "l_partkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_extendedprice": pa.array([40.0, 40.0, 15.0, 5.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0])})
+        pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+        got = sorted(tuple(r.values()) for r in q_parts_abc(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"lineitem": lineitem})
+                      .execute(SQL_PARTS_ABC).fetchall())
+        assert got == want
+        assert got == [("A", 1, 8000), ("B", 1, 1500), ("C", 1, 500)]
+
+    def test_docs_hapax(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_DOCS_HAPAX, q_docs_hapax
+        docs = pa.table({
+            "text": pa.array(["a a b", "x y x z"], pa.string()),
+            "source": pa.array(["s1", "s2"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_hapax(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_DOCS_HAPAX).fetchall())
+        assert got == want
+        assert got == [("s1", 2, 1, 500000), ("s2", 3, 2, 666666)]
+
+    def test_hamming_candidate_pairs_unit(self, ray_session):
+        import ray.data as rd
+        from ontoray.extras.dedup import hamming_candidate_pairs
+        # sig 0 vs 1: hamming 1 (pair); sig 0xFF00...: far from both;
+        # two EQUAL sigs collide in all 4 bands but emit the pair once
+        sigs = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "sig": pa.array([0, 1, 0x7FF0000000000000, 0], pa.int64())}))
+        got = sorted(tuple(r.values()) for r in hamming_candidate_pairs(
+            sigs, "k", "sig").to_pandas().to_dict("records"))
+        assert got == [(1, 2, 1), (1, 4, 0), (2, 4, 1)]
+
+    def test_multimodal_phash_neardup(self, ray_session, tmp_path):
+        from ontoray.queries import (q_multimodal_phash_neardup,
+                                     sql_multimodal_phash_neardup)
+        # identical texts -> identical payload bytes -> identical fake
+        # phash -> one hamming-0 pair; the third doc is unrelated
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["same body", "same body", "different"],
+                             pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_multimodal_phash_neardup(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_multimodal_phash_neardup()).fetchall())
+        assert got == want
+        assert got == [("doc-0", "doc-1", 0)]
