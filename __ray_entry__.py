@@ -745,6 +745,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_abc": Q.q_parts_abc,
         "docs_hapax": Q.q_docs_hapax,
         "multimodal_phash_neardup": Q.q_multimodal_phash_neardup,
+        "events_props_extract": Q.q_events_props_extract,
+        "lm_zipf_coverage": Q.q_lm_zipf_coverage,
+        "embed_norm_hist": Q.q_embed_norm_hist,
+        "events_user_lifespan": Q.q_events_user_lifespan,
+        "docs_ppjoin": Q.q_docs_ppjoin,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1010,4 +1015,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_abc": Q.SQL_PARTS_ABC,
         "docs_hapax": Q.SQL_DOCS_HAPAX,
         "multimodal_phash_neardup": Q.sql_multimodal_phash_neardup(),
+        "events_props_extract": Q.SQL_EVENTS_PROPS_EXTRACT,
+        "lm_zipf_coverage": Q.SQL_LM_ZIPF_COVERAGE,
+        "embed_norm_hist": Q.SQL_EMBED_NORM_HIST,
+        "events_user_lifespan": Q.SQL_EVENTS_USER_LIFESPAN,
+        "docs_ppjoin": Q.sql_docs_ppjoin(),
     }

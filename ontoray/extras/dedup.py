@@ -1821,3 +1821,188 @@ def hamming_candidate_pairs(sig_ds, id_col: str, sig_col: str,
                           partial_aggs=[("hamming", "min")],
                           aggs=[("hamming_min", "min")],
                           rename={"hamming_min_min": "hamming"})
+
+
+def ppjoin_pairs(ds, threshold_micro: int = 500_000,
+                 num_partitions: int = 32):
+    """Exact bigram-set similarity self-join with PREFIX FILTERING
+    (AllPairs/PPJoin, Bayardo et al. 2007 / Xiao et al. 2008): pairs of
+    docs with token-set Jaccard >= t, where only each doc's PREFIX — its
+    first n − ⌈t·n⌉ + 1 tokens under the global (df asc, token asc)
+    canonical order — is indexed.  A qualifying pair's smallest common
+    token (in canonical order) provably sits in BOTH prefixes: if it
+    missed A's prefix, all common tokens would fit in A's suffix of size
+    ⌈t·n_a⌉ − 1 < t·n_a <= the overlap J >= t requires.  So the prefix
+    join has NO false negatives and indexes only the rare end of each
+    document — the classic way to keep an exact similarity self-join off
+    the all-pairs cliff.
+
+    Set elements are word BIGRAMS, not unigrams: this corpus's per-source
+    unigram vocabulary is closed (~31 types), so unigram Jaccard marks
+    ~73% of ALL pairs similar (probed 90k/124k at t=0.5) — bigrams restore
+    discrimination (28 pairs at the same threshold), the docs_heaps lesson
+    re-applied.
+
+    Scale shape: distinct (doc, bigram) rows fold two-phase; df is one
+    gram-vocabulary exchange joined back; prefix extraction is a per-doc
+    group sort (doc-bounded); pair expansion is quadratic only in a
+    gram's PREFIX df (rare-first order keeps that small — the operator's
+    contract, like jaccard_pairs' max_df); candidates verify with two
+    partitioned hash joins against the full gram table.  Exact integer
+    jac_micro, division last.  Output (doc_a < doc_b, common, jac_micro)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, ws = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = _TOKEN_RE.findall(t or "")
+            for w in {f"{a} {b}" for a, b in zip(toks, toks[1:])}:
+                ids.append(did)
+                ws.append(w)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "w": pa.array(ws, pa.string())})
+
+    tok = hash_aggregate(
+        ds.select_columns(["doc_id", "text"])
+          .map_batches(explode, batch_format="pyarrow"), ["doc_id", "w"],
+        partial_aggs=[("doc_id", "count")], aggs=[("doc_id_count", "sum")],
+        rename={"doc_id_count_sum": "__n"})\
+        .select_columns(["doc_id", "w"]).materialize()
+
+    df = hash_aggregate(
+        tok.select_columns(["w"]).map_batches(
+            lambda b: pa.table({"w": b.column("w"),
+                                "one": pa.array([1] * b.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"), ["w"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "df"})
+
+    withdf = hash_join(tok, df, "w", "w", right_cols=["df"])
+
+    def prefix_of(g: pd.DataFrame) -> pa.Table:
+        recs = sorted(zip(g["df"].tolist(), g["w"].tolist()))
+        n = len(recs)
+        p = n - (threshold_micro * n + 999_999) // 1_000_000 + 1
+        keep = recs[:p]
+        return pa.table({
+            "w": pa.array([w for _d, w in keep], pa.string()),
+            "doc_id": pa.array([int(g["doc_id"].iloc[0])] * len(keep),
+                               pa.int64())})
+
+    pre = (withdf.repartition(default_coalesce())
+           .groupby("doc_id").map_groups(prefix_of, batch_format="pandas"))
+
+    def pairs_of(g: pd.DataFrame) -> pa.Table:
+        ids = sorted(g["doc_id"].tolist())
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] != ids[j]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())})
+
+    cand = hash_aggregate(
+        pre.repartition(default_coalesce())
+           .groupby("w").map_groups(pairs_of, batch_format="pandas"),
+        ["doc_a", "doc_b"], partial_aggs=[("doc_a", "count")],
+        aggs=[("doc_a_count", "sum")], rename={"doc_a_count_sum": "__n"})\
+        .select_columns(["doc_a", "doc_b"])
+
+    # verify: common token count via two partitioned joins on the full set
+    wa = hash_join(cand, tok.map_batches(
+        lambda b: pa.table({"da": b.column("doc_id"), "w": b.column("w")}),
+        batch_format="pyarrow"), "doc_a", "da", right_cols=["w"])
+
+    def bkey(batch: pa.Table) -> pa.Table:
+        return batch.append_column("bk", pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_b"), pa.string()),
+            batch.column("w"), "\x1f"))
+
+    tok_bk = tok.map_batches(
+        lambda b: pa.table({"bk": pc.binary_join_element_wise(
+            pc.cast(b.column("doc_id"), pa.string()), b.column("w"),
+            "\x1f")}), batch_format="pyarrow")
+    hits = hash_join(wa.map_batches(bkey, batch_format="pyarrow"), tok_bk,
+                     "bk", "bk", how="left_semi")
+
+    common = hash_aggregate(
+        hits.map_batches(
+            lambda b: pa.table({"doc_a": b.column("doc_a"),
+                                "doc_b": b.column("doc_b"),
+                                "one": pa.array([1] * b.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"), ["doc_a", "doc_b"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "common"})
+
+    sizes = hash_aggregate(
+        tok.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "one": pa.array([1] * b.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow"), ["doc_id"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n"})
+
+    sa = sizes.map_batches(
+        lambda b: pa.table({"da": b.column("doc_id"), "na": b.column("n")}),
+        batch_format="pyarrow")
+    sb = sizes.map_batches(
+        lambda b: pa.table({"db": b.column("doc_id"), "nb": b.column("n")}),
+        batch_format="pyarrow")
+    j = hash_join(common, sa, "doc_a", "da", right_cols=["na"])
+    j = hash_join(j, sb, "doc_b", "db", right_cols=["nb"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("common").to_numpy(zero_copy_only=False)
+        na = batch.column("na").to_numpy(zero_copy_only=False)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False)
+        jac = 1_000_000 * c // (na + nb - c)
+        t = batch.append_column("jac_micro", pa.array(jac, pa.int64()))
+        keep = pc.greater_equal(t.column("jac_micro"),
+                                pa.scalar(threshold_micro))
+        t = t.filter(keep)
+        return t.select(["doc_a", "doc_b", "common", "jac_micro"])
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_ppjoin_pairs(table: str = "documents",
+                     threshold_micro: int = 500_000) -> str:
+    """DuckDB mirror of ``ppjoin_pairs``: identical canonical order,
+    identical integer prefix bound, identical verify."""
+    t = threshold_micro
+    return (
+        f"WITH wz AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') "
+        f"AS ws FROM {table}), "
+        "ix AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wz), "
+        "tok AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS w "
+        "FROM ix), "
+        "dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df "
+        "FROM tok GROUP BY 1), "
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+        "FROM tok GROUP BY 1), "
+        "rk AS (SELECT t.doc_id, t.w, row_number() OVER ("
+        "PARTITION BY t.doc_id ORDER BY dft.df, t.w) AS rn, sz.n "
+        "FROM tok t JOIN dft ON dft.w = t.w "
+        "JOIN sz ON sz.doc_id = t.doc_id), "
+        f"pre AS (SELECT doc_id, w FROM rk WHERE rn <= n - "
+        f"({t} * n + 999999) // 1000000 + 1), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM pre a JOIN pre b ON a.w = b.w AND a.doc_id < b.doc_id), "
+        "cm AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS common "
+        "FROM cand c JOIN tok ta ON ta.doc_id = c.doc_a "
+        "JOIN tok tb ON tb.doc_id = c.doc_b AND tb.w = ta.w GROUP BY 1, 2) "
+        "SELECT cm.doc_a, cm.doc_b, cm.common, "
+        "CAST(1000000 * cm.common // (za.n + zb.n - cm.common) AS BIGINT) "
+        "AS jac_micro FROM cm JOIN sz za ON za.doc_id = cm.doc_a "
+        "JOIN sz zb ON zb.doc_id = cm.doc_b "
+        f"WHERE 1000000 * cm.common // (za.n + zb.n - cm.common) >= {t}")

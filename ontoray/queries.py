@@ -7058,3 +7058,233 @@ def sql_multimodal_phash_neardup(max_hamming: int = 3,
         "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming "
         "FROM f a JOIN f b ON a.url < b.url "
         f"WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}")
+
+
+# --- semi-structured extraction, Zipf coverage, norm bands, user lifespan ---
+
+
+def q_events_props_extract(sf_dir: str):
+    """Semi-structured payload extraction: pull the integer field ``k`` out
+    of the JSON ``props`` string column with ONE vectorized RE2 pass (the
+    pinned contract both sides share — a JSON parser's whitespace/number
+    normalization would be a second implementation), then fold per-type
+    stats.  The schema-on-read shape every event pipeline needs.
+
+    Scale shape: extraction is per-batch pyarrow extract_regex (no Python
+    row loop); the stats fold is two-phase onto the type vocabulary."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), '"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        return t.filter(pc.is_valid(k))
+
+    return hash_aggregate(
+        ds.map_batches(extract, batch_format="pyarrow"), ["event_type"],
+        partial_aggs=[("k", "count"), ("k", "sum"), ("k", "min"),
+                      ("k", "max")],
+        aggs=[("k_count", "sum"), ("k_sum", "sum"), ("k_min", "min"),
+              ("k_max", "max")],
+        rename={"k_count_sum": "n", "k_sum_sum": "k_sum",
+                "k_min_min": "k_min", "k_max_max": "k_max"},
+        num_buckets=4)
+
+
+SQL_EVENTS_PROPS_EXTRACT = (
+    "WITH e AS (SELECT event_type, "
+    "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) AS k "
+    "FROM events WHERE regexp_matches(props, '\"k\": [0-9]+')) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(k) AS BIGINT) AS k_sum, CAST(min(k) AS BIGINT) AS k_min, "
+    "CAST(max(k) AS BIGINT) AS k_max FROM e GROUP BY 1")
+
+
+def q_lm_zipf_coverage(sf_dir: str, max_rank_log2: int = 10):
+    """Zipf rank-frequency probes with vocabulary-coverage: token frequency
+    at power-of-two ranks 1, 2, 4, …, 2^max_rank_log2 plus the cumulative
+    share of all corpus tokens the top-r types cover — the curve that sizes
+    tokenizer vocabularies and stopword lists.
+
+    Scale shape: token counts fold two-phase to the vocabulary; the global
+    (freq desc, token) order is a distributed sort + limit on the BOUNDED
+    vocabulary table; only the top 2^max rows and the probe grid reach the
+    driver.  Coverage is exact integer ppm, division last."""
+    import re
+
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    rx = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for w in rx.findall(t):
+                cnt[w] = cnt.get(w, 0) + 1
+        return pa.table({"w": pa.array(list(cnt), pa.string()),
+                         "n": pa.array(np.asarray(list(cnt.values()),
+                                                  dtype=np.int64))})
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["w"],
+        aggs=[("n", "sum")], rename={"n_sum": "n"}).materialize()
+
+    def tot_fold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"t": pa.array(
+            [pc.sum(batch.column("n")).as_py() or 0], pa.int64())})
+
+    total = sum(r["t"] for r in counts.map_batches(
+        tot_fold, batch_format="pyarrow").take_all())
+
+    lim = 1 << max_rank_log2
+    top = counts.sort(["n", "w"], descending=[True, False]).limit(lim)\
+        .take_all()                                   # bounded: 2^max rows
+    cum = 0
+    ranks, toks, freqs, cums = [], [], [], []
+    probes = {1 << i for i in range(max_rank_log2 + 1)}
+    for i, r in enumerate(top, start=1):
+        cum += int(r["n"])
+        if i in probes:
+            ranks.append(i)
+            toks.append(r["w"])
+            freqs.append(int(r["n"]))
+            cums.append(1_000_000 * cum // total)
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(ranks, pa.int64()),
+        "token": pa.array(toks, pa.string()),
+        "freq": pa.array(freqs, pa.int64()),
+        "cum_ppm": pa.array(cums, pa.int64())}))
+
+
+SQL_LM_ZIPF_COVERAGE = (
+    "WITH tok AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w "
+    "FROM documents), "
+    "c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1), "
+    "r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rn, "
+    "sum(n) OVER (ORDER BY n DESC, w "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+    "(SELECT sum(n) FROM c) AS tot FROM c) "
+    "SELECT CAST(rn AS BIGINT) AS rank, w AS token, n AS freq, "
+    "CAST(1000000 * cum // tot AS BIGINT) AS cum_ppm FROM r "
+    "WHERE rn IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)")
+
+
+def q_embed_norm_hist(sf_dir: str):
+    """Embedding L2-norm profile in exact integer micro² bands: per-vector
+    squared norm over quantized coordinates (xq = floor(1e6·x + 0.5)),
+    banded by bit_length — the unnormalized-vector detector run before any
+    cosine-based stage (a norm-0 or norm-outlier band means the upstream
+    encoder misbehaved).  No sqrt anywhere: bands of norm² are bands of
+    norm, and integers keep the mirror exact."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def per_vec(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        xq = np.floor(v * 1_000_000.0 + 0.5).astype(np.int64)
+        nsq = (xq * xq).sum(axis=1)
+        band = np.asarray([(int(x) + 1).bit_length() - 1 for x in nsq],
+                          dtype=np.int64)
+        return pa.table({
+            "band": pa.array(band),
+            "one": pa.array(np.ones(len(nsq), dtype=np.int64))})
+
+    return hash_aggregate(
+        ds.map_batches(per_vec, batch_format="pyarrow"), ["band"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_vecs"}, num_buckets=4)
+
+
+SQL_EMBED_NORM_HIST = (
+    "WITH el AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings), "
+    "xq AS (SELECT vec_id, "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq "
+    "FROM el), "
+    "per AS (SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS nsq "
+    "FROM xq GROUP BY 1), "
+    "pow AS (SELECT (CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS v "
+    "FROM (SELECT unnest(range(0, 63)) AS e)), "
+    "b AS (SELECT CAST((SELECT count(*) FROM pow WHERE pow.v <= per.nsq + 1)"
+    " - 1 AS BIGINT) AS band FROM per) "
+    "SELECT band, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY 1")
+
+
+def q_events_user_lifespan(sf_dir: str):
+    """User-lifespan histogram: whole days between a user's first and last
+    event (single-event users land at 0) — the engagement-duration profile
+    behind retention models.
+
+    Scale shape: per-user (min ts, max ts) folds two-phase onto the user
+    vocabulary; the span histogram is a second calendar-bounded fold."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "us": us})
+
+    spans = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"), ["user_id"],
+        partial_aggs=[("us", "min"), ("us", "max")],
+        aggs=[("us_min", "min"), ("us_max", "max")],
+        rename={"us_min_min": "lo", "us_max_max": "hi"})
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        lo = batch.column("lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        d = (hi - lo) // 86_400_000_000
+        return pa.table({
+            "span_days": pa.array(d.astype(np.int64)),
+            "one": pa.array(np.ones(len(d), dtype=np.int64))})
+
+    return hash_aggregate(
+        spans.map_batches(to_days, batch_format="pyarrow"), ["span_days"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_users"}, num_buckets=4)
+
+
+SQL_EVENTS_USER_LIFESPAN = (
+    "WITH s AS (SELECT user_id, "
+    "(max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS span_days "
+    "FROM events GROUP BY 1) "
+    "SELECT CAST(span_days AS BIGINT) AS span_days, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM s GROUP BY 1")
+
+
+def q_docs_ppjoin(sf_dir: str, threshold_micro: int = 500_000):
+    """Prefix-filtered exact set-similarity self-join (AllPairs/PPJoin)
+    over token sets: doc pairs with Jaccard >= 0.5 without an all-pairs
+    scan (extras/dedup.ppjoin_pairs)."""
+    import ray.data as rd
+    from ontoray.extras.dedup import ppjoin_pairs
+    return ppjoin_pairs(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        threshold_micro=threshold_micro)
+
+
+def sql_docs_ppjoin(threshold_micro: int = 500_000) -> str:
+    from ontoray.extras.dedup import sql_ppjoin_pairs
+    return sql_ppjoin_pairs(threshold_micro=threshold_micro)

@@ -314,3 +314,102 @@ class TestJaccardAbcPhashHapax:
                       .execute(sql_multimodal_phash_neardup()).fetchall())
         assert got == want
         assert got == [("doc-0", "doc-1", 0)]
+
+
+class TestPropsZipfNormLifespan:
+    def test_events_props_extract(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_EVENTS_PROPS_EXTRACT,
+                                     q_events_props_extract)
+        ev = pa.table({
+            "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+            "props": pa.array(['{"k": 5}', '{"k": 7}', "garbage",
+                               '{"k": 2}'], pa.string())})
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_props_extract(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": ev})
+                      .execute(SQL_EVENTS_PROPS_EXTRACT).fetchall())
+        assert got == want
+        # the unparseable row drops; type a folds (5, 7)
+        assert got == [("a", 2, 12, 5, 7), ("b", 1, 2, 2, 2)]
+
+    def test_lm_zipf_coverage(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_LM_ZIPF_COVERAGE, q_lm_zipf_coverage
+        docs = pa.table({
+            "text": pa.array(["a a a a b b c", ""], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_lm_zipf_coverage(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_LM_ZIPF_COVERAGE).fetchall())
+        assert got == want
+        # 3 types only: probes 1 and 2 exist, probe 4 is absent both sides
+        assert got == [(1, "a", 4, 571428), (2, "b", 2, 857142)]
+
+    def test_embed_norm_hist(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_EMBED_NORM_HIST, q_embed_norm_hist
+        emb = pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0, 0.0], [1.0, 0.0]],
+                                  pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        got = sorted(tuple(r.values()) for r in q_embed_norm_hist(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"embeddings": emb})
+                      .execute(SQL_EMBED_NORM_HIST).fetchall())
+        assert got == want
+        # nsq 0 -> band 0; nsq 10^12 -> bit_length(10^12+1)-1 = 39
+        assert got == [(0, 1), (39, 1)]
+
+    def test_events_user_lifespan(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (SQL_EVENTS_USER_LIFESPAN,
+                                     q_events_user_lifespan)
+        base = dt.datetime(2024, 1, 1)
+        ev = pa.table({
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([base, base + dt.timedelta(days=2, hours=12),
+                            base], pa.timestamp("us"))})
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_user_lifespan(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": ev})
+                      .execute(SQL_EVENTS_USER_LIFESPAN).fetchall())
+        assert got == want
+        assert got == [(0, 1), (2, 1)]
+
+
+class TestPpjoin:
+    def test_docs_ppjoin(self, ray_session, tmp_path):
+        from ontoray.queries import q_docs_ppjoin, sql_docs_ppjoin
+        # bigram sets: doc0 {a b, b c, c d}, doc1 {a b, b c, c e} ->
+        # common 2, union 4, jac exactly 0.5 (the threshold boundary);
+        # doc2 disjoint; doc3 single-token -> no bigrams, absent
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d", "a b c e", "x y z", "solo"],
+                             pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_ppjoin(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_docs_ppjoin()).fetchall())
+        assert got == want
+        assert got == [(0, 1, 2, 500000)]
+
+    def test_docs_ppjoin_prefix_no_false_negatives(self, ray_session,
+                                                   tmp_path):
+        from ontoray.queries import q_docs_ppjoin, sql_docs_ppjoin
+        # identical docs (jac 1.0) plus a decoy sharing only the COMMON
+        # grams' high-df end — the survivor pair must still be found via
+        # a prefix gram
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["p q r s", "p q r s", "p q zz"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_ppjoin(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_docs_ppjoin()).fetchall())
+        assert got == want
+        assert (0, 1, 3, 1000000) in got
