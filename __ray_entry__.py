@@ -121,6 +121,12 @@ def _q_kg_jaccard(sf_dir: str):
     return Q.q_kg_jaccard_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_closeness(sf_dir: str):
+    """Bounded-horizon closeness centrality for the md5-chosen BFS seeds —
+    a seed-vocabulary fold over the multi-source BFS distance table."""
+    return Q.q_kg_closeness_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Concept-importance PageRank over the extracted triple graph —
     iterative distributed graph analytics in exact int64 fixed-point (the
@@ -750,6 +756,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_norm_hist": Q.q_embed_norm_hist,
         "events_user_lifespan": Q.q_events_user_lifespan,
         "docs_ppjoin": Q.q_docs_ppjoin,
+        "kg_closeness": _q_kg_closeness,
+        "events_type_share_drift": Q.q_events_type_share_drift,
+        "dedup_lsh_recall": Q.q_dedup_lsh_recall,
+        "events_autocorr": Q.q_events_autocorr,
+        "supplier_hhi": Q.q_supplier_hhi,
+        "lineitem_expectations": Q.q_lineitem_expectations,
+        "docs_table_profile": Q.q_docs_table_profile,
+        "orders_key_uniqueness": Q.q_orders_key_uniqueness,
+        "custs_decile_migration": Q.q_custs_decile_migration,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1020,4 +1035,13 @@ def oracle_sql() -> dict[str, str]:
         "embed_norm_hist": Q.SQL_EMBED_NORM_HIST,
         "events_user_lifespan": Q.SQL_EVENTS_USER_LIFESPAN,
         "docs_ppjoin": Q.sql_docs_ppjoin(),
+        "kg_closeness": Q.SQL_KG_CLOSENESS,
+        "events_type_share_drift": Q.SQL_EVENTS_TYPE_SHARE_DRIFT,
+        "dedup_lsh_recall": Q.sql_dedup_lsh_recall(),
+        "events_autocorr": Q._sql_events_autocorr(),
+        "supplier_hhi": Q.SQL_SUPPLIER_HHI,
+        "lineitem_expectations": Q.SQL_LINEITEM_EXPECTATIONS,
+        "docs_table_profile": Q.SQL_DOCS_TABLE_PROFILE,
+        "orders_key_uniqueness": Q.SQL_ORDERS_KEY_UNIQUENESS,
+        "custs_decile_migration": Q._sql_custs_decile_migration(),
     }

@@ -7288,3 +7288,664 @@ def q_docs_ppjoin(sf_dir: str, threshold_micro: int = 500_000):
 def sql_docs_ppjoin(threshold_micro: int = 500_000) -> str:
     from ontoray.extras.dedup import sql_ppjoin_pairs
     return sql_ppjoin_pairs(threshold_micro=threshold_micro)
+
+
+# --- closeness centrality, type-share drift, LSH recall eval ----------------
+
+
+def q_kg_closeness_from(triples_dedup_ds, n_seeds: int = 4,
+                        max_hops: int = 4):
+    """Closeness centrality for the md5-chosen BFS probe concepts:
+    closeness = (reached − 1) / Σ hop-distances over each seed's ≤max_hops
+    neighborhood (the bounded-horizon Wasserman–Faust form) — rides the
+    multi_source_bfs frontier machinery unchanged, so the only new work is
+    a seed-vocabulary fold over the (seed, node, dist) table.  Exact
+    integer micro, division last; an isolated seed reports 0."""
+    import numpy as np
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.analytics import multi_source_bfs
+
+    bfs = multi_source_bfs(triples_dedup_ds, n_seeds=n_seeds,
+                           max_hops=max_hops)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "seed": batch.column("seed"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "dist": batch.column("dist")})
+
+    s = hash_aggregate(
+        bfs.map_batches(partial, batch_format="pyarrow"), ["seed"],
+        partial_aggs=[("one", "sum"), ("dist", "sum")],
+        aggs=[("one_sum", "sum"), ("dist_sum", "sum")],
+        rename={"one_sum_sum": "n_reached", "dist_sum_sum": "sum_dist"},
+        num_buckets=4)
+
+    def closeness(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_reached").to_numpy(zero_copy_only=False)
+        d = batch.column("sum_dist").to_numpy(zero_copy_only=False)
+        c = np.where(d > 0, 1_000_000 * (n - 1) // np.maximum(d, 1), 0)
+        return batch.append_column("closeness_micro",
+                                   pa.array(c.astype(np.int64)))
+
+    return s.map_batches(closeness, batch_format="pyarrow")
+
+
+SQL_KG_CLOSENESS = (
+    f"{_sql_triples_norm_ctes()}, "
+    "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst FROM tnorm), "
+    "und AS (SELECT src AS a, dst AS b FROM trip WHERE src <> dst "
+    "UNION SELECT dst, src FROM trip WHERE src <> dst), "
+    "unodes AS (SELECT DISTINCT a AS x FROM und), "
+    "seeds AS (SELECT x FROM unodes ORDER BY md5(x || ':bfs'), x LIMIT 4), "
+    "walk AS (SELECT x AS seed, x AS name, 0 AS dist FROM seeds "
+    "UNION SELECT w.seed, u.b, w.dist + 1 FROM walk w "
+    "JOIN und u ON u.a = w.name WHERE w.dist < 4), "
+    "d AS (SELECT seed, name, min(dist) AS dist FROM walk GROUP BY 1, 2), "
+    "s AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reached, "
+    "CAST(sum(dist) AS BIGINT) AS sum_dist FROM d GROUP BY 1) "
+    "SELECT seed, n_reached, sum_dist, CAST(CASE WHEN sum_dist = 0 THEN 0 "
+    "ELSE 1000000 * (n_reached - 1) // sum_dist END AS BIGINT) "
+    "AS closeness_micro FROM s")
+
+
+def q_events_type_share_drift(sf_dir: str):
+    """Day-over-day traffic-mix drift: each event type's share of the
+    day's events, joined against its previous-day share — the drift alarm
+    input for ingestion monitoring.  Output rows exist only where a
+    previous day exists (the YoY join pattern on the day index; day
+    granularity because this corpus spans one calendar month).
+
+    Scale shape: the corpus folds to the (day × type) vocabulary grid
+    two-phase; totals, shares and the shifted self-join all run on that
+    tiny grid."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "event_type": batch.column("event_type"), "d": d,
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    grid = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["event_type", "d"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n"},
+        num_buckets=4).materialize()
+
+    tot = hash_aggregate(
+        grid.map_batches(
+            lambda b: pa.table({"d": b.column("d"),
+                                "n": b.column("n")}),
+            batch_format="pyarrow"), ["d"],
+        partial_aggs=[("n", "sum")], aggs=[("n_sum", "sum")],
+        rename={"n_sum_sum": "tot"}, num_buckets=4)
+
+    shares = hash_join(grid, tot, "d", "d", right_cols=["tot"])
+
+    def share(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        t = batch.column("tot").to_numpy(zero_copy_only=False)
+        s = 1_000_000 * n // t
+        k = pc.binary_join_element_wise(
+            batch.column("event_type"),
+            pc.cast(batch.column("d"), pa.string()), "\x1f")
+        return pa.table({"event_type": batch.column("event_type"),
+                         "d": batch.column("d"),
+                         "share_ppm": pa.array(s, pa.int64()), "k": k})
+
+    cur = shares.map_batches(share, batch_format="pyarrow").materialize()
+
+    def next_key(batch: pa.Table) -> pa.Table:
+        nxt = pc.add(batch.column("d"), pa.scalar(1, pa.int64()))
+        k = pc.binary_join_element_wise(
+            batch.column("event_type"), pc.cast(nxt, pa.string()), "\x1f")
+        return pa.table({"kp": k, "prev_share_ppm": batch.column("share_ppm")})
+
+    prev = cur.map_batches(next_key, batch_format="pyarrow")
+    j = hash_join(cur, prev, "k", "kp", right_cols=["prev_share_ppm"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dl = pc.subtract(batch.column("share_ppm"),
+                         batch.column("prev_share_ppm"))
+        return pa.table({"event_type": batch.column("event_type"),
+                         "d": batch.column("d"),
+                         "share_ppm": batch.column("share_ppm"),
+                         "prev_share_ppm": batch.column("prev_share_ppm"),
+                         "delta_ppm": dl})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_TYPE_SHARE_DRIFT = (
+    "WITH g AS (SELECT event_type, "
+    "epoch_us(ts) // CAST(86400000000 AS BIGINT) AS d, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "t AS (SELECT d, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1), "
+    "s AS (SELECT g.event_type, g.d, "
+    "CAST(1000000 * g.n // t.tot AS BIGINT) AS share_ppm "
+    "FROM g JOIN t USING (d)) "
+    "SELECT c.event_type, c.d, c.share_ppm, p.share_ppm AS prev_share_ppm, "
+    "c.share_ppm - p.share_ppm AS delta_ppm FROM s c "
+    "JOIN s p ON p.event_type = c.event_type AND p.d = c.d - 1")
+
+
+def q_dedup_lsh_recall(sf_dir: str, threshold: float = 0.8):
+    """LSH quality referee: the MinHash-banded verified pairs measured
+    against the exact inverted-index ground truth at the SAME threshold —
+    recall quantifies what the 16-band/64-hash plan misses (banding is
+    probabilistic), precision confirms the verify step (1.0 by
+    construction, asserted by data not assumption).  The ann_recall_eval
+    pattern applied to the dedup family.
+
+    Scale shape: both pair pipelines are the production ones; the
+    comparison is a pair-key semi-join; only FIVE scalars reach the
+    driver."""
+    import ray.data as rd
+
+    from ontoray.extras.dedup import jaccard_pairs, minhash_dedup
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"pk": pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_a"), pa.string()),
+            pc.cast(batch.column("doc_b"), pa.string()), "\x1f")})
+
+    lsh_raw = minhash_dedup(ds, threshold=threshold)
+    if isinstance(lsh_raw, pa.Table):     # small/empty short path returns
+        lsh_raw = rd.from_arrow(lsh_raw)  # an Arrow table, not a Dataset
+    ex_raw = jaccard_pairs(ds, threshold=threshold)
+    if isinstance(ex_raw, pa.Table):
+        ex_raw = rd.from_arrow(ex_raw)
+    lsh = lsh_raw.map_batches(keyed, batch_format="pyarrow").materialize()
+    exact = ex_raw.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    n_lsh = lsh.count()
+    n_exact = exact.count()
+    n_common = hash_join(lsh, exact, "pk", "pk", how="left_semi").count()
+    rec = 1_000_000 * n_common // n_exact if n_exact else 0
+    prec = 1_000_000 * n_common // n_lsh if n_lsh else 0
+    return rd.from_arrow(pa.table({
+        "n_lsh": pa.array([n_lsh], pa.int64()),
+        "n_exact": pa.array([n_exact], pa.int64()),
+        "n_common": pa.array([n_common], pa.int64()),
+        "recall_micro": pa.array([rec], pa.int64()),
+        "precision_micro": pa.array([prec], pa.int64())}))
+
+
+def sql_dedup_lsh_recall(threshold: float = 0.8) -> str:
+    from ontoray.extras.dedup import sql_jaccard_pairs, sql_minhash_pairs
+    lsh = sql_minhash_pairs(threshold=threshold)
+    ex = sql_jaccard_pairs(threshold=threshold)
+    return (
+        "SELECT n_lsh, n_exact, n_common, "
+        "CAST(CASE WHEN n_exact = 0 THEN 0 ELSE "
+        "1000000 * n_common // n_exact END AS BIGINT) AS recall_micro, "
+        "CAST(CASE WHEN n_lsh = 0 THEN 0 ELSE "
+        "1000000 * n_common // n_lsh END AS BIGINT) AS precision_micro "
+        "FROM (SELECT "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ({lsh}) l) AS n_lsh, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ({ex}) e) AS n_exact, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ({lsh}) l "
+        f"JOIN ({ex}) e ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b) "
+        "AS n_common)")
+
+
+# --- lag-1 autocorrelation, supplier HHI ------------------------------------
+
+
+def q_events_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of daily event counts per type — the
+    persistence diagnostic behind traffic forecasting (corr ≈ 0 means
+    yesterday predicts nothing).  Exact integer moment partials through
+    grouped_corr; (today, tomorrow) pairs exist only where both days have
+    events (the sparse-grid join contract, spelled identically in SQL).
+
+    Scale shape: the corpus folds to the (type × day) grid two-phase; the
+    shifted self-join and the moment fold run on that tiny grid."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_corr
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "event_type": batch.column("event_type"), "d": d,
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    grid = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["event_type", "d"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n"},
+        num_buckets=4).materialize()
+
+    # x = the EARLIER day's count, y = the later (today) — a later-day row
+    # (key d) joins the earlier row shipped under key d+1, matching the
+    # mirror's p.n AS x / c.n AS y orientation exactly (corr is symmetric,
+    # the reported means are not).
+    def cur_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            batch.column("event_type"),
+            pc.cast(batch.column("d"), pa.string()), "\x1f")
+        return pa.table({"event_type": batch.column("event_type"),
+                         "y": batch.column("n"), "k": k})
+
+    def next_key(batch: pa.Table) -> pa.Table:
+        nxt = pc.add(batch.column("d"), pa.scalar(1, pa.int64()))
+        k = pc.binary_join_element_wise(
+            batch.column("event_type"), pc.cast(nxt, pa.string()), "\x1f")
+        return pa.table({"kp": k, "x": batch.column("n")})
+
+    cur = grid.map_batches(cur_key, batch_format="pyarrow")
+    prv = grid.map_batches(next_key, batch_format="pyarrow")
+    pairs = hash_join(cur, prv, "k", "kp", right_cols=["x"])
+    return grouped_corr(pairs, "event_type", "x", "y")
+
+
+def _sql_events_autocorr() -> str:
+    from ontoray.extras.quantiles import sql_grouped_corr
+    pairs = (
+        "(WITH g AS (SELECT event_type, "
+        "epoch_us(ts) // CAST(86400000000 AS BIGINT) AS d, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+        "SELECT p.event_type, p.n AS x, c.n AS y FROM g p "
+        "JOIN g c ON c.event_type = p.event_type AND c.d = p.d + 1) t")
+    return sql_grouped_corr(pairs, "event_type", "x", "y")
+
+
+def q_supplier_hhi(sf_dir: str):
+    """Supplier market concentration per nation: the Herfindahl–Hirschman
+    index over supplier revenue shares — hhi_ppm = 10^6·Σc_i² // (Σc_i)²,
+    ONE division at the end so the squared-share sum is exact (per-share
+    rounding would drift).  1e6/n_suppliers = perfectly even, 1e6 =
+    monopoly.
+
+    Scale shape: lineitem folds two-phase onto the (nation × supplier)
+    vocabulary grid (supplier nation attached by a broadcast-size
+    dimension join); the per-nation HHI fold runs in Python bigints over
+    the bounded grid (c² overflows int64 at corpus revenue — HUGEINT in
+    the mirror, arbitrary-precision here)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ext = pc.cast(batch.column("l_extendedprice"), pa.float64())
+        disc = pc.cast(batch.column("l_discount"), pa.float64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(ext, pc.subtract(pa.scalar(1.0), disc)),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"l_suppkey": batch.column("l_suppkey"),
+                         "cents": cents})
+
+    per_supp = hash_aggregate(
+        li.map_batches(derive, batch_format="pyarrow"), ["l_suppkey"],
+        partial_aggs=[("cents", "sum")], aggs=[("cents_sum", "sum")],
+        rename={"cents_sum_sum": "cents"})
+
+    j = hash_join(per_supp, sup, "l_suppkey", "s_suppkey",
+                  right_cols=["s_nationkey"])
+    j = hash_join(j, nat, "s_nationkey", "n_nationkey",
+                  right_cols=["n_name"])
+
+    def hhi(g: pa.Table) -> pa.Table:
+        cs = [int(c) for c in g.column("cents").to_pylist()]
+        tot = sum(cs)
+        sq = sum(c * c for c in cs)                 # Python bigints
+        ppm = 1_000_000 * sq // (tot * tot) if tot else 0
+        return pa.table({
+            "n_name": pa.array([g.column("n_name")[0].as_py()], pa.string()),
+            "n_suppliers": pa.array([len(cs)], pa.int64()),
+            "cents": pa.array([tot], pa.int64()),
+            "hhi_ppm": pa.array([ppm], pa.int64())})
+
+    return j.groupby("n_name").map_groups(hhi, batch_format="pyarrow")
+
+
+SQL_SUPPLIER_HHI = (
+    "WITH ps AS (SELECT l_suppkey, "
+    f"CAST(sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) "
+    "AS BIGINT) AS cents FROM lineitem GROUP BY 1), "
+    "g AS (SELECT n.n_name, ps.cents FROM ps "
+    "JOIN supplier s ON s.s_suppkey = ps.l_suppkey "
+    "JOIN nation n ON n.n_nationkey = s.s_nationkey) "
+    "SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers, "
+    "CAST(sum(cents) AS BIGINT) AS cents, "
+    "CAST(CASE WHEN sum(cents) = 0 THEN 0 ELSE "
+    "1000000 * sum(CAST(cents AS HUGEINT) * cents) "
+    "// (sum(CAST(cents AS HUGEINT)) * sum(CAST(cents AS HUGEINT))) END "
+    "AS BIGINT) AS hhi_ppm FROM g GROUP BY 1")
+
+
+# --- expectation suite, table profile ----------------------------------------
+
+
+def q_lineitem_expectations(sf_dir: str):
+    """Data-quality expectation suite over the biggest fact table — the
+    Great-Expectations-style validation pass every ingest runs: each rule
+    is a vectorized predicate folded to ONE violation count, all rules in
+    a single streaming pass (boolean columns share the scan).
+
+    Rules: discount ∈ [0, 1]; quantity > 0; extendedprice >= 0;
+    tax ∈ [0, 1]; shipdate non-null; returnflag ∈ {A, N, R}."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_discount", "l_quantity",
+                                  "l_extendedprice", "l_tax", "l_shipdate",
+                                  "l_returnflag"])
+
+    def violations(batch: pa.Table) -> pa.Table:
+        disc = batch.column("l_discount")
+        qty = batch.column("l_quantity")
+        ext = batch.column("l_extendedprice")
+        tax = batch.column("l_tax")
+        ship = batch.column("l_shipdate")
+        rf = batch.column("l_returnflag")
+        checks = [
+            ("discount_in_0_1", pc.or_(pc.less(disc, pa.scalar(0.0)),
+                                       pc.greater(disc, pa.scalar(1.0)))),
+            ("quantity_positive", pc.less_equal(qty, pa.scalar(0.0))),
+            ("price_nonnegative", pc.less(ext, pa.scalar(0.0))),
+            ("tax_in_0_1", pc.or_(pc.less(tax, pa.scalar(0.0)),
+                                  pc.greater(tax, pa.scalar(1.0)))),
+            ("shipdate_present", pc.is_null(ship)),
+            ("returnflag_domain", pc.invert(pc.is_in(
+                rf, value_set=pa.array(["A", "N", "R"], pa.string())))),
+        ]
+        rules, viol, rows = [], [], []
+        n = batch.num_rows
+        for name, mask in checks:
+            rules.append(name)
+            # null comparisons don't count as violations except the
+            # explicit is_null rule — fill false like SQL's CASE WHEN
+            viol.append(pc.sum(pc.fill_null(mask, False)).as_py() or 0)
+            rows.append(n)
+        return pa.table({
+            "rule": pa.array(rules, pa.string()),
+            "n_viol": pa.array(np.asarray(viol, dtype=np.int64)),
+            "n_rows": pa.array(np.asarray(rows, dtype=np.int64))})
+
+    return hash_aggregate(
+        ds.map_batches(violations, batch_format="pyarrow"), ["rule"],
+        aggs=[("n_viol", "sum"), ("n_rows", "sum")],
+        rename={"n_viol_sum": "n_viol", "n_rows_sum": "n_rows"},
+        num_buckets=4)
+
+
+SQL_LINEITEM_EXPECTATIONS = (
+    "WITH v AS (SELECT "
+    "CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS discount_in_0_1, "
+    "CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS quantity_positive, "
+    "CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS price_nonnegative, "
+    "CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS tax_in_0_1, "
+    "CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS shipdate_present, "
+    "CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') "
+    "OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS returnflag_domain, "
+    "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem) "
+    "SELECT u.rule, u.n_viol, v.n_rows FROM v, LATERAL (VALUES "
+    "('discount_in_0_1', v.discount_in_0_1), "
+    "('quantity_positive', v.quantity_positive), "
+    "('price_nonnegative', v.price_nonnegative), "
+    "('tax_in_0_1', v.tax_in_0_1), "
+    "('shipdate_present', v.shipdate_present), "
+    "('returnflag_domain', v.returnflag_domain)) AS u(rule, n_viol)")
+
+
+def q_docs_table_profile(sf_dir: str):
+    """TFDV-style column profile of the documents table: per column, row
+    count, null count, and EXACT distinct count — the schema-drift
+    fingerprint computed before every training run (embed_dim_stats is
+    the vector-column sibling).
+
+    Scale shape: nulls fold in one streaming pass; each column's distinct
+    count is its own two-phase vocabulary exchange (values collapse
+    per-batch first, so the exchange carries vocabularies, not rows)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def null_partial(batch: pa.Table) -> pa.Table:
+        names, nulls, rows = [], [], []
+        for c in cols:
+            names.append(c)
+            nulls.append(batch.column(c).null_count)
+            rows.append(batch.num_rows)
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "n_null": pa.array(np.asarray(nulls, dtype=np.int64)),
+            "n_rows": pa.array(np.asarray(rows, dtype=np.int64))})
+
+    base = hash_aggregate(
+        ds.map_batches(null_partial, batch_format="pyarrow"), ["col"],
+        aggs=[("n_null", "sum"), ("n_rows", "sum")],
+        rename={"n_null_sum": "n_null", "n_rows_sum": "n_rows"},
+        num_buckets=4).take_all()                    # 5 rows
+
+    import ray.data as rd2
+    distinct: dict[str, int] = {}
+    for c in cols:
+        def val_partial(batch: pa.Table, col=c) -> pa.Table:
+            v = pc.cast(batch.column(col), pa.string())
+            t = pa.table({"v": v}).filter(pc.is_valid(v))  # COUNT(DISTINCT)
+            return t.group_by(["v"]).aggregate([])         # excludes NULLs
+
+        dcount = hash_aggregate(
+            ds.select_columns([c]).map_batches(
+                val_partial, batch_format="pyarrow"), ["v"],
+            partial_aggs=[("v", "count")], aggs=[("v_count", "sum")],
+            rename={"v_count_sum": "__n"}).count()
+        distinct[c] = dcount
+
+    rows = sorted(base, key=lambda r: r["col"])
+    return rd2.from_arrow(pa.table({
+        "col": pa.array([r["col"] for r in rows], pa.string()),
+        "n_rows": pa.array([int(r["n_rows"]) for r in rows], pa.int64()),
+        "n_null": pa.array([int(r["n_null"]) for r in rows], pa.int64()),
+        "n_distinct": pa.array([distinct[r["col"]] for r in rows],
+                               pa.int64())}))
+
+
+SQL_DOCS_TABLE_PROFILE = (
+    "SELECT u.col, u.n_rows, u.n_null, u.n_distinct FROM (SELECT "
+    "CAST(count(*) AS BIGINT) AS nr, "
+    "CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z1, "
+    "CAST(count(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT) AS d1, "
+    "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z2, "
+    "CAST(count(DISTINCT CAST(text AS VARCHAR)) AS BIGINT) AS d2, "
+    "CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z3, "
+    "CAST(count(DISTINCT CAST(lang AS VARCHAR)) AS BIGINT) AS d3, "
+    "CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z4, "
+    "CAST(count(DISTINCT CAST(source AS VARCHAR)) AS BIGINT) AS d4, "
+    "CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z5,"
+    " CAST(count(DISTINCT CAST(n_chars AS VARCHAR)) AS BIGINT) AS d5 "
+    "FROM documents) v, LATERAL (VALUES "
+    "('doc_id', v.nr, v.z1, v.d1), ('text', v.nr, v.z2, v.d2), "
+    "('lang', v.nr, v.z3, v.d3), ('source', v.nr, v.z4, v.d4), "
+    "('n_chars', v.nr, v.z5, v.d5)) AS u(col, n_rows, n_null, n_distinct)")
+
+
+# --- key-uniqueness expectation, spend-decile migration ----------------------
+
+
+def q_orders_key_uniqueness(sf_dir: str):
+    """The uniqueness expectation — the one data-quality rule a single
+    streaming scan CANNOT check: primary-key duplicate detection over
+    o_orderkey via a two-phase count exchange.  Output is the one-row
+    verdict (n_rows, n_keys, n_dup_keys, n_dup_rows): n_dup_keys > 0 means
+    an upstream ingest replayed a partition."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column("o_orderkey"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    per_key = hash_aggregate(
+        ds.map_batches(ones, batch_format="pyarrow"), ["k"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n"})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array(["all"] * batch.num_rows, pa.string()),
+            "rows": batch.column("n"),
+            "keys": pa.array(np.ones(len(n), dtype=np.int64)),
+            "dup_keys": pa.array((n > 1).astype(np.int64)),
+            "dup_rows": pa.array(np.where(n > 1, n, 0).astype(np.int64))})
+
+    s = hash_aggregate(
+        per_key.map_batches(fold, batch_format="pyarrow"), ["g"],
+        partial_aggs=[("rows", "sum"), ("keys", "sum"), ("dup_keys", "sum"),
+                      ("dup_rows", "sum")],
+        aggs=[("rows_sum", "sum"), ("keys_sum", "sum"),
+              ("dup_keys_sum", "sum"), ("dup_rows_sum", "sum")],
+        rename={"rows_sum_sum": "n_rows", "keys_sum_sum": "n_keys",
+                "dup_keys_sum_sum": "n_dup_keys",
+                "dup_rows_sum_sum": "n_dup_rows"}, num_buckets=2)
+    return s.select_columns(["n_rows", "n_keys", "n_dup_keys", "n_dup_rows"])
+
+
+SQL_ORDERS_KEY_UNIQUENESS = (
+    "WITH pk AS (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY 1) "
+    "SELECT CAST(sum(n) AS BIGINT) AS n_rows, "
+    "CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys, "
+    "CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows "
+    "FROM pk")
+
+
+def q_custs_decile_migration(sf_dir: str):
+    """Spend-decile migration matrix: each customer's within-year spend
+    decile (ntile-by-VALUE — the deterministic grouped_quantile_buckets
+    contract) joined against their NEXT year's decile, folded to the
+    (dec_from × dec_to) transition grid — the rank-churn table behind
+    lifecycle marketing.
+
+    Scale shape: orders collapse to the (customer × year) grid two-phase;
+    decile cuts broadcast once per year; the migration join runs on
+    composite (cust, year+1) keys; the output grid is ≤100 rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_quantile_buckets
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("o_totalprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "c": batch.column("o_custkey"),
+            "y": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64()),
+            "cents": cents})
+
+    base = hash_aggregate(
+        orders.map_batches(derive, batch_format="pyarrow"), ["c", "y"],
+        partial_aggs=[("cents", "sum")], aggs=[("cents_sum", "sum")],
+        rename={"cents_sum_sum": "cents"}).materialize()
+
+    b = grouped_quantile_buckets(base, "y", "cents", "c").materialize()
+
+    def cur_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(batch.column("c"), pa.string()),
+            pc.cast(batch.column("y"), pa.string()), "\x1f")
+        return pa.table({"dec_from": batch.column("bucket"), "k": k})
+
+    def next_key(batch: pa.Table) -> pa.Table:
+        nxt = pc.add(batch.column("y"), pa.scalar(-1, pa.int64()))
+        k = pc.binary_join_element_wise(
+            pc.cast(batch.column("c"), pa.string()),
+            pc.cast(nxt, pa.string()), "\x1f")
+        return pa.table({"kp": k, "dec_to": batch.column("bucket")})
+
+    cur = b.map_batches(cur_key, batch_format="pyarrow")
+    nxt = b.map_batches(next_key, batch_format="pyarrow")
+    m = hash_join(cur, nxt, "k", "kp", right_cols=["dec_to"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "dec_from": batch.column("dec_from"),
+            "dec_to": batch.column("dec_to"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    return hash_aggregate(
+        m.map_batches(ones, batch_format="pyarrow"), ["dec_from", "dec_to"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_custs"}, num_buckets=4)
+
+
+def _sql_custs_decile_migration() -> str:
+    from ontoray.extras.quantiles import sql_grouped_quantile_buckets
+    inner = sql_grouped_quantile_buckets(
+        f"(SELECT o_custkey AS c, CAST(year(o_orderdate) AS BIGINT) AS y, "
+        f"CAST(sum({_CENTS.format(x='o_totalprice')}) AS BIGINT) AS cents "
+        "FROM orders GROUP BY 1, 2)", "y", "cents", "c")
+    return (
+        f"WITH b AS ({inner}) "
+        "SELECT a.bucket AS dec_from, z.bucket AS dec_to, "
+        "CAST(count(*) AS BIGINT) AS n_custs "
+        "FROM b a JOIN b z ON z.c = a.c AND z.y = a.y + 1 GROUP BY 1, 2")

@@ -413,3 +413,203 @@ class TestPpjoin:
                       .execute(sql_docs_ppjoin()).fetchall())
         assert got == want
         assert (0, 1, 3, 1000000) in got
+
+
+class TestClosenessDriftLshRecall:
+    def test_kg_closeness_path(self, ray_session):
+        import ray.data as rd
+        from ontoray.queries import q_kg_closeness_from
+        # path a-b-c, every node a seed (n_seeds=4 > 3 nodes):
+        # ends reach {self,1,2} -> 2*1e6//3; middle -> 2*1e6//2
+        triples = rd.from_arrow(pa.table({
+            "subj_norm": pa.array(["a", "b"], pa.string()),
+            "obj_norm": pa.array(["b", "c"], pa.string())}))
+        got = sorted(tuple(r.values()) for r in q_kg_closeness_from(
+            triples).to_pandas().to_dict("records"))
+        assert got == [("a", 3, 3, 666666), ("b", 3, 2, 1000000),
+                       ("c", 3, 3, 666666)]
+
+    def test_events_type_share_drift(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (SQL_EVENTS_TYPE_SHARE_DRIFT,
+                                     q_events_type_share_drift)
+        d1 = dt.datetime(2024, 1, 15, 9)
+        d2 = dt.datetime(2024, 1, 16, 9)
+        ev = pa.table({
+            "event_type": pa.array(["x", "x", "x", "y", "x", "y"],
+                                   pa.string()),
+            "ts": pa.array([d1, d1, d1, d1, d2, d2],
+                           pa.timestamp("us"))})
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_type_share_drift(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": ev})
+                      .execute(SQL_EVENTS_TYPE_SHARE_DRIFT).fetchall())
+        assert got == want
+        day2 = (d2 - dt.datetime(1970, 1, 1)).days
+        assert got == [("x", day2, 500000, 750000, -250000),
+                       ("y", day2, 500000, 250000, 250000)]
+
+    def test_dedup_lsh_recall(self, ray_session, tmp_path):
+        from ontoray.queries import q_dedup_lsh_recall, sql_dedup_lsh_recall
+        # one exact-duplicate pair: LSH must find it (identical signatures
+        # collide in every band) -> recall = precision = 1.0
+        t = "alpha beta gamma delta epsilon zeta"
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([t, t, "one two three four five six"],
+                             pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_dedup_lsh_recall(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_dedup_lsh_recall()).fetchall())
+        assert got == want
+        assert got == [(1, 1, 1, 1000000, 1000000)]
+
+
+class TestAutocorrHhi:
+    def test_events_autocorr(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import _sql_events_autocorr, q_events_autocorr
+        # type x daily counts 1,2,3,4 -> perfectly increasing, lag-1
+        # corr = 1.0; type y alternates 2,1,2,1 -> corr = -1.0
+        base = dt.datetime(2024, 1, 1)
+        rows_t, rows_ts = [], []
+        for day, n in enumerate([1, 2, 3, 4]):
+            for i in range(n):
+                rows_t.append("x")
+                rows_ts.append(base + dt.timedelta(days=day, minutes=i))
+        for day, n in enumerate([2, 1, 2, 1]):
+            for i in range(n):
+                rows_t.append("y")
+                rows_ts.append(base + dt.timedelta(days=day, minutes=i))
+        ev = pa.table({"event_type": pa.array(rows_t, pa.string()),
+                       "ts": pa.array(rows_ts, pa.timestamp("us"))})
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = {r["event_type"]: r for r in q_events_autocorr(
+            str(tmp_path)).to_pandas().to_dict("records")}
+        want = {r[0]: r for r in _duck({"events": ev})
+                .execute(_sql_events_autocorr()).fetchall()}
+        assert set(got) == set(want) == {"x", "y"}
+        for k in got:
+            assert got[k]["n"] == want[k][1] == 3
+            assert got[k]["corr"] == want[k][4]
+        assert got["x"]["corr"] == 1.0
+        assert got["y"]["corr"] == -1.0
+
+    def test_supplier_hhi(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_SUPPLIER_HHI, q_supplier_hhi
+        # NATION_7: one supplier -> monopoly 1e6;
+        # NATION_8: two equal suppliers -> 500000
+        supplier = pa.table({
+            "s_suppkey": pa.array([20, 21, 22], pa.int64()),
+            "s_name": pa.array(["s20", "s21", "s22"], pa.string()),
+            "s_nationkey": pa.array([0, 1, 1], pa.int64()),
+            "s_acctbal": pa.array([0.0, 0.0, 0.0])})
+        nation = pa.table({
+            "n_nationkey": pa.array([0, 1], pa.int64()),
+            "n_name": pa.array(["NATION_7", "NATION_8"], pa.string()),
+            "n_regionkey": pa.array([0, 0], pa.int64())})
+        lineitem = pa.table({
+            "l_suppkey": pa.array([20, 21, 22], pa.int64()),
+            "l_extendedprice": pa.array([10.0, 5.0, 5.0]),
+            "l_discount": pa.array([0.0, 0.0, 0.0])})
+        for name, tbl in [("supplier", supplier), ("nation", nation),
+                          ("lineitem", lineitem)]:
+            pq.write_table(tbl, str(tmp_path / f"{name}.parquet"))
+        got = sorted(tuple(r.values()) for r in q_supplier_hhi(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"supplier": supplier, "nation": nation,
+                             "lineitem": lineitem})
+                      .execute(SQL_SUPPLIER_HHI).fetchall())
+        assert got == want
+        assert got == [("NATION_7", 1, 1000, 1000000),
+                       ("NATION_8", 2, 1000, 500000)]
+
+
+class TestExpectationsProfile:
+    def test_lineitem_expectations(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (SQL_LINEITEM_EXPECTATIONS,
+                                     q_lineitem_expectations)
+        lineitem = pa.table({
+            "l_discount": pa.array([0.1, -0.2, 1.5, 0.0]),
+            "l_quantity": pa.array([1.0, 0.0, 2.0, 3.0]),
+            "l_extendedprice": pa.array([10.0, -1.0, 5.0, 5.0]),
+            "l_tax": pa.array([0.0, 0.0, 2.0, 0.5]),
+            "l_shipdate": pa.array(
+                [dt.datetime(2024, 1, 1), None,
+                 dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)],
+                pa.timestamp("us")),
+            "l_returnflag": pa.array(["A", "Z", "N", "R"], pa.string())})
+        pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+        got = sorted(tuple(r.values()) for r in q_lineitem_expectations(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"lineitem": lineitem})
+                      .execute(SQL_LINEITEM_EXPECTATIONS).fetchall())
+        assert got == want
+        assert got == [
+            ("discount_in_0_1", 2, 4), ("price_nonnegative", 1, 4),
+            ("quantity_positive", 1, 4), ("returnflag_domain", 1, 4),
+            ("shipdate_present", 1, 4), ("tax_in_0_1", 1, 4)]
+
+    def test_docs_table_profile(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_DOCS_TABLE_PROFILE,
+                                     q_docs_table_profile)
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["aa", "aa", None], pa.string()),
+            "lang": pa.array(["en", "de", "en"], pa.string()),
+            "source": pa.array(["s", "s", "s"], pa.string()),
+            "n_chars": pa.array([2, 2, None], pa.int64())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_table_profile(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_DOCS_TABLE_PROFILE).fetchall())
+        assert got == want
+        # NULL excluded from distinct on both sides (COUNT(DISTINCT))
+        assert got == [
+            ("doc_id", 3, 0, 3), ("lang", 3, 0, 2), ("n_chars", 3, 1, 1),
+            ("source", 3, 0, 1), ("text", 3, 1, 1)]
+
+
+class TestUniquenessMigration:
+    def test_orders_key_uniqueness(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_ORDERS_KEY_UNIQUENESS,
+                                     q_orders_key_uniqueness)
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 2, 3, 3, 3], pa.int64())})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = sorted(tuple(r.values()) for r in q_orders_key_uniqueness(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"orders": orders})
+                      .execute(SQL_ORDERS_KEY_UNIQUENESS).fetchall())
+        assert got == want
+        assert got == [(6, 3, 2, 5)]
+
+    def test_custs_decile_migration(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (_sql_custs_decile_migration,
+                                     q_custs_decile_migration)
+        # 1997: custs 1..3 spend 100/200/300 -> deciles 0/3/6 (3 values,
+        # lorenz-style value-ntile); 1998: cust 1 jumps to the top value,
+        # custs 2,3 shrink.  Matrix counts only custs present both years.
+        d97, d98 = dt.datetime(1997, 6, 1), dt.datetime(1998, 6, 1)
+        orders = pa.table({
+            "o_custkey": pa.array([1, 2, 3, 1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array([d97, d97, d97, d98, d98, d98],
+                                    pa.timestamp("us")),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0, 9.0, 1.0, 2.0])})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = sorted(tuple(r.values()) for r in q_custs_decile_migration(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"orders": orders})
+                      .execute(_sql_custs_decile_migration()).fetchall())
+        assert got == want
+        # every cust appears exactly once in the matrix
+        assert sum(r[2] for r in got) == 3
+        # cust 1 (bottom decile 1997) lands in the TOP decile of 1998
+        migr = {(r[0], r[1]) for r in got}
+        assert any(f == 0 and t >= 6 for f, t in migr)
