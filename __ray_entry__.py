@@ -401,6 +401,42 @@ def _q_multimodal_resize_plan(sf_dir: str):
     return resize_images(feats, target=256)
 
 
+def _q_multimodal_pack(sf_dir: str):
+    """Pixel-budget batch packing over the fake-decoded image dims — the
+    LM pack_sequences distributed prefix-sum shape on the media table."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ontoray.extras.multimodal import decode_images, pack_media
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([f"doc-{d}" for d in batch.column("doc_id").to_pylist()], pa.string()),
+            "payload": pa.array([t.encode() for t in batch.column("text").to_pylist()], pa.binary()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    feats = decode_images(ds.map_batches(to_payload, batch_format="pyarrow"), fake=True)
+    return pack_media(feats)
+
+
+def _q_multimodal_audio_bands(sf_dir: str):
+    """RMS tenth-band loudness histogram over the fake-decoded audio
+    features — exact dyadic-float band arithmetic both sides."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ontoray.extras.multimodal import audio_rms_bands, decode_audio
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pa.array([f"doc-{d}" for d in batch.column("doc_id").to_pylist()], pa.string()),
+            "payload": pa.array([t.encode() for t in batch.column("text").to_pylist()], pa.binary()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return audio_rms_bands(decode_audio(
+        ds.map_batches(to_payload, batch_format="pyarrow"), fake=True))
+
+
 def _q_multimodal_audio_features(sf_dir: str):
     """Audio-clip feature plumbing (deterministic fake decode: fake 16 kHz
     PCM16 duration + md5-derived RMS/clipping), exactly SQL-mirrored."""
@@ -765,6 +801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_table_profile": Q.q_docs_table_profile,
         "orders_key_uniqueness": Q.q_orders_key_uniqueness,
         "custs_decile_migration": Q.q_custs_decile_migration,
+        "multimodal_pack": _q_multimodal_pack,
+        "multimodal_audio_bands": _q_multimodal_audio_bands,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1044,4 +1082,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_table_profile": Q.SQL_DOCS_TABLE_PROFILE,
         "orders_key_uniqueness": Q.SQL_ORDERS_KEY_UNIQUENESS,
         "custs_decile_migration": Q._sql_custs_decile_migration(),
+        "multimodal_pack": __import__("ontoray.extras.multimodal", fromlist=["sql_pack_media"]).sql_pack_media(),
+        "multimodal_audio_bands": __import__("ontoray.extras.multimodal", fromlist=["sql_audio_rms_bands"]).sql_audio_rms_bands(),
     }

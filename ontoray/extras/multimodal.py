@@ -362,3 +362,145 @@ def decode_audio(ds, fake: bool = False, payload_col: str = "payload",
         DecodeAudio, fn_constructor_args=(fake, payload_col, key_col),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency))
+
+
+def pack_media(feats_ds, budget_px: int = 1 << 20, salt: str = "mpack1"):
+    """Pixel-budget batch packing for image training (the LM
+    ``pack_sequences`` shape applied to the decoded-feature table): images
+    are laid out in a DETERMINISTIC md5 order, per-image pixel counts
+    (width·height) prefix-sum along that order, and each image lands in
+    ``media_batch = px_start // budget_px`` — fixed-compute training
+    batches regardless of resolution mix.
+
+    Scale shape (same as pack_sequences): the md5 order key's top byte
+    forms 256 ordered buckets; per-bucket pixel sums cross ONE metadata
+    exchange; the driver cumsums ≤256 rows and broadcasts exclusive
+    offsets; each bucket lexsorts locally by (hash, url)."""
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hs = np.array([int.from_bytes(
+            hashlib.md5(f"{salt}:{u}".encode()).digest()[:8], "big")
+            for u in urls], dtype=np.uint64)
+        w = np.asarray(batch.column("width").to_pylist(), dtype=np.int64)
+        hgt = np.asarray(batch.column("height").to_pylist(), dtype=np.int64)
+        return pa.table({
+            "url": batch.column("url"),
+            "h": pa.array(hs, pa.uint64()),
+            "hb": pa.array((hs >> np.uint64(56)).astype(np.int64),
+                           pa.int64()),
+            "px": pa.array(w * hgt, pa.int64())})
+
+    derived = feats_ds.select_columns(["url", "width", "height"])\
+        .map_batches(derive, batch_format="pyarrow")
+
+    sums = hash_aggregate(
+        derived.select_columns(["hb", "px"]), ["hb"],
+        partial_aggs=[("px", "sum")], aggs=[("px_sum", "sum")],
+        rename={"px_sum_sum": "s"}, num_buckets=16).take_all()  # <=256 rows
+    sums.sort(key=lambda r: r["hb"])
+    offsets, acc = {}, 0
+    for r in sums:
+        offsets[r["hb"]] = acc
+        acc += r["s"]
+    off_ref = ray.put(offsets)
+
+    def scan(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)[g.column("hb")[0].as_py()]
+        urls = np.array(g.column("url").to_pylist())
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        px = g.column("px").to_numpy(zero_copy_only=False)
+        order = np.lexsort((urls, h))
+        starts = np.cumsum(px[order]) - px[order] + off
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        starts = starts[inv]
+        return pa.table({
+            "url": g.column("url"),
+            "px": pa.array(px, pa.int64()),
+            "px_start": pa.array(starts, pa.int64()),
+            "media_batch": pa.array(starts // budget_px, pa.int64())})
+
+    return (derived.repartition(default_coalesce())
+            .groupby("hb").map_groups(scan, batch_format="pyarrow"))
+
+
+def sql_pack_media(budget_px: int = 1 << 20, salt: str = "mpack1",
+                   table: str = "documents") -> str:
+    """DuckDB mirror of ``pack_media`` over the fake-decoded dims (the
+    sql_image_features width/height twiddles), window cumsum over the
+    identical md5 order."""
+    return f"""
+    WITH f AS (
+      SELECT 'doc-' || doc_id AS url,
+             (64 + ((('0x' || substr(md5(coalesce(text, '')), 1, 8))::UBIGINT)
+              & 1023))::BIGINT AS width,
+             (64 + ((('0x' || substr(md5(coalesce(text, '')), 1, 8))::UBIGINT
+              >> 10) & 1023))::BIGINT AS height
+      FROM {table}
+    ), t AS (
+      SELECT url, width * height AS px,
+             substr(md5('{salt}:' || url), 1, 16) AS h
+      FROM f
+    )
+    SELECT url, px::BIGINT AS px,
+           (sum(px) OVER (ORDER BY h, url ROWS UNBOUNDED PRECEDING)
+            - px)::BIGINT AS px_start,
+           ((sum(px) OVER (ORDER BY h, url ROWS UNBOUNDED PRECEDING)
+             - px) // {budget_px})::BIGINT AS media_batch
+    FROM t
+    """
+
+
+def audio_rms_bands(feats_ds):
+    """Loudness QA over the decoded-audio feature table: clip counts per
+    RMS tenth-band plus clipping totals and duration mass — the
+    level-distribution check before audio training (silent or clipped
+    bands mean a broken decode or level chain).
+
+    Band arithmetic is exact on both sides: rms is a dyadic float
+    (k/2^20 in float32), band = floor(CAST(rms AS DOUBLE) · 10) —
+    every step representable, no rounding-mode divergence."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rms = pc.cast(batch.column("rms"), pa.float64())
+        band = pc.cast(pc.floor(pc.multiply(rms, pa.scalar(10.0))),
+                       pa.int64())
+        clip = pc.cast(batch.column("clipping"), pa.int64())
+        return pa.table({
+            "rms_band": band,
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "n_clipping": clip,
+            "dur_ms": batch.column("duration_ms")})
+
+    return hash_aggregate(
+        feats_ds.map_batches(partial, batch_format="pyarrow"), ["rms_band"],
+        partial_aggs=[("one", "sum"), ("n_clipping", "sum"),
+                      ("dur_ms", "sum")],
+        aggs=[("one_sum", "sum"), ("n_clipping_sum", "sum"),
+              ("dur_ms_sum", "sum")],
+        rename={"one_sum_sum": "n_clips",
+                "n_clipping_sum_sum": "n_clipping",
+                "dur_ms_sum_sum": "dur_ms_sum"}, num_buckets=4)
+
+
+def sql_audio_rms_bands(table: str = "documents") -> str:
+    return f"""
+    WITH a AS ({sql_audio_features(table)})
+    SELECT CAST(floor(CAST(rms AS DOUBLE) * 10) AS BIGINT) AS rms_band,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(CASE WHEN clipping THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipping,
+           CAST(sum(duration_ms) AS BIGINT) AS dur_ms_sum
+    FROM a GROUP BY 1
+    """

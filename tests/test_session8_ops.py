@@ -613,3 +613,54 @@ class TestUniquenessMigration:
         # cust 1 (bottom decile 1997) lands in the TOP decile of 1998
         migr = {(r[0], r[1]) for r in got}
         assert any(f == 0 and t >= 6 for f, t in migr)
+
+
+class TestMultimodalPackBands:
+    def test_pack_media_prefix_sum(self, ray_session):
+        import hashlib
+        import ray.data as rd
+        from ontoray.extras.multimodal import pack_media
+        feats = rd.from_arrow(pa.table({
+            "url": pa.array(["u0", "u1", "u2"], pa.string()),
+            "width": pa.array([100, 200, 300], pa.int32()),
+            "height": pa.array([10, 20, 30], pa.int32())}))
+        rows = {r["url"]: r for r in pack_media(
+            feats, budget_px=5000).to_pandas().to_dict("records")}
+        # exclusive prefix sums along the md5 order, batches every 5000 px
+        order = sorted(rows, key=lambda u: (
+            hashlib.md5(f"mpack1:{u}".encode()).digest()[:8], u))
+        acc = 0
+        for u in order:
+            assert rows[u]["px_start"] == acc
+            assert rows[u]["media_batch"] == acc // 5000
+            acc += rows[u]["px"]
+        assert acc == 100 * 10 + 200 * 20 + 300 * 30
+
+    def test_multimodal_pack_mirror(self, ray_session, tmp_path):
+        from ontoray.extras.multimodal import sql_pack_media
+        import __ray_entry__ as entry
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma", "delta eps"],
+                             pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in entry._q_multimodal_pack(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_pack_media()).fetchall())
+        assert got == want
+
+    def test_multimodal_audio_bands(self, ray_session, tmp_path):
+        from ontoray.extras.multimodal import sql_audio_rms_bands
+        import __ray_entry__ as entry
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a", "bb", "ccc", "dddd"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in
+                     entry._q_multimodal_audio_bands(
+                         str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_audio_rms_bands()).fetchall())
+        assert got == want
+        assert sum(r[1] for r in got) == 4          # every clip banded
