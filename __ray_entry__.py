@@ -127,6 +127,12 @@ def _q_kg_closeness(sf_dir: str):
     return Q.q_kg_closeness_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_degree_gini(sf_dir: str):
+    """Gini coefficient of the concept-graph degree distribution — the
+    grouped_gini exact closed form under one key."""
+    return Q.q_kg_degree_gini_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Concept-importance PageRank over the extracted triple graph —
     iterative distributed graph analytics in exact int64 fixed-point (the
@@ -803,6 +809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_decile_migration": Q.q_custs_decile_migration,
         "multimodal_pack": _q_multimodal_pack,
         "multimodal_audio_bands": _q_multimodal_audio_bands,
+        "kg_degree_gini": _q_kg_degree_gini,
+        "lm_bigram_acc": Q.q_lm_bigram_acc,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1084,4 +1092,6 @@ def oracle_sql() -> dict[str, str]:
         "custs_decile_migration": Q._sql_custs_decile_migration(),
         "multimodal_pack": __import__("ontoray.extras.multimodal", fromlist=["sql_pack_media"]).sql_pack_media(),
         "multimodal_audio_bands": __import__("ontoray.extras.multimodal", fromlist=["sql_audio_rms_bands"]).sql_audio_rms_bands(),
+        "kg_degree_gini": Q._sql_kg_degree_gini(),
+        "lm_bigram_acc": Q.SQL_LM_BIGRAM_ACC,
     }

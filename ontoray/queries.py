@@ -7949,3 +7949,157 @@ def _sql_custs_decile_migration() -> str:
         "SELECT a.bucket AS dec_from, z.bucket AS dec_to, "
         "CAST(count(*) AS BIGINT) AS n_custs "
         "FROM b a JOIN b z ON z.c = a.c AND z.y = a.y + 1 GROUP BY 1, 2")
+
+
+# --- degree-distribution Gini, bigram-LM argmax accuracy ---------------------
+
+
+def q_kg_degree_gini_from(triples_dedup_ds):
+    """Inequality of the concept-graph degree distribution: the Gini
+    coefficient over node degrees — one number separating hub-dominated
+    scale-free growth (high) from flat co-mention noise (low), tracked per
+    build as a graph-health metric.
+
+    Scale shape: distinct edges two-phase, vocabulary-bounded degree fold,
+    then grouped_gini's exact closed form under the single 'all' key."""
+    import numpy as np
+
+    from ontoray.extras.quantiles import grouped_gini
+    from ontoray.stages.agg import hash_aggregate
+
+    def directed(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("subj_norm"),
+                         "v": batch.column("obj_norm")})
+
+    edges = hash_aggregate(
+        triples_dedup_ds.map_batches(directed, batch_format="pyarrow"),
+        ["u", "v"], partial_aggs=[("u", "count")],
+        aggs=[("u_count", "sum")], rename={"u_count_sum": "__n"})\
+        .select_columns(["u", "v"])
+    rev = edges.map_batches(
+        lambda b: pa.table({"u": b.column("v"), "v": b.column("u")}),
+        batch_format="pyarrow")
+    ue = hash_aggregate(
+        edges.union(rev), ["u", "v"], partial_aggs=[("u", "count")],
+        aggs=[("u_count", "sum")], rename={"u_count_sum": "__n"})\
+        .select_columns(["u", "v"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("u"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    deg = hash_aggregate(
+        ue.map_batches(ones, batch_format="pyarrow"), ["node"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "d"})
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array(["all"] * batch.num_rows, pa.string()),
+            "d": batch.column("d")})
+
+    return grouped_gini(deg.map_batches(keyed, batch_format="pyarrow"),
+                        "k", "d")
+
+
+def _sql_kg_degree_gini() -> str:
+    return (
+        f"{_sql_triples_norm_ctes()}, "
+        "e AS (SELECT DISTINCT subj_norm AS u, obj_norm AS v FROM tnorm), "
+        "ue AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e), "
+        "deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d "
+        "FROM ue GROUP BY 1), "
+        "r AS (SELECT 'all' AS k, d, "
+        "row_number() OVER (ORDER BY d) AS rn, "
+        "count(*) OVER () AS nn, sum(d) OVER () AS tot FROM deg) "
+        "SELECT k, CAST(max(nn) AS BIGINT) AS n, "
+        "CAST(max(tot) AS BIGINT) AS total, "
+        "CAST(1000000 * sum((2 * rn - nn - 1) * d) // (max(nn) * max(tot)) "
+        "AS BIGINT) AS gini_micro FROM r GROUP BY 1")
+
+
+def q_lm_bigram_acc(sf_dir: str):
+    """Bigram-LM argmax accuracy on its own training corpus — the
+    train→eval loop closed for the count LM: for every bigram occurrence,
+    is w2 the mode continuation of w1 (ties → lexicographically smallest,
+    the deterministic argmax)?  One row: (n_pairs, n_correct, acc_micro).
+
+    Scale shape: the bigram table folds two-phase (bigram_counts' combiner);
+    argmax-join-back is the parts_min_supplier pattern on the bigram
+    vocabulary; correctness mass comes from ONE pair-key join; three
+    scalars reach the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.textstats import bigram_counts
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    counts = bigram_counts(ds).select_columns(["w1", "w2", "n"])\
+        .materialize()
+
+    mx = hash_aggregate(
+        counts.map_batches(
+            lambda b: pa.table({"w1": b.column("w1"), "n": b.column("n")}),
+            batch_format="pyarrow"), ["w1"],
+        partial_aggs=[("n", "max")], aggs=[("n_max", "max")],
+        rename={"n_max_max": "mx"})
+
+    wm = hash_join(counts, mx, "w1", "w1", right_cols=["mx"])
+
+    def only_modes(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("n"), batch.column("mx")))
+        return pa.table({"w1": t.column("w1"), "w2": t.column("w2")})
+
+    pred = hash_aggregate(
+        wm.map_batches(only_modes, batch_format="pyarrow"), ["w1"],
+        partial_aggs=[("w2", "min")], aggs=[("w2_min", "min")],
+        rename={"w2_min_min": "pred"})
+
+    def pkey(batch: pa.Table) -> pa.Table:
+        return pa.table({"pk": pc.binary_join_element_wise(
+            batch.column("w1"), batch.column("pred"), "\x1f")})
+
+    def ckey(batch: pa.Table) -> pa.Table:
+        return pa.table({"pk": pc.binary_join_element_wise(
+            batch.column("w1"), batch.column("w2"), "\x1f"),
+            "n": batch.column("n")})
+
+    hits = hash_join(counts.map_batches(ckey, batch_format="pyarrow"),
+                     pred.map_batches(pkey, batch_format="pyarrow"),
+                     "pk", "pk", how="left_semi")
+
+    def tot_of(d) -> int:
+        return sum(r["t"] for r in d.map_batches(
+            lambda b: pa.table({"t": pa.array(
+                [pc.sum(b.column("n")).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow").take_all())
+
+    n_correct = tot_of(hits)
+    n_pairs = tot_of(counts)
+    acc = 1_000_000 * n_correct // n_pairs if n_pairs else 0
+    return rd.from_arrow(pa.table({
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "n_correct": pa.array([n_correct], pa.int64()),
+        "acc_micro": pa.array([acc], pa.int64())}))
+
+
+SQL_LM_BIGRAM_ACC = (
+    "WITH w AS (SELECT regexp_extract_all(text, '[a-z0-9]+') AS ws "
+    "FROM documents), "
+    "ix AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w), "
+    "c AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, "
+    "CAST(count(*) AS BIGINT) AS n FROM ix GROUP BY 1, 2), "
+    "m AS (SELECT w1, max(n) AS mx FROM c GROUP BY 1), "
+    "p AS (SELECT c.w1, min(c.w2) AS pred FROM c "
+    "JOIN m ON m.w1 = c.w1 AND c.n = m.mx GROUP BY 1), "
+    "corr AS (SELECT CAST(sum(c.n) AS BIGINT) AS nc FROM c "
+    "JOIN p ON p.w1 = c.w1 AND p.pred = c.w2), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c) "
+    "SELECT tot.nt AS n_pairs, corr.nc AS n_correct, "
+    "CAST(CASE WHEN tot.nt = 0 THEN 0 ELSE 1000000 * corr.nc // tot.nt END "
+    "AS BIGINT) AS acc_micro FROM corr, tot")

@@ -664,3 +664,59 @@ class TestMultimodalPackBands:
                       .execute(sql_audio_rms_bands()).fetchall())
         assert got == want
         assert sum(r[1] for r in got) == 4          # every clip banded
+
+
+class TestDegreeGiniBigramAcc:
+    def test_kg_degree_gini_star(self, ray_session):
+        import ray.data as rd
+        from ontoray.queries import q_kg_degree_gini_from
+        # star on 4 nodes: degrees 3,1,1,1 -> sorted 1,1,1,3;
+        # num = Σ(2rn-n-1)x = (-3-1+1)·1 + 3·3 = 6; gini = 1e6·6//(4·6)
+        triples = rd.from_arrow(pa.table({
+            "subj_norm": pa.array(["c", "c", "c"], pa.string()),
+            "obj_norm": pa.array(["a", "b", "d"], pa.string())}))
+        rows = q_kg_degree_gini_from(triples).to_pandas().to_dict("records")
+        assert rows == [{"k": "all", "n": 4, "total": 6,
+                         "gini_micro": 250000}]
+
+    def test_kg_degree_gini_regular(self, ray_session):
+        import ray.data as rd
+        from ontoray.queries import q_kg_degree_gini_from
+        # 3-cycle: all degrees equal -> gini 0
+        triples = rd.from_arrow(pa.table({
+            "subj_norm": pa.array(["a", "b", "c"], pa.string()),
+            "obj_norm": pa.array(["b", "c", "a"], pa.string())}))
+        r = q_kg_degree_gini_from(triples).to_pandas().to_dict("records")[0]
+        assert r["gini_micro"] == 0
+
+    def test_lm_bigram_acc(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_LM_BIGRAM_ACC, q_lm_bigram_acc
+        # bigrams: (a,b)x2, (a,c)x1, (b,a)x2, (c,a)x1  — doc "a b a b a c a"
+        # pred(a)=b (mode 2), pred(b)=a, pred(c)=a;
+        # correct mass = 2 + 2 + 1 = 5 of 6 pairs
+        docs = pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["a b a b a c a"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_lm_bigram_acc(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_LM_BIGRAM_ACC).fetchall())
+        assert got == want
+        assert got == [(6, 5, 833333)]
+
+    def test_lm_bigram_acc_tie_break(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_LM_BIGRAM_ACC, q_lm_bigram_acc
+        # (x,a) and (x,b) tie at 1 -> pred(x) = 'a' (lexicographic min);
+        # doc2's (x,b) occurrence is then wrong: 1 of 2 correct... plus
+        # trailing bigrams: "x a" has only (x,a); "x b" only (x,b)
+        docs = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["x a", "x b"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_lm_bigram_acc(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_LM_BIGRAM_ACC).fetchall())
+        assert got == want
+        assert got == [(2, 1, 500000)]
