@@ -811,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_bands": _q_multimodal_audio_bands,
         "kg_degree_gini": _q_kg_degree_gini,
         "lm_bigram_acc": Q.q_lm_bigram_acc,
+        "join_size_est": Q.q_join_size_est,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1094,4 +1095,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_bands": __import__("ontoray.extras.multimodal", fromlist=["sql_audio_rms_bands"]).sql_audio_rms_bands(),
         "kg_degree_gini": Q._sql_kg_degree_gini(),
         "lm_bigram_acc": Q.SQL_LM_BIGRAM_ACC,
+        "join_size_est": Q.sql_join_size_est(),
     }

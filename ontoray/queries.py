@@ -8103,3 +8103,100 @@ SQL_LM_BIGRAM_ACC = (
     "SELECT tot.nt AS n_pairs, corr.nc AS n_correct, "
     "CAST(CASE WHEN tot.nt = 0 THEN 0 ELSE 1000000 * corr.nc // tot.nt END "
     "AS BIGINT) AS acc_micro FROM corr, tot")
+
+
+# --- sketch join-size estimator ----------------------------------------------
+
+
+def q_join_size_est(sf_dir: str, d: int = 4, w: int = 1024):
+    """Join-cardinality estimation — the AGMS/count-min inner-product
+    estimator (Alon-Gibbons-Matias-Szegedy / Cormode-Muthukrishnan):
+    |orders ⋈ lineitem on orderkey| ≈ min_i Σ_j cmsA[i,j]·cmsB[i,j],
+    measured against the exact size — the planner-statistics referee, and
+    the estimator a 100-TB optimizer would consult instead of scanning.
+
+    Scale shape: each side folds to its d×w sketch (the exchange is
+    sketch-sized regardless of input); the exact side is two per-key count
+    folds + ONE partitioned join + a scalar product fold.  Estimate error
+    is one-sided (CMS overestimates): err_ppm >= 0 by construction."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.sketches import cms_sketch
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+
+    # --- exact ---------------------------------------------------------
+    def ones(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": batch.column(col),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+        return fn
+
+    na = hash_aggregate(
+        orders.map_batches(ones("o_orderkey"), batch_format="pyarrow"),
+        ["k"], partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "na"})
+    nb = hash_aggregate(
+        li.map_batches(ones("l_orderkey"), batch_format="pyarrow"),
+        ["k"], partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "nb"})
+    j = hash_join(na, nb.map_batches(
+        lambda b: pa.table({"kb": b.column("k"), "nb": b.column("nb")}),
+        batch_format="pyarrow"), "k", "kb", right_cols=["nb"])
+
+    def prod_fold(batch: pa.Table) -> pa.Table:
+        p = pc.multiply(batch.column("na"), batch.column("nb"))
+        return pa.table({"t": pa.array([pc.sum(p).as_py() or 0], pa.int64())})
+
+    exact = sum(r["t"] for r in j.map_batches(
+        prod_fold, batch_format="pyarrow").take_all())
+
+    # --- estimate (sketch-bounded driver fold) --------------------------
+    def to_grid(sk) -> np.ndarray:
+        g = np.zeros((d, w), dtype=np.int64)
+        for r in sk.take_all():                       # <= d*w rows
+            g[r["i"], r["j"]] = r["c"]
+        return g
+
+    ga = to_grid(cms_sketch(orders, "o_orderkey", d, w))
+    gb = to_grid(cms_sketch(li, "l_orderkey", d, w))
+    est = int(min(int((ga[i].astype(object) * gb[i].astype(object)).sum())
+                  for i in range(d)))
+    err = 1_000_000 * (est - exact) // exact if exact else 0
+    return rd.from_arrow(pa.table({
+        "exact_size": pa.array([exact], pa.int64()),
+        "est_size": pa.array([est], pa.int64()),
+        "err_ppm": pa.array([err], pa.int64())}))
+
+
+def sql_join_size_est(d: int = 4, w: int = 1024) -> str:
+    def cms(table: str, key: str) -> str:
+        return (
+            f"SELECT di.i, ('0x' || substr(md5(CAST(di.i AS VARCHAR) || ':' "
+            f"|| CAST({key} AS VARCHAR)), 1, 15))::BIGINT % {w} AS j, "
+            f"CAST(count(*) AS BIGINT) AS c FROM {table} CROSS JOIN "
+            f"(SELECT unnest(range(0, {d})) AS i) di GROUP BY 1, 2")
+    return (
+        f"WITH ca AS ({cms('orders', 'o_orderkey')}), "
+        f"cb AS ({cms('lineitem', 'l_orderkey')}), "
+        "est AS (SELECT CAST(min(s) AS BIGINT) AS est_size FROM ("
+        "SELECT a.i, sum(a.c * b.c) AS s FROM ca a "
+        "JOIN cb b ON b.i = a.i AND b.j = a.j GROUP BY 1)), "
+        "xa AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na "
+        "FROM orders GROUP BY 1), "
+        "xb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb "
+        "FROM lineitem GROUP BY 1), "
+        "ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_size "
+        "FROM xa JOIN xb USING (k)) "
+        "SELECT ex.exact_size, est.est_size, "
+        "CAST(CASE WHEN ex.exact_size = 0 THEN 0 ELSE "
+        "1000000 * (est.est_size - ex.exact_size) // ex.exact_size END "
+        "AS BIGINT) AS err_ppm FROM ex, est")

@@ -720,3 +720,26 @@ class TestDegreeGiniBigramAcc:
                       .execute(SQL_LM_BIGRAM_ACC).fetchall())
         assert got == want
         assert got == [(2, 1, 500000)]
+
+
+class TestJoinSizeEst:
+    def test_join_size_est(self, ray_session, tmp_path):
+        from ontoray.queries import q_join_size_est, sql_join_size_est
+        # keys 1 (1x2), 2 (2x1), 3 orders-only -> exact 1*2 + 2*1 = 4
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 2, 3], pa.int64())})
+        lineitem = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64())})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+        got = sorted(tuple(r.values()) for r in q_join_size_est(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"orders": orders, "lineitem": lineitem})
+                      .execute(sql_join_size_est()).fetchall())
+        assert got == want
+        (exact, est, err), = got
+        assert exact == 4
+        assert est >= exact                         # CMS one-sided error
+        assert err >= 0
+        # 3 distinct keys in 1024 buckets: collisions vanishingly unlikely
+        assert est == 4 and err == 0
