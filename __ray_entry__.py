@@ -812,6 +812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_gini": _q_kg_degree_gini,
         "lm_bigram_acc": Q.q_lm_bigram_acc,
         "join_size_est": Q.q_join_size_est,
+        "lineitem_shipdelay_quantiles": Q.q_lineitem_shipdelay_quantiles,
+        "docs_vocab_drift": Q.q_docs_vocab_drift,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1096,4 +1098,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_gini": Q._sql_kg_degree_gini(),
         "lm_bigram_acc": Q.SQL_LM_BIGRAM_ACC,
         "join_size_est": Q.sql_join_size_est(),
+        "lineitem_shipdelay_quantiles": Q.SQL_LINEITEM_SHIPDELAY_QUANTILES,
+        "docs_vocab_drift": Q.sql_docs_vocab_drift(),
     }

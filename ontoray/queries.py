@@ -8200,3 +8200,162 @@ def sql_join_size_est(d: int = 4, w: int = 1024) -> str:
         "CAST(CASE WHEN ex.exact_size = 0 THEN 0 ELSE "
         "1000000 * (est.est_size - ex.exact_size) // ex.exact_size END "
         "AS BIGINT) AS err_ppm FROM ex, est")
+
+
+# --- ship-delay SLA percentiles, vocabulary drift ----------------------------
+
+
+def q_lineitem_shipdelay_quantiles(sf_dir: str):
+    """Fulfilment-SLA latency percentiles: p50/p90/p99 of whole-day ship
+    delay (l_shipdate − o_orderdate) per order priority — the latency-SLO
+    table every ops dashboard carries, here over the biggest fact join.
+
+    Scale shape: ONE partitioned hash join attaches the order date; delays
+    collapse to a per-priority day histogram before anything shuffles
+    (grouped_quantiles_disc contract); the mirror's quantile_disc equals
+    the engine's integer rank cut."""
+    from fractions import Fraction
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.quantiles import grouped_quantiles_disc
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                  right_cols=["o_orderdate", "o_orderpriority"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64())
+        od = pc.cast(batch.column("o_orderdate"), pa.int64())
+        days = pc.divide(pc.subtract(ship, od),
+                         pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                         "delay_days": days})
+
+    qs = {"p50": Fraction(1, 2), "p90": Fraction(9, 10),
+          "p99": Fraction(99, 100)}
+    return grouped_quantiles_disc(
+        j.map_batches(derive, batch_format="pyarrow"),
+        "o_orderpriority", "delay_days", qs)
+
+
+SQL_LINEITEM_SHIPDELAY_QUANTILES = (
+    "WITH d AS (SELECT o.o_orderpriority, "
+    "(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) "
+    "// CAST(86400000000 AS BIGINT) AS delay_days "
+    "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey) "
+    "SELECT o_orderpriority, "
+    "CAST(quantile_disc(delay_days, 0.5) AS BIGINT) AS p50, "
+    "CAST(quantile_disc(delay_days, 0.9) AS BIGINT) AS p90, "
+    "CAST(quantile_disc(delay_days, 0.99) AS BIGINT) AS p99 "
+    "FROM d GROUP BY 1")
+
+
+def q_docs_vocab_drift(sf_dir: str, k: int = 20):
+    """Vocabulary drift between two deterministic md5 halves of the corpus
+    (the A/B shadow every ingest-drift monitor runs): per-token document
+    frequencies in each half, divergence scored by the integer
+    cross-multiplication |df_a·N_b − df_b·N_a| (no ratios, no logs — one
+    comparison, exact), top-k most-divergent tokens.  int64-safe to ~2e9
+    docs per half (df·N < 2^63); beyond that the fold widens to HUGEINT /
+    Python int — documented, same bound family as renyi2.
+
+    Scale shape: distinct (half, token, doc) collapses per batch; df folds
+    two-phase on the token vocabulary; the halves join token-partitioned;
+    top-k is a distributed sort + limit on the vocabulary table."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    import re
+    rx = re.compile(r"[a-z0-9]+")
+
+    def halves(batch: pa.Table) -> pa.Table:
+        from ontoray.extras.sketches import _md5_int60
+        ids = batch.column("doc_id").to_pylist()
+        hv = _md5_int60(ids) % 2
+        toks, hs = [], []
+        for h, t in zip(hv.tolist(), batch.column("text").to_pylist()):
+            for w in set(rx.findall(t)):
+                toks.append(w)
+                hs.append(h)
+        return pa.table({"half": pa.array(np.asarray(hs, dtype=np.int64)),
+                         "w": pa.array(toks, pa.string()),
+                         "one": pa.array(np.ones(len(hs), dtype=np.int64))})
+
+    df = hash_aggregate(
+        ds.map_batches(halves, batch_format="pyarrow"), ["half", "w"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "df"}).materialize()
+
+    def docs_per_half(batch: pa.Table) -> pa.Table:
+        from ontoray.extras.sketches import _md5_int60
+        ids = batch.column("doc_id").to_pylist()
+        hv = _md5_int60(ids) % 2
+        return pa.table({
+            "half": pa.array(hv.astype(np.int64)),
+            "one": pa.array(np.ones(len(ids), dtype=np.int64))})
+
+    sizes = {r["half"]: int(r["n"]) for r in hash_aggregate(
+        ds.select_columns(["doc_id"]).map_batches(
+            docs_per_half, batch_format="pyarrow"), ["half"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n"}, num_buckets=2).take_all()}
+    na, nb = sizes.get(0, 0), sizes.get(1, 0)
+
+    a = df.filter(expr="half == 0").map_batches(
+        lambda b: pa.table({"w": b.column("w"), "df_a": b.column("df")}),
+        batch_format="pyarrow")
+    b = df.filter(expr="half == 1").map_batches(
+        lambda t: pa.table({"wb": t.column("w"), "df_b": t.column("df")}),
+        batch_format="pyarrow")
+    j = hash_join(a, b, "w", "wb", how="full_outer", right_cols=["df_b"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        da = pc.fill_null(batch.column("df_a"), 0)
+        db_ = pc.fill_null(batch.column("df_b"), 0)
+        s = pc.abs(pc.subtract(
+            pc.multiply(da, pa.scalar(nb, pa.int64())),
+            pc.multiply(db_, pa.scalar(na, pa.int64()))))
+        return pa.table({"token": batch.column("w"), "df_a": da,
+                         "df_b": db_, "score": s})
+
+    return (j.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "token"], descending=[True, False]).limit(k))
+
+
+def sql_docs_vocab_drift(k: int = 20) -> str:
+    from ontoray.extras.sketches import sql_md5_int60
+    h = f"({sql_md5_int60('CAST(doc_id AS VARCHAR)')} % 2)"
+    return (
+        f"WITH hd AS (SELECT doc_id, {h} AS half, text FROM documents), "
+        "tok AS (SELECT DISTINCT half, doc_id, "
+        "unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM hd), "
+        "df AS (SELECT half, w, CAST(count(*) AS BIGINT) AS df "
+        "FROM tok GROUP BY 1, 2), "
+        "sz AS (SELECT half, CAST(count(*) AS BIGINT) AS n "
+        "FROM hd GROUP BY 1), "
+        "a AS (SELECT w, df AS df_a FROM df WHERE half = 0), "
+        "b AS (SELECT w, df AS df_b FROM df WHERE half = 1), "
+        "j AS (SELECT coalesce(a.w, b.w) AS token, "
+        "coalesce(a.df_a, 0) AS df_a, coalesce(b.df_b, 0) AS df_b "
+        "FROM a FULL OUTER JOIN b ON b.w = a.w) "
+        "SELECT token, df_a, df_b, "
+        "CAST(abs(df_a * (SELECT coalesce(max(n), 0) FROM sz WHERE half = 1)"
+        " - df_b * (SELECT coalesce(max(n), 0) FROM sz WHERE half = 0)) "
+        "AS BIGINT) AS score FROM j "
+        f"ORDER BY score DESC, token LIMIT {k}")

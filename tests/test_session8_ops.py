@@ -743,3 +743,54 @@ class TestJoinSizeEst:
         assert err >= 0
         # 3 distinct keys in 1024 buckets: collisions vanishingly unlikely
         assert est == 4 and err == 0
+
+
+class TestShipdelayVocabDrift:
+    def test_lineitem_shipdelay_quantiles(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (SQL_LINEITEM_SHIPDELAY_QUANTILES,
+                                     q_lineitem_shipdelay_quantiles)
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array([dt.datetime(1997, 1, 1)] * 2,
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string())})
+        lineitem = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_shipdate": pa.array(
+                [dt.datetime(1997, 1, 11), dt.datetime(1997, 2, 10),
+                 dt.datetime(1997, 1, 6)], pa.timestamp("us"))})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+        got = sorted(tuple(r.values()) for r in
+                     q_lineitem_shipdelay_quantiles(
+                         str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"orders": orders, "lineitem": lineitem})
+                      .execute(SQL_LINEITEM_SHIPDELAY_QUANTILES).fetchall())
+        assert got == want
+        # URGENT delays {10, 40}: disc-quantile p50=10, p90=p99=40
+        assert got == [("1-URGENT", 10, 40, 40), ("2-HIGH", 5, 5, 5)]
+
+    def test_docs_vocab_drift(self, ray_session, tmp_path):
+        from ontoray.extras.sketches import _md5_int60
+        from ontoray.queries import q_docs_vocab_drift, sql_docs_vocab_drift
+        # find one doc id in each md5 half so both halves are non-empty
+        ids = list(range(20))
+        hv = (_md5_int60(ids) % 2).tolist()
+        a = next(i for i in ids if hv[i] == 0)
+        b = next(i for i in ids if hv[i] == 1)
+        docs = pa.table({
+            "doc_id": pa.array([a, b], pa.int64()),
+            "text": pa.array(["common onlya", "common onlyb"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_vocab_drift(
+            str(tmp_path), k=5).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_docs_vocab_drift(k=5)).fetchall())
+        assert got == want
+        rows = {r[0]: r for r in got}
+        # 'common' in both halves (df 1/1, sizes 1/1) -> score 0;
+        # each exclusive token scores 1
+        assert rows["common"][3] == 0
+        assert rows["onlya"] == ("onlya", 1, 0, 1)
+        assert rows["onlyb"] == ("onlyb", 0, 1, 1)
