@@ -814,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_est": Q.q_join_size_est,
         "lineitem_shipdelay_quantiles": Q.q_lineitem_shipdelay_quantiles,
         "docs_vocab_drift": Q.q_docs_vocab_drift,
+        "events_rolling_p90": Q.q_events_rolling_p90,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1100,4 +1101,5 @@ def oracle_sql() -> dict[str, str]:
         "join_size_est": Q.sql_join_size_est(),
         "lineitem_shipdelay_quantiles": Q.SQL_LINEITEM_SHIPDELAY_QUANTILES,
         "docs_vocab_drift": Q.sql_docs_vocab_drift(),
+        "events_rolling_p90": Q.SQL_EVENTS_ROLLING_P90,
     }

@@ -8359,3 +8359,86 @@ def sql_docs_vocab_drift(k: int = 20) -> str:
         " - df_b * (SELECT coalesce(max(n), 0) FROM sz WHERE half = 0)) "
         "AS BIGINT) AS score FROM j "
         f"ORDER BY score DESC, token LIMIT {k}")
+
+
+# --- rolling windowed percentile ---------------------------------------------
+
+
+def q_events_rolling_p90(sf_dir: str, window_days: int = 7):
+    """Rolling p90 latency/value percentile per event type over a trailing
+    7-day window — the SLO burn-down curve: for each (type, day), the exact
+    discrete p90 of every raw value in days [d−6, d].
+
+    Scale shape: raw values collapse to per-(type, day) CENTS HISTOGRAMS
+    per batch, so the exchange carries (type × day × distinct-cents) rows,
+    never events; each type's day-sorted histogram sequence merges its
+    trailing window per day inside ONE map_groups (calendar-bounded).
+    p90 = value at 1-based sorted rank ceil(0.9·n) — the repo's
+    quantile_disc integer rank contract."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("value"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"),
+                         "d": d, "c": c,
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 dtype=np.int64))})
+
+    hist = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["event_type", "d", "c"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n"},
+        num_buckets=8)
+
+    def roll(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")[0].as_py()
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        by_day: dict[int, dict[int, int]] = {}
+        for di, ci, ni in zip(d.tolist(), c.tolist(), n.tolist()):
+            by_day.setdefault(di, {})[ci] = ni
+        days = sorted(by_day)
+        out_d, out_p = [], []
+        for di in days:
+            merged: dict[int, int] = {}
+            for w in range(di - window_days + 1, di + 1):
+                for ci, ni in by_day.get(w, {}).items():
+                    merged[ci] = merged.get(ci, 0) + ni
+            tot = sum(merged.values())
+            rank = (9 * tot + 9) // 10            # ceil(0.9 * tot)
+            acc = 0
+            for ci in sorted(merged):
+                acc += merged[ci]
+                if acc >= rank:
+                    out_d.append(di)
+                    out_p.append(ci)
+                    break
+        return pa.table({
+            "event_type": pa.array([et] * len(out_d), pa.string()),
+            "d": pa.array(out_d, pa.int64()),
+            "p90_cents": pa.array(out_p, pa.int64())})
+
+    return hist.groupby("event_type").map_groups(roll,
+                                                 batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING_P90 = (
+    "WITH e AS (SELECT event_type, "
+    "epoch_us(ts) // CAST(86400000000 AS BIGINT) AS d, "
+    "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events) "
+    "SELECT DISTINCT event_type, d, "
+    "CAST(quantile_disc(c, 0.9) OVER (PARTITION BY event_type ORDER BY d "
+    "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS p90_cents "
+    "FROM e")

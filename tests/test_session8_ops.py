@@ -794,3 +794,29 @@ class TestShipdelayVocabDrift:
         assert rows["common"][3] == 0
         assert rows["onlya"] == ("onlya", 1, 0, 1)
         assert rows["onlyb"] == ("onlyb", 0, 1, 1)
+
+
+class TestRollingP90:
+    def test_events_rolling_p90(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (SQL_EVENTS_ROLLING_P90,
+                                     q_events_rolling_p90)
+        base = dt.datetime(2024, 1, 1)
+        # day0: {0.10, 0.20} -> p90 rank ceil(1.8)=2 -> 20c;
+        # day1 window {10,20,30} -> 30c;
+        # day8: window is days 2..8 -> only {0.05} -> 5c
+        ev = pa.table({
+            "event_type": pa.array(["a"] * 4, pa.string()),
+            "ts": pa.array([base, base + dt.timedelta(hours=1),
+                            base + dt.timedelta(days=1),
+                            base + dt.timedelta(days=8)],
+                           pa.timestamp("us")),
+            "value": pa.array([0.10, 0.20, 0.30, 0.05])})
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_rolling_p90(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": ev})
+                      .execute(SQL_EVENTS_ROLLING_P90).fetchall())
+        assert got == want
+        d0 = (base - dt.datetime(1970, 1, 1)).days
+        assert got == [("a", d0, 20), ("a", d0 + 1, 30), ("a", d0 + 8, 5)]
