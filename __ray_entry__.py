@@ -815,6 +815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_shipdelay_quantiles": Q.q_lineitem_shipdelay_quantiles,
         "docs_vocab_drift": Q.q_docs_vocab_drift,
         "events_rolling_p90": Q.q_events_rolling_p90,
+        "embed_knn_acc": Q.q_embed_knn_acc,
+        "ann_rrf": Q.q_ann_rrf,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1102,4 +1104,6 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_shipdelay_quantiles": Q.SQL_LINEITEM_SHIPDELAY_QUANTILES,
         "docs_vocab_drift": Q.sql_docs_vocab_drift(),
         "events_rolling_p90": Q.SQL_EVENTS_ROLLING_P90,
+        "embed_knn_acc": Q.sql_embed_knn_acc(),
+        "ann_rrf": Q.sql_ann_rrf("/root/testdata/sf0.01"),
     }

@@ -8442,3 +8442,180 @@ SQL_EVENTS_ROLLING_P90 = (
     "CAST(quantile_disc(c, 0.9) OVER (PARTITION BY event_type ORDER BY d "
     "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS p90_cents "
     "FROM e")
+
+
+# --- kNN-classifier accuracy, reciprocal-rank fusion -------------------------
+
+
+def q_embed_knn_acc(sf_dir: str, k: int = 5):
+    """kNN-classifier evaluation over the labeled embedding table: each
+    vector's label predicted by the majority of its k=5 exact-cosine
+    neighbors (tie → smallest label), scored per TRUE label — the
+    embedding-quality probe (low acc = labels not linearly clustered).
+
+    Scale shape: the kNN graph is the knn_graph broadcast-matmul build
+    (vocabulary-bounded contract); labels attach by partitioned join;
+    mode = argmax-join-back on the (vec × label) grid; the verdict fold is
+    label-vocabulary-bounded."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.extras.ann import knn_graph
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    labels = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "label"])
+
+    def lab64(batch: pa.Table) -> pa.Table:
+        return pa.table({"lv": batch.column("vec_id"),
+                         "lab": pc.cast(batch.column("label"), pa.int64())})
+
+    lab = labels.map_batches(lab64, batch_format="pyarrow").materialize()
+    knn = knn_graph(emb, k=k)
+    j = hash_join(knn.select_columns(["vec_id", "nbr_id"]), lab,
+                  "nbr_id", "lv", right_cols=["lab"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": batch.column("vec_id"), "lab": batch.column("lab"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    cnt = hash_aggregate(
+        j.map_batches(ones, batch_format="pyarrow"), ["vec_id", "lab"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n"}).materialize()
+
+    mx = hash_aggregate(
+        cnt.map_batches(
+            lambda b: pa.table({"vec_id": b.column("vec_id"),
+                                "n": b.column("n")}),
+            batch_format="pyarrow"), ["vec_id"],
+        partial_aggs=[("n", "max")], aggs=[("n_max", "max")],
+        rename={"n_max_max": "mx"})
+    wm = hash_join(cnt, mx, "vec_id", "vec_id", right_cols=["mx"])
+
+    def modes(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("n"), batch.column("mx")))
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "lab": t.column("lab")})
+
+    pred = hash_aggregate(
+        wm.map_batches(modes, batch_format="pyarrow"), ["vec_id"],
+        partial_aggs=[("lab", "min")], aggs=[("lab_min", "min")],
+        rename={"lab_min_min": "pred"})
+
+    pt = hash_join(pred, lab, "vec_id", "lv", right_cols=["lab"])
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        ok = pc.cast(pc.equal(batch.column("pred"), batch.column("lab")),
+                     pa.int64())
+        return pa.table({
+            "label": batch.column("lab"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "ok": ok})
+
+    s = hash_aggregate(
+        pt.map_batches(verdict, batch_format="pyarrow"), ["label"],
+        partial_aggs=[("one", "sum"), ("ok", "sum")],
+        aggs=[("one_sum", "sum"), ("ok_sum", "sum")],
+        rename={"one_sum_sum": "n", "ok_sum_sum": "n_correct"},
+        num_buckets=4)
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        c = batch.column("n_correct").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "acc_micro", pa.array(1_000_000 * c // n, pa.int64()))
+
+    return s.map_batches(ratio, batch_format="pyarrow")
+
+
+def sql_embed_knn_acc(k: int = 5) -> str:
+    from ontoray.extras.ann import sql_knn_graph
+    return (
+        f"WITH knn AS ({sql_knn_graph(k)}), "
+        "lb AS (SELECT vec_id, CAST(label AS BIGINT) AS lab "
+        "FROM embeddings), "
+        "v AS (SELECT knn.vec_id, l.lab FROM knn "
+        "JOIN lb l ON l.vec_id = knn.nbr_id), "
+        "c AS (SELECT vec_id, lab, CAST(count(*) AS BIGINT) AS n "
+        "FROM v GROUP BY 1, 2), "
+        "m AS (SELECT vec_id, max(n) AS mx FROM c GROUP BY 1), "
+        "p AS (SELECT c.vec_id, min(c.lab) AS pred FROM c "
+        "JOIN m ON m.vec_id = c.vec_id AND c.n = m.mx GROUP BY 1), "
+        "e AS (SELECT t.lab AS label, "
+        "CASE WHEN p.pred = t.lab THEN 1 ELSE 0 END AS ok "
+        "FROM p JOIN lb t ON t.vec_id = p.vec_id) "
+        "SELECT label, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(ok) AS BIGINT) AS n_correct, "
+        "CAST(1000000 * sum(ok) // count(*) AS BIGINT) AS acc_micro "
+        "FROM e GROUP BY 1")
+
+
+def q_ann_rrf(sf_dir: str, k_in: int = 20, k_out: int = 10,
+              rrf_k: int = 60):
+    """Reciprocal-rank fusion of the two ANN retrievers (brute-force exact
+    and IVF-probed): score = Σ 10^6 // (60 + rank) over the lists that
+    returned the id — THE standard zero-tuning ensemble for mixed
+    retrievers, in exact integers.
+
+    Scale shape: both input rankings are k-bounded by construction (the
+    distributed retrievers do the heavy work); fusion is a ≤2k-row driver
+    epilogue by contract, like MMR's."""
+    import ray.data as rd
+
+    from ontoray.extras.ann import (brute_force_topk, ivf_topk_exact,
+                                    query_vector)
+
+    dim = _embedding_dim(sf_dir)
+    q = query_vector(dim)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def ranks(rows) -> dict[int, int]:
+        if not isinstance(rows, pa.Table):
+            rows = pa.concat_tables(
+                [b for b in rows.iter_batches(batch_format="pyarrow")])
+        recs = sorted(zip(rows.column("cosine").to_pylist(),
+                          rows.column("vec_id").to_pylist()),
+                      key=lambda t: (-t[0], t[1]))
+        return {v: i + 1 for i, (_c, v) in enumerate(recs)}
+
+    rb = ranks(brute_force_topk(ds, q, k=k_in))
+    ri = ranks(ivf_topk_exact(ds, q, k=k_in))
+    fused = []
+    for v in set(rb) | set(ri):
+        s = 0
+        if v in rb:
+            s += 1_000_000 // (rrf_k + rb[v])
+        if v in ri:
+            s += 1_000_000 // (rrf_k + ri[v])
+        fused.append((s, v))
+    fused.sort(key=lambda t: (-t[0], t[1]))
+    fused = fused[:k_out]
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(list(range(1, len(fused) + 1)), pa.int64()),
+        "vec_id": pa.array([v for _s, v in fused], pa.int64()),
+        "rrf_micro": pa.array([s for s, _v in fused], pa.int64())}))
+
+
+def sql_ann_rrf(sf_dir: str, k_in: int = 20, k_out: int = 10,
+                rrf_k: int = 60) -> str:
+    bt = sql_ann_topk(sf_dir, k=k_in)
+    iv = sql_ann_ivf(sf_dir, k=k_in)
+    return (
+        f"WITH rb AS (SELECT vec_id, row_number() OVER ("
+        f"ORDER BY cosine DESC, vec_id) AS rk FROM ({bt})), "
+        f"ri AS (SELECT vec_id, row_number() OVER ("
+        f"ORDER BY cosine DESC, vec_id) AS rk FROM ({iv})), "
+        "f AS (SELECT coalesce(rb.vec_id, ri.vec_id) AS vec_id, "
+        f"coalesce(1000000 // ({rrf_k} + rb.rk), 0) + "
+        f"coalesce(1000000 // ({rrf_k} + ri.rk), 0) AS s "
+        "FROM rb FULL OUTER JOIN ri ON ri.vec_id = rb.vec_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT) "
+        "AS rank, vec_id, CAST(s AS BIGINT) AS rrf_micro FROM f "
+        f"ORDER BY s DESC, vec_id LIMIT {k_out}")

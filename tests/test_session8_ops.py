@@ -820,3 +820,47 @@ class TestRollingP90:
         assert got == want
         d0 = (base - dt.datetime(1970, 1, 1)).days
         assert got == [("a", d0, 20), ("a", d0 + 1, 30), ("a", d0 + 8, 5)]
+
+
+class TestKnnAccRrf:
+    def test_embed_knn_acc_two_clusters(self, ray_session, tmp_path):
+        import numpy as np
+        from ontoray.queries import q_embed_knn_acc, sql_embed_knn_acc
+        # two tight clusters of 6 -> every 5-NN set is pure -> acc 1.0
+        vecs, labs = [], []
+        for i in range(6):
+            vecs.append([1.0, 0.001 * i])
+            labs.append(0)
+        for i in range(6):
+            vecs.append([0.001 * i, 1.0])
+            labs.append(1)
+        emb = pa.table({
+            "vec_id": pa.array(list(range(12)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labs, pa.int32())})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        got = sorted(tuple(r.values()) for r in q_embed_knn_acc(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"embeddings": emb})
+                      .execute(sql_embed_knn_acc()).fetchall())
+        assert got == want
+        assert got == [(0, 6, 6, 1000000), (1, 6, 6, 1000000)]
+
+    def test_ann_rrf_semantics(self, ray_session, tmp_path):
+        import numpy as np
+        from ontoray.extras.ann import brute_force_topk, query_vector
+        from ontoray.queries import q_ann_rrf
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((40, 4)).astype(np.float64)
+        emb = pa.table({
+            "vec_id": pa.array(list(range(40)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        out = q_ann_rrf(str(tmp_path)).to_pandas().to_dict("records")
+        assert len(out) == 10
+        scores = [r["rrf_micro"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        # a vector top-ranked by BOTH retrievers gets both 1/(60+1) terms
+        assert scores[0] <= 2 * (1_000_000 // 61)
+        assert all(r["rank"] == i + 1 for i, r in enumerate(out))
