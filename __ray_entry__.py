@@ -817,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_p90": Q.q_events_rolling_p90,
         "embed_knn_acc": Q.q_embed_knn_acc,
         "ann_rrf": Q.q_ann_rrf,
+        "events_type_affinity": Q.q_events_type_affinity,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1106,4 +1107,5 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_p90": Q.SQL_EVENTS_ROLLING_P90,
         "embed_knn_acc": Q.sql_embed_knn_acc(),
         "ann_rrf": Q.sql_ann_rrf("/root/testdata/sf0.01"),
+        "events_type_affinity": Q.SQL_EVENTS_TYPE_AFFINITY,
     }

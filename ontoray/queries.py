@@ -8619,3 +8619,122 @@ def sql_ann_rrf(sf_dir: str, k_in: int = 20, k_out: int = 10,
         "SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS BIGINT) "
         "AS rank, vec_id, CAST(s AS BIGINT) AS rrf_micro FROM f "
         f"ORDER BY s DESC, vec_id LIMIT {k_out}")
+
+
+# --- within-session type affinity --------------------------------------------
+
+
+def q_events_type_affinity(sf_dir: str, gap_s: int = 1800):
+    """Within-session event-type affinity: lift of two types co-occurring
+    in the same gap-based session (the basket-lift shape applied to the
+    sessionizer's output) — the "users who do A in a session also do B"
+    table.  lift_micro = 10^6 · n_pair · n_sessions // (n_a · n_b), division
+    last; sessions split on >30-minute gaps under the (ts, event_id) order.
+
+    Scale shape: ONE user-keyed exchange sessionizes and emits DISTINCT
+    (session, type) rows with an in-group combiner; per-type and pair
+    counts fold two-phase on the type vocabulary (pair expansion is
+    |types-per-session|²-bounded); the lift grid is types²."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    gap_us = gap_s * 1_000_000
+
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist())
+        order = np.lexsort((eid, ts))
+        ts, et = ts[order], et[order]
+        new = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new) - 1
+        seen = sorted({(int(s), str(t)) for s, t in zip(sid, et)})
+        return pa.table({
+            "sid": pa.array([s for s, _t in seen], pa.int64()),
+            "event_type": pa.array([t for _s, t in seen], pa.string()),
+            "uid": pa.array([g.column("user_id")[0].as_py()] * len(seen),
+                            pa.int64())})
+
+    st = ds.groupby("user_id").map_groups(
+        sessions, batch_format="pyarrow").materialize()
+
+    n_sessions = hash_aggregate(
+        st.map_batches(
+            lambda b: pa.table({
+                "uid": b.column("uid"), "sid": b.column("sid"),
+                "one": pa.array([1] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow"), ["uid", "sid"],
+        partial_aggs=[("one", "min")], aggs=[("one_min", "min")],
+        rename={"one_min_min": "__o"}).count()
+
+    na = {r["event_type"]: int(r["n"]) for r in hash_aggregate(
+        st.map_batches(
+            lambda b: pa.table({
+                "event_type": b.column("event_type"),
+                "one": pa.array([1] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow"), ["event_type"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n"}, num_buckets=4).take_all()}
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ts = sorted(g.column("event_type").to_pylist())
+        out_a, out_b = [], []
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                out_a.append(ts[i])
+                out_b.append(ts[j])
+        return pa.table({"ta": pa.array(out_a, pa.string()),
+                         "tb": pa.array(out_b, pa.string()),
+                         "one": pa.array([1] * len(out_a), pa.int64())})
+
+    pc_grid = hash_aggregate(
+        st.groupby(["uid", "sid"]).map_groups(pairs,
+                                              batch_format="pyarrow"),
+        ["ta", "tb"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n_pair"},
+        num_buckets=4)
+
+    def lift(batch: pa.Table) -> pa.Table:
+        ta = batch.column("ta").to_pylist()
+        tb = batch.column("tb").to_pylist()
+        np_ = batch.column("n_pair").to_pylist()
+        lifts = [1_000_000 * int(n) * n_sessions // (na[a] * na[b])
+                 for a, b, n in zip(ta, tb, np_)]   # Python bigints
+        return pa.table({
+            "ta": batch.column("ta"), "tb": batch.column("tb"),
+            "n_pair": batch.column("n_pair"),
+            "lift_micro": pa.array(lifts, pa.int64())})
+
+    return pc_grid.map_batches(lift, batch_format="pyarrow")
+
+
+SQL_EVENTS_TYPE_AFFINITY = (
+    "WITH s AS (SELECT user_id, event_type, "
+    "CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+    "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS sid FROM ("
+    "SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, "
+    "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+    "ORDER BY epoch_us(ts), event_id) AS prev FROM events)), "
+    "d AS (SELECT DISTINCT user_id, sid, event_type FROM s), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM ("
+    "SELECT DISTINCT user_id, sid FROM d)), "
+    "na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM d GROUP BY 1), "
+    "p AS (SELECT a.event_type AS ta, b.event_type AS tb, "
+    "CAST(count(*) AS BIGINT) AS n_pair FROM d a "
+    "JOIN d b ON b.user_id = a.user_id AND b.sid = a.sid "
+    "AND a.event_type < b.event_type GROUP BY 1, 2) "
+    "SELECT p.ta, p.tb, p.n_pair, "
+    "CAST(CAST(1000000 AS HUGEINT) * p.n_pair * tot.ns "
+    "// (xa.n * xb.n) AS BIGINT) AS lift_micro "
+    "FROM p, tot JOIN na xa ON xa.event_type = p.ta "
+    "JOIN na xb ON xb.event_type = p.tb")

@@ -864,3 +864,29 @@ class TestKnnAccRrf:
         # a vector top-ranked by BOTH retrievers gets both 1/(60+1) terms
         assert scores[0] <= 2 * (1_000_000 // 61)
         assert all(r["rank"] == i + 1 for i, r in enumerate(out))
+
+
+class TestTypeAffinity:
+    def test_events_type_affinity(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (SQL_EVENTS_TYPE_AFFINITY,
+                                     q_events_type_affinity)
+        base = dt.datetime(2024, 1, 1)
+        # user 1: session {x, y} then (>30 min later) session {x};
+        # user 2: session {x, y}.  n_sessions=3, n_x=3, n_y=2, pair 2
+        # -> lift = 1e6*2*3 // (3*2) = 1e6
+        ev = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [base, base + dt.timedelta(minutes=5),
+                 base + dt.timedelta(hours=2), base, base +
+                 dt.timedelta(minutes=1)], pa.timestamp("us")),
+            "event_type": pa.array(["x", "y", "x", "y", "x"], pa.string())})
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_type_affinity(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": ev})
+                      .execute(SQL_EVENTS_TYPE_AFFINITY).fetchall())
+        assert got == want
+        assert got == [("x", "y", 2, 1000000)]
