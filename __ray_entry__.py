@@ -818,6 +818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_acc": Q.q_embed_knn_acc,
         "ann_rrf": Q.q_ann_rrf,
         "events_type_affinity": Q.q_events_type_affinity,
+        "lineitem_density_check": Q.q_lineitem_density_check,
+        "docs_fertility": Q.q_docs_fertility,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1108,4 +1110,6 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn_acc": Q.sql_embed_knn_acc(),
         "ann_rrf": Q.sql_ann_rrf("/root/testdata/sf0.01"),
         "events_type_affinity": Q.SQL_EVENTS_TYPE_AFFINITY,
+        "lineitem_density_check": Q.SQL_LINEITEM_DENSITY_CHECK,
+        "docs_fertility": Q.SQL_DOCS_FERTILITY,
     }

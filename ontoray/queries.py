@@ -8738,3 +8738,137 @@ SQL_EVENTS_TYPE_AFFINITY = (
     "// (xa.n * xb.n) AS BIGINT) AS lift_micro "
     "FROM p, tot JOIN na xa ON xa.event_type = p.ta "
     "JOIN na xb ON xb.event_type = p.tb")
+
+
+# --- composite-key density expectation, tokenizer fertility ------------------
+
+
+def q_lineitem_density_check(sf_dir: str):
+    """Composite-key density expectation: within every order, line numbers
+    must be exactly the dense sequence 1..n (no gaps, no dups) — the
+    multi-row invariant a scan can't check.  Verdict row:
+    (n_orders, n_violations, viol_ppm).
+
+    The per-order check folds to three integers (count, distinct count via
+    max-of-dense assumption replaced by an exact sum identity: a duplicate
+    or gap breaks count == max AND sum == n(n+1)/2 — both spelled
+    identically in SQL), ONE orderkey exchange."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ln = pc.cast(batch.column("l_linenumber"), pa.int64())
+        return pa.table({
+            "k": batch.column("l_orderkey"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "ln": ln})
+
+    per = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"), ["k"],
+        partial_aggs=[("one", "sum"), ("ln", "max"), ("ln", "sum")],
+        aggs=[("one_sum", "sum"), ("ln_max", "max"), ("ln_sum", "sum")],
+        rename={"one_sum_sum": "n", "ln_max_max": "mx",
+                "ln_sum_sum": "s"})
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        mx = batch.column("mx").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        bad = ((mx != n) | (2 * s != n * (n + 1))).astype(np.int64)
+        return pa.table({
+            "g": pa.array(["all"] * len(n), pa.string()),
+            "one": pa.array(np.ones(len(n), dtype=np.int64)),
+            "bad": pa.array(bad)})
+
+    out = hash_aggregate(
+        per.map_batches(verdict, batch_format="pyarrow"), ["g"],
+        partial_aggs=[("one", "sum"), ("bad", "sum")],
+        aggs=[("one_sum", "sum"), ("bad_sum", "sum")],
+        rename={"one_sum_sum": "n_orders", "bad_sum_sum": "n_violations"},
+        num_buckets=2)
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_orders").to_numpy(zero_copy_only=False)
+        b = batch.column("n_violations").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_orders": batch.column("n_orders"),
+            "n_violations": batch.column("n_violations"),
+            "viol_ppm": pa.array(1_000_000 * b // n, pa.int64())})
+
+    return out.map_batches(ppm, batch_format="pyarrow")
+
+
+SQL_LINEITEM_DENSITY_CHECK = (
+    "WITH per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(max(l_linenumber) AS BIGINT) AS mx, "
+    "CAST(sum(l_linenumber) AS BIGINT) AS s FROM lineitem GROUP BY 1) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CASE WHEN mx <> n OR 2 * s <> n * (n + 1) THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_violations, "
+    "CAST(1000000 * sum(CASE WHEN mx <> n OR 2 * s <> n * (n + 1) "
+    "THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS viol_ppm FROM per")
+
+
+def q_docs_fertility(sf_dir: str):
+    """Tokenizer fertility per language: tokens per 100 bytes of utf-8 text
+    (whitespace-regex token contract) — the budget planner's
+    bytes-to-tokens conversion table, exact integer micro.
+
+    Scale shape: one streaming pass folds (lang, n_tokens, n_bytes)
+    partials onto the language vocabulary."""
+    import re
+
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+    rx = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        toks = np.asarray([len(rx.findall(t or ""))
+                           for t in batch.column("text").to_pylist()],
+                          dtype=np.int64)
+        byts = np.asarray([len((t or "").encode())
+                           for t in batch.column("text").to_pylist()],
+                          dtype=np.int64)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "n_tokens": pa.array(toks),
+                         "n_bytes": pa.array(byts)})
+
+    s = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"],
+        partial_aggs=[("n_tokens", "sum"), ("n_bytes", "sum")],
+        aggs=[("n_tokens_sum", "sum"), ("n_bytes_sum", "sum")],
+        rename={"n_tokens_sum_sum": "n_tokens",
+                "n_bytes_sum_sum": "n_bytes"}, num_buckets=4)
+
+    def rate(batch: pa.Table) -> pa.Table:
+        t = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        b = batch.column("n_bytes").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "tok_per_100b_micro",
+            pa.array(100_000_000 * t // np.maximum(b, 1), pa.int64()))
+
+    return s.map_batches(rate, batch_format="pyarrow")
+
+
+SQL_DOCS_FERTILITY = (
+    "WITH p AS (SELECT lang, "
+    "CAST(len(regexp_extract_all(coalesce(text, ''), '[a-z0-9]+')) "
+    "AS BIGINT) AS t, "
+    "CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS b "
+    "FROM documents) "
+    "SELECT lang, CAST(sum(t) AS BIGINT) AS n_tokens, "
+    "CAST(sum(b) AS BIGINT) AS n_bytes, "
+    "CAST(100000000 * sum(t) // greatest(sum(b), 1) AS BIGINT) "
+    "AS tok_per_100b_micro FROM p GROUP BY 1")

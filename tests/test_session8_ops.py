@@ -890,3 +890,37 @@ class TestTypeAffinity:
                       .execute(SQL_EVENTS_TYPE_AFFINITY).fetchall())
         assert got == want
         assert got == [("x", "y", 2, 1000000)]
+
+
+class TestDensityFertility:
+    def test_lineitem_density_check(self, ray_session, tmp_path):
+        from ontoray.queries import (SQL_LINEITEM_DENSITY_CHECK,
+                                     q_lineitem_density_check)
+        # order 1: dense 1,2,3 OK; order 2: gap (1,3) — sum identity
+        # catches it; order 3: duplicate (1,1,2) — max!=n catches it;
+        # order 4: dup masking gap (1,2,2,... wait) use (1,1,4): n=3,
+        # mx=4!=3 -> caught
+        lineitem = pa.table({
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 3, 3], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 3, 1, 3, 1, 1, 2], pa.int32())})
+        pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+        got = sorted(tuple(r.values()) for r in q_lineitem_density_check(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"lineitem": lineitem})
+                      .execute(SQL_LINEITEM_DENSITY_CHECK).fetchall())
+        assert got == want
+        assert got == [(3, 2, 666666)]
+
+    def test_docs_fertility(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_DOCS_FERTILITY, q_docs_fertility
+        docs = pa.table({
+            "text": pa.array(["ab cd", "x"], pa.string()),
+            "lang": pa.array(["en", "de"], pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_fertility(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_DOCS_FERTILITY).fetchall())
+        assert got == want
+        # en: 2 tokens / 5 bytes -> 40e6 micro; de: 1/1 -> 100e6
+        assert got == [("de", 1, 1, 100000000), ("en", 2, 5, 40000000)]
