@@ -820,6 +820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_affinity": Q.q_events_type_affinity,
         "lineitem_density_check": Q.q_lineitem_density_check,
         "docs_fertility": Q.q_docs_fertility,
+        "events_conversion_latency": Q.q_events_conversion_latency,
+        "events_growth_accounting": Q.q_events_growth_accounting,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1112,4 +1114,6 @@ def oracle_sql() -> dict[str, str]:
         "events_type_affinity": Q.SQL_EVENTS_TYPE_AFFINITY,
         "lineitem_density_check": Q.SQL_LINEITEM_DENSITY_CHECK,
         "docs_fertility": Q.SQL_DOCS_FERTILITY,
+        "events_conversion_latency": Q.SQL_EVENTS_CONVERSION_LATENCY,
+        "events_growth_accounting": Q.SQL_EVENTS_GROWTH_ACCOUNTING,
     }

@@ -8872,3 +8872,146 @@ SQL_DOCS_FERTILITY = (
     "CAST(sum(b) AS BIGINT) AS n_bytes, "
     "CAST(100000000 * sum(t) // greatest(sum(b), 1) AS BIGINT) "
     "AS tok_per_100b_micro FROM p GROUP BY 1")
+
+
+# --- conversion latency, growth accounting ------------------------------------
+
+
+def q_events_conversion_latency(sf_dir: str, from_type: str = "signup",
+                                to_type: str = "purchase",
+                                cap_hours: int = 168):
+    """Conversion-latency histogram: whole hours from a user's FIRST
+    ``from_type`` event to their FIRST ``to_type`` event at or after it,
+    capped — the activation-funnel timing table.  Users without both
+    events (or converting before signing up) drop out, the SQL mirror
+    spelling the same predicate.
+
+    Scale shape: per-(user, type) first-timestamps fold two-phase; the
+    two sides join user-partitioned; the hour grid is cap-bounded."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "us": pc.cast(batch.column("ts"), pa.int64())})
+
+    fm = hash_aggregate(
+        ds.map_batches(firsts, batch_format="pyarrow"),
+        ["user_id", "event_type"], partial_aggs=[("us", "min")],
+        aggs=[("us_min", "min")], rename={"us_min_min": "first_us"})\
+        .materialize()
+
+    a = fm.filter(expr=f"event_type == '{from_type}'").map_batches(
+        lambda b: pa.table({"user_id": b.column("user_id"),
+                            "a_us": b.column("first_us")}),
+        batch_format="pyarrow")
+    b = fm.filter(expr=f"event_type == '{to_type}'").map_batches(
+        lambda t: pa.table({"ub": t.column("user_id"),
+                            "b_us": t.column("first_us")}),
+        batch_format="pyarrow")
+    j = hash_join(a, b, "user_id", "ub", right_cols=["b_us"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        au = batch.column("a_us").to_numpy(zero_copy_only=False)
+        bu = batch.column("b_us").to_numpy(zero_copy_only=False)
+        keep = bu >= au
+        h = np.minimum((bu[keep] - au[keep]) // 3_600_000_000, cap_hours)
+        return pa.table({
+            "latency_h": pa.array(h.astype(np.int64)),
+            "one": pa.array(np.ones(len(h), dtype=np.int64))})
+
+    return hash_aggregate(
+        j.map_batches(bucket, batch_format="pyarrow"), ["latency_h"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_users"}, num_buckets=4)
+
+
+SQL_EVENTS_CONVERSION_LATENCY = (
+    "WITH f AS (SELECT user_id, event_type, min(epoch_us(ts)) AS us "
+    "FROM events GROUP BY 1, 2), "
+    "a AS (SELECT user_id, us AS a_us FROM f WHERE event_type = 'signup'), "
+    "b AS (SELECT user_id, us AS b_us FROM f WHERE event_type = 'purchase')"
+    " SELECT CAST(least((b_us - a_us) // 3600000000, 168) AS BIGINT) "
+    "AS latency_h, CAST(count(*) AS BIGINT) AS n_users "
+    "FROM a JOIN b USING (user_id) WHERE b_us >= a_us GROUP BY 1")
+
+
+def q_events_growth_accounting(sf_dir: str):
+    """Daily growth accounting: active users split into NEW (first-ever
+    activity today) and RETURNING — the new/retained/resurrected ledger
+    every growth dashboard opens with (resurrection needs a churn horizon;
+    the new/returning split is the exact part).
+
+    Scale shape: the (user, day) universe collapses per batch before ONE
+    distinct exchange; first-day per user is a second user-keyed fold;
+    the daily grid join is calendar × user-vocabulary bounded."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": batch.column("user_id"), "d": d})
+
+    ud = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"), ["user_id", "d"],
+        partial_aggs=[("d", "count")], aggs=[("d_count", "sum")],
+        rename={"d_count_sum": "__n"}).select_columns(["user_id", "d"])\
+        .materialize()
+
+    first = hash_aggregate(
+        ud, ["user_id"], partial_aggs=[("d", "min")],
+        aggs=[("d_min", "min")], rename={"d_min_min": "fd"})
+
+    j = hash_join(ud, first, "user_id", "user_id", right_cols=["fd"])
+
+    def tally(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        fd = batch.column("fd").to_numpy(zero_copy_only=False)
+        new = (d == fd).astype(np.int64)
+        return pa.table({
+            "d": batch.column("d"),
+            "one": pa.array(np.ones(len(d), dtype=np.int64)),
+            "new": pa.array(new)})
+
+    out = hash_aggregate(
+        j.map_batches(tally, batch_format="pyarrow"), ["d"],
+        partial_aggs=[("one", "sum"), ("new", "sum")],
+        aggs=[("one_sum", "sum"), ("new_sum", "sum")],
+        rename={"one_sum_sum": "n_active", "new_sum_sum": "n_new"},
+        num_buckets=4)
+
+    def ret(batch: pa.Table) -> pa.Table:
+        a = batch.column("n_active").to_numpy(zero_copy_only=False)
+        n = batch.column("n_new").to_numpy(zero_copy_only=False)
+        return batch.append_column("n_returning",
+                                   pa.array((a - n).astype(np.int64)))
+
+    return out.map_batches(ret, batch_format="pyarrow")
+
+
+SQL_EVENTS_GROWTH_ACCOUNTING = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "epoch_us(ts) // CAST(86400000000 AS BIGINT) AS d FROM events), "
+    "f AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY 1) "
+    "SELECT ud.d, CAST(count(*) AS BIGINT) AS n_active, "
+    "CAST(sum(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,"
+    " CAST(count(*) - sum(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_returning "
+    "FROM ud JOIN f USING (user_id) GROUP BY 1")

@@ -924,3 +924,51 @@ class TestDensityFertility:
         assert got == want
         # en: 2 tokens / 5 bytes -> 40e6 micro; de: 1/1 -> 100e6
         assert got == [("de", 1, 1, 100000000), ("en", 2, 5, 40000000)]
+
+
+class TestConversionGrowth:
+    def test_events_conversion_latency(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (SQL_EVENTS_CONVERSION_LATENCY,
+                                     q_events_conversion_latency)
+        base = dt.datetime(2024, 1, 1)
+        # user 1: signup then purchase 90 min later -> 1h bucket;
+        # user 2: purchase BEFORE signup -> dropped;
+        # user 3: signup only -> dropped
+        ev = pa.table({
+            "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["signup", "purchase", "purchase", "signup", "signup"],
+                pa.string()),
+            "ts": pa.array(
+                [base, base + dt.timedelta(minutes=90), base,
+                 base + dt.timedelta(hours=1), base], pa.timestamp("us"))})
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_conversion_latency(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": ev})
+                      .execute(SQL_EVENTS_CONVERSION_LATENCY).fetchall())
+        assert got == want
+        assert got == [(1, 1)]
+
+    def test_events_growth_accounting(self, ray_session, tmp_path):
+        import datetime as dt
+        from ontoray.queries import (SQL_EVENTS_GROWTH_ACCOUNTING,
+                                     q_events_growth_accounting)
+        base = dt.datetime(2024, 1, 1)
+        d0 = (base - dt.datetime(1970, 1, 1)).days
+        # day0: users 1,2 (both new); day1: user 1 (returning) + user 3
+        # (new); duplicate events same day collapse
+        ev = pa.table({
+            "user_id": pa.array([1, 1, 2, 1, 3], pa.int64()),
+            "ts": pa.array(
+                [base, base + dt.timedelta(hours=2), base,
+                 base + dt.timedelta(days=1), base + dt.timedelta(days=1)],
+                pa.timestamp("us"))})
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_growth_accounting(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": ev})
+                      .execute(SQL_EVENTS_GROWTH_ACCOUNTING).fetchall())
+        assert got == want
+        assert got == [(d0, 2, 2, 0), (d0 + 1, 2, 1, 1)]
