@@ -822,6 +822,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fertility": Q.q_docs_fertility,
         "events_conversion_latency": Q.q_events_conversion_latency,
         "events_growth_accounting": Q.q_events_growth_accounting,
+        "orders_nation_profit": Q.q_orders_nation_profit,
+        "lineitem_flag_priority": Q.q_lineitem_flag_priority,
+        "fk_integrity": Q.q_fk_integrity,
+        "events_ewma": Q.q_events_ewma,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1116,4 +1120,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_fertility": Q.SQL_DOCS_FERTILITY,
         "events_conversion_latency": Q.SQL_EVENTS_CONVERSION_LATENCY,
         "events_growth_accounting": Q.SQL_EVENTS_GROWTH_ACCOUNTING,
+        "orders_nation_profit": Q.sql_orders_nation_profit(),
+        "lineitem_flag_priority": Q.sql_lineitem_flag_priority(),
+        "fk_integrity": Q.SQL_FK_INTEGRITY,
+        "events_ewma": Q.SQL_EVENTS_EWMA,
     }

@@ -9015,3 +9015,319 @@ SQL_EVENTS_GROWTH_ACCOUNTING = (
     " CAST(count(*) - sum(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END) "
     "AS BIGINT) AS n_returning "
     "FROM ud JOIN f USING (user_id) GROUP BY 1")
+
+
+# --- session-9 additions ------------------------------------------------------
+
+def q_orders_nation_profit(sf_dir: str, part_like: str = "widget"):
+    """TPC-H Q9 shape (product-type profit by nation × year): lineitem joins
+    the ORDER HEADER for the year on the partitioned spine while PART
+    (name-pattern filter) and SUPPLIER→NATION ride as broadcast lookups —
+    the dimension paths are vocabulary-bounded, so only the fact⋈fact edge
+    (lineitem⋈orders) exchanges corpus-scale rows.
+
+    Profit uses the int64-cents contract (floor(x*100+0.5)) so distributed
+    partial sums match DuckDB's single-pass sum bit-exactly."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"]).take_all()
+    keep_parts = np.array(sorted(
+        r["p_partkey"] for r in part if part_like in r["p_name"]),
+        dtype=np.int64)
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]).take_all()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]).take_all()
+    s_keys = np.array([r["s_suppkey"] for r in supp], dtype=np.int64)
+    s_nat = np.array([r["s_nationkey"] for r in supp], dtype=np.int32)
+    n_keys = np.array([r["n_nationkey"] for r in nation], dtype=np.int32)
+    n_names = np.array([r["n_name"] for r in nation], dtype=object)
+    side_ref = ray.put((keep_parts, s_keys, s_nat, n_keys, n_names))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    spine = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                      right_cols=["o_orderdate"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        kp, sk, sn, nk, nn = ray.get(side_ref)
+        pkeys = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kp, pkeys)
+        pos[pos >= len(kp)] = 0
+        mask = kp[pos] == pkeys if len(kp) else np.zeros(len(pkeys), bool)
+        batch = batch.filter(pa.array(mask, pa.bool_()))
+        idx = pc.index_in(batch.column("l_suppkey"),
+                          value_set=pa.array(sk, pa.int64()))
+        supp_nat = sn[idx.to_numpy(zero_copy_only=False)]
+        nidx = pc.index_in(pa.array(supp_nat, pa.int32()),
+                           value_set=pa.array(nk, pa.int32()))
+        names = nn[nidx.to_numpy(zero_copy_only=False)]
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        rev_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(rev, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "n_name": pa.array(list(names), pa.string()),
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64()),
+            "rev_c": rev_c,
+        })
+
+    out = hash_aggregate(
+        spine.map_batches(local, batch_format="pyarrow"),
+        ["n_name", "o_year"], partial_aggs=[("rev_c", "sum")],
+        aggs=[("rev_c_sum", "sum")], rename={"rev_c_sum_sum": "rev_c"},
+        num_buckets=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "o_year": batch.column("o_year"),
+            "profit": pc.divide(pc.cast(batch.column("rev_c"), pa.float64()),
+                                pa.scalar(100.0)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_orders_nation_profit(part_like: str = "widget") -> str:
+    cents = _CENTS.format(x="l_extendedprice * (1 - l_discount)")
+    return (
+        "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        f"sum({cents}) / 100.0 AS profit "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        f"WHERE p_name LIKE '%{part_like}%' GROUP BY 1, 2")
+
+
+def q_lineitem_flag_priority(sf_dir: str,
+                             lo: str = "1997-01-01", hi: str = "1998-01-01"):
+    """TPC-H Q12 shape (shipping-class vs order-priority audit): the
+    shipdate window filters map-side BEFORE the only exchange, the order
+    header joins on the partitioned spine, and per-returnflag HIGH/LOW
+    priority line counts fold two-phase (per-batch combiner → one
+    vocabulary-bounded groupby)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    lo_us = int(pd.Timestamp(lo).value // 1_000)
+    hi_us = int(pd.Timestamp(hi).value // 1_000)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("l_shipdate"), pa.int64())
+        mask = pc.and_(pc.greater_equal(ts, pa.scalar(lo_us, pa.int64())),
+                       pc.less(ts, pa.scalar(hi_us, pa.int64())))
+        batch = batch.filter(mask)
+        return batch.select(["l_orderkey", "l_returnflag"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(li.map_batches(window, batch_format="pyarrow"), orders,
+                  "l_orderkey", "o_orderkey",
+                  right_cols=["o_orderpriority"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        pr = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        high = np.isin(pr, np.array(["1-URGENT", "2-HIGH"], dtype=object))
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "high": pa.array(high.astype(np.int64)),
+            "low": pa.array((~high).astype(np.int64)),
+        })
+
+    return hash_aggregate(
+        j.map_batches(flags, batch_format="pyarrow"), ["l_returnflag"],
+        partial_aggs=[("high", "sum"), ("low", "sum")],
+        aggs=[("high_sum", "sum"), ("low_sum", "sum")],
+        rename={"high_sum_sum": "high_line_count",
+                "low_sum_sum": "low_line_count"}, num_buckets=4)
+
+
+def sql_lineitem_flag_priority(lo: str = "1997-01-01",
+                               hi: str = "1998-01-01") -> str:
+    return (
+        "SELECT l_returnflag, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{lo}' "
+        f"AND l_shipdate < TIMESTAMP '{hi}' GROUP BY 1")
+
+
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit after SIMULATED partial dimension loss —
+    the data-quality scan a 100-TB ingest runs before training-set
+    assembly.  Each check drops a deterministic, attribute-dependent slice
+    of the parent table (the child key alone cannot predict membership, so
+    the engine must really join) and counts orphaned child rows through the
+    Bloom-prefiltered exact anti-join: surviving-parent keys fold to one
+    fixed-size bitmap, bloom-miss child rows shortcut the shuffle, and only
+    the positive tail enters the partitioned ``left_anti`` hash join.
+
+    Output: one (check_name, n_orphans) row per relationship."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.joins import bloom_anti_join
+
+    def survives(key: str, attr: str, lost_value: str, mod: int):
+        # parent survives unless (attr == lost_value AND key % mod == 0)
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(key).to_numpy(zero_copy_only=False)
+            a = batch.column(attr).to_numpy(zero_copy_only=False)
+            lost = (a == lost_value) & (k % mod == 0)
+            return batch.filter(pa.array(~lost, pa.bool_())).select([key])
+        return fn
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    checks = []
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(survives("o_orderkey", "o_orderpriority", "5-LOW", 5),
+                     batch_format="pyarrow")
+    checks.append(("lineitem_orders", bloom_anti_join(
+        li.select_columns(["l_orderkey"]), orders,
+        "l_orderkey", "o_orderkey").count()))
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"]) \
+        .map_batches(survives("p_partkey", "p_type", "PROMO", 3),
+                     batch_format="pyarrow")
+    checks.append(("lineitem_part", bloom_anti_join(
+        li.select_columns(["l_partkey"]), parts,
+        "l_partkey", "p_partkey").count()))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]) \
+        .filter(expr="s_nationkey >= 5").select_columns(["s_suppkey"])
+    checks.append(("lineitem_supplier", bloom_anti_join(
+        li.select_columns(["l_suppkey"]), supp,
+        "l_suppkey", "s_suppkey").count()))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(survives("c_custkey", "c_mktsegment", "BUILDING", 3),
+                     batch_format="pyarrow")
+    ords = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    checks.append(("orders_customer", bloom_anti_join(
+        ords, cust, "o_custkey", "c_custkey").count()))
+
+    return pa.table({
+        "check_name": pa.array([c[0] for c in checks], pa.string()),
+        "n_orphans": pa.array([int(c[1]) for c in checks], pa.int64()),
+    })
+
+
+SQL_FK_INTEGRITY = """
+SELECT 'lineitem_orders' AS check_name, CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderpriority != '5-LOW' OR o_orderkey % 5 != 0)
+UNION ALL
+SELECT 'lineitem_part', CAST(count(*) AS BIGINT) FROM lineitem
+WHERE l_partkey NOT IN (
+    SELECT p_partkey FROM part WHERE p_type != 'PROMO' OR p_partkey % 3 != 0)
+UNION ALL
+SELECT 'lineitem_supplier', CAST(count(*) AS BIGINT) FROM lineitem
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey >= 5)
+UNION ALL
+SELECT 'orders_customer', CAST(count(*) AS BIGINT) FROM orders
+WHERE o_custkey NOT IN (
+    SELECT c_custkey FROM customer
+    WHERE c_mktsegment != 'BUILDING' OR c_custkey % 3 != 0)
+"""
+
+
+def q_events_ewma(sf_dir: str):
+    """Per-user binary-decay trailing-8 EWMA of event values — the
+    feature-engineering primitive for recency-weighted user signals, in
+    EXACT integer arithmetic: values quantize to int64 micros
+    (floor(v*1e6+0.5)) and the decay weights are powers of two
+    (newest×128 … 8th-newest×1), so the weighted sum is a bit-exact int64
+    on both sides.
+
+    Scale shape: one keyed exchange (groupby user), per-group vectorized
+    lexsort by (ts, event_id) + eight shifted adds — no global sort, no
+    Python row loop.  Partitioning assumption: one user's history fits one
+    group (the ``grouped_lag`` contract)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import default_coalesce
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        micro = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "micro": pa.array(micro),
+        })
+
+    def ewma(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        micro = g.column("micro").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        m = micro[order]
+        acc = np.zeros(len(m), dtype=np.int64)
+        for k in range(8):
+            w = np.int64(1) << (7 - k)
+            if k == 0:
+                acc += m * w
+            else:
+                acc[k:] += m[:-k] * w
+        return pa.table({
+            "event_id": pa.array(ids[order], pa.int64()),
+            "user_id": pa.array(
+                [g.column("user_id")[0].as_py()] * len(m),
+                g.column("user_id").type),
+            "ewma_w": pa.array(acc),
+        })
+
+    return (ds.map_batches(derive, batch_format="pyarrow")
+            .repartition(default_coalesce())
+            .groupby("user_id").map_groups(ewma, batch_format="pyarrow"))
+
+
+SQL_EVENTS_EWMA = (
+    "WITH m AS (SELECT user_id, event_id, ts, "
+    "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micro FROM events) "
+    "SELECT event_id, user_id, "
+    + " + ".join(
+        f"COALESCE(lag(micro, {k}) OVER "
+        f"(PARTITION BY user_id ORDER BY ts, event_id), 0) * {1 << (7 - k)}"
+        for k in range(8))
+    + " AS ewma_w FROM m")
