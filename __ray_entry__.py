@@ -826,6 +826,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_flag_priority": Q.q_lineitem_flag_priority,
         "fk_integrity": Q.q_fk_integrity,
         "events_ewma": Q.q_events_ewma,
+        "docs_textrank": Q.q_docs_textrank,
+        "events_survival": Q.q_events_survival,
+        "embed_rp": Q.q_embed_rp,
+        "hll_set_ops": Q.q_hll_set_ops,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1124,4 +1128,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_flag_priority": Q.sql_lineitem_flag_priority(),
         "fk_integrity": Q.SQL_FK_INTEGRITY,
         "events_ewma": Q.SQL_EVENTS_EWMA,
+        "docs_textrank": Q.sql_docs_textrank(),
+        "events_survival": Q.SQL_EVENTS_SURVIVAL,
+        "embed_rp": Q.sql_embed_rp(),
+        "hll_set_ops": Q.sql_hll_set_ops(),
     }

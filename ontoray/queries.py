@@ -9331,3 +9331,353 @@ SQL_EVENTS_EWMA = (
         f"(PARTITION BY user_id ORDER BY ts, event_id), 0) * {1 << (7 - k)}"
         for k in range(8))
     + " AS ewma_w FROM m")
+
+
+def q_docs_textrank(sf_dir: str, iters: int = 5):
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
+    word co-occurrence graph — an edge per ADJACENT token pair within a
+    document, symmetrized, self-loops dropped.  Reuses the exact int64
+    fixed-point PageRank recurrence (stages/analytics.pagerank), so the
+    unrolled-CTE mirror hash-checks bit-for-bit.
+
+    Scale shape: edges collapse to the distinct pair vocabulary per batch
+    before the one exchange; each iteration broadcasts the rank vector
+    (word-vocabulary bounded) and folds contributions two-phase."""
+    import ray.data as rd
+
+    from ontoray.extras.textstats import TOKEN_RE
+    from ontoray.stages.analytics import pagerank
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def adj(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for t in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            for a, b in zip(toks, toks[1:]):
+                if a != b:
+                    srcs.append(a); dsts.append(b)
+                    srcs.append(b); dsts.append(a)
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    return pagerank(ds.map_batches(adj, batch_format="pyarrow"), iters=iters)
+
+
+def sql_docs_textrank(iters: int = 5) -> str:
+    ctes = [
+        "t AS (SELECT regexp_extract_all(coalesce(text, ''), '[a-z0-9]+') "
+        "AS l FROM documents)",
+        "bg AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p "
+        "FROM t WHERE len(l) >= 2)",
+        "trip AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT p[1] AS src, p[2] AS dst FROM bg WHERE p[1] <> p[2] "
+        "UNION ALL SELECT p[2], p[1] FROM bg WHERE p[1] <> p[2]))",
+    ] + _sql_pagerank_chain(iters)
+    return ("WITH " + ", ".join(ctes) +
+            f" SELECT name, CAST(r AS BIGINT) AS rank FROM r{iters}")
+
+
+def q_events_survival(sf_dir: str):
+    """Kaplan-Meier-style counting-process table over user lifetimes: for
+    every calendar day, users AT RISK (first activity <= d <= last
+    activity), users CHURNING that day (last activity == d), and the exact
+    integer hazard churn*10^6 // at_risk.
+
+    Scale shape: ONE user-keyed exchange folds each user to a (first, last)
+    span; spans emit difference-array deltas (+1 at first, -1 at last+1)
+    and churn marks, which fold to the CALENDAR-bounded day table; the
+    prefix sum over days is a driver fold of that tiny table."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"user_id": batch.column("user_id"), "d": d})
+
+    spans = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"), ["user_id"],
+        partial_aggs=[("d", "min"), ("d", "max")],
+        aggs=[("d_min", "min"), ("d_max", "max")],
+        rename={"d_min_min": "fd", "d_max_max": "ld"})
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        fd = batch.column("fd").to_numpy(zero_copy_only=False)
+        ld = batch.column("ld").to_numpy(zero_copy_only=False)
+        # difference array: +1 at fd, -1 at ld+1; churn mark at ld
+        d = np.concatenate([fd, ld + 1, ld])
+        delta = np.concatenate([np.ones(len(fd), np.int64),
+                                -np.ones(len(ld), np.int64),
+                                np.zeros(len(ld), np.int64)])
+        churn = np.concatenate([np.zeros(2 * len(fd), np.int64),
+                                np.ones(len(ld), np.int64)])
+        return pa.table({"d": pa.array(d), "delta": pa.array(delta),
+                         "churn": pa.array(churn)})
+
+    day_tbl = hash_aggregate(
+        spans.map_batches(deltas, batch_format="pyarrow"), ["d"],
+        partial_aggs=[("delta", "sum"), ("churn", "sum")],
+        aggs=[("delta_sum", "sum"), ("churn_sum", "sum")],
+        rename={"delta_sum_sum": "delta", "churn_sum_sum": "churn"},
+        num_buckets=4).take_all()          # calendar-bounded
+
+    by_day = {r["d"]: r for r in day_tbl}
+    days = sorted(by_day)
+    lo, hi = days[0], max(r["d"] for r in day_tbl if r["churn"] > 0
+                          or r["delta"] > 0)
+    out_d, out_r, out_c, out_h = [], [], [], []
+    at_risk = 0
+    for d in range(lo, hi + 1):
+        row = by_day.get(d)
+        at_risk += row["delta"] if row else 0
+        churn = row["churn"] if row else 0
+        if at_risk <= 0:
+            continue
+        out_d.append(d); out_r.append(at_risk); out_c.append(churn)
+        out_h.append(churn * 1_000_000 // at_risk)
+    return pa.table({
+        "d": pa.array(out_d, pa.int64()),
+        "n_at_risk": pa.array(out_r, pa.int64()),
+        "n_churn": pa.array(out_c, pa.int64()),
+        "hazard_micro": pa.array(out_h, pa.int64())})
+
+
+SQL_EVENTS_SURVIVAL = """
+WITH ud AS (SELECT user_id,
+                   epoch_us(ts) // CAST(86400000000 AS BIGINT) AS d
+            FROM events),
+spans AS (SELECT user_id, min(d) AS fd, max(d) AS ld FROM ud GROUP BY 1),
+grid AS (SELECT unnest(generate_series((SELECT min(fd) FROM spans),
+                                       (SELECT max(ld) FROM spans))) AS d),
+day AS (SELECT g.d,
+               CAST(count(*) AS BIGINT) AS n_at_risk,
+               CAST(sum(CASE WHEN s.ld = g.d THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_churn
+        FROM grid g JOIN spans s ON s.fd <= g.d AND g.d <= s.ld
+        GROUP BY g.d)
+SELECT d, n_at_risk, n_churn,
+       CAST(n_churn * 1000000 // n_at_risk AS BIGINT) AS hazard_micro
+FROM day WHERE n_at_risk > 0
+"""
+
+
+def q_embed_rp(sf_dir: str, r: int = 8):
+    """Johnson-Lindenstrauss sign random projection: every embedding down
+    to ``r`` dimensions via a deterministic ±1 matrix (sign = parity of the
+    md5-int60 of 'rp_{j}_{d}') over int64 micro-quantized coordinates —
+    exact integer output, so the mirror hash-checks with no float-order
+    hazard.
+
+    Scale shape: the sign matrix is (r × dim) CONSTANT (built once per
+    worker from the salt strings, never shipped); per batch the projection
+    is one numpy matmul.  Output long form (vec_id, j, y_q)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.extras.sketches import _md5_int60
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    sign_cache: dict = {}
+
+    def project(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch.column("embedding").to_pylist()).astype(
+            np.float64)
+        dim = emb.shape[1]
+        if "S" not in sign_cache:
+            keys = [f"rp_{j}_{d}" for j in range(r) for d in range(dim)]
+            par = (_md5_int60(keys) % 2).astype(np.int64)
+            sign_cache["S"] = (2 * par - 1).reshape(r, dim)
+        S = sign_cache["S"]
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        y = q @ S.T                                   # (n, r) int64
+        n = len(q)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(
+                batch.column("vec_id").to_numpy(zero_copy_only=False), r)),
+            "j": pa.array(np.tile(np.arange(r, dtype=np.int64), n)),
+            "y_q": pa.array(y.reshape(-1)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def sql_embed_rp(r: int = 8, dim: int = 64) -> str:
+    from ontoray.extras.sketches import sql_md5_int60
+    parity = "((" + sql_md5_int60(
+        "'rp_' || CAST(j AS VARCHAR) || '_' || CAST(d - 1 AS VARCHAR)"
+    ) + ") % 2)"
+    return f"""
+    WITH coords AS (SELECT vec_id, d, CAST(floor(CAST(e AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS q
+                    FROM (SELECT vec_id, unnest(embedding) AS e,
+                                 generate_subscripts(embedding, 1) AS d
+                          FROM embeddings)),
+    signs AS (SELECT j, d, 2 * {parity} - 1 AS s
+              FROM (SELECT unnest(generate_series(0, {r - 1})) AS j) jj
+              CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d) dd)
+    SELECT c.vec_id, s.j, CAST(sum(c.q * s.s) AS BIGINT) AS y_q
+    FROM coords c JOIN signs s ON s.d = c.d
+    GROUP BY c.vec_id, s.j
+    """
+
+
+def q_hll_set_ops(sf_dir: str):
+    """Sketch SET OPERATIONS: per unordered source pair, the distinct-token
+    UNION estimated by merging the two sources' HLL registers (register-wise
+    max — the HLL merge law) next to the EXACT union count as referee.
+    This is the mergeability property that makes HLL the 100-TB tool: union
+    cardinality needs only the two fixed-size sketches, never a re-scan.
+
+    Scale shape: one exchange folds distinct (source, token) pairs; per-
+    source registers fold two-phase to ≤ sources×4096 rows (driver-held);
+    the exact referee folds token→source-BITMASK (token-vocabulary bounded)
+    and counts pair hits inside a per-batch combiner — no pairwise token
+    shuffle.  Output: (s1, s2, n_zero, harmonic_num, est, n_union_exact)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.extras.sketches import (HLL_M, _RHO_MAX, _hll_partial)
+    from ontoray.extras.textstats import TOKEN_RE
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        srcs, tks = [], []
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok in set(TOKEN_RE.findall(t or "")):
+                srcs.append(s); tks.append(tok)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "tok": pa.array(tks, pa.string())})
+
+    dt = hash_aggregate(
+        ds.map_batches(toks, batch_format="pyarrow"), ["source", "tok"],
+        partial_aggs=[("tok", "count")], aggs=[("tok_count", "sum")],
+        rename={"tok_count_sum": "__n"}).select_columns(["source", "tok"]) \
+        .materialize()
+
+    reg_rows = hash_aggregate(
+        dt.map_batches(lambda b: _hll_partial(b, "tok", "source"),
+                       batch_format="pyarrow"),
+        ["source", "j"], partial_aggs=[("reg", "max")],
+        aggs=[("reg_max", "max")], rename={"reg_max_max": "reg"}).take_all()
+
+    sources = sorted({r["source"] for r in reg_rows})
+    sidx = {s: i for i, s in enumerate(sources)}
+    pair_list = [(a, b) for i, a in enumerate(sources)
+                 for b in sources[i + 1:]]
+
+    def mask(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        m = np.array([1 << sidx[s] for s in src], dtype=np.int64)
+        return pa.table({"tok": batch.column("tok"), "m": pa.array(m)})
+
+    tok_mask = hash_aggregate(
+        dt.map_batches(mask, batch_format="pyarrow"), ["tok"],
+        partial_aggs=[("m", "sum")], aggs=[("m_sum", "sum")],
+        rename={"m_sum_sum": "m"})
+
+    pm = np.array([(1 << sidx[a]) | (1 << sidx[b]) for a, b in pair_list],
+                  dtype=np.int64)
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        m = batch.column("m").to_numpy(zero_copy_only=False)
+        hits = ((m[:, None] & pm[None, :]) != 0).sum(axis=0).astype(np.int64)
+        return pa.table({"p": pa.array(np.arange(len(pm), dtype=np.int64)),
+                         "c": pa.array(hits)})
+
+    exact_rows = hash_aggregate(
+        tok_mask.map_batches(pair_counts, batch_format="pyarrow"), ["p"],
+        partial_aggs=[("c", "sum")], aggs=[("c_sum", "sum")],
+        rename={"c_sum_sum": "c"}, num_buckets=2).take_all()
+    exact = {int(r["p"]): int(r["c"]) for r in exact_rows}
+
+    regs_by_src: dict = {}
+    for r in reg_rows:
+        regs_by_src.setdefault(r["source"], {})[r["j"]] = r["reg"]
+
+    import math
+    out = {"s1": [], "s2": [], "n_zero": [], "harmonic_num": [],
+           "est": [], "n_union_exact": []}
+    for p, (a, b) in enumerate(pair_list):
+        merged: dict = dict(regs_by_src.get(a, {}))
+        for j, v in regs_by_src.get(b, {}).items():
+            if v > merged.get(j, 0):
+                merged[j] = v
+        n_zero = HLL_M - len(merged)
+        s_num = n_zero * (1 << _RHO_MAX) + sum(
+            1 << (_RHO_MAX - v) for v in merged.values())
+        alpha = 0.7213 / (1 + 1.079 / HLL_M)
+        raw = alpha * HLL_M * HLL_M * float(1 << _RHO_MAX) / s_num
+        if raw <= 2.5 * HLL_M and n_zero > 0:
+            est = HLL_M * math.log(HLL_M / n_zero)
+        else:
+            est = raw
+        out["s1"].append(a); out["s2"].append(b)
+        out["n_zero"].append(n_zero); out["harmonic_num"].append(s_num)
+        out["est"].append(round(est, 4))
+        out["n_union_exact"].append(exact.get(p, 0))
+    return pa.table({
+        "s1": pa.array(out["s1"], pa.string()),
+        "s2": pa.array(out["s2"], pa.string()),
+        "n_zero": pa.array(out["n_zero"], pa.int64()),
+        "harmonic_num": pa.array(out["harmonic_num"], pa.int64()),
+        "est": pa.array(out["est"], pa.float64()),
+        "n_union_exact": pa.array(out["n_union_exact"], pa.int64())})
+
+
+def sql_hll_set_ops() -> str:
+    from ontoray.extras.sketches import (HLL_M, _RHO_MAX, _W_BITS,
+                                         sql_md5_int60)
+    m, wb, rmax = HLL_M, _W_BITS, _RHO_MAX
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+    raw = f"({alpha} * {m} * {m} * {float(1 << rmax)!r} / harmonic_num)"
+    return f"""
+    WITH src AS (SELECT source,
+                        unnest(regexp_extract_all(coalesce(text, ''),
+                                                  '[a-z0-9]+')) AS tok
+                 FROM documents),
+    dt AS (SELECT DISTINCT source, tok FROM src),
+    h AS (SELECT source, {sql_md5_int60('tok')} AS h FROM dt),
+    r AS (SELECT source, h >> {wb} AS j,
+                 CASE WHEN (h & {(1 << wb) - 1}) = 0 THEN {rmax}
+                      ELSE {rmax} - length(bin(h & {(1 << wb) - 1})) END
+                   AS rho
+          FROM h),
+    reg AS (SELECT source, j, max(rho) AS reg FROM r GROUP BY 1, 2),
+    ss AS (SELECT DISTINCT source FROM dt),
+    pr AS (SELECT a.source AS s1, b.source AS s2
+           FROM ss a JOIN ss b ON a.source < b.source),
+    mreg AS (SELECT p.s1, p.s2, r.j, max(r.reg) AS reg
+             FROM pr p JOIN reg r ON r.source IN (p.s1, p.s2)
+             GROUP BY 1, 2, 3),
+    agg AS (SELECT s1, s2, count(*) AS n_used,
+                   sum((1::BIGINT << ({rmax} - reg))::BIGINT)::BIGINT
+                     AS s_used
+            FROM mreg GROUP BY 1, 2),
+    fin AS (SELECT s1, s2, ({m} - n_used) AS n_zero,
+                   (({m} - n_used) * (1::BIGINT << {rmax}) + s_used)::BIGINT
+                     AS harmonic_num
+            FROM agg),
+    ex AS (SELECT p.s1, p.s2, CAST(count(DISTINCT d.tok) AS BIGINT)
+             AS n_union_exact
+           FROM pr p JOIN dt d ON d.source IN (p.s1, p.s2)
+           GROUP BY 1, 2)
+    SELECT fin.s1, fin.s2, CAST(n_zero AS BIGINT) AS n_zero, harmonic_num,
+           round(CASE WHEN {raw} <= 2.5 * {m} AND n_zero > 0
+                      THEN {m} * ln({m}::DOUBLE / n_zero)
+                      ELSE {raw} END, 4) AS est,
+           ex.n_union_exact
+    FROM fin JOIN ex ON fin.s1 = ex.s1 AND fin.s2 = ex.s2
+    """

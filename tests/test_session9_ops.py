@@ -169,3 +169,98 @@ class TestEwma:
         by_eid = {eid: w for eid, _, w in got}
         assert by_eid[1] == 128_000_000
         assert by_eid[3] == 2_000_000 * 128 + 1_000_000 * 64
+
+
+class TestTextrank:
+    def test_docs_textrank(self, ray_session, tmp_path):
+        from ontoray.queries import q_docs_textrank, sql_docs_textrank
+        docs = pa.table({
+            "text": ["data engine data", "engine scale", "data data"]})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_textrank(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_docs_textrank()).fetchall())
+        assert got == want
+        names = [g[0] for g in got]
+        # self-loop bigram (data,data) dropped; graph = data<->engine<->scale
+        assert names == ["data", "engine", "scale"]
+        ranks = dict(got)
+        # 'engine' has two in-neighbours, ranks highest
+        assert ranks["engine"] > ranks["data"] > 0
+        assert ranks["engine"] > ranks["scale"] > 0
+
+
+class TestSurvival:
+    def test_events_survival(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_EVENTS_SURVIVAL, q_events_survival
+        day = 86_400_000_000
+        # user 1 active days 0-2, user 2 day 1 only, user 3 days 2-3
+        rows = [(1, 0), (1, 2), (2, 1), (3, 2), (3, 3)]
+        events = pa.table({
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array([d * day for _, d in rows], pa.timestamp("us"))})
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_survival(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": events})
+                      .execute(SQL_EVENTS_SURVIVAL).fetchall())
+        assert got == want
+        # day0: {1} at risk, 0 churn; day1: {1,2}, churn {2};
+        # day2: {1,3}, churn {1}; day3: {3}, churn {3}
+        assert got == [
+            (0, 1, 0, 0),
+            (1, 2, 1, 500_000),
+            (2, 2, 1, 500_000),
+            (3, 1, 1, 1_000_000)]
+
+
+class TestEmbedRp:
+    def test_embed_rp(self, ray_session, tmp_path):
+        import numpy as np
+        from ontoray.extras.sketches import _md5_int60
+        from ontoray.queries import q_embed_rp, sql_embed_rp
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(5, 4)).astype(np.float32)
+        emb = pa.table({
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        got = sorted(tuple(r.values()) for r in q_embed_rp(
+            str(tmp_path), r=3).to_pandas().to_dict("records"))
+        want = sorted(_duck({"embeddings": emb})
+                      .execute(sql_embed_rp(r=3, dim=4)).fetchall())
+        assert got == want
+        # sequential reference
+        q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        keys = [f"rp_{j}_{d}" for j in range(3) for d in range(4)]
+        S = (2 * (_md5_int60(keys) % 2) - 1).reshape(3, 4).astype(np.int64)
+        ref = {(i, j): int(q[i] @ S[j]) for i in range(5) for j in range(3)}
+        assert {(v, j): y for v, j, y in got} == ref
+
+
+class TestHllSetOps:
+    def test_hll_set_ops(self, ray_session, tmp_path):
+        from ontoray.queries import q_hll_set_ops, sql_hll_set_ops
+        docs = pa.table({
+            "source": ["a", "a", "b", "c"],
+            "text": ["x y z", "z w", "x y", "q r s t"]})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = {(r["s1"], r["s2"]): r for r in q_hll_set_ops(
+            str(tmp_path)).to_pandas().to_dict("records")}
+        want_rows = _duck({"documents": docs}) \
+            .execute(sql_hll_set_ops()).fetchall()
+        want = {(r[0], r[1]): r for r in want_rows}
+        assert set(got) == set(want) == {("a", "b"), ("a", "c"), ("b", "c")}
+        for k, g in got.items():
+            assert (g["n_zero"], g["harmonic_num"], g["est"],
+                    g["n_union_exact"]) == want[k][2:]
+        # exact unions: a∪b = {x,y,z,w}, a∪c = {x,y,z,w,q,r,s,t},
+        # b∪c = {x,y,q,r,s,t}
+        assert got[("a", "b")]["n_union_exact"] == 4
+        assert got[("a", "c")]["n_union_exact"] == 8
+        assert got[("b", "c")]["n_union_exact"] == 6
+        # linear-counting regime: estimate lands within 1 of exact
+        for g in got.values():
+            assert abs(g["est"] - g["n_union_exact"]) < 1.0
