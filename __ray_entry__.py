@@ -830,6 +830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_survival": Q.q_events_survival,
         "embed_rp": Q.q_embed_rp,
         "hll_set_ops": Q.q_hll_set_ops,
+        "docs_cdc_merge": Q.q_docs_cdc_merge,
+        "events_range_join": Q.q_events_range_join,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1132,4 +1134,6 @@ def oracle_sql() -> dict[str, str]:
         "events_survival": Q.SQL_EVENTS_SURVIVAL,
         "embed_rp": Q.sql_embed_rp(),
         "hll_set_ops": Q.sql_hll_set_ops(),
+        "docs_cdc_merge": Q.SQL_DOCS_CDC_MERGE,
+        "events_range_join": Q.sql_events_range_join(),
     }

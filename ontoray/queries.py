@@ -9681,3 +9681,184 @@ def sql_hll_set_ops() -> str:
            ex.n_union_exact
     FROM fin JOIN ex ON fin.s1 = ex.s1 AND fin.s2 = ex.s2
     """
+
+
+def q_docs_cdc_merge(sf_dir: str):
+    """CDC MERGE (the upsert/delete half of incremental ingest, SURVEY C3's
+    big sibling): a deterministic change feed — DELETE every doc_id%10==0,
+    UPDATE (text || ' v2') every %10==5, INSERT doc_id+1000000 for %10==3 —
+    applied to the base snapshot through ONE full-outer partitioned hash
+    join, change-side wins.  Output (doc_id, text, op) where op tags how
+    the row survived ('base', 'update', 'insert'); deletes vanish.
+
+    Scale shape: the delta derives map-side from the same scan (in
+    production it is a small side table); the merge is the one exchange;
+    no driver materialization."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.joins import hash_join
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+
+    def delta(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = batch.column("text").to_pylist()
+        d_id, d_op, d_txt = [], [], []
+        for i, t in zip(ids.tolist(), txt):
+            m = i % 10
+            if m == 0:
+                d_id.append(i); d_op.append("delete"); d_txt.append("")
+            elif m == 5:
+                d_id.append(i); d_op.append("update")
+                d_txt.append((t or "") + " v2")
+            elif m == 3:
+                d_id.append(i + 1_000_000); d_op.append("insert")
+                d_txt.append("new doc " + str(i))
+        return pa.table({"doc_id": pa.array(d_id, pa.int64()),
+                         "op": pa.array(d_op, pa.string()),
+                         "new_text": pa.array(d_txt, pa.string())})
+
+    ch = base.map_batches(delta, batch_format="pyarrow")
+    merged = hash_join(base, ch, "doc_id", "doc_id",
+                       how="full_outer", right_cols=["op", "new_text"])
+
+    def apply(batch: pa.Table) -> pa.Table:
+        op = batch.column("op")
+        keep = pc.or_kleene(pc.is_null(op), pc.not_equal(op, pa.scalar("delete")))
+        batch = batch.filter(pc.fill_null(keep, True))
+        op = batch.column("op")
+        is_ch = pc.is_valid(op)
+        text = pc.if_else(is_ch, batch.column("new_text"),
+                          batch.column("text"))
+        out_op = pc.fill_null(op, "base")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": text, "op": out_op})
+
+    return merged.map_batches(apply, batch_format="pyarrow")
+
+
+SQL_DOCS_CDC_MERGE = """
+WITH ch AS (
+    SELECT doc_id, 'delete' AS op, '' AS new_text FROM documents
+    WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id, 'update', coalesce(text, '') || ' v2' FROM documents
+    WHERE doc_id % 10 = 5
+    UNION ALL
+    SELECT doc_id + 1000000, 'insert', 'new doc ' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 10 = 3)
+SELECT coalesce(b.doc_id, ch.doc_id) AS doc_id,
+       CASE WHEN ch.op IS NOT NULL THEN ch.new_text ELSE b.text END AS text,
+       coalesce(ch.op, 'base') AS op
+FROM documents b FULL OUTER JOIN ch ON b.doc_id = ch.doc_id
+WHERE coalesce(ch.op, 'base') != 'delete'
+"""
+
+
+def q_events_range_join(sf_dir: str, window_s: int = 7200,
+                        type_a: str = "click", type_b: str = "purchase"):
+    """Interval/range join: for every ``type_a`` event, how many ``type_b``
+    events by the SAME user landed within ±``window_s`` seconds — the
+    attribution-window primitive an as-of join cannot express (it wants ALL
+    neighbors, not the latest).
+
+    Scale shape: time-bucket co-location — each a-event keys to its
+    ``window_s`` bucket, each b-event REPLICATES to its own and both
+    neighbor buckets (3× the small side, no corpus sort), pairs verify the
+    exact |Δt| inside vocabulary-sized (user, bucket) groups, and per-event
+    counts fold two-phase.  Every a-event gets a row (zero-count rows
+    included via a left join against the pair counts)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    w_us = window_s * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()) \
+               .to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        b = ts // w_us
+        a_m = et == type_a
+        b_m = et == type_b
+        # a-rows once in their own bucket; b-rows replicated to b-1, b, b+1
+        out_uid = np.concatenate([uid[a_m]] + [uid[b_m]] * 3)
+        out_bkt = np.concatenate([b[a_m], b[b_m] - 1, b[b_m], b[b_m] + 1])
+        out_eid = np.concatenate([eid[a_m]] + [eid[b_m]] * 3)
+        out_ts = np.concatenate([ts[a_m]] + [ts[b_m]] * 3)
+        out_side = np.concatenate([np.zeros(int(a_m.sum()), np.int8),
+                                   np.ones(3 * int(b_m.sum()), np.int8)])
+        return pa.table({
+            "user_id": pa.array(out_uid), "bkt": pa.array(out_bkt),
+            "event_id": pa.array(out_eid), "ts_us": pa.array(out_ts),
+            "side": pa.array(out_side)})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        bkt = g.column("bkt").to_numpy(zero_copy_only=False)
+        a = side == 0
+        bm = ~a
+        if not a.any() or not bm.any():
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        # count b-neighbors ONLY where the b-copy's bucket equals the
+        # a-event's own bucket (each (a,b) pair meets in exactly one group:
+        # the a-bucket — the b-side replication guarantees presence)
+        ta, ea = ts[a], eid[a]
+        tb = ts[bm]
+        hit = (np.abs(ta[:, None] - tb[None, :]) <= w_us)
+        c = hit.sum(axis=1).astype(np.int64)
+        return pa.table({"event_id": pa.array(ea, pa.int64()),
+                         "c": pa.array(c)})
+
+    st = ds.map_batches(split, batch_format="pyarrow") \
+           .repartition(default_coalesce())
+    cnt = hash_aggregate(
+        st.groupby(["user_id", "bkt"]).map_groups(
+            pairs, batch_format="pyarrow"),
+        ["event_id"], partial_aggs=[("c", "sum")],
+        aggs=[("c_sum", "sum")], rename={"c_sum_sum": "n_near"})
+
+    a_events = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"),
+                                    pa.scalar(type_a)))
+                   .select(["event_id", "user_id"]),
+        batch_format="pyarrow")
+    out = hash_join(a_events, cnt, "event_id", "event_id",
+                    how="left", right_cols=["n_near"])
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "n_near": pc.fill_null(pc.cast(batch.column("n_near"),
+                                           pa.int64()), 0)})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_events_range_join(window_s: int = 7200, type_a: str = "click",
+                          type_b: str = "purchase") -> str:
+    w = window_s * 1_000_000
+    return f"""
+    WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+               WHERE event_type = '{type_a}'),
+    b AS (SELECT user_id, epoch_us(ts) AS t FROM events
+          WHERE event_type = '{type_b}')
+    SELECT a.event_id, a.user_id,
+           CAST(count(b.t) AS BIGINT) AS n_near
+    FROM a LEFT JOIN b ON a.user_id = b.user_id
+                      AND abs(a.t - b.t) <= {w}
+    GROUP BY a.event_id, a.user_id
+    """

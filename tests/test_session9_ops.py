@@ -264,3 +264,69 @@ class TestHllSetOps:
         # linear-counting regime: estimate lands within 1 of exact
         for g in got.values():
             assert abs(g["est"] - g["n_union_exact"]) < 1.0
+
+
+class TestCdcMerge:
+    def test_docs_cdc_merge(self, ray_session, tmp_path):
+        from ontoray.queries import SQL_DOCS_CDC_MERGE, q_docs_cdc_merge
+        docs = pa.table({
+            "doc_id": pa.array([10, 15, 13, 7], pa.int64()),
+            "text": ["del me", "upd me", "src of insert", "plain"]})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_docs_cdc_merge(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(SQL_DOCS_CDC_MERGE).fetchall())
+        assert got == want
+        # 10 deleted; 15 updated; 13 spawns insert 1000013 and stays;
+        # 7 passes through
+        assert got == [
+            (7, "plain", "base"),
+            (13, "src of insert", "base"),
+            (15, "upd me v2", "update"),
+            (1000013, "new doc 13", "insert")]
+
+
+class TestRangeJoin:
+    def test_events_range_join(self, ray_session, tmp_path):
+        from ontoray.queries import (q_events_range_join,
+                                     sql_events_range_join)
+        # clicks at t=0s and t=10000s; purchases at 500s, 7000s, 7300s
+        # (user 1), purchase at 600s for user 2 (never joins user 1)
+        us = 1_000_000
+        events = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 10_000 * us, 500 * us, 7000 * us,
+                            7300 * us, 600 * us], pa.timestamp("us")),
+            "event_type": ["click", "click", "purchase", "purchase",
+                           "purchase", "purchase"],
+        })
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_range_join(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": events})
+                      .execute(sql_events_range_join()).fetchall())
+        assert got == want
+        # click@0: purchases 500/7000 within 7200s (7300 not); click@10000:
+        # 7000/7300 within 7200 back-window, 500 is 9500s away -> 2 each
+        assert got == [(1, 1, 2), (2, 1, 2)]
+
+    def test_events_range_join_cross_bucket(self, ray_session, tmp_path):
+        from ontoray.queries import (q_events_range_join,
+                                     sql_events_range_join)
+        us = 1_000_000
+        # click at bucket boundary minus 1s, purchase 2s later in the NEXT
+        # bucket: only the neighbor replication finds it
+        events = pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([9, 9], pa.int64()),
+            "ts": pa.array([7199 * us, 7201 * us], pa.timestamp("us")),
+            "event_type": ["click", "purchase"],
+        })
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_range_join(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": events})
+                      .execute(sql_events_range_join()).fetchall())
+        assert got == want == [(1, 9, 1)]
