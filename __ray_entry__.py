@@ -832,6 +832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_set_ops": Q.q_hll_set_ops,
         "docs_cdc_merge": Q.q_docs_cdc_merge,
         "events_range_join": Q.q_events_range_join,
+        "events_bounce": Q.q_events_bounce,
+        "lm_kn_bigram": Q.q_lm_kn_bigram,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1136,4 +1138,6 @@ def oracle_sql() -> dict[str, str]:
         "hll_set_ops": Q.sql_hll_set_ops(),
         "docs_cdc_merge": Q.SQL_DOCS_CDC_MERGE,
         "events_range_join": Q.sql_events_range_join(),
+        "events_bounce": Q.sql_events_bounce(),
+        "lm_kn_bigram": Q.sql_lm_kn_bigram(),
     }

@@ -9862,3 +9862,202 @@ def sql_events_range_join(window_s: int = 7200, type_a: str = "click",
                       AND abs(a.t - b.t) <= {w}
     GROUP BY a.event_id, a.user_id
     """
+
+
+def q_events_bounce(sf_dir: str, gap_s: int = 1800):
+    """Per-entry-type session bounce rate: sessions open at a > ``gap_s``
+    silence (the events_session contract), each session is labeled by its
+    ENTRY event type (first event by (ts, event_id)), and a session bounces
+    when it contains exactly one event.  Output (entry_type, n_sessions,
+    n_bounce, bounce_micro) with the exact integer rate.
+
+    Scale shape: one user-keyed exchange; sessions, entry labels and bounce
+    flags all derive vectorized inside the per-user group; the per-type
+    fold is a second, vocabulary-bounded two-phase aggregate."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    gap_us = gap_s * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "event_type"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_type": batch.column("event_type")})
+
+    def sess(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ts, et = ts[order], et[order]
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        n_sess = sid[-1] + 1
+        n_events = np.bincount(sid, minlength=n_sess)
+        entry_idx = np.flatnonzero(new)
+        return pa.table({
+            "entry_type": pa.array(et[entry_idx], pa.string()),
+            "one": pa.array(np.ones(n_sess, np.int64)),
+            "bounce": pa.array((n_events == 1).astype(np.int64))})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .repartition(default_coalesce())
+           .groupby("user_id").map_groups(sess, batch_format="pyarrow"))
+
+    out = hash_aggregate(
+        per, ["entry_type"],
+        partial_aggs=[("one", "sum"), ("bounce", "sum")],
+        aggs=[("one_sum", "sum"), ("bounce_sum", "sum")],
+        rename={"one_sum_sum": "n_sessions", "bounce_sum_sum": "n_bounce"},
+        num_buckets=4)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        s = batch.column("n_sessions").to_numpy(zero_copy_only=False)
+        b = batch.column("n_bounce").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bounce_micro", pa.array(b * 1_000_000 // s, pa.int64()))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_events_bounce(gap_s: int = 1800) -> str:
+    gap_us = gap_s * 1_000_000
+    return f"""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+               FROM events),
+    d AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > {gap_us}
+                         THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d),
+    per AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY 1, 2),
+    ent AS (SELECT user_id, sid, event_type AS entry_type FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                             ORDER BY t, event_id) AS rn
+                FROM s) WHERE rn = 1)
+    SELECT ent.entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN per.n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           CAST(sum(CASE WHEN per.n_events = 1 THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS bounce_micro
+    FROM ent JOIN per ON ent.user_id = per.user_id AND ent.sid = per.sid
+    GROUP BY 1
+    """
+
+
+def q_lm_kn_bigram(sf_dir: str, min_count: int = 3):
+    """Kneser-Ney-smoothed bigram LM (Kneser & Ney 1995; the KenLM
+    default) with the discount d = 3/4 carried in EXACT integer
+    arithmetic: p_KN(w2|w1) = (n - d)/n_w1 + d·f_w1/n_w1 · n1_w2/B is
+    pinned as the SUM OF TWO FLOOR-DIVIDED micro terms —
+    term1 = (4n-3)·10^6 // (4·n_w1) and
+    term2 = 3·f_w1·n1_w2·10^6 // (4·n_w1·B) — so distributed fold order
+    cannot move the result (documented contract: the two-floor sum, not
+    one rational).
+
+    f_w1 = distinct followers of w1, n1_w2 = distinct predecessors of w2
+    (the continuation count that makes KN better than add-k), B = distinct
+    bigram types.  Output rows with n >= ``min_count``.
+
+    Scale shape: bigram counts fold two-phase (Counter combiner); follower/
+    predecessor tables re-aggregate the vocabulary-bounded bigram table;
+    both joins are partitioned hash joins on bigram-table keys; B is one
+    scalar fold."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from collections import Counter
+
+    from ontoray.extras.textstats import TOKEN_RE
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            cnt.update(zip(toks, toks[1:]))
+        w1 = [k[0] for k in cnt]
+        w2 = [k[1] for k in cnt]
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "n": pa.array(list(cnt.values()), pa.int64())})
+
+    c = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["w1", "w2"],
+        aggs=[("n", "sum")], rename={"n_sum": "n"}).materialize()
+
+    B = c.count()
+
+    def u_part(batch: pa.Table) -> pa.Table:
+        return pa.table({"w1": batch.column("w1"),
+                         "nn": batch.column("n"),
+                         "f": pa.array(np.ones(len(batch), np.int64))})
+
+    u = hash_aggregate(
+        c.map_batches(u_part, batch_format="pyarrow"), ["w1"],
+        partial_aggs=[("nn", "sum"), ("f", "sum")],
+        aggs=[("nn_sum", "sum"), ("f_sum", "sum")],
+        rename={"nn_sum_sum": "n_w1", "f_sum_sum": "f_w1"})
+
+    def v_part(batch: pa.Table) -> pa.Table:
+        return pa.table({"w2": batch.column("w2"),
+                         "p": pa.array(np.ones(len(batch), np.int64))})
+
+    v = hash_aggregate(
+        c.map_batches(v_part, batch_format="pyarrow"), ["w2"],
+        partial_aggs=[("p", "sum")], aggs=[("p_sum", "sum")],
+        rename={"p_sum_sum": "n1_w2"})
+
+    big = c.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("n"), pa.scalar(min_count, pa.int64()))),
+        batch_format="pyarrow")
+    j = hash_join(big, u, "w1", "w1", right_cols=["n_w1", "f_w1"])
+    j = hash_join(j, v, "w2", "w2", right_cols=["n1_w2"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        n_w1 = batch.column("n_w1").to_numpy(zero_copy_only=False)
+        f_w1 = batch.column("f_w1").to_numpy(zero_copy_only=False)
+        n1 = batch.column("n1_w2").to_numpy(zero_copy_only=False)
+        t1 = (4 * n - 3) * 1_000_000 // (4 * n_w1)
+        t2 = 3 * f_w1 * n1 * 1_000_000 // (4 * n_w1 * B)
+        return batch.append_column(
+            "p_kn_micro", pa.array((t1 + t2).astype(np.int64)))
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def sql_lm_kn_bigram(min_count: int = 3) -> str:
+    return f"""
+    WITH t AS (SELECT regexp_extract_all(coalesce(text, ''), '[a-z0-9]+')
+                 AS l FROM documents),
+    bg AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+           FROM t WHERE len(l) >= 2),
+    c AS (SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS n
+          FROM bg GROUP BY 1, 2),
+    u AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1,
+                 CAST(count(*) AS BIGINT) AS f_w1 FROM c GROUP BY 1),
+    v AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_w2 FROM c GROUP BY 1),
+    bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c)
+    SELECT c.w1, c.w2, c.n, u.n_w1, u.f_w1, v.n1_w2,
+           CAST((4 * c.n - 3) * 1000000 // (4 * u.n_w1)
+                + 3 * u.f_w1 * v.n1_w2 * 1000000 // (4 * u.n_w1 * bb.b)
+             AS BIGINT) AS p_kn_micro
+    FROM c JOIN u USING (w1) JOIN v USING (w2) CROSS JOIN bb
+    WHERE c.n >= {min_count}
+    """

@@ -330,3 +330,68 @@ class TestRangeJoin:
         want = sorted(_duck({"events": events})
                       .execute(sql_events_range_join()).fetchall())
         assert got == want == [(1, 9, 1)]
+
+
+class TestBounce:
+    def test_events_bounce(self, ray_session, tmp_path):
+        from ontoray.queries import q_events_bounce, sql_events_bounce
+        us = 1_000_000
+        # user 1: [view@0, click@60s] one session (entry view),
+        #         [purchase@5000s] second session -> bounce
+        # user 2: [click@0] bounce
+        events = pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 60 * us, 5000 * us, 0], pa.timestamp("us")),
+            "event_type": ["view", "click", "purchase", "click"],
+        })
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_bounce(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": events})
+                      .execute(sql_events_bounce()).fetchall())
+        assert got == want
+        assert got == [("click", 1, 1, 1_000_000),
+                       ("purchase", 1, 1, 1_000_000),
+                       ("view", 1, 0, 0)]
+
+    def test_events_bounce_tie_entry(self, ray_session, tmp_path):
+        from ontoray.queries import q_events_bounce, sql_events_bounce
+        # two events at the identical ts: event_id breaks the entry tie
+        events = pa.table({
+            "event_id": pa.array([9, 4], pa.int64()),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([0, 0], pa.timestamp("us")),
+            "event_type": ["view", "click"],
+        })
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        got = sorted(tuple(r.values()) for r in q_events_bounce(
+            str(tmp_path)).to_pandas().to_dict("records"))
+        want = sorted(_duck({"events": events})
+                      .execute(sql_events_bounce()).fetchall())
+        assert got == want == [("click", 1, 0, 0)]
+
+
+class TestKnBigram:
+    def test_lm_kn_bigram(self, ray_session, tmp_path):
+        from ontoray.queries import q_lm_kn_bigram, sql_lm_kn_bigram
+        docs = pa.table({"text": ["a b a b a c", "b a b a"]})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = sorted(tuple(r.values()) for r in q_lm_kn_bigram(
+            str(tmp_path), min_count=1).to_pandas().to_dict("records"))
+        want = sorted(_duck({"documents": docs})
+                      .execute(sql_lm_kn_bigram(min_count=1)).fetchall())
+        assert got == want
+        # bigrams: doc1 (a,b)(b,a)(a,b)(b,a)(a,c); doc2 (b,a)(a,b)(b,a)
+        # c: (a,b)=3 (b,a)=4 (a,c)=1; B=3
+        # u: a -> n_w1=4, f_w1=2 ; b -> n_w1=4, f_w1=1
+        # v: b -> n1=1 ; a -> n1=1 ; c -> n1=1
+        row = {(r[0], r[1]): r for r in got}
+        n, n_w1, f_w1, n1 = row[("a", "b")][2:6]
+        assert (n, n_w1, f_w1, n1) == (3, 4, 2, 1)
+        t1 = (4 * 3 - 3) * 1_000_000 // (4 * 4)
+        t2 = 3 * 2 * 1 * 1_000_000 // (4 * 4 * 3)
+        assert row[("a", "b")][6] == t1 + t2
+        # KN sanity: continuation mass keeps every seen bigram's p > 0 and
+        # p(b|a) with n=3 beats p(c|a) with n=1
+        assert row[("a", "b")][6] > row[("a", "c")][6] > 0
