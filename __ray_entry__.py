@@ -834,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": Q.q_events_range_join,
         "events_bounce": Q.q_events_bounce,
         "lm_kn_bigram": Q.q_lm_kn_bigram,
+        "embed_ivfpq": Q.q_embed_ivfpq,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1140,4 +1141,5 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": Q.sql_events_range_join(),
         "events_bounce": Q.sql_events_bounce(),
         "lm_kn_bigram": Q.sql_lm_kn_bigram(),
+        "embed_ivfpq": Q.sql_embed_ivfpq("/root/testdata/sf0.01"),
     }

@@ -10061,3 +10061,221 @@ def sql_lm_kn_bigram(min_count: int = 3) -> str:
     FROM c JOIN u USING (w1) JOIN v USING (w2) CROSS JOIN bb
     WHERE c.n >= {min_count}
     """
+
+
+def q_embed_ivfpq(sf_dir: str, k: int = 10, m: int = 4, kc: int = 8,
+                  kq: int = 8, nprobe: int = 2, iters: int = 2):
+    """IVF+PQ composed ANN search (the FAISS IVFPQ plan, exact-arithmetic
+    edition): a fixed-point k-means COARSE index prunes the scan to
+    ``nprobe`` probed cells (integer cluster-sum probe cosine — the
+    ann_ivf contract), and candidates rank by the ASYMMETRIC-DISTANCE
+    integer surrogate: approx_dot(q, x) = Σ_subspace dot(q_sub, PQ
+    centroid of x's code) — the query never meets a raw vector until the
+    final cosine readout of the winners.
+
+    All ranking arithmetic is int64 on KM_SCALE-quantized values, so the
+    DuckDB mirror reproduces the probe set, the PQ codes and the ranking
+    bit-for-bit; ties break on vec_id.  Output (vec_id, approx_dot,
+    cosine) — cosine is the round-6 readout for recall inspection.
+
+    Scale shape: both trainings are the kmeans_fixed k×dim partial folds;
+    the scan recomputes coarse + PQ assignments per batch against
+    broadcast centroids (no joins), keeps per-batch top-k, and the global
+    merge is k-bounded."""
+    import math
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ontoray.extras.ann import query_vector
+    from ontoray.extras.kmeans import KM_SCALE, _quantize, kmeans_fixed
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.util import column_lists
+
+    dim = _embedding_dim(sf_dir)
+    qv = query_vector(dim)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    _, coarse_C, dsm = kmeans_fixed(ds, k=kc, iters=iters, seed=42,
+                                    return_centroids=True)
+    cbc = ray.put(coarse_C)
+
+    def cluster_sums(batch: pa.Table) -> pa.Table:
+        C = ray.get(cbc)
+        q = _quantize(batch, "embedding")
+        d2 = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        out_c, out_p, out_s = [], [], []
+        for c in np.unique(cl):
+            s = q[cl == c].sum(axis=0)
+            out_c.extend([int(c)] * dim)
+            out_p.extend(range(dim))
+            out_s.extend(int(x) for x in s)
+        return pa.table({"cl": pa.array(out_c, pa.int64()),
+                         "pos": pa.array(out_p, pa.int64()),
+                         "s": pa.array(out_s, pa.int64())})
+
+    agg = column_lists(
+        hash_aggregate(dsm.map_batches(cluster_sums, batch_format="pyarrow"),
+                       ["cl", "pos"], partial_aggs=[("s", "sum")],
+                       aggs=[("s_sum", "sum")], rename={"s_sum_sum": "s"},
+                       num_buckets=8), ["cl", "pos", "s"])
+    S: dict = {}
+    for c, p, s in zip(agg["cl"], agg["pos"], agg["s"]):
+        S.setdefault(c, [0] * dim)[p] = int(s)
+    qq = [int(x) for x in np.floor(qv * KM_SCALE + 0.5).astype(np.int64)]
+    n1 = sum(v * v for v in qq)
+    scored = []
+    for c, sv in S.items():
+        dot = sum(a * b for a, b in zip(qq, sv))
+        n2 = sum(v * v for v in sv)
+        cos = float(dot) / math.sqrt(float(n2 * n1)) if n2 > 0 and n1 > 0 \
+            else -2.0
+        scored.append((-cos, c))
+    probes = np.array(sorted(c for _n, c in sorted(scored)[:nprobe]),
+                      dtype=np.int64)
+
+    sub_C = []
+    for mi in range(m):
+        lo, hi = mi * dim // m, (mi + 1) * dim // m
+
+        def slice_batch(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            vecs = np.array(batch.column("embedding").to_pylist(),
+                            dtype=np.float64)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "embedding": pa.array(vecs[:, lo:hi].tolist(),
+                                      pa.list_(pa.float64()))})
+
+        _, C_mi, _ = kmeans_fixed(
+            dsm.map_batches(slice_batch, batch_format="pyarrow"),
+            k=kq, iters=iters, seed=142 + mi, return_centroids=True)
+        sub_C.append(C_mi)
+
+    qq_np = np.array(qq, dtype=np.int64)
+    qdots = [sub_C[mi] @ qq_np[mi * dim // m:(mi + 1) * dim // m]
+             for mi in range(m)]
+    bc = ray.put((coarse_C, sub_C, probes, qdots, qv))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        C, SC, pr, qd, qvf = ray.get(bc)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.array(batch.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        q = np.floor(vecs * KM_SCALE + 0.5).astype(np.int64)
+        d2 = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        keep = np.isin(d2.argmin(axis=1), pr)
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "approx_dot": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ids, vecs, q = ids[keep], vecs[keep], q[keep]
+        approx = np.zeros(len(ids), dtype=np.int64)
+        for mi in range(len(SC)):
+            lo, hi = mi * q.shape[1] // len(SC), \
+                (mi + 1) * q.shape[1] // len(SC)
+            dd = ((q[:, None, lo:hi] - SC[mi][None, :, :]) ** 2).sum(axis=2)
+            approx += qd[mi][dd.argmin(axis=1)]
+        norms = np.linalg.norm(vecs, axis=1) * np.linalg.norm(qvf)
+        norms[norms == 0] = 1.0
+        cos = np.round((vecs @ qvf) / norms, 6)
+        order = np.lexsort((ids, -approx))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "approx_dot": pa.array(approx[order], pa.int64()),
+            "cosine": pa.array(cos[order], pa.float64())})
+
+    rows = dsm.map_batches(scan, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["approx_dot"], r["vec_id"]))
+    top = rows[:k]
+    return pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in top], pa.int64()),
+        "approx_dot": pa.array([r["approx_dot"] for r in top], pa.int64()),
+        "cosine": pa.array([r["cosine"] for r in top], pa.float64())})
+
+
+def sql_embed_ivfpq(sf_dir: str, k: int = 10, m: int = 4, kc: int = 8,
+                    kq: int = 8, nprobe: int = 2, iters: int = 2) -> str:
+    """DuckDB mirror of q_embed_ivfpq: coarse kmeans CTE chain + probe
+    cosine (sql_ann_ivf pattern), per-subspace kmeans chains renamed
+    ``_s{mi}`` (sql_pq_codes pattern), ADC scores from the subspace
+    centroid tables, identical (approx_dot DESC, vec_id) final order."""
+    import re as _re
+
+    import numpy as np
+
+    from ontoray.extras.ann import query_vector
+    from ontoray.extras.kmeans import KM_SCALE, sql_kmeans_ctes
+
+    dim = _embedding_dim(sf_dir)
+    qv = query_vector(dim)
+    qq = [int(x) for x in np.floor(qv * KM_SCALE + 0.5).astype(np.int64)]
+    n1 = sum(v * v for v in qq)
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    qq_vals = ", ".join(f"({i + 1}, CAST({v} AS HUGEINT))"
+                        for i, v in enumerate(qq))
+
+    ctes, final = sql_kmeans_ctes(kc, iters, 42, "embeddings")
+    all_ctes = list(ctes)
+
+    sub_finals = []
+    for mi in range(m):
+        lo, hi = mi * dim // m, (mi + 1) * dim // m
+        sub = (f"(SELECT vec_id, embedding[{lo + 1}:{hi}] AS embedding "
+               f"FROM embeddings)")
+        sctes, sfinal = sql_kmeans_ctes(kq, iters, 142 + mi, table=sub)
+        names = ["q", "sd"] + [f"{p}{t}" for t in range(iters + 1)
+                               for p in ("c", "a", "cell", "cent")]
+        for ci in range(len(sctes)):
+            s = sctes[ci]
+            for n in sorted(names, key=len, reverse=True):
+                s = _re.sub(rf"\b{n}\b", f"{n}_s{mi}", s)
+            sctes[ci] = s
+        for n in sorted(names, key=len, reverse=True):
+            sfinal = _re.sub(rf"\b{n}\b", f"{n}_s{mi}", sfinal)
+        all_ctes.extend(sctes)
+        sub_finals.append(sfinal)
+
+    qd_ctes, qd_joins, qd_sum = [], [], []
+    for mi in range(m):
+        lo = mi * dim // m
+        sub_q = "[" + ", ".join(
+            f"CAST({qq[lo + i]} AS BIGINT)"
+            for i in range(dim // m)) + "]"
+        qd_ctes.append(
+            f"qd_s{mi} AS (SELECT cl, CAST(list_sum(list_transform("
+            f"list_zip(qv, {sub_q}), p -> p[1] * p[2])) AS BIGINT) AS v "
+            f"FROM c{iters - 1}_s{mi})")
+        qd_joins.append(
+            f"JOIN {sub_finals[mi]} b{mi} ON b{mi}.vec_id = cand.vec_id "
+            f"JOIN qd_s{mi} q{mi} ON q{mi}.cl = b{mi}.cl")
+        qd_sum.append(f"q{mi}.v")
+
+    return f"""
+    WITH {", ".join(all_ctes)},
+    qq(pos, v) AS (VALUES {qq_vals}),
+    csum AS (SELECT a.cl, t.pos,
+                    CAST(sum(CAST(q.qv[t.pos] AS HUGEINT)) AS HUGEINT) AS s
+             FROM {final} a JOIN q USING (vec_id),
+                  unnest(generate_series(1, len(q.qv))) AS t(pos)
+             GROUP BY 1, 2),
+    pr AS (SELECT c.cl, sum(c.s * qq.v) AS dot, sum(c.s * c.s) AS n2
+           FROM csum c JOIN qq USING (pos) GROUP BY c.cl),
+    probes AS (SELECT cl FROM (
+        SELECT cl, CASE WHEN n2 > 0 THEN CAST(dot AS DOUBLE)
+                                         / sqrt(CAST(n2 * {n1} AS DOUBLE))
+                        ELSE -2.0 END AS cos
+        FROM pr) ORDER BY cos DESC, cl LIMIT {nprobe}),
+    cand AS (SELECT a.vec_id FROM {final} a JOIN probes p ON p.cl = a.cl),
+    {", ".join(qd_ctes)},
+    tot AS (SELECT cand.vec_id, {" + ".join(qd_sum)} AS approx_dot
+            FROM cand {" ".join(qd_joins)})
+    SELECT t.vec_id, t.approx_dot,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST({qlit} AS DOUBLE[])), 6)
+             AS cosine
+    FROM tot t JOIN embeddings e ON e.vec_id = t.vec_id
+    ORDER BY t.approx_dot DESC, t.vec_id LIMIT {k}
+    """

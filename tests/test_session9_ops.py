@@ -395,3 +395,31 @@ class TestKnBigram:
         # KN sanity: continuation mass keeps every seen bigram's p > 0 and
         # p(b|a) with n=3 beats p(c|a) with n=1
         assert row[("a", "b")][6] > row[("a", "c")][6] > 0
+
+
+class TestIvfPq:
+    def test_embed_ivfpq(self, ray_session, tmp_path):
+        import numpy as np
+        from ontoray.queries import q_embed_ivfpq, sql_embed_ivfpq
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(40, 8)).astype(np.float32)
+        emb = pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        got = [tuple(r.values()) for r in q_embed_ivfpq(
+            str(tmp_path), k=5, m=2, kc=4, kq=4, nprobe=2, iters=2)
+            .to_pandas().to_dict("records")]
+        want = _duck({"embeddings": emb}).execute(sql_embed_ivfpq(
+            str(tmp_path), k=5, m=2, kc=4, kq=4, nprobe=2,
+            iters=2)).fetchall()
+        assert got == want
+        assert len(got) == 5
+        # ranking is by approx_dot desc with vec_id tie-break
+        keys = [(-r[1], r[0]) for r in got]
+        assert keys == sorted(keys)
+        # non-vacuous ADC scores: the surrogate separates candidates
+        # (correlation with true cosine is statistical, not asserted on a
+        # 40×8 random fixture with 4-word codebooks)
+        assert len({r[1] for r in got}) > 1
