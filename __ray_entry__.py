@@ -835,6 +835,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bounce": Q.q_events_bounce,
         "lm_kn_bigram": Q.q_lm_kn_bigram,
         "embed_ivfpq": Q.q_embed_ivfpq,
+        "docs_containment": Q.q_docs_containment,
+        "ann_filtered": Q.q_ann_filtered,
+        "ann_refine": Q.q_ann_refine,
+        "events_paths": Q.q_events_paths,
+        "custs_favorite_brand": Q.q_custs_favorite_brand,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1142,4 +1147,11 @@ def oracle_sql() -> dict[str, str]:
         "events_bounce": Q.sql_events_bounce(),
         "lm_kn_bigram": Q.sql_lm_kn_bigram(),
         "embed_ivfpq": Q.sql_embed_ivfpq("/root/testdata/sf0.01"),
+        "docs_containment": __import__(
+            "ontoray.extras.dedup",
+            fromlist=["sql_containment_pairs"]).sql_containment_pairs(),
+        "ann_filtered": Q.sql_ann_filtered("/root/testdata/sf0.01"),
+        "ann_refine": Q.sql_ann_refine("/root/testdata/sf0.01"),
+        "events_paths": Q.sql_events_paths(),
+        "custs_favorite_brand": Q.sql_custs_favorite_brand(),
     }

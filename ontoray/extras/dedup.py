@@ -432,21 +432,21 @@ def sql_minhash_pairs(table: str = "documents", threshold: float = 0.8,
 # --- exact n-gram Jaccard pairs (inverted shingle index, no LSH) ------------
 
 
-def jaccard_pairs(ds, threshold: float = 0.8, k: int = 3,
-                  max_df: int | None = None, num_partitions: int = 32):
-    """EXACT near-dup pairs (doc_a < doc_b, jaccard >= threshold) via an
-    inverted shingle index — the no-false-negative alternative to MinHash:
-    common counts flow through a (shingle → docs) groupby instead of
-    sampled signatures, so J(a,b) = c/(na+nb-c) is computed exactly.
+def _exact_pair_stats(ds, k: int = 3, max_df: int | None = None,
+                      num_partitions: int = 32):
+    """Shared inverted-shingle-index machinery behind ``jaccard_pairs`` and
+    ``containment_pairs``: returns a Dataset of (doc_a, doc_b, c, na, nb)
+    where c = exact common distinct-shingle count for every pair sharing at
+    least one non-singleton shingle (doc_a < doc_b), and na/nb are the FULL
+    per-doc distinct-shingle set sizes.
 
     Scale shape: only (doc_id, 8-byte shingle-hash) rows ever shuffle; the
     pair expansion is quadratic in a shingle's document frequency, so
     ``max_df`` drops stop-shingles above the cap (common counts become a
     lower bound — the standard prefix-filter trade, mirrored IDENTICALLY in
-    ``sql_jaccard_pairs`` so the oracle stays exact).  Singleton shingles
-    (most of the vocabulary) are pruned by a distributed semi-join before
-    the expansion; Jaccard denominators always use the FULL per-doc set
-    sizes."""
+    the SQL mirrors so the oracle stays exact).  Singleton shingles (most of
+    the vocabulary) are pruned by a distributed semi-join before the
+    expansion."""
     import pandas as pd
 
     from ontoray.stages.agg import hash_aggregate
@@ -517,6 +517,19 @@ def jaccard_pairs(ds, threshold: float = 0.8, k: int = 3,
     with_b = hash_join(with_a,
                        sizes.map_batches(_sizes_as("nb"), batch_format="pyarrow"),
                        "doc_b", "doc_id", how="inner", num_partitions=num_partitions)
+    return with_b
+
+
+def jaccard_pairs(ds, threshold: float = 0.8, k: int = 3,
+                  max_df: int | None = None, num_partitions: int = 32):
+    """EXACT near-dup pairs (doc_a < doc_b, jaccard >= threshold) via an
+    inverted shingle index — the no-false-negative alternative to MinHash:
+    common counts flow through a (shingle → docs) groupby instead of
+    sampled signatures, so J(a,b) = c/(na+nb-c) is computed exactly.
+    Machinery shared with ``containment_pairs`` via ``_exact_pair_stats``
+    (see its docstring for the scale shape)."""
+    stats = _exact_pair_stats(ds, k=k, max_df=max_df,
+                              num_partitions=num_partitions)
 
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -529,7 +542,64 @@ def jaccard_pairs(ds, threshold: float = 0.8, k: int = 3,
                         "jaccard": j})
         return out.filter(pc.greater_equal(j, threshold))
 
-    return with_b.map_batches(finish, batch_format="pyarrow")
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def containment_pairs(ds, threshold: float = 0.5, k: int = 3,
+                      max_df: int | None = None, num_partitions: int = 32):
+    """ASYMMETRIC near-dup pairs by set CONTAINMENT (Broder 1997's
+    resemblance vs containment distinction): C(a,b) = c / min(na, nb) —
+    the fraction of the SMALLER document's shingle set present in the
+    other.  Catches quote-inclusion / page-wraps-page duplication that
+    Jaccard misses (a 100-word post embedded in a 10k-word page has tiny
+    Jaccard but containment ~1), the asymmetric case real web dedup must
+    handle.  Output (doc_a, doc_b, c, na, nb, containment), doc_a < doc_b,
+    containment >= ``threshold``; same inverted-index scale shape as
+    ``jaccard_pairs`` (see ``_exact_pair_stats``)."""
+    stats = _exact_pair_stats(ds, k=k, max_df=max_df,
+                              num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = pc.cast(batch.column("c"), pa.float64())
+        denom = pc.cast(pc.min_element_wise(batch.column("na"),
+                                            batch.column("nb")), pa.float64())
+        cont = pc.divide(c, denom)
+        out = pa.table({"doc_a": batch.column("doc_a"),
+                        "doc_b": batch.column("doc_b"),
+                        "c": batch.column("c"),
+                        "na": batch.column("na"),
+                        "nb": batch.column("nb"),
+                        "containment": cont})
+        return out.filter(pc.greater_equal(cont, threshold))
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_containment_pairs(table: str = "documents", threshold: float = 0.5,
+                          k: int = 3, max_df: int | None = None) -> str:
+    """DuckDB mirror of ``containment_pairs``: identical shingle sets and df
+    pruning, identical unrounded c / least(na, nb) double."""
+    cap = "" if max_df is None else f" AND df <= {max_df}"
+    return f"""
+    WITH {_sql_shingle_ctes(table, k)},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (SELECT h FROM (SELECT h, count(*) AS df FROM sh GROUP BY h)
+             WHERE df >= 2{cap}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a
+      JOIN kept kk ON kk.h = a.h
+      JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.c, za.n AS na, zb.n AS nb,
+           p.c::DOUBLE / least(za.n, zb.n) AS containment
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    WHERE p.c::DOUBLE / least(za.n, zb.n) >= {threshold!r}
+    """
 
 
 def sql_jaccard_pairs(table: str = "documents", threshold: float = 0.8,

@@ -66,11 +66,15 @@ def pq_codes(ds, m: int = 4, k: int = 8, iters: int = 2, seed: int = 42,
     return out
 
 
-def sql_pq_codes(m: int = 4, k: int = 8, iters: int = 2, seed: int = 42,
-                 dim: int = 64, table: str = "embeddings") -> str:
-    """DuckDB mirror: the kmeans CTE chain per subspace with CTE names
-    suffixed ``_s{m}`` (word-boundary rename — inner aliases untouched),
-    over a 1-based list-slice of the embedding column."""
+def sql_pq_subspace_ctes(m: int = 4, k: int = 8, iters: int = 2,
+                         seed: int = 42, dim: int = 64,
+                         table: str = "embeddings"
+                         ) -> tuple[list[str], list[tuple[int, str]]]:
+    """The kmeans CTE chain per subspace with CTE names suffixed ``_s{m}``
+    (word-boundary rename — inner aliases untouched), over a 1-based
+    list-slice of the embedding column.  Returns (all_ctes, [(mi,
+    final_assignment_cte_name)]); shared by ``sql_pq_codes`` and the
+    ADC-ranking mirrors (queries.sql_ann_refine)."""
     from ontoray.extras.kmeans import sql_kmeans_ctes
 
     all_ctes: list[str] = []
@@ -91,6 +95,13 @@ def sql_pq_codes(m: int = 4, k: int = 8, iters: int = 2, seed: int = 42,
             final = _re.sub(rf"\b{n}\b", f"{n}_s{mi}", final)
         all_ctes.extend(ctes)
         finals.append((mi, final))
+    return all_ctes, finals
+
+
+def sql_pq_codes(m: int = 4, k: int = 8, iters: int = 2, seed: int = 42,
+                 dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB mirror of ``pq_codes`` (see ``sql_pq_subspace_ctes``)."""
+    all_ctes, finals = sql_pq_subspace_ctes(m, k, iters, seed, dim, table)
     sel = " UNION ALL ".join(
         f"SELECT vec_id, CAST({mi} AS BIGINT) AS subspace, "
         f"CAST(cl AS BIGINT) AS code FROM {final}"

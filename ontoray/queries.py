@@ -10279,3 +10279,360 @@ def sql_embed_ivfpq(sf_dir: str, k: int = 10, m: int = 4, kc: int = 8,
     FROM tot t JOIN embeddings e ON e.vec_id = t.vec_id
     ORDER BY t.approx_dot DESC, t.vec_id LIMIT {k}
     """
+
+
+# --- containment dedup / filtered+refined ANN / session paths / argmax join -
+
+
+def q_docs_containment(sf_dir: str, threshold: float = 0.5, k: int = 3):
+    """Asymmetric CONTAINMENT near-dup pairs over documents (Broder's
+    resemblance-vs-containment distinction): C = c/min(na, nb) catches the
+    quote-inclusion / page-wraps-page duplication Jaccard misses.  Engine in
+    ``extras/dedup.containment_pairs`` (shared inverted-shingle-index
+    machinery with ``jaccard_pairs``)."""
+    import ray.data as rd
+
+    from ontoray.extras.dedup import containment_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return containment_pairs(ds, threshold=threshold, k=k)
+
+
+def q_ann_filtered(sf_dir: str, k: int = 10, mod: int = 3):
+    """FILTERED vector search (the vector-DB serving shape: top-k among
+    vectors satisfying a metadata predicate, here label % ``mod`` == 0):
+    the predicate is applied map-side per batch BEFORE any scoring, so
+    non-matching vectors never cost a matmul row; with a reader-expressible
+    predicate this filter belongs in the parquet read (row-group pruning) —
+    map-side here because the modulo predicate is not a column statistic.
+    Scoring/merge reuse the brute_force_topk contract (local top-k, tiny
+    global merge, round-6 cosine, vec_id tie-break)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.extras.ann import brute_force_topk, query_vector
+
+    dim = _embedding_dim(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(lab % mod == 0)).drop_columns(["label"])
+
+    return brute_force_topk(ds.map_batches(keep, batch_format="pyarrow"),
+                            query_vector(dim), k=k)
+
+
+def sql_ann_filtered(sf_dir: str, k: int = 10, mod: int = 3) -> str:
+    from ontoray.extras.ann import query_vector
+    dim = _embedding_dim(sf_dir)
+    q = query_vector(dim)
+    qlit = "[" + ", ".join(repr(float(x)) for x in q) + "]"
+    return (f"SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS "
+            f"DOUBLE[]), CAST({qlit} AS DOUBLE[])), 6) AS cosine "
+            f"FROM embeddings WHERE label % {mod} = 0 "
+            f"ORDER BY cosine DESC, vec_id LIMIT {k}")
+
+
+def q_ann_refine(sf_dir: str, k: int = 10, r: int = 50, m: int = 4,
+                 kq: int = 8, iters: int = 2):
+    """Two-stage PQ-ADC search with EXACT re-rank (the FAISS
+    IndexRefineFlat plan): stage 1 ranks the WHOLE corpus by the integer
+    asymmetric-distance surrogate approx_dot = Σ_subspace dot(q_sub, PQ
+    centroid of x's code) and keeps the top ``r`` candidates; stage 2
+    re-ranks those ``r`` by exact cosine and returns the top ``k``.  The
+    refine step converts PQ's lossy ranking into near-exact recall at the
+    cost of ``r`` exact distance evaluations — the standard
+    billion-vector serving trade.
+
+    All stage-1 arithmetic is int64 on KM_SCALE-quantized values (the
+    embed_pq/embed_ivfpq contract) so the DuckDB mirror reproduces the
+    candidate set bit-for-bit; ties break on vec_id at BOTH cuts; stage-2
+    cosine is the round-6 readout.
+
+    Scale shape: subspace trainings are kmeans_fixed k×(dim/m) partial
+    folds; the scan recomputes PQ assignments per batch against broadcast
+    sub-centroids, carries exact cosine in the same pass (no second corpus
+    read), and keeps per-batch top-r — the global merge is r-bounded."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ontoray.extras.ann import query_vector
+    from ontoray.extras.kmeans import KM_SCALE, kmeans_fixed
+
+    dim = _embedding_dim(sf_dir)
+    qv = query_vector(dim)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    dsm = ds.materialize()
+
+    sub_C = []
+    for mi in range(m):
+        lo, hi = mi * dim // m, (mi + 1) * dim // m
+
+        def slice_batch(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            vecs = np.array(batch.column("embedding").to_pylist(),
+                            dtype=np.float64)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "embedding": pa.array(vecs[:, lo:hi].tolist(),
+                                      pa.list_(pa.float64()))})
+
+        _, C_mi, _ = kmeans_fixed(
+            dsm.map_batches(slice_batch, batch_format="pyarrow"),
+            k=kq, iters=iters, seed=42 + mi, return_centroids=True)
+        sub_C.append(C_mi)
+
+    qq = np.floor(qv * KM_SCALE + 0.5).astype(np.int64)
+    qdots = [sub_C[mi] @ qq[mi * dim // m:(mi + 1) * dim // m]
+             for mi in range(m)]
+    bc = ray.put((sub_C, qdots, qv))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        SC, qd, qvf = ray.get(bc)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        vecs = np.array(batch.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        q = np.floor(vecs * KM_SCALE + 0.5).astype(np.int64)
+        approx = np.zeros(len(ids), dtype=np.int64)
+        for mi in range(len(SC)):
+            lo = mi * q.shape[1] // len(SC)
+            hi = (mi + 1) * q.shape[1] // len(SC)
+            dd = ((q[:, None, lo:hi] - SC[mi][None, :, :]) ** 2).sum(axis=2)
+            approx += qd[mi][dd.argmin(axis=1)]
+        norms = np.linalg.norm(vecs, axis=1) * np.linalg.norm(qvf)
+        norms[norms == 0] = 1.0
+        cos = np.round((vecs @ qvf) / norms, 6)
+        order = np.lexsort((ids, -approx))[:r]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "approx_dot": pa.array(approx[order], pa.int64()),
+            "cosine": pa.array(cos[order], pa.float64())})
+
+    rows = dsm.map_batches(scan, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda x: (-x["approx_dot"], x["vec_id"]))
+    cand = rows[:r]
+    cand.sort(key=lambda x: (-x["cosine"], x["vec_id"]))
+    top = cand[:k]
+    return pa.table({
+        "vec_id": pa.array([x["vec_id"] for x in top], pa.int64()),
+        "approx_dot": pa.array([x["approx_dot"] for x in top], pa.int64()),
+        "cosine": pa.array([x["cosine"] for x in top], pa.float64())})
+
+
+def sql_ann_refine(sf_dir: str, k: int = 10, r: int = 50, m: int = 4,
+                   kq: int = 8, iters: int = 2) -> str:
+    """DuckDB mirror of q_ann_refine: per-subspace kmeans chains
+    (sql_pq_subspace_ctes), ADC scores from the subspace centroid tables,
+    candidate cut (approx_dot DESC, vec_id LIMIT r), exact-cosine re-rank
+    cut (cosine DESC, vec_id LIMIT k)."""
+    import numpy as np
+
+    from ontoray.extras.ann import query_vector
+    from ontoray.extras.kmeans import KM_SCALE
+    from ontoray.extras.pq import sql_pq_subspace_ctes
+
+    dim = _embedding_dim(sf_dir)
+    qv = query_vector(dim)
+    qq = np.floor(qv * KM_SCALE + 0.5).astype(np.int64)
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+
+    all_ctes, finals = sql_pq_subspace_ctes(m, kq, iters, 42, dim,
+                                            "embeddings")
+    qd_ctes, qd_joins, qd_sum = [], [], []
+    for mi, final in finals:
+        lo = mi * dim // m
+        sub_q = "[" + ", ".join(
+            f"CAST({int(qq[lo + i])} AS BIGINT)"
+            for i in range(dim // m)) + "]"
+        qd_ctes.append(
+            f"qd_s{mi} AS (SELECT cl, CAST(list_sum(list_transform("
+            f"list_zip(qv, {sub_q}), p -> p[1] * p[2])) AS BIGINT) AS v "
+            f"FROM c{iters - 1}_s{mi})")
+        qd_joins.append(
+            f"JOIN {final} b{mi} ON b{mi}.vec_id = e.vec_id "
+            f"JOIN qd_s{mi} q{mi} ON q{mi}.cl = b{mi}.cl")
+        qd_sum.append(f"q{mi}.v")
+
+    return f"""
+    WITH {", ".join(all_ctes)},
+    {", ".join(qd_ctes)},
+    tot AS (SELECT e.vec_id, {" + ".join(qd_sum)} AS approx_dot
+            FROM embeddings e {" ".join(qd_joins)}),
+    cand AS (SELECT vec_id, approx_dot FROM tot
+             ORDER BY approx_dot DESC, vec_id LIMIT {r})
+    SELECT c.vec_id, c.approx_dot,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST({qlit} AS DOUBLE[])), 6)
+             AS cosine
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+    ORDER BY cosine DESC, c.vec_id LIMIT {k}
+    """
+
+
+def q_events_paths(sf_dir: str, gap_s: int = 1800, depth: int = 3):
+    """Top session ENTRY PATHS (product-analytics path analysis): sessions
+    open at a > ``gap_s`` silence (the events_session contract), each
+    session is labeled by its first up-to-``depth`` event types joined by
+    '>', and the output is the full (path, n_sessions) distribution — the
+    path vocabulary is bounded by |event types|^depth, so no top-k cut is
+    needed.
+
+    Scale shape: one user-keyed exchange; paths derive vectorized inside
+    the per-user group (session boundaries by timestamp diff, a bounded
+    per-session prefix slice); the per-path fold is a second,
+    vocabulary-bounded two-phase aggregate."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+
+    gap_us = gap_s * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "event_type"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_type": batch.column("event_type")})
+
+    def sess(g: pa.Table) -> pa.Table:
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ts, et = ts[order], et[order]
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ts))
+        paths = [">".join(et[s:min(s + depth, e)])
+                 for s, e in zip(starts, ends)]
+        return pa.table({"path": pa.array(paths, pa.string()),
+                         "one": pa.array(np.ones(len(paths), np.int64))})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .repartition(default_coalesce())
+           .groupby("user_id").map_groups(sess, batch_format="pyarrow"))
+
+    return hash_aggregate(
+        per, ["path"], partial_aggs=[("one", "sum")],
+        aggs=[("one_sum", "sum")], rename={"one_sum_sum": "n_sessions"},
+        num_buckets=4)
+
+
+def sql_events_paths(gap_s: int = 1800, depth: int = 3) -> str:
+    gap_us = gap_s * 1_000_000
+    return f"""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+               FROM events),
+    d AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > {gap_us}
+                         THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                       ORDER BY t, event_id) AS rn
+          FROM s),
+    p AS (SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= {depth} GROUP BY 1, 2)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1
+    """
+
+
+def q_custs_favorite_brand(sf_dir: str):
+    """Per-customer FAVORITE part brand (grouped argmax over a 3-table
+    join) rolled up to the brand distribution: favorite = the brand with
+    the max total quantity across all the customer's lineitems, ties →
+    lexicographically min brand.  Output (brand, n_customers).
+
+    Scale shape: lineitem ⋈ orders is the partitioned spine; part is a
+    dimension-bounded broadcast (ray.put once, index_in per batch); the
+    (custkey, brand) totals fold two-phase; the argmax is the
+    max-join-back idiom (customer-keyed max + equality filter + min-brand
+    tie fold) — three customer-scale exchanges, never a sort."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"]).take_all()
+    p_keys = np.array([x["p_partkey"] for x in part], dtype=np.int64)
+    p_brand = np.array([x["p_brand"] for x in part], dtype=object)
+    side = ray.put((p_keys, p_brand))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    spine = hash_join(li, orders, "l_orderkey", "o_orderkey", how="inner")
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        pk, pb = ray.get(side)
+        idx = pc.index_in(batch.column("l_partkey"),
+                          value_set=pa.array(pk, pa.int64()))
+        brand = pb[idx.to_numpy(zero_copy_only=False)]
+        qty = batch.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ck": batch.column("o_custkey"),
+            "brand": pa.array(brand, pa.string()),
+            "qty": pa.array(qty, pa.int64())})
+
+    per = hash_aggregate(
+        spine.map_batches(attach, batch_format="pyarrow"),
+        ["ck", "brand"], partial_aggs=[("qty", "sum")],
+        aggs=[("qty_sum", "sum")], rename={"qty_sum_sum": "qty"})
+
+    mx = hash_aggregate(per, ["ck"], aggs=[("qty", "max")],
+                        rename={"qty_max": "qmax"})
+    wm = hash_join(per, mx, "ck", "ck", how="inner")
+
+    def winners(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.equal(batch.column("qty"),
+                                     batch.column("qmax")))
+
+    fav = hash_aggregate(
+        wm.map_batches(winners, batch_format="pyarrow"),
+        ["ck"], aggs=[("brand", "min")], rename={"brand_min": "brand"})
+
+    def ones(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({"brand": batch.column("brand"),
+                         "one": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    return hash_aggregate(
+        fav.map_batches(ones, batch_format="pyarrow"), ["brand"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_customers"}, num_buckets=8)
+
+
+def sql_custs_favorite_brand() -> str:
+    return """
+    WITH j AS (SELECT o.o_custkey AS ck, p.p_brand AS brand,
+                      sum(CAST(l.l_quantity AS BIGINT)) AS qty
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey
+               JOIN part p ON p.p_partkey = l.l_partkey
+               GROUP BY 1, 2),
+    mx AS (SELECT ck, max(qty) AS qmax FROM j GROUP BY 1),
+    fav AS (SELECT j.ck, min(j.brand) AS brand
+            FROM j JOIN mx ON mx.ck = j.ck AND j.qty = mx.qmax
+            GROUP BY 1)
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_customers
+    FROM fav GROUP BY 1
+    """
