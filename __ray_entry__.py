@@ -840,6 +840,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_refine": Q.q_ann_refine,
         "events_paths": Q.q_events_paths,
         "custs_favorite_brand": Q.q_custs_favorite_brand,
+        "bloom_fpr_eval": Q.q_bloom_fpr_eval,
+        "embed_coreset": Q.q_embed_coreset,
+        "orders_trend": Q.q_orders_trend,
+        "events_wau": Q.q_events_wau,
+        "docs_weighted_jaccard": Q.q_docs_weighted_jaccard,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1154,4 +1159,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_refine": Q.sql_ann_refine("/root/testdata/sf0.01"),
         "events_paths": Q.sql_events_paths(),
         "custs_favorite_brand": Q.sql_custs_favorite_brand(),
+        "bloom_fpr_eval": Q.sql_bloom_fpr_eval(),
+        "embed_coreset": Q.sql_embed_coreset(),
+        "orders_trend": Q.sql_orders_trend(),
+        "events_wau": Q.sql_events_wau(),
+        "docs_weighted_jaccard": __import__(
+            "ontoray.extras.dedup",
+            fromlist=["sql_weighted_jaccard_pairs"]).sql_weighted_jaccard_pairs(),
     }

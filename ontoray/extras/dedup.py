@@ -2076,3 +2076,149 @@ def sql_ppjoin_pairs(table: str = "documents",
         "AS jac_micro FROM cm JOIN sz za ON za.doc_id = cm.doc_a "
         "JOIN sz zb ON zb.doc_id = cm.doc_b "
         f"WHERE 1000000 * cm.common // (za.n + zb.n - cm.common) >= {t}")
+
+
+# --- idf-weighted Jaccard pairs ----------------------------------------------
+
+
+def weighted_jaccard_pairs(ds, threshold_micro: int = 300_000, k: int = 3,
+                           max_df: int | None = None,
+                           num_partitions: int = 32):
+    """IDF-WEIGHTED near-dup pairs: each shingle carries the integer weight
+    w(h) = 10^6 // df(h), so rare shingles dominate the similarity and
+    boilerplate shingles (huge df) contribute ~nothing — the weighted-set
+    variant (cf. Chum et al. 2008) that keeps template-heavy web pages from
+    false-matching on shared chrome.  WJ(a,b) = Σ_common w / (ta + tb -
+    Σ_common w), emitted as the exact integer micro ratio
+    wj_micro = cw·10^6 // (ta + tb - cw) — no floats anywhere, so
+    distributed fold order cannot move the result.
+
+    Scale shape: identical to ``_exact_pair_stats`` — only (doc_id, hash)
+    rows shuffle, singleton shingles never expand pairs (but DO count in the
+    per-doc totals), ``max_df`` caps the quadratic expansion.  One extra
+    partitioned join attaches weights to postings before the expansion."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            sh = _shingles(t or "", k)
+            ids.extend([did] * len(sh))
+            hs.extend(sh.tolist())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(hs, pa.int64())})
+
+    exploded = ds.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow").materialize()
+
+    # (h, df) -> integer idf weight; EVERY shingle gets one (totals need it)
+    dfs = hash_aggregate(
+        exploded.select_columns(["h"]), ["h"], partial_aggs=[("h", "count")],
+        aggs=[("h_count", "sum")], rename={"h_count_sum": "df"})
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        df = batch.column("df").to_numpy(zero_copy_only=False)
+        return pa.table({"h": batch.column("h"),
+                         "df": batch.column("df"),
+                         "w": pa.array(1_000_000 // df, pa.int64())})
+
+    weights = dfs.map_batches(add_w, batch_format="pyarrow").materialize()
+
+    wpost = hash_join(exploded, weights, "h", "h", how="inner",
+                      num_partitions=num_partitions)
+
+    totals = hash_aggregate(
+        wpost.select_columns(["doc_id", "w"]), ["doc_id"],
+        partial_aggs=[("w", "sum")], aggs=[("w_sum", "sum")],
+        rename={"w_sum_sum": "tw"})
+
+    df_filter = "df >= 2" if max_df is None else f"df >= 2 and df <= {max_df}"
+    shared = wpost.filter(expr=df_filter)
+
+    def pairs_of(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_w = [], [], []
+        for _h, sub in g.groupby("h", sort=False):
+            recs = sorted(zip(sub["doc_id"].tolist(), sub["w"].tolist()))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    out_a.append(recs[i][0])
+                    out_b.append(recs[j][0])
+                    out_w.append(recs[i][1])
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "w": pa.array(out_w, pa.int64())})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch.column("h"), 255), pa.int32())
+        return batch.append_column("__b", b)
+
+    pair_w = hash_aggregate(
+        shared.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(default_coalesce())
+        .groupby("__b").map_groups(pairs_of, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        partial_aggs=[("w", "sum")],
+        aggs=[("w_sum", "sum")], rename={"w_sum_sum": "cw"})
+
+    def _tot_as(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["doc_id", col])
+        return fn
+
+    with_a = hash_join(pair_w,
+                       totals.map_batches(_tot_as("ta"), batch_format="pyarrow"),
+                       "doc_a", "doc_id", how="inner",
+                       num_partitions=num_partitions)
+    with_b = hash_join(with_a,
+                       totals.map_batches(_tot_as("tb"), batch_format="pyarrow"),
+                       "doc_b", "doc_id", how="inner",
+                       num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cw = batch.column("cw").to_numpy(zero_copy_only=False)
+        ta = batch.column("ta").to_numpy(zero_copy_only=False)
+        tb = batch.column("tb").to_numpy(zero_copy_only=False)
+        micro = cw * 1_000_000 // (ta + tb - cw)
+        out = pa.table({"doc_a": batch.column("doc_a"),
+                        "doc_b": batch.column("doc_b"),
+                        "cw": batch.column("cw"),
+                        "wj_micro": pa.array(micro, pa.int64())})
+        return out.filter(pc.greater_equal(out.column("wj_micro"),
+                                           threshold_micro))
+
+    return with_b.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_weighted_jaccard_pairs(table: str = "documents",
+                               threshold_micro: int = 300_000, k: int = 3,
+                               max_df: int | None = None) -> str:
+    """DuckDB mirror of ``weighted_jaccard_pairs``: identical shingle sets,
+    identical 10^6 // df integer weights, identical floor-divided micro
+    ratio."""
+    cap = "" if max_df is None else f" AND df <= {max_df}"
+    return f"""
+    WITH {_sql_shingle_ctes(table, k)},
+    wts AS (SELECT h, count(*) AS df, 1000000 // count(*) AS w
+            FROM sh GROUP BY h),
+    totals AS (SELECT s.doc_id, sum(w.w) AS tw
+               FROM sh s JOIN wts w ON w.h = s.h GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(w.w) AS cw
+      FROM sh a
+      JOIN wts w ON w.h = a.h AND w.df >= 2{cap}
+      JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, CAST(p.cw AS BIGINT) AS cw,
+           CAST(p.cw * 1000000 // (za.tw + zb.tw - p.cw) AS BIGINT)
+             AS wj_micro
+    FROM pairs p
+    JOIN totals za ON za.doc_id = p.doc_a
+    JOIN totals zb ON zb.doc_id = p.doc_b
+    WHERE p.cw * 1000000 // (za.tw + zb.tw - p.cw) >= {threshold_micro}
+    """

@@ -10636,3 +10636,362 @@ def sql_custs_favorite_brand() -> str:
     SELECT brand, CAST(count(*) AS BIGINT) AS n_customers
     FROM fav GROUP BY 1
     """
+
+
+# --- bloom FPR referee / coreset sampling / OLS trend / sliding WAU ---------
+
+
+def q_bloom_fpr_eval(sf_dir: str, m_bits: int = 65536, kh: int = 2,
+                     n_probe: int = 5000):
+    """Bloom-filter false-positive-rate REFEREE: build the SQL-expressible
+    md5 bloom (h = md5-int60 of the key; Kirsch-Mitzenmacher positions
+    (h>>30 + i·((h & 2^30-1)|1)) mod m) over the distinct order keys, probe
+    it with ``n_probe`` keys guaranteed disjoint from the train universe
+    ('probe-{j}' vs all-digit train keys), and report the MEASURED
+    false-positive rate — the empirical check behind every bloom_anti_join
+    sizing decision.  Output one row: (m_bits, k, n_train, n_bits_set,
+    n_probe, n_fp, fpr_micro) with fpr_micro = n_fp·10^6 // n_probe.
+
+    Scale shape: the train side folds to the distinct SET-BIT table
+    (bounded by m_bits, never by corpus size) via per-batch distinct +
+    one bounded exchange; the probe pass checks a broadcast bit-set
+    vectorized.  (The production ``stages/joins.build_bloom`` uses the
+    faster xxhash — this referee pins the md5 contract so DuckDB can
+    replay the exact bitmap.)"""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ontoray.extras.sketches import _md5_int60
+    from ontoray.stages.agg import hash_aggregate
+
+    mask30 = (1 << 30) - 1
+
+    def positions(keys: list) -> np.ndarray:
+        h = _md5_int60(keys)
+        h1 = h >> 30
+        h2 = (h & mask30) | 1
+        i = np.arange(kh, dtype=np.int64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % m_bits
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def to_pos(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch.column("o_orderkey").to_pylist()]
+        pos = np.unique(positions(keys).ravel()) if keys else \
+            np.array([], dtype=np.int64)
+        return pa.table({"pos": pa.array(pos, pa.int64()),
+                         "n": pa.array(np.ones(len(pos), np.int64))})
+
+    setbits = hash_aggregate(
+        ds.map_batches(to_pos, batch_format="pyarrow"), ["pos"],
+        aggs=[("n", "sum")], rename={"n_sum": "cnt"}, num_buckets=8)
+    bits = np.zeros(m_bits, dtype=bool)
+    set_pos = np.array([r["pos"] for r in setbits.take_all()], dtype=np.int64)
+    bits[set_pos] = True
+    n_bits_set = int(bits.sum())
+    n_train = ds.count()
+
+    bref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        keys = [f"probe-{int(v)}" for v in batch.column("id").to_pylist()]
+        pos = positions(keys)
+        fp = b[pos].all(axis=1)
+        return pa.table({"fp": pa.array(np.array([int(fp.sum())]), pa.int64()),
+                         "n": pa.array([len(keys)], pa.int64())})
+
+    probes = rd.range(n_probe).map_batches(
+        lambda b: pa.table({"id": pa.array(b["id"], pa.int64())}),
+        batch_format="numpy").map_batches(probe, batch_format="pyarrow")
+    tot = probes.to_pandas().sum()
+    n_fp = int(tot["fp"])
+    return pa.table({
+        "m_bits": pa.array([m_bits], pa.int64()),
+        "k": pa.array([kh], pa.int64()),
+        "n_train": pa.array([n_train], pa.int64()),
+        "n_bits_set": pa.array([n_bits_set], pa.int64()),
+        "n_probe": pa.array([n_probe], pa.int64()),
+        "n_fp": pa.array([n_fp], pa.int64()),
+        "fpr_micro": pa.array([n_fp * 1_000_000 // n_probe], pa.int64())})
+
+
+def sql_bloom_fpr_eval(m_bits: int = 65536, kh: int = 2,
+                       n_probe: int = 5000) -> str:
+    from ontoray.extras.sketches import sql_md5_int60
+    h_train = sql_md5_int60("CAST(o_orderkey AS VARCHAR)")
+    h_probe = sql_md5_int60("'probe-' || CAST(j AS VARCHAR)")
+    mask30 = (1 << 30) - 1
+    return f"""
+    WITH ks AS (SELECT DISTINCT {h_train} AS h FROM orders),
+    tpos AS (SELECT DISTINCT ((h >> 30) + i * ((h & {mask30}) | 1))
+                             % {m_bits} AS pos
+             FROM ks, unnest(generate_series(0, {kh - 1})) AS t(i)),
+    pk AS (SELECT j, {h_probe} AS h
+           FROM unnest(generate_series(0, {n_probe - 1})) AS s(j)),
+    ppos AS (SELECT j, ((h >> 30) + i * ((h & {mask30}) | 1))
+                       % {m_bits} AS pos
+             FROM pk, unnest(generate_series(0, {kh - 1})) AS t(i)),
+    hits AS (SELECT p.j, count(DISTINCT p.pos) AS n_hit
+             FROM ppos p JOIN tpos t ON t.pos = p.pos GROUP BY 1),
+    kpos AS (SELECT j, count(DISTINCT pos) AS n_pos FROM ppos GROUP BY 1),
+    fp AS (SELECT count(*) AS n_fp
+           FROM kpos k JOIN hits h ON h.j = k.j AND h.n_hit = k.n_pos)
+    SELECT CAST({m_bits} AS BIGINT) AS m_bits, CAST({kh} AS BIGINT) AS k,
+           (SELECT count(*) FROM orders) AS n_train,
+           (SELECT count(*) FROM tpos) AS n_bits_set,
+           CAST({n_probe} AS BIGINT) AS n_probe,
+           CAST(fp.n_fp AS BIGINT) AS n_fp,
+           CAST(fp.n_fp * 1000000 // {n_probe} AS BIGINT) AS fpr_micro
+    FROM fp
+    """
+
+
+def q_embed_coreset(sf_dir: str, k: int = 8, cap: int = 20, iters: int = 2):
+    """Cluster-stratified CORESET selection (the cluster-balanced
+    data-selection step: at most ``cap`` vectors per k-means cell, chosen
+    deterministically): composes the exact fixed-point distributed Lloyd
+    (``kmeans_fixed``) with the md5-rank domain-cap sampler
+    (``per_group_cap``) — the same keep-n-per-group contract used for
+    host caps, applied to geometry cells.  Output (cluster, vec_id, rn).
+
+    Scale shape: kmeans folds k×dim partials; the cap's per-batch combiner
+    bounds the exchange at cap × cells × blocks rows."""
+    import ray.data as rd
+
+    from ontoray.extras.kmeans import kmeans_fixed
+    from ontoray.extras.textstats import per_group_cap
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    asg = kmeans_fixed(ds, k=k, iters=iters, seed=42)
+    return per_group_cap(asg, n=cap, key_col="cluster", id_col="vec_id",
+                         salt="coreset1")
+
+
+def sql_embed_coreset(k: int = 8, cap: int = 20, iters: int = 2) -> str:
+    from ontoray.extras.kmeans import sql_kmeans_ctes
+    ctes, final = sql_kmeans_ctes(k, iters, 42, "embeddings")
+    return f"""
+    WITH {", ".join(ctes)},
+    ranked AS (
+      SELECT cl AS cluster, vec_id,
+             row_number() OVER (
+               PARTITION BY cl
+               ORDER BY md5('coreset1:' || CAST(cl AS VARCHAR) || ':'
+                            || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM {final})
+    SELECT cluster, vec_id, rn FROM ranked WHERE rn <= {cap}
+    """
+
+
+def q_orders_trend(sf_dir: str, x0: int = 23904):
+    """Per-nation REVENUE TREND: the OLS slope of monthly order revenue
+    (int64 cents) over the month index x = year·12 + (month-1) − ``x0``
+    (x0 = 1992·12 keeps every product within int64).  Slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with all five moments folded as
+    exact integers and ONE float64 division at the end — the
+    grouped-regression shape (trend monitoring / forecasting features)
+    where distributed sum order cannot move the result.  Output
+    (n_name, n_months, num, den, slope).
+
+    Scale shape: orders ⋈ customer is the partitioned spine; nation is a
+    25-row broadcast; (nation, month) revenue folds two-phase; the moment
+    fold runs over that vocabulary-bounded table."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]).take_all()
+    n_keys = np.array([r["n_nationkey"] for r in nation], dtype=np.int32)
+    n_names = np.array([r["n_name"] for r in nation], dtype=object)
+    side = ray.put((n_keys, n_names))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice",
+                                      "o_orderdate"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    spine = hash_join(orders, cust, "o_custkey", "c_custkey", how="inner")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        nk, nn = ray.get(side)
+        idx = pc.index_in(batch.column("c_nationkey"),
+                          value_set=pa.array(nk, pa.int32()))
+        names = nn[idx.to_numpy(zero_copy_only=False)]
+        x = pc.subtract(
+            pc.add(pc.multiply(pc.cast(pc.year(batch.column("o_orderdate")),
+                                       pa.int64()), 12),
+                   pc.subtract(pc.cast(pc.month(batch.column("o_orderdate")),
+                                       pa.int64()), 1)),
+            x0)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch.column("o_totalprice"), 100), 0.5)), pa.int64())
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "x": x, "y": cents})
+
+    monthly = hash_aggregate(
+        spine.map_batches(derive, batch_format="pyarrow"),
+        ["n_name", "x"], partial_aggs=[("y", "sum")],
+        aggs=[("y_sum", "sum")], rename={"y_sum_sum": "y"}, num_buckets=8)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({"n_name": batch.column("n_name"),
+                         "one": pa.array(np.ones(len(x), np.int64)),
+                         "sx": pa.array(x, pa.int64()),
+                         "sy": pa.array(y, pa.int64()),
+                         "sxy": pa.array(x * y, pa.int64()),
+                         "sxx": pa.array(x * x, pa.int64())})
+
+    mom = hash_aggregate(
+        monthly.map_batches(moments, batch_format="pyarrow"), ["n_name"],
+        partial_aggs=[("one", "sum"), ("sx", "sum"), ("sy", "sum"),
+                      ("sxy", "sum"), ("sxx", "sum")],
+        aggs=[("one_sum", "sum"), ("sx_sum", "sum"), ("sy_sum", "sum"),
+              ("sxy_sum", "sum"), ("sxx_sum", "sum")],
+        rename={"one_sum_sum": "n_months", "sx_sum_sum": "sx",
+                "sy_sum_sum": "sy", "sxy_sum_sum": "sxy",
+                "sxx_sum_sum": "sxx"}, num_buckets=4)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_months").to_numpy(zero_copy_only=False)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("sy").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = np.where(den != 0, num / np.where(den != 0, den, 1), 0.0)
+        return pa.table({"n_name": batch.column("n_name"),
+                         "n_months": batch.column("n_months"),
+                         "num": pa.array(num, pa.int64()),
+                         "den": pa.array(den, pa.int64()),
+                         "slope": pa.array(slope, pa.float64())})
+
+    return mom.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_orders_trend(x0: int = 23904) -> str:
+    return f"""
+    WITH monthly AS (
+      SELECT n.n_name,
+             CAST(year(o.o_orderdate) * 12 + (month(o.o_orderdate) - 1)
+                  - {x0} AS BIGINT) AS x,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    mom AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx
+            FROM monthly GROUP BY 1)
+    SELECT n_name, n_months,
+           CAST(n_months * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n_months * sxx - sx * sx AS BIGINT) AS den,
+           CASE WHEN n_months * sxx - sx * sx != 0
+                THEN CAST(n_months * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_months * sxx - sx * sx AS DOUBLE)
+                ELSE 0.0 END AS slope
+    FROM mom
+    """
+
+
+def q_events_wau(sf_dir: str):
+    """Sliding 7-day ACTIVE USERS per day (WAU: distinct users in
+    [d-6, d] for every observed day d): each distinct (user, day) pair is
+    replicated to the 7 windows it feeds — a bounded ×7 replication of
+    vocabulary-scale rows, the standard sliding-distinct plan when exact
+    counts are required (the HLL route trades exactness for ×1
+    replication).  Output (day, wau) for observed days only.
+
+    Scale shape: per-batch (user, day) distinct → one exchange for the
+    global distinct; the ×7 replication and second distinct run over
+    user×day vocabulary rows, never raw events; observed-day filtering is
+    a tiny broadcast."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                              86_400_000_000), pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"), "d": d})
+        return t.group_by(["user_id", "d"]).aggregate([]).select(
+            ["user_id", "d"])
+
+    ud = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow")
+        .map_batches(lambda b: b.append_column(
+            "one", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["user_id", "d"], aggs=[("one", "max")], rename={"one_max": "one"},
+        num_buckets=8).materialize()
+
+    days = sorted({r["d"] for r in ud.select_columns(["d"]).take_all()})
+    dref = ray.put(np.array(days, dtype=np.int64))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        obs = ray.get(dref)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        uu = np.repeat(u, 7)
+        ww = (d[:, None] + np.arange(7)[None, :]).ravel()
+        keep = np.isin(ww, obs)
+        return pa.table({"user_id": pa.array(uu[keep], pa.int64()),
+                         "w": pa.array(ww[keep], pa.int64()),
+                         "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+    uw = hash_aggregate(
+        ud.map_batches(replicate, batch_format="pyarrow"),
+        ["user_id", "w"], aggs=[("one", "max")], rename={"one_max": "one"},
+        num_buckets=8)
+
+    return hash_aggregate(
+        uw, ["w"], partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "wau"}, num_buckets=4
+    ).map_batches(lambda b: b.rename_columns(["day", "wau"]),
+                  batch_format="pyarrow")
+
+
+def sql_events_wau() -> str:
+    return """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS d
+                FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    rep AS (SELECT DISTINCT user_id, ud.d + t.i AS w
+            FROM ud, unnest(generate_series(0, 6)) AS t(i))
+    SELECT CAST(rep.w AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS wau
+    FROM rep JOIN days ON days.d = rep.w
+    GROUP BY 1
+    """
+
+
+def q_docs_weighted_jaccard(sf_dir: str, threshold_micro: int = 300_000,
+                            k: int = 3):
+    """IDF-weighted near-dup pairs over documents — engine in
+    ``extras/dedup.weighted_jaccard_pairs`` (integer 10^6//df shingle
+    weights; rare shingles dominate, boilerplate contributes ~nothing)."""
+    import ray.data as rd
+
+    from ontoray.extras.dedup import weighted_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return weighted_jaccard_pairs(ds, threshold_micro=threshold_micro, k=k)

@@ -1,0 +1,174 @@
+"""Session-11 additions: bloom-filter FPR referee, cluster-stratified
+coreset sampling, grouped OLS revenue trend, sliding 7-day WAU, and
+idf-weighted Jaccard near-dup pairs.  Each test checks hand-computed
+semantics on a micro fixture AND bit-parity with the DuckDB mirror."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _duck(views: dict) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for name, tbl in views.items():
+        con.register(name, tbl)
+    return con
+
+
+class TestBloomFprEval:
+    def test_fpr_vs_mirror_nonvacuous(self, ray_session, tmp_path):
+        from ontoray.queries import q_bloom_fpr_eval, sql_bloom_fpr_eval
+        orders = pa.table({
+            "o_orderkey": pa.array(list(range(1, 41)), pa.int64())})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        # 40 keys x 2 hashes into 64 bits -> heavily loaded, FPs guaranteed
+        got = q_bloom_fpr_eval(str(tmp_path), m_bits=64, kh=2,
+                               n_probe=200).to_pandas()
+        want = _duck({"orders": orders}).execute(
+            sql_bloom_fpr_eval(m_bits=64, kh=2, n_probe=200)).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        row = got.iloc[0]
+        assert row["n_train"] == 40
+        assert 0 < row["n_bits_set"] <= 64
+        # load factor ~0.7+ of 64 bits: the probe MUST see false positives
+        assert row["n_fp"] > 0
+        assert row["fpr_micro"] == row["n_fp"] * 1_000_000 // 200
+
+    def test_sparse_filter_low_fpr(self, ray_session, tmp_path):
+        from ontoray.queries import q_bloom_fpr_eval
+        orders = pa.table({"o_orderkey": pa.array([1, 2, 3], pa.int64())})
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        got = q_bloom_fpr_eval(str(tmp_path), m_bits=4096, kh=2,
+                               n_probe=500).to_pandas().iloc[0]
+        # 3 keys in 4096 bits: expected FPR ~ (6/4096)^2 ~ 2e-6
+        assert got["n_fp"] <= 1
+
+
+class TestEmbedCoreset:
+    def test_cap_and_mirror(self, ray_session, tmp_path):
+        import numpy as np
+        from ontoray.queries import q_embed_coreset, sql_embed_coreset
+        rng = np.random.default_rng(7)
+        # two well-separated blobs of 6 vectors each, dim 4
+        vecs = np.concatenate([
+            rng.normal(0.0, 0.05, (6, 4)), rng.normal(5.0, 0.05, (6, 4))])
+        emb = pa.table({
+            "vec_id": pa.array(list(range(12)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        got = q_embed_coreset(str(tmp_path), k=2, cap=3,
+                              iters=1).to_pandas()
+        want = _duck({"embeddings": emb}).execute(
+            sql_embed_coreset(k=2, cap=3, iters=1)).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        # every cell capped at 3, ranks are 1..n within the cell
+        per = got.groupby("cluster")["rn"].agg(["count", "max"])
+        assert (per["count"] <= 3).all()
+        assert (per["max"] == per["count"]).all()
+        # 12 vectors across <=2 cells with cap 3: truncation MUST fire
+        assert 1 <= len(got) < 12 and len(got) <= 6
+
+
+class TestOrdersTrend:
+    def test_known_slope_vs_mirror(self, ray_session, tmp_path):
+        from ontoray.queries import q_orders_trend, sql_orders_trend
+        nation = pa.table({
+            "n_nationkey": pa.array([0, 1], pa.int32()),
+            "n_name": ["ALPHA", "BETA"]})
+        customer = pa.table({
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_nationkey": pa.array([0, 1], pa.int32())})
+        dates = [pd.Timestamp(s).date() for s in
+                 ["2024-01-15", "2024-02-10", "2024-03-05", "2024-01-20"]]
+        orders = pa.table({
+            "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+            "o_totalprice": [1.00, 2.00, 3.00, 9.99],
+            "o_orderdate": pa.array(dates, pa.date32())})
+        for n, t in [("nation", nation), ("customer", customer),
+                     ("orders", orders)]:
+            pq.write_table(t, str(tmp_path / f"{n}.parquet"))
+        x0 = 2024 * 12  # month index of 2024-01 -> x = 0, 1, 2
+        got = q_orders_trend(str(tmp_path), x0=x0).to_pandas()
+        want = _duck({"nation": nation, "customer": customer,
+                      "orders": orders}).execute(sql_orders_trend(x0=x0)).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        a = got.set_index("n_name").loc["ALPHA"]
+        # y = 100, 200, 300 cents at x = 0, 1, 2 -> slope 100 cents/month
+        assert a["n_months"] == 3 and a["num"] == 600 and a["den"] == 6
+        assert a["slope"] == 100.0
+        b = got.set_index("n_name").loc["BETA"]
+        assert b["n_months"] == 1 and b["den"] == 0 and b["slope"] == 0.0
+
+
+class TestEventsWau:
+    def test_sliding_window_vs_mirror(self, ray_session, tmp_path):
+        from ontoray.queries import q_events_wau, sql_events_wau
+        base = pd.Timestamp("2024-01-01 08:00:00")
+        rows = [  # (user, ts)
+            (1, base), (2, base), (2, base + pd.Timedelta(hours=1)),
+            (2, base + pd.Timedelta(days=3)),
+            (3, base + pd.Timedelta(days=19)),
+        ]
+        events = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1].to_pydatetime() for r in rows],
+                           pa.timestamp("us"))})
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        got = q_events_wau(str(tmp_path)).to_pandas()
+        want = _duck({"events": events}).execute(sql_events_wau()).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        d0 = int(base.value // 1000) // 86_400_000_000
+        by_day = dict(zip(got["day"], got["wau"]))
+        # observed days only; day0+3 still sees both users' day-0 activity;
+        # day0+19 is >6 days past everything but user 3
+        assert by_day == {d0: 2, d0 + 3: 2, d0 + 19: 1}
+
+
+class TestWeightedJaccard:
+    def test_idf_weighting_kills_boilerplate(self, ray_session, tmp_path):
+        from ontoray.extras.dedup import sql_weighted_jaccard_pairs
+        from ontoray.queries import q_docs_weighted_jaccard
+        template = "copyright footer terms"
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                f"unique alpha beta gamma delta {template}",
+                f"unique alpha beta gamma delta {template}",
+                f"xx {template}",
+                f"yy {template}"]})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = q_docs_weighted_jaccard(str(tmp_path)).to_pandas()
+        want = _duck({"documents": docs}).execute(
+            sql_weighted_jaccard_pairs()).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        # docs 3/4 share ONLY the df=4 template shingle: unweighted Jaccard
+        # would be 1/3 (>= 0.3 threshold) but the idf weight (10^6 // 4)
+        # drops the weighted ratio to ~0.11 -> pruned.  The identical pair
+        # survives at exactly 1.0.
+        pairs = {(r["doc_a"], r["doc_b"]): r["wj_micro"]
+                 for r in got.to_dict("records")}
+        assert set(pairs) == {(1, 2)}
+        assert pairs[(1, 2)] == 1_000_000
