@@ -141,6 +141,13 @@ def _q_kg_pagerank(sf_dir: str):
     return Q.q_kg_pagerank_from(_kg_result(sf_dir).triples_dedup)
 
 
+def _q_kg_ppr(sf_dir: str):
+    """Personalized PageRank restarting at the top-degree concept hubs —
+    topic-conditioned importance, same exact int64 fixed-point recurrence
+    family as kg_pagerank (hash-checked against the unrolled-CTE mirror)."""
+    return Q.q_kg_ppr_from(_kg_result(sf_dir).triples_dedup)
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components of the concept graph — iterative min-label
     propagation (driver union-find under 100k edges; hash_join+min rounds
@@ -845,6 +852,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_trend": Q.q_orders_trend,
         "events_wau": Q.q_events_wau,
         "docs_weighted_jaccard": Q.q_docs_weighted_jaccard,
+        "kg_ppr": _q_kg_ppr,
+        "supplier_dominant_parts": Q.q_supplier_dominant_parts,
+        "docs_kappa": Q.q_docs_kappa,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1166,4 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_jaccard": __import__(
             "ontoray.extras.dedup",
             fromlist=["sql_weighted_jaccard_pairs"]).sql_weighted_jaccard_pairs(),
+        "kg_ppr": Q.sql_kg_ppr(),
+        "supplier_dominant_parts": Q.sql_supplier_dominant_parts(),
+        "docs_kappa": Q.sql_docs_kappa(),
     }

@@ -10995,3 +10995,229 @@ def q_docs_weighted_jaccard(sf_dir: str, threshold_micro: int = 300_000,
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return weighted_jaccard_pairs(ds, threshold_micro=threshold_micro, k=k)
+
+
+# --- personalized pagerank / dominant-supplier parts / rater agreement ------
+
+
+def q_kg_ppr_from(triples_dedup_ds, n_seeds: int = 5, iters: int = 5):
+    """Personalized PageRank over the concept graph, teleporting only to
+    the ``n_seeds`` highest-degree hubs — engine in
+    ``stages/analytics.personalized_pagerank`` (same int64 fixed-point
+    recurrence as kg_pagerank, seed-restricted restart mass)."""
+    from ontoray.stages.analytics import personalized_pagerank
+    return personalized_pagerank(triples_dedup_ds, n_seeds=n_seeds,
+                                 iters=iters, src_col="subj_norm",
+                                 dst_col="obj_norm")
+
+
+def sql_kg_ppr(n_seeds: int = 5, iters: int = 5) -> str:
+    """DuckDB mirror of q_kg_ppr_from: identical seed pick (total degree
+    desc, name asc) and the identical integer recurrence unrolled as
+    chained CTEs — BIGINT floor division everywhere, both engines land on
+    the same fixed-point scores."""
+    scale = 10**12
+    ctes = [
+        "trip AS (SELECT DISTINCT subj_norm AS src, obj_norm AS dst "
+        "FROM tnorm)",
+        "nodes AS (SELECT DISTINCT name FROM ("
+        "SELECT src AS name FROM trip UNION ALL SELECT dst FROM trip))",
+        "deg AS (SELECT src, count(*) AS od FROM trip GROUP BY src)",
+        "tdeg AS (SELECT name, count(*) AS td FROM ("
+        "SELECT src AS name FROM trip UNION ALL SELECT dst FROM trip) "
+        "GROUP BY name)",
+        f"seeds AS (SELECT name FROM (SELECT name, row_number() OVER "
+        f"(ORDER BY td DESC, name) AS rn FROM tdeg) WHERE rn <= {n_seeds})",
+        "scnt AS (SELECT count(*) AS s FROM seeds)",
+        f"r0 AS (SELECT nd.name, CASE WHEN sd.name IS NOT NULL THEN "
+        f"(SELECT {scale} // s FROM scnt) ELSE 0 END AS r "
+        f"FROM nodes nd LEFT JOIN seeds sd ON sd.name = nd.name)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT nd.name, "
+            f"CASE WHEN sd.name IS NOT NULL THEN "
+            f"(SELECT (15 * {scale}) // (100 * s) FROM scnt) ELSE 0 END "
+            f"+ CAST((85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes nd LEFT JOIN seeds sd ON sd.name = nd.name "
+            f"LEFT JOIN ("
+            f"  SELECT t.dst AS name, sum(p.r // d.od) AS c "
+            f"  FROM trip t JOIN r{k-1} p ON t.src = p.name "
+            f"  JOIN deg d ON d.src = t.src GROUP BY t.dst) c "
+            f"ON nd.name = c.name)")
+    return (f"{_sql_triples_norm_ctes()}, " + ", ".join(ctes) +
+            f" SELECT nd.name, CAST(r.r AS BIGINT) AS rank, "
+            f"sd.name IS NOT NULL AS is_seed "
+            f"FROM nodes nd JOIN r{iters} r ON r.name = nd.name "
+            f"LEFT JOIN seeds sd ON sd.name = nd.name")
+
+
+def q_supplier_dominant_parts(sf_dir: str):
+    """LEAD-supplier census (TPC-H Q20-shaped over the shipped-quantity
+    ledger; this corpus has no partsupp table): for every part, the lead
+    supplier is the one with the MAXIMUM shipped quantity (exact int64
+    cents; ties broken by the smaller suppkey), and the output
+    (s_name, n_parts) counts how many parts each supplier leads — the
+    supply-concentration signal behind single-source-risk review.  (A
+    strict->50% majority rule is structurally vacuous here: ~26 suppliers
+    serve each part, so the per-part ARGMAX is the non-degenerate form of
+    the same question.)
+
+    Scale shape: lineitem folds two-phase into the (part, supplier)
+    quantity ledger (int64 cents, order-proof); per-part maxima fold from
+    THAT vocabulary-scale table, never from lineitem again; the argmax
+    join, tie-break fold, and supplier-name join are partitioned hash
+    joins/aggregates — no corpus-scale broadcast anywhere."""
+    import numpy as np
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch.column("l_quantity"), 100), 0.5)), pa.int64())
+        return pa.table({"pk": batch.column("l_partkey"),
+                         "sk": batch.column("l_suppkey"), "q": q})
+
+    ps = hash_aggregate(
+        li.map_batches(cents, batch_format="pyarrow"), ["pk", "sk"],
+        partial_aggs=[("q", "sum")], aggs=[("q_sum", "sum")],
+        rename={"q_sum_sum": "q"}, num_buckets=8).materialize()
+
+    mx = hash_aggregate(
+        ps.select_columns(["pk", "q"]), ["pk"],
+        partial_aggs=[("q", "max")], aggs=[("q_max", "max")],
+        rename={"q_max_max": "mq"}, num_buckets=8)
+
+    joined = hash_join(ps, mx, "pk", "pk", how="inner")
+
+    def tied_leads(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("q"), batch.column("mq")))
+        return pa.table({"pk": t.column("pk"), "sk": t.column("sk")})
+
+    # tie-break: the smallest suppkey among the per-part maxima
+    lead = hash_aggregate(
+        joined.map_batches(tied_leads, batch_format="pyarrow"), ["pk"],
+        partial_aggs=[("sk", "min")], aggs=[("sk_min", "min")],
+        rename={"sk_min_min": "sk"}, num_buckets=8)
+
+    dom = hash_aggregate(
+        lead.map_batches(
+            lambda b: pa.table({
+                "sk": b.column("sk"),
+                "one": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"), ["sk"],
+        partial_aggs=[("one", "sum")], aggs=[("one_sum", "sum")],
+        rename={"one_sum_sum": "n_parts"}, num_buckets=8)
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    out = hash_join(dom, supp, "sk", "s_suppkey", how="inner")
+    return out.map_batches(
+        lambda b: b.select(["s_name", "n_parts"]), batch_format="pyarrow")
+
+
+def sql_supplier_dominant_parts() -> str:
+    return """
+    WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                         AS q
+                FROM lineitem GROUP BY 1, 2),
+    mx AS (SELECT pk, max(q) AS mq FROM ps GROUP BY 1),
+    lead AS (SELECT ps.pk, min(ps.sk) AS sk
+             FROM ps JOIN mx ON mx.pk = ps.pk AND ps.q = mx.mq
+             GROUP BY 1),
+    dom AS (SELECT sk, count(*) AS n_parts FROM lead GROUP BY 1)
+    SELECT s.s_name, CAST(d.n_parts AS BIGINT) AS n_parts
+    FROM dom d JOIN supplier s ON s.s_suppkey = d.sk
+    """
+
+
+def q_docs_kappa(sf_dir: str, len_chars: int = 200, min_spaces: int = 45):
+    """Cohen's kappa between two deterministic quality raters — rater A
+    flags docs with >= ``len_chars`` characters, rater B flags docs with
+    >= ``min_spaces`` literal spaces (a token-count surrogate).  Kappa is
+    emitted EXACTLY: with the 2x2 confusion (a=both flag, b=A only,
+    c=B only, d=neither), N = a+b+c+d, X = (a+b)(a+c) + (c+d)(b+d),
+    po-pe = (N(a+d) - X)/N^2 and 1-pe = (N^2 - X)/N^2, so
+    num = N(a+d) - X, den = N^2 - X, kappa = num/den in ONE float64
+    division — the standard agreement check run before trusting any pair
+    of heuristic quality filters.
+
+    Scale shape: one streaming pass; each batch folds to FOUR ints, the
+    driver sums a handful of partials — nothing shuffles."""
+    import numpy as np
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def confusion(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        la = pc.greater_equal(pc.utf8_length(t), len_chars)
+        nb = pc.count_substring(t, " ")
+        lb = pc.greater_equal(nb, min_spaces)
+        a_np = la.to_numpy(zero_copy_only=False)
+        b_np = lb.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array([int(np.sum(a_np & b_np))], pa.int64()),
+            "b": pa.array([int(np.sum(a_np & ~b_np))], pa.int64()),
+            "c": pa.array([int(np.sum(~a_np & b_np))], pa.int64()),
+            "d": pa.array([int(np.sum(~a_np & ~b_np))], pa.int64())})
+
+    parts = ds.map_batches(confusion, batch_format="pyarrow").to_pandas()
+    a, b, c, d = (int(parts["a"].sum()), int(parts["b"].sum()),
+                  int(parts["c"].sum()), int(parts["d"].sum()))
+    n = a + b + c + d
+    x = (a + b) * (a + c) + (c + d) * (b + d)
+    num = n * (a + d) - x
+    den = n * n - x
+    kappa = float(num) / float(den) if den != 0 else 0.0
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "both_pos": pa.array([a], pa.int64()),
+        "a_only": pa.array([b], pa.int64()),
+        "b_only": pa.array([c], pa.int64()),
+        "both_neg": pa.array([d], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "kappa": pa.array([kappa], pa.float64())})
+
+
+def sql_docs_kappa(len_chars: int = 200, min_spaces: int = 45) -> str:
+    return f"""
+    WITH lab AS (
+      SELECT (length(text) >= {len_chars}) AS la,
+             (length(text) - length(replace(text, ' ', ''))
+              >= {min_spaces}) AS lb
+      FROM documents),
+    cm AS (SELECT
+             CAST(sum(CASE WHEN la AND lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS b,
+             CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS c,
+             CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+           FROM lab)
+    SELECT (a + b + c + d) AS n, a AS both_pos, b AS a_only, c AS b_only,
+           d AS both_neg,
+           (a+b+c+d) * (a+d) - ((a+b)*(a+c) + (c+d)*(b+d)) AS num,
+           (a+b+c+d) * (a+b+c+d) - ((a+b)*(a+c) + (c+d)*(b+d)) AS den,
+           CASE WHEN (a+b+c+d) * (a+b+c+d)
+                     - ((a+b)*(a+c) + (c+d)*(b+d)) != 0
+                THEN CAST((a+b+c+d) * (a+d)
+                          - ((a+b)*(a+c) + (c+d)*(b+d)) AS DOUBLE)
+                     / CAST((a+b+c+d) * (a+b+c+d)
+                            - ((a+b)*(a+c) + (c+d)*(b+d)) AS DOUBLE)
+                ELSE 0.0 END AS kappa
+    FROM cm
+    """
