@@ -855,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _q_kg_ppr,
         "supplier_dominant_parts": Q.q_supplier_dominant_parts,
         "docs_kappa": Q.q_docs_kappa,
+        "vocab_typo_pairs": Q.q_vocab_typo_pairs,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1179,4 +1180,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": Q.sql_kg_ppr(),
         "supplier_dominant_parts": Q.sql_supplier_dominant_parts(),
         "docs_kappa": Q.sql_docs_kappa(),
+        "vocab_typo_pairs": Q.sql_vocab_typo_pairs(),
     }

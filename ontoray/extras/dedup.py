@@ -2222,3 +2222,149 @@ def sql_weighted_jaccard_pairs(table: str = "documents",
     JOIN totals zb ON zb.doc_id = p.doc_b
     WHERE p.cw * 1000000 // (za.tw + zb.tw - p.cw) >= {threshold_micro}
     """
+
+
+def _lev_is_one(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) == 1 — the verify kernel behind SymSpell
+    candidate pairs (equal length → exactly one substitution; length
+    delta 1 → single deletion)."""
+    if a == b:
+        return False
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def typo_pairs(ds, min_freq: int = 5, min_len: int = 4,
+               vocab_min_freq: int = 1, num_partitions: int = 16):
+    """Edit-distance-1 vocabulary pairs via SymSpell deletion-neighborhood
+    blocking (Garbe's symmetric-delete scheme): every vocabulary token emits
+    itself plus each single-character deletion as a blocking key; two tokens
+    at Levenshtein distance <= 1 ALWAYS share a key (substitution → delete
+    the differing position from both; insert/delete → the shorter IS a
+    deletion variant of the longer), so the equi-join over variants is a
+    no-false-negative candidate generator and the exact lev==1 verify
+    finishes the edit-distance join without any all-pairs comparison — the
+    typo/OCR-noise detector run over a corpus vocabulary before token-level
+    normalization.
+
+    Output: (tok_a, tok_b, n_a, n_b), tok_a < tok_b, both tokens with
+    length >= ``min_len``, and AT LEAST ONE side frequent
+    (max(n_a, n_b) >= ``min_freq``) — a typo pairs a rare corruption with
+    a frequent true word, so the floor sits on the pair, not each token.
+    ``vocab_min_freq`` floors the vocabulary itself (raise it at open-web
+    scale to shed hapax junk before the variant expansion).
+
+    Scale shape: the corpus contributes ONLY through the per-batch token
+    Counter fold (two-phase, vocabulary-bounded); variants are
+    vocabulary x avg-token-length rows; candidates flow through one
+    partitioned equi-join on the variant string; the verify is
+    candidate-bounded.  Nothing corpus-proportional shuffles or lands on
+    the driver."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            for w in _TOKEN_RE.findall(t or ""):
+                if len(w) >= min_len:
+                    c[w] += 1
+        return pa.table({"tok": list(c.keys()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    vocab = hash_aggregate(
+        ds.map_batches(tok_counts, batch_format="pyarrow"), ["tok"],
+        partial_aggs=[("n", "sum")], aggs=[("n_sum", "sum")],
+        rename={"n_sum_sum": "n"}, num_buckets=num_partitions)
+    vocab = vocab.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), vocab_min_freq)),
+        batch_format="pyarrow").materialize()
+
+    def variants(batch: pa.Table) -> pa.Table:
+        vs, ts, ns = [], [], []
+        for t, n in zip(batch.column("tok").to_pylist(),
+                        batch.column("n").to_pylist()):
+            vs.append(t)
+            ts.append(t)
+            ns.append(n)
+            for i in range(len(t)):
+                vs.append(t[:i] + t[i + 1:])
+                ts.append(t)
+                ns.append(n)
+        return pa.table({"var": vs, "tok": ts,
+                         "n": pa.array(ns, pa.int64())})
+
+    vv = vocab.map_batches(variants, batch_format="pyarrow")
+    cand = hash_join(vv, vv, "var", "var", how="inner",
+                     num_partitions=num_partitions,
+                     right_cols=["tok", "n"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch.column("tok").to_pylist()
+        tb = batch.column("tok_r").to_pylist()
+        na = batch.column("n").to_pylist()
+        nb = batch.column("n_r").to_pylist()
+        oa, ob, xa, xb = [], [], [], []
+        for a, b, x, y in zip(ta, tb, na, nb):
+            if a < b and max(x, y) >= min_freq and _lev_is_one(a, b):
+                oa.append(a)
+                ob.append(b)
+                xa.append(x)
+                xb.append(y)
+        return pa.table({"tok_a": oa, "tok_b": ob,
+                         "n_a": pa.array(xa, pa.int64()),
+                         "n_b": pa.array(xb, pa.int64())})
+
+    # a pair can share several variants (and both orientations ride the
+    # self-join) — collapse to distinct pairs; n_* are constant per token,
+    # so MIN is just "the value".
+    return hash_aggregate(
+        cand.map_batches(verify, batch_format="pyarrow"),
+        ["tok_a", "tok_b"],
+        partial_aggs=[("n_a", "min"), ("n_b", "min")],
+        aggs=[("n_a_min", "min"), ("n_b_min", "min")],
+        rename={"n_a_min_min": "n_a", "n_b_min_min": "n_b"},
+        num_buckets=num_partitions)
+
+
+def sql_typo_pairs(min_freq: int = 5, min_len: int = 4,
+                   vocab_min_freq: int = 1, table: str = "documents",
+                   text_expr: str = "text") -> str:
+    """DuckDB mirror of ``typo_pairs``: the same deletion-variant blocking
+    (unnest over 0..len; i=0 keeps the token itself) and DuckDB's built-in
+    ``levenshtein`` as the verify — structurally the engine's plan, with
+    the library edit-distance standing in for ``_lev_is_one``.
+    ``text_expr`` lets the query wrapper inject its deterministic
+    perturbation identically on both sides."""
+    return f"""
+    WITH toks AS (SELECT unnest(regexp_extract_all({text_expr}, '[a-z0-9]+'))
+                    AS tok FROM {table}),
+    v AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
+          WHERE length(tok) >= {min_len}
+          GROUP BY tok HAVING count(*) >= {vocab_min_freq}),
+    ix AS (SELECT tok, n, unnest(range(0, length(tok) + 1)) AS i FROM v),
+    vv AS (SELECT tok, n,
+                  CASE WHEN i = 0 THEN tok
+                       ELSE substr(tok, 1, i - 1) || substr(tok, i + 1)
+                  END AS var
+           FROM ix),
+    cand AS (SELECT DISTINCT a.tok AS tok_a, a.n AS n_a,
+                             b.tok AS tok_b, b.n AS n_b
+             FROM vv a JOIN vv b ON a.var = b.var AND a.tok < b.tok)
+    SELECT tok_a, tok_b, n_a, n_b FROM cand
+    WHERE greatest(n_a, n_b) >= {min_freq}
+      AND levenshtein(tok_a, tok_b) = 1
+    """

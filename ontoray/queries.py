@@ -11221,3 +11221,45 @@ def sql_docs_kappa(len_chars: int = 200, min_spaces: int = 45) -> str:
                 ELSE 0.0 END AS kappa
     FROM cm
     """
+
+
+_TYPO_INJECT_RE_SRC = r"\b([a-z])([a-z])([a-z]{2,})\b"
+
+
+def q_vocab_typo_pairs(sf_dir: str, min_freq: int = 5, min_len: int = 4):
+    """Edit-distance-1 vocabulary pairs (typo/OCR-noise candidates) via
+    SymSpell deletion-neighborhood blocking — engine in
+    ``extras/dedup.typo_pairs`` (no all-pairs; candidates from one
+    equi-join on deletion variants, exact lev==1 verify).  The synthetic
+    corpus vocabulary is typo-free, so — same pattern as docs_pii_redact —
+    every 7th doc gets a deterministic corruption first (second character
+    of the first >=4-letter word deleted; first-match regexp_replace is
+    identical in Python re and DuckDB RE2), which keeps the oracle check
+    non-vacuous while the operator itself stays generic."""
+    import re as _re
+
+    import ray.data as rd
+
+    from ontoray.extras.dedup import typo_pairs
+
+    pat = _re.compile(_TYPO_INJECT_RE_SRC)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        out = [pat.sub(r"\1\3", t or "", count=1) if d % 7 == 3 else t
+               for d, t in zip(ids, txts)]
+        return pa.table({"text": pa.array(out, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return typo_pairs(ds.map_batches(inject, batch_format="pyarrow"),
+                      min_freq=min_freq, min_len=min_len)
+
+
+def sql_vocab_typo_pairs(min_freq: int = 5, min_len: int = 4) -> str:
+    from ontoray.extras.dedup import sql_typo_pairs
+    inj = ("(SELECT CASE WHEN doc_id % 7 = 3 THEN regexp_replace(text, "
+           f"'{_TYPO_INJECT_RE_SRC}', '\\1\\3') ELSE text END AS text "
+           "FROM documents) inj")
+    return sql_typo_pairs(min_freq=min_freq, min_len=min_len, table=inj)

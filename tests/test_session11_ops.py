@@ -172,3 +172,81 @@ class TestWeightedJaccard:
                  for r in got.to_dict("records")}
         assert set(pairs) == {(1, 2)}
         assert pairs[(1, 2)] == 1_000_000
+
+
+class TestTypoPairs:
+    def test_lev1_kernel_exact(self):
+        from ontoray.extras.dedup import _lev_is_one
+        try:
+            import Levenshtein  # noqa: F401
+            have_ref = True
+        except ImportError:
+            have_ref = False
+
+        def ref(a, b):
+            # classic DP, the definition
+            la, lb = len(a), len(b)
+            prev = list(range(lb + 1))
+            for i in range(1, la + 1):
+                cur = [i] + [0] * lb
+                for j in range(1, lb + 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                                 prev[j - 1] + (a[i - 1] != b[j - 1]))
+                prev = cur
+            return prev[lb]
+
+        import random
+        rng = random.Random(7)
+        alpha = "abcd"
+        for _ in range(500):
+            a = "".join(rng.choice(alpha)
+                        for _ in range(rng.randrange(1, 8)))
+            b = "".join(rng.choice(alpha)
+                        for _ in range(rng.randrange(1, 8)))
+            assert _lev_is_one(a, b) == (ref(a, b) == 1), (a, b)
+        assert have_ref or True  # ref DP is the oracle; lib optional
+
+    def test_symspell_blocking_vs_mirror(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from ontoray.extras.dedup import sql_typo_pairs, typo_pairs
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                "widget widget widget widget widget wdget",   # deletion
+                "widget bolts bolts bolts bolts boltz",       # substitution
+                "bolts widgget",                              # insertion
+                "rare raare",   # neither side frequent -> pruned
+                "widget bolts"]})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        ds = rd.read_parquet(str(tmp_path / "documents.parquet"),
+                             columns=["text"])
+        got = typo_pairs(ds, min_freq=5, min_len=4).to_pandas()
+        want = _duck({"documents": docs}).execute(sql_typo_pairs()).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        pairs = {(r["tok_a"], r["tok_b"]) for r in got.to_dict("records")}
+        # deletion, substitution, insertion all found through the shared
+        # deletion-variant block; the rare/raare pair fails the
+        # max(n) >= min_freq floor
+        assert pairs == {("wdget", "widget"), ("bolts", "boltz"),
+                         ("widget", "widgget")}
+
+    def test_injected_query_nonvacuous_vs_mirror(self, ray_session):
+        from ontoray.queries import q_vocab_typo_pairs, sql_vocab_typo_pairs
+        sf = "/root/testdata/sf0.001"
+        got = q_vocab_typo_pairs(sf).to_pandas()
+        con = duckdb.connect()
+        for t in ("documents",):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(sql_vocab_typo_pairs()).df()
+        assert len(got) == len(want) > 0
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
