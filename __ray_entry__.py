@@ -856,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_dominant_parts": Q.q_supplier_dominant_parts,
         "docs_kappa": Q.q_docs_kappa,
         "vocab_typo_pairs": Q.q_vocab_typo_pairs,
+        "docs_snm_pairs": Q.q_docs_snm_pairs,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1181,4 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_dominant_parts": Q.sql_supplier_dominant_parts(),
         "docs_kappa": Q.sql_docs_kappa(),
         "vocab_typo_pairs": Q.sql_vocab_typo_pairs(),
+        "docs_snm_pairs": __import__(
+            "ontoray.extras.dedup",
+            fromlist=["sql_snm_pairs"]).sql_snm_pairs(),
     }

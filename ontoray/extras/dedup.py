@@ -2368,3 +2368,150 @@ def sql_typo_pairs(min_freq: int = 5, min_len: int = 4,
     WHERE greatest(n_a, n_b) >= {min_freq}
       AND levenshtein(tok_a, tok_b) = 1
     """
+
+
+def snm_pairs(ds, window: int = 5, key_len: int = 24, threshold: float = 0.5,
+              k: int = 3, bucket_chars: int = 2, num_partitions: int = 16):
+    """Sorted-neighborhood-method near-dup pairs (Hernandez & Stolfo 1995):
+    sort the corpus by a cheap blocking key (the first ``key_len`` chars of
+    the text), then compare each doc ONLY to its ``window - 1`` successors
+    in sorted order — the linear-candidate alternative to LSH when dups
+    share a prefix (crawl re-fetches, templated mirrors).  Candidates are
+    verified with the exact distinct-shingle Jaccard (same contract as
+    ``jaccard_pairs``); output (doc_a, doc_b, jaccard) where doc_a is the
+    LOWER-RANKED doc.
+
+    Scale shape: the global sort is rank-only — (doc_id, key) rows bucket by
+    the key's first ``bucket_chars`` chars (order-preserving), the driver
+    prefix-sums the vocabulary-bounded bucket counts, and each bucket ranks
+    locally (the cumsum pattern of ``stages/events.running_total``); the
+    windowed self-match replicates each rank row into rank-block r//w and
+    r//w + 1 so every in-window pair co-locates in exactly one exchange —
+    text never rides the sort, the verify joins it back per pair.
+    Partitioning assumption: one key-prefix bucket's rows fit one group —
+    raise ``bucket_chars`` on skewed corpora (same contract as
+    ``session_windows``)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ontoray.stages.agg import default_coalesce, hash_aggregate
+    from ontoray.stages.joins import hash_join
+
+    def derive(batch: pa.Table) -> pa.Table:
+        keys = [(t or "")[:key_len]
+                for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "key": pa.array(keys, pa.string()),
+            "bkt": pa.array([x[:bucket_chars] for x in keys], pa.string())})
+
+    derived = ds.select_columns(["doc_id", "text"]).map_batches(
+        derive, batch_format="pyarrow").materialize()
+
+    counts = hash_aggregate(
+        derived.select_columns(["bkt"]), ["bkt"],
+        partial_aggs=[("bkt", "count")], aggs=[("bkt_count", "sum")],
+        rename={"bkt_count_sum": "n"}).take_all()    # vocabulary-bounded
+    counts.sort(key=lambda r: r["bkt"])
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["bkt"]] = acc
+        acc += r["n"]
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)[g.column("bkt")[0].as_py()]
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.array(g.column("key").to_pylist(), dtype=object)
+        order = np.lexsort((ids, keys))
+        rn = off + np.arange(1, len(ids) + 1)
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "rn": pa.array(rn, pa.int64())})
+
+    ranked = (derived.repartition(default_coalesce())
+              .groupby("bkt").map_groups(rank_bucket, batch_format="pyarrow"))
+
+    def to_blocks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rn = batch.column("rn").to_numpy(zero_copy_only=False)
+        blk = rn // window
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, ids]), pa.int64()),
+            "rn": pa.array(np.concatenate([rn, rn]), pa.int64()),
+            "blk": pa.array(np.concatenate([blk, blk + 1]), pa.int64())})
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        rn = g.column("rn").to_numpy(zero_copy_only=False)
+        order = np.argsort(rn)
+        ids, rn = ids[order], rn[order]
+        oa, ob = [], []
+        for i in range(len(rn)):
+            j = i + 1
+            while j < len(rn) and rn[j] - rn[i] <= window - 1:
+                if rn[j] > rn[i]:       # replicated rows keep their rn
+                    oa.append(ids[i])
+                    ob.append(ids[j])
+                j += 1
+        return pa.table({"doc_a": pa.array(oa, pa.int64()),
+                         "doc_b": pa.array(ob, pa.int64())})
+
+    cand = hash_aggregate(
+        ranked.map_batches(to_blocks, batch_format="pyarrow")
+        .repartition(default_coalesce())
+        .groupby("blk").map_groups(pairs_of, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+        partial_aggs=[("doc_a", "count")],
+        aggs=[("doc_a_count", "sum")], rename={"doc_a_count_sum": "m"},
+    ).select_columns(["doc_a", "doc_b"])
+
+    texts_ds = ds.select_columns(["doc_id", "text"])
+
+    def _texts_as(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["doc_id", col])
+        return fn
+
+    with_a = hash_join(cand, texts_ds.map_batches(
+        _texts_as("text_a"), batch_format="pyarrow"),
+        "doc_a", "doc_id", how="inner", num_partitions=num_partitions)
+    with_b = hash_join(with_a, texts_ds.map_batches(
+        _texts_as("text_b"), batch_format="pyarrow"),
+        "doc_b", "doc_id", how="inner", num_partitions=num_partitions)
+    return with_b.map_batches(_verify_pairs_batch, batch_format="pyarrow",
+                              fn_kwargs={"threshold": threshold, "k": k})
+
+
+def sql_snm_pairs(table: str = "documents", window: int = 5,
+                  key_len: int = 24, threshold: float = 0.5,
+                  k: int = 3) -> str:
+    """DuckDB mirror of ``snm_pairs``: row_number over the identical
+    (key, doc_id) order (binary collation == Python codepoint order on this
+    ASCII corpus), rank-window self-join, and the shared unrounded
+    c/(na+nb-c) Jaccard verify."""
+    return f"""
+    WITH {_sql_shingle_ctes(table, k)},
+    r AS (SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY substr(coalesce(text, ''), 1, {key_len}),
+                            doc_id) AS rn
+          FROM {table}),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM r a JOIN r b
+               ON b.rn > a.rn AND b.rn <= a.rn + {window - 1}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS nc
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           c.nc::DOUBLE / (za.n + zb.n - c.nc) AS jaccard
+    FROM common c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WHERE c.nc::DOUBLE / (za.n + zb.n - c.nc) >= {threshold!r}
+    """

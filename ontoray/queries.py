@@ -11263,3 +11263,16 @@ def sql_vocab_typo_pairs(min_freq: int = 5, min_len: int = 4) -> str:
            f"'{_TYPO_INJECT_RE_SRC}', '\\1\\3') ELSE text END AS text "
            "FROM documents) inj")
     return sql_typo_pairs(min_freq=min_freq, min_len=min_len, table=inj)
+
+
+def q_docs_snm_pairs(sf_dir: str, window: int = 5, threshold: float = 0.5):
+    """Sorted-neighborhood near-dup pairs — sort by text prefix, compare
+    each doc to its window-1 sorted successors, exact-Jaccard verify;
+    engine in ``extras/dedup.snm_pairs`` (rank-only sort, text joined back
+    per candidate)."""
+    import ray.data as rd
+
+    from ontoray.extras.dedup import snm_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return snm_pairs(ds, window=window, threshold=threshold)

@@ -250,3 +250,44 @@ class TestTypoPairs:
         w = sorted(tuple(r) for r in want.reindex(
             sorted(want.columns), axis=1).itertuples(index=False, name=None))
         assert g == w
+
+
+class TestSnmPairs:
+    def test_window_and_boundary_vs_mirror(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from ontoray.extras.dedup import snm_pairs, sql_snm_pairs
+        # 12 docs: sorted-by-prefix neighbors 1/2 and 7/8 are near-dups;
+        # 1 and 12 are near-dups but FAR APART in sort order -> SNM must
+        # miss them (the documented trade); ranks straddle several w=3
+        # rank blocks so boundary replication is exercised.
+        mk = lambda p, body: f"{p} {body}"
+        docs = pa.table({
+            "doc_id": pa.array(list(range(1, 13)), pa.int64()),
+            "text": [
+                mk("aaa", "common text body one two three"),
+                mk("aab", "common text body one two three"),
+                mk("bbb", "totally different words here now"),
+                mk("ccc", "unrelated content alpha beta gamma"),
+                mk("ddd", "unrelated content delta epsilon zeta"),
+                mk("eee", "more filler text goes right here"),
+                mk("fff", "shared duplicate payload four five six"),
+                mk("ffg", "shared duplicate payload four five six"),
+                mk("ggg", "yet another unique document body"),
+                mk("hhh", "final unique document text body"),
+                mk("iii", "penultimate unique words in doc"),
+                mk("zzz", "common text body one two three")]})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        ds = rd.read_parquet(str(tmp_path / "documents.parquet"),
+                             columns=["doc_id", "text"])
+        got = snm_pairs(ds, window=3, threshold=0.5).to_pandas()
+        want = _duck({"documents": docs}).execute(
+            sql_snm_pairs(window=3, threshold=0.5)).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        pairs = {(r["doc_a"], r["doc_b"]) for r in got.to_dict("records")}
+        assert (1, 2) in pairs and (7, 8) in pairs
+        assert (1, 12) not in pairs and (2, 12) not in pairs
