@@ -857,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_kappa": Q.q_docs_kappa,
         "vocab_typo_pairs": Q.q_vocab_typo_pairs,
         "docs_snm_pairs": Q.q_docs_snm_pairs,
+        "lineitem_zorder": Q.q_lineitem_zorder,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1185,4 +1186,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_snm_pairs": __import__(
             "ontoray.extras.dedup",
             fromlist=["sql_snm_pairs"]).sql_snm_pairs(),
+        "lineitem_zorder": Q.sql_lineitem_zorder(),
     }

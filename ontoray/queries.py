@@ -11276,3 +11276,38 @@ def q_docs_snm_pairs(sf_dir: str, window: int = 5, threshold: float = 0.5):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return snm_pairs(ds, window=window, threshold=threshold)
+
+
+def q_lineitem_zorder(sf_dir: str, block_rows: int = 512):
+    """Z-order layout evaluation for lineitem clustered on
+    (l_partkey, l_suppkey): per-block zone maps + scanned/pruned verdict
+    for the lower-left probe rectangle — engine in
+    ``extras/layout.zorder_layout`` (Morton interleave, z-bucketed
+    distributed rank, block-bounded folds)."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ontoray.extras.layout import zorder_layout
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
+
+    def with_tie(batch: pa.Table) -> pa.Table:
+        t = pc.add(pc.multiply(batch.column("l_orderkey"), 10),
+                   pc.cast(batch.column("l_linenumber"), pa.int64()))
+        return pa.table({"l_partkey": batch.column("l_partkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "tie": pc.cast(t, pa.int64())})
+
+    return zorder_layout(ds.map_batches(with_tie, batch_format="pyarrow"),
+                         "l_partkey", "l_suppkey", "tie",
+                         block_rows=block_rows)
+
+
+def sql_lineitem_zorder(block_rows: int = 512) -> str:
+    from ontoray.extras.layout import sql_zorder_layout
+    return sql_zorder_layout(
+        "lineitem", "l_partkey", "l_suppkey",
+        "l_orderkey * 10 + l_linenumber", block_rows=block_rows)

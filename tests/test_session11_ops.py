@@ -291,3 +291,35 @@ class TestSnmPairs:
         pairs = {(r["doc_a"], r["doc_b"]) for r in got.to_dict("records")}
         assert (1, 2) in pairs and (7, 8) in pairs
         assert (1, 12) not in pairs and (2, 12) not in pairs
+
+
+class TestZorderLayout:
+    def test_blocks_vs_mirror_and_pruning(self, ray_session, tmp_path):
+        import numpy as np
+        import ray.data as rd
+
+        from ontoray.extras.layout import sql_zorder_layout, zorder_layout
+        rng = np.random.RandomState(11)
+        n = 4000
+        x = rng.randint(0, 1000, n)
+        y = rng.randint(0, 1000, n)
+        tbl = pa.table({
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "tie": pa.array(np.arange(n), pa.int64())})
+        pq.write_table(tbl, str(tmp_path / "pts.parquet"))
+        ds = rd.read_parquet(str(tmp_path / "pts.parquet"))
+        got = zorder_layout(ds, "x", "y", "tie",
+                            block_rows=128).to_pandas()
+        want = _duck({"pts": tbl}).execute(sql_zorder_layout(
+            "pts", "x", "y", "tie", block_rows=128)).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        # the whole point: on uniform 2-d data a quarter-square probe scans
+        # a MINORITY of z-ordered blocks (zone maps prune the rest)
+        frac = got["scanned"].mean()
+        assert 0 < frac < 0.5, frac
+        assert int(got["n"].sum()) == n
