@@ -858,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_typo_pairs": Q.q_vocab_typo_pairs,
         "docs_snm_pairs": Q.q_docs_snm_pairs,
         "lineitem_zorder": Q.q_lineitem_zorder,
+        "docs_source_lang_chi2": Q.q_docs_source_lang_chi2,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1187,4 +1188,5 @@ def oracle_sql() -> dict[str, str]:
             "ontoray.extras.dedup",
             fromlist=["sql_snm_pairs"]).sql_snm_pairs(),
         "lineitem_zorder": Q.sql_lineitem_zorder(),
+        "docs_source_lang_chi2": Q.sql_docs_source_lang_chi2(),
     }

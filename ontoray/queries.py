@@ -11311,3 +11311,82 @@ def sql_lineitem_zorder(block_rows: int = 512) -> str:
     return sql_zorder_layout(
         "lineitem", "l_partkey", "l_suppkey",
         "l_orderkey * 10 + l_linenumber", block_rows=block_rows)
+
+
+def q_docs_source_lang_chi2(sf_dir: str):
+    """Chi-squared independence screen for the source × declared-language
+    contingency grid — the drift detector run before trusting per-source
+    language mixes.  Every (source, lang) cell of the COMPLETE grid
+    (unobserved cells included — they carry r*c/n expected mass) is emitted
+    with exact integers: observed o, margins r_tot/c_tot, total n, and the
+    pinned fixed-point cell statistic
+      e_micro    = r*c*10^6 // n
+      dev        = o*10^6 - e_micro
+      chi2_milli = dev^2 // (max(e_micro, 1) * 10^3)
+    (HUGEINT-safe to n ~ 10^12: r*c*10^6 <= 10^30, dev^2 <= 10^36; the
+    max() guard only binds when n > 10^6 * r * c, identically on both
+    engines).  Sum chi2_milli downstream for the test statistic.
+
+    Scale shape: one per-batch combiner folds the corpus to
+    |sources| x |langs| cell partials; margins and the grid completion are
+    driver folds over that vocabulary-bounded table — nothing
+    corpus-proportional moves."""
+    import numpy as np
+    import ray.data as rd
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, np.int64)))
+        return (g.group_by(["source", "lang"]).aggregate([("one", "sum")])
+                .rename_columns(["source", "lang", "o"]))
+
+    cells = hash_aggregate(
+        ds.map_batches(combine, batch_format="pyarrow"),
+        ["source", "lang"], partial_aggs=[("o", "sum")],
+        aggs=[("o_sum", "sum")], rename={"o_sum_sum": "o"},
+        num_buckets=4).take_all()           # |sources| x |langs| bounded
+
+    obs = {(r["source"], r["lang"]): r["o"] for r in cells}
+    r_tot, c_tot = {}, {}
+    for (s, l), o in obs.items():
+        r_tot[s] = r_tot.get(s, 0) + o
+        c_tot[l] = c_tot.get(l, 0) + o
+    n = sum(obs.values())
+
+    rows = []
+    for s in sorted(r_tot):
+        for l in sorted(c_tot):
+            o = obs.get((s, l), 0)
+            r, c = r_tot[s], c_tot[l]
+            e_micro = (r * c * 1_000_000) // n
+            dev = o * 1_000_000 - e_micro
+            chi2_milli = (dev * dev) // (max(e_micro, 1) * 1_000)
+            rows.append({"source": s, "lang": l, "o": o, "r_tot": r,
+                         "c_tot": c, "n": n, "chi2_milli": chi2_milli})
+    return pa.Table.from_pylist(rows)
+
+
+def sql_docs_source_lang_chi2() -> str:
+    e = "(r.r::HUGEINT * c.c * 1000000) // n.n"
+    dev = f"(coalesce(cl.o, 0) * 1000000 - {e})"
+    return f"""
+    WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+                   FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, sum(o) AS r FROM cells GROUP BY 1),
+    c AS (SELECT lang, sum(o) AS c FROM cells GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM cells)
+    SELECT r.source, c.lang,
+           CAST(coalesce(cl.o, 0) AS BIGINT) AS o,
+           CAST(r.r AS BIGINT) AS r_tot,
+           CAST(c.c AS BIGINT) AS c_tot,
+           CAST(n.n AS BIGINT) AS n,
+           CAST(({dev} * {dev})
+                // (greatest({e}, 1) * 1000) AS BIGINT) AS chi2_milli
+    FROM r CROSS JOIN c CROSS JOIN n
+    LEFT JOIN cells cl ON cl.source = r.source AND cl.lang = c.lang
+    """

@@ -323,3 +323,35 @@ class TestZorderLayout:
         frac = got["scanned"].mean()
         assert 0 < frac < 0.5, frac
         assert int(got["n"].sum()) == n
+
+
+class TestSourceLangChi2:
+    def test_known_grid_vs_mirror(self, ray_session, tmp_path):
+        from ontoray.queries import (q_docs_source_lang_chi2,
+                                     sql_docs_source_lang_chi2)
+        # 2x2 with a strong association: s1->en, s2->de (plus noise)
+        src = ["s1"] * 10 + ["s2"] * 10
+        lang = ["en"] * 9 + ["de"] + ["de"] * 8 + ["en"] * 2
+        docs = pa.table({
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "source": pa.array(src, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "text": pa.array(["x"] * 20, pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = q_docs_source_lang_chi2(str(tmp_path)).to_pandas()
+        want = _duck({"documents": docs}).execute(
+            sql_docs_source_lang_chi2()).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        # hand check the (s1, en) cell: o=9, r=10, c=11, n=20
+        # e_micro = 10*11*1e6 // 20 = 5_500_000; dev = 3_500_000
+        # chi2_milli = dev^2 // (e_micro * 1000) = 12_250e9 // 5.5e9 = 2227
+        cell = got[(got.source == "s1") & (got.lang == "en")].iloc[0]
+        assert (cell.o, cell.r_tot, cell.c_tot, cell.n) == (9, 10, 11, 20)
+        assert cell.chi2_milli == (3_500_000 ** 2) // (5_500_000 * 1000)
+        # all four cells present, chi2 symmetric-ish and large
+        assert len(got) == 4
+        assert got.chi2_milli.sum() > 9_000  # chi2 ~ 9.9 for this table
