@@ -859,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snm_pairs": Q.q_docs_snm_pairs,
         "lineitem_zorder": Q.q_lineitem_zorder,
         "docs_source_lang_chi2": Q.q_docs_source_lang_chi2,
+        "lineitem_benford": Q.q_lineitem_benford,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1189,4 +1190,5 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["sql_snm_pairs"]).sql_snm_pairs(),
         "lineitem_zorder": Q.sql_lineitem_zorder(),
         "docs_source_lang_chi2": Q.sql_docs_source_lang_chi2(),
+        "lineitem_benford": Q.sql_lineitem_benford(),
     }

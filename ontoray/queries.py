@@ -11390,3 +11390,86 @@ def sql_docs_source_lang_chi2() -> str:
     FROM r CROSS JOIN c CROSS JOIN n
     LEFT JOIN cells cl ON cl.source = r.source AND cl.lang = c.lang
     """
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), micro-quantized
+# once as literals so no engine ever evaluates a log.
+_BENFORD_MICRO = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                  6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def q_lineitem_benford(sf_dir: str):
+    """Benford's-law first-digit audit over l_extendedprice — the classic
+    fabricated-numbers screen for a money ledger.  Prices quantize to int64
+    cents (the repo-wide exact contract); the first digit of the cents
+    value folds to a 9-cell histogram per batch, and each digit row carries
+    the same pinned fixed-point deviation statistic as
+    ``docs_source_lang_chi2``:
+      e_micro    = n * p_micro   (Benford micro-probability literal)
+      dev        = o*10^6 - e_micro
+      chi2_milli = dev^2 // (max(e_micro, 1) * 10^3)
+
+    Scale shape: one streaming pass, each batch folds to <= 9 ints; the
+    driver completes the fixed 9-row grid."""
+    import numpy as np
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+
+    def digits(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        arr = cents.to_numpy(zero_copy_only=False)
+        arr = arr[arr > 0]
+        while arr.size and arr.max() >= 10:
+            big = arr >= 10
+            arr = np.where(big, arr // 10, arr)
+            if not big.any():
+                break
+        d, o = np.unique(arr, return_counts=True)
+        return pa.table({"digit": pa.array(d.astype(np.int64)),
+                         "o": pa.array(o.astype(np.int64))})
+
+    cells = hash_aggregate(
+        ds.map_batches(digits, batch_format="pyarrow"), ["digit"],
+        partial_aggs=[("o", "sum")], aggs=[("o_sum", "sum")],
+        rename={"o_sum_sum": "o"}, num_buckets=4).take_all()  # <= 9 rows
+
+    obs = {r["digit"]: r["o"] for r in cells}
+    n = sum(obs.values())
+    rows = []
+    for d in range(1, 10):
+        o = obs.get(d, 0)
+        p_micro = _BENFORD_MICRO[d]
+        e_micro = n * p_micro
+        dev = o * 1_000_000 - e_micro
+        chi2_milli = (dev * dev) // (max(e_micro, 1) * 1_000)
+        rows.append({"digit": d, "o": o, "n": n, "p_micro": p_micro,
+                     "chi2_milli": chi2_milli})
+    return pa.Table.from_pylist(rows)
+
+
+def sql_lineitem_benford() -> str:
+    ben = ", ".join(f"({d}, {p})" for d, p in _BENFORD_MICRO.items())
+    return f"""
+    WITH cents AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS c FROM lineitem),
+    fd AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM cents WHERE c > 0),
+    cells AS (SELECT digit, CAST(count(*) AS BIGINT) AS o FROM fd GROUP BY 1),
+    n AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS n FROM cells),
+    ben(digit, p_micro) AS (VALUES {ben})
+    SELECT b.digit, CAST(coalesce(cl.o, 0) AS BIGINT) AS o,
+           n.n, CAST(b.p_micro AS BIGINT) AS p_micro,
+           CAST(((coalesce(cl.o, 0) * 1000000 - n.n::HUGEINT * b.p_micro)
+                 * (coalesce(cl.o, 0) * 1000000 - n.n::HUGEINT * b.p_micro))
+                // (greatest(n.n::HUGEINT * b.p_micro, 1) * 1000) AS BIGINT)
+             AS chi2_milli
+    FROM ben b CROSS JOIN n LEFT JOIN cells cl ON cl.digit = b.digit
+    """

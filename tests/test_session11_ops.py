@@ -355,3 +355,31 @@ class TestSourceLangChi2:
         # all four cells present, chi2 symmetric-ish and large
         assert len(got) == 4
         assert got.chi2_milli.sum() > 9_000  # chi2 ~ 9.9 for this table
+
+
+class TestBenford:
+    def test_known_digits_vs_mirror(self, ray_session, tmp_path):
+        from ontoray.queries import q_lineitem_benford, sql_lineitem_benford
+        # prices whose cents values have known first digits:
+        # 1.00->100(d1), 2.50->250(d2), 0.99->99(d9), 35.00->3500(d3),
+        # 0.00 dropped (c=0), 9.99->999(d9)
+        li = pa.table({
+            "l_extendedprice": pa.array([1.00, 2.50, 0.99, 35.00, 0.00,
+                                         9.99], pa.float64())})
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        got = q_lineitem_benford(str(tmp_path)).to_pandas()
+        want = _duck({"lineitem": li}).execute(sql_lineitem_benford()).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        by_d = dict(zip(got["digit"], got["o"]))
+        assert by_d == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0,
+                        9: 2}
+        assert got["n"].iloc[0] == 5  # the zero-cents row is excluded
+        # hand check digit 1: o=1, e_micro = 5 * 301030
+        e = 5 * 301030
+        dev = 1_000_000 - e
+        assert int(got[got.digit == 1]["chi2_milli"].iloc[0]) == \
+            (dev * dev) // (e * 1000)
