@@ -860,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_zorder": Q.q_lineitem_zorder,
         "docs_source_lang_chi2": Q.q_docs_source_lang_chi2,
         "lineitem_benford": Q.q_lineitem_benford,
+        "events_dow_hour": Q.q_events_dow_hour,
         # ---- tier F: hash-green in r1/r2 — re-verify with leftover budget ----
         # r1-green, unchecked r2:
         "events_window": Q.q_events_window,
@@ -1191,4 +1192,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_zorder": Q.sql_lineitem_zorder(),
         "docs_source_lang_chi2": Q.sql_docs_source_lang_chi2(),
         "lineitem_benford": Q.sql_lineitem_benford(),
+        "events_dow_hour": Q.sql_events_dow_hour(),
     }

@@ -11473,3 +11473,48 @@ def sql_lineitem_benford() -> str:
              AS chi2_milli
     FROM ben b CROSS JOIN n LEFT JOIN cells cl ON cl.digit = b.digit
     """
+
+
+def q_events_dow_hour(sf_dir: str):
+    """Traffic-seasonality heatmap: event counts on the 7 x 24
+    (day-of-week x hour) grid — the load-shape profile behind capacity
+    planning and anomaly baselines.  dow follows DuckDB's convention
+    (0 = Sunday; 1970-01-01 was a Thursday = 4), computed in pure integer
+    microsecond arithmetic so both engines agree on naive-UTC timestamps.
+
+    Scale shape: each batch folds to <= 168 cells; one vocabulary-bounded
+    exchange."""
+    import numpy as np
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ontoray.stages.agg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    us_day, us_hour = 86_400_000_000, 3_600_000_000
+
+    def grid(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())\
+                  .to_numpy(zero_copy_only=False)
+        dow = (ts_us // us_day + 4) % 7
+        hour = (ts_us // us_hour) % 24
+        t = pa.table({"dow": pa.array(dow, pa.int64()),
+                      "hour": pa.array(hour, pa.int64()),
+                      "one": pa.array(np.ones(len(ts_us), np.int64))})
+        return (t.group_by(["dow", "hour"]).aggregate([("one", "sum")])
+                .rename_columns(["dow", "hour", "n"]))
+
+    return hash_aggregate(
+        ds.map_batches(grid, batch_format="pyarrow"), ["dow", "hour"],
+        partial_aggs=[("n", "sum")], aggs=[("n_sum", "sum")],
+        rename={"n_sum_sum": "n"}, num_buckets=4)
+
+
+def sql_events_dow_hour() -> str:
+    return """
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """

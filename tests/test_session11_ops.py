@@ -383,3 +383,26 @@ class TestBenford:
         dev = 1_000_000 - e
         assert int(got[got.digit == 1]["chi2_milli"].iloc[0]) == \
             (dev * dev) // (e * 1000)
+
+
+class TestDowHour:
+    def test_known_timestamps_vs_mirror(self, ray_session, tmp_path):
+        import numpy as np
+        # 1970-01-01 00:30 UTC = Thursday(4) hour 0;
+        # 1970-01-04 23:10 UTC = Sunday(0) hour 23 (x2)
+        us = [30 * 60_000_000,
+              3 * 86_400_000_000 + 23 * 3_600_000_000 + 600_000_000,
+              3 * 86_400_000_000 + 23 * 3_600_000_000 + 660_000_000]
+        events = pa.table({
+            "ts": pa.array(np.array(us, np.int64), pa.timestamp("us"))})
+        pq.write_table(events, str(tmp_path / "events.parquet"))
+        from ontoray.queries import q_events_dow_hour, sql_events_dow_hour
+        got = q_events_dow_hour(str(tmp_path)).to_pandas()
+        want = _duck({"events": events}).execute(sql_events_dow_hour()).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        cells = {(r["dow"], r["hour"]): r["n"] for r in got.to_dict("records")}
+        assert cells == {(4, 0): 1, (0, 23): 2}
