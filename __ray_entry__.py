@@ -621,16 +621,56 @@ def _q_events_session(sf_dir: str):
     return session_windows(ds, gap_s=1800)
 
 
+# Every query name that has appeared in CORRECTNESS_r01/r02/r03.json (all
+# rows+schema+hash green — zero failures ever).  queries() rotates these to
+# the BACK so the driver's 50-query budget always lands on never-checked
+# entries first (round-4 rotation directive, VERDICT.md "Next round" #1).
+_DRIVER_CHECKED = frozenset({
+    'ann_ivf', 'ann_lsh', 'ann_topk', 'ann_topk_multi',
+    'cms_heavy_tokens', 'custs_inactive', 'custs_orders_outer', 'dedup_clusters',
+    'dedup_exact', 'dedup_jaccard', 'dedup_minhash', 'dedup_simhash',
+    'dedup_simhash_pairs', 'doc_stats', 'docs_blocklist', 'docs_bm25',
+    'docs_boilerplate', 'docs_decile', 'docs_decontaminate', 'docs_dsir',
+    'docs_dup_spans', 'docs_lm_score', 'docs_mixture', 'docs_neardup_keep',
+    'docs_pack', 'docs_pii_redact', 'docs_repetition', 'docs_scrub_spans',
+    'docs_split', 'embed_centroids', 'embed_kmeans', 'embed_neardup',
+    'embed_semdedup', 'events_asof', 'events_cumsum', 'events_distinct_users',
+    'events_hopping', 'events_lag', 'events_rank', 'events_rolling',
+    'events_seq', 'events_session', 'events_window', 'events_zscore',
+    'hll_tokens_by_source', 'host_stats', 'kg_chunks', 'kg_clean_docs',
+    'kg_components', 'kg_confidence_topk', 'kg_cooccurrence', 'kg_degree_topk',
+    'kg_edges', 'kg_entities', 'kg_entity_decisions', 'kg_jsonld_export',
+    'kg_jsonld_validation', 'kg_mention_contexts', 'kg_mention_counts', 'kg_mention_sources',
+    'kg_mentions', 'kg_nodes', 'kg_pagerank', 'kg_review_queue',
+    'kg_saturation', 'kg_summary', 'kg_triangles', 'kg_triples',
+    'kg_triples_norm', 'lang_counts', 'lineitem_corr', 'lineitem_price_bands',
+    'lineitem_pricing', 'lineitem_quantiles', 'lineitem_quantiles_cont', 'lm_bigrams',
+    'lm_collocations', 'multimodal_audio_features', 'multimodal_frame_sample', 'multimodal_image_features',
+    'multimodal_resize_plan', 'nations_with_both', 'orders_anti_deleted', 'orders_by_nation',
+    'orders_by_nation_skew', 'orders_by_region', 'orders_revenue', 'quality_filter',
+    'sample_group_cap', 'sample_stratified', 'sample_weighted', 'text_fingerprint',
+    'text_langid', 'tfidf_top_terms', 'token_counts_by_source', 'top_parts_per_brand',
+    'topk_parts', 'url_canonical',
+})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Query registry, ORDERED BY VERIFICATION NEED.
 
-    The driver's correctness pass runs a bounded prefix of this dict, so
-    entries are ranked: (tier 1) queries never seen by any CORRECTNESS_r*
-    pass, (tier 2) queries whose SQL mirrors were added after their last
-    driver check (rows-only evidence only), (tier 3) the linker/graph family
-    promoted from no_oracle this round, (tier 4) queries already hash-green
-    in CORRECTNESS_r01/r02, re-verified only with leftover budget.
+    The driver's correctness pass runs a bounded prefix (50 entries) of this
+    dict, so the order is: every query NEVER seen by a CORRECTNESS_r* pass
+    (in registration order = oldest promotion first), then the 98
+    already-driver-verified queries for leftover-budget re-verification.
+    All 260 entries are hash-green vs their DuckDB mirrors via the local
+    gate (tools/check_entry.py — full log committed as CHECK_LOCAL_r4.json).
     """
+    reg = _registry()
+    ordered = {k: v for k, v in reg.items() if k not in _DRIVER_CHECKED}
+    ordered.update({k: v for k, v in reg.items() if k in _DRIVER_CHECKED})
+    return ordered
+
+
+def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # The driver's r2 correctness pass stopped at EXACTLY the first 50
         # entries, so positions 1-50 are budgeted deliberately: the linker
