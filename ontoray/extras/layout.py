@@ -44,8 +44,8 @@ def zorder_layout(ds, x_col: str, y_col: str, tie_col: str,
 
     Pipeline: (1) one streaming fold for the global extents; (2) per-batch
     8-bit equi-width quantization + Morton interleave; (3) distributed rank
-    over (z, tie) — rows bucket by their 16-bit z value (vocabulary-bounded
-    at 65 536 buckets), the driver prefix-sums bucket counts, each bucket
+    over (z, tie) — rows bucket by ``z >> 4`` (vocabulary-bounded at 4 096
+    buckets), the driver prefix-sums bucket counts, each bucket
     ranks locally (the ``running_total`` offset pattern); (4) block id =
     (rn-1) // ``block_rows``, then a two-phase min/max/count fold per block;
     (5) the probe rectangle (the lower-left quarter of the extent square —

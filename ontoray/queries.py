@@ -11160,7 +11160,9 @@ def q_docs_kappa(sf_dir: str, len_chars: int = 200, min_spaces: int = 45):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def confusion(batch: pa.Table) -> pa.Table:
-        t = batch.column("text")
+        # NULL text counts as empty on BOTH engines (mirror coalesces too) —
+        # a nullable boolean would otherwise poison the numpy fold below.
+        t = pc.fill_null(batch.column("text"), "")
         la = pc.greater_equal(pc.utf8_length(t), len_chars)
         nb = pc.count_substring(t, " ")
         lb = pc.greater_equal(nb, min_spaces)
@@ -11194,8 +11196,9 @@ def q_docs_kappa(sf_dir: str, len_chars: int = 200, min_spaces: int = 45):
 def sql_docs_kappa(len_chars: int = 200, min_spaces: int = 45) -> str:
     return f"""
     WITH lab AS (
-      SELECT (length(text) >= {len_chars}) AS la,
-             (length(text) - length(replace(text, ' ', ''))
+      SELECT (length(coalesce(text, '')) >= {len_chars}) AS la,
+             (length(coalesce(text, ''))
+              - length(replace(coalesce(text, ''), ' ', ''))
               >= {min_spaces}) AS lb
       FROM documents),
     cm AS (SELECT
@@ -11242,7 +11245,10 @@ def q_vocab_typo_pairs(sf_dir: str, min_freq: int = 5, min_len: int = 4):
 
     from ontoray.extras.dedup import typo_pairs
 
-    pat = _re.compile(_TYPO_INJECT_RE_SRC)
+    # re.ASCII pins \b to the ASCII word boundary DuckDB's RE2 uses — a
+    # non-ASCII letter adjacent to a lowercase run must not shift the first
+    # match between engines (no behavior change on the ASCII corpus).
+    pat = _re.compile(_TYPO_INJECT_RE_SRC, _re.ASCII)
 
     def inject(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -11340,6 +11346,10 @@ def q_docs_source_lang_chi2(sf_dir: str):
                          columns=["source", "lang"])
 
     def combine(batch: pa.Table) -> pa.Table:
+        # NULL source/lang rows drop on BOTH engines (mirror filters too):
+        # a None key would crash the driver-side sorted() fold while SQL's
+        # equi-join silently mishandles the NULL group.
+        batch = batch.drop_null()
         g = batch.append_column(
             "one", pa.array(np.ones(batch.num_rows, np.int64)))
         return (g.group_by(["source", "lang"]).aggregate([("one", "sum")])
@@ -11376,7 +11386,9 @@ def sql_docs_source_lang_chi2() -> str:
     dev = f"(coalesce(cl.o, 0) * 1000000 - {e})"
     return f"""
     WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
-                   FROM documents GROUP BY 1, 2),
+                   FROM documents
+                   WHERE source IS NOT NULL AND lang IS NOT NULL
+                   GROUP BY 1, 2),
     r AS (SELECT source, sum(o) AS r FROM cells GROUP BY 1),
     c AS (SELECT lang, sum(o) AS c FROM cells GROUP BY 1),
     n AS (SELECT sum(o) AS n FROM cells)

@@ -406,3 +406,48 @@ class TestDowHour:
         assert g == w
         cells = {(r["dow"], r["hour"]): r["n"] for r in got.to_dict("records")}
         assert cells == {(4, 0): 1, (0, 23): 2}
+
+
+class TestAdviceNullSafety:
+    """ADVICE r3 regressions: NULL text / NULL grid keys must be treated
+    identically by the engine and its DuckDB mirror."""
+
+    def test_kappa_null_text(self, ray_session, tmp_path):
+        from ontoray.queries import q_docs_kappa, sql_docs_kappa
+        texts = ["a" * 250 + " " * 50, None, "short", " " * 60, None,
+                 "b" * 300]
+        docs = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = q_docs_kappa(str(tmp_path)).to_pandas()
+        want = _duck({"documents": docs}).execute(sql_docs_kappa()).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        # the two NULL docs land in both_neg alongside "short"
+        assert int(got["n"].iloc[0]) == 6
+        assert int(got["both_neg"].iloc[0]) >= 3
+
+    def test_chi2_null_keys_dropped(self, ray_session, tmp_path):
+        from ontoray.queries import (q_docs_source_lang_chi2,
+                                     sql_docs_source_lang_chi2)
+        src = ["s1", "s1", None, "s2", "s2", None]
+        lang = ["en", "de", "en", None, "de", None]
+        docs = pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "source": pa.array(src, pa.string()),
+            "lang": pa.array(lang, pa.string())})
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        got = q_docs_source_lang_chi2(str(tmp_path)).to_pandas()
+        want = _duck({"documents": docs}).execute(
+            sql_docs_source_lang_chi2()).df()
+        g = sorted(tuple(r) for r in got.reindex(
+            sorted(got.columns), axis=1).itertuples(index=False, name=None))
+        w = sorted(tuple(r) for r in want.reindex(
+            sorted(want.columns), axis=1).itertuples(index=False, name=None))
+        assert g == w
+        # only the 3 fully-keyed rows survive: (s1,en), (s1,de), (s2,de)
+        assert int(got["n"].iloc[0]) == 3
+        assert len(got) == 4  # complete 2x2 grid over surviving vocabularies
