@@ -31,6 +31,42 @@ import pyarrow as pa
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
+# byte-popcount lookup for vectorized 64-bit Hamming distances
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of an int64/uint64 array (numpy<2 lacks
+    ``bitwise_count``) — one table lookup over the byte view."""
+    return _POPCNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+
+def _pair_positions(new_group: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group ordered position pairs (i < j) over rows ALREADY
+    sorted by group key: ``new_group[i]`` is True where row i starts a new
+    group.  Fully vectorized (offsets + ``np.repeat`` — the explode pattern
+    VERDICT r3 #5 asked for in place of per-bucket Python pair loops).
+    Returns (a_pos, b_pos) global position arrays."""
+    m = len(new_group)
+    empty = np.empty(0, np.int64)
+    if m == 0:
+        return empty, empty
+    starts = np.flatnonzero(new_group)
+    counts = np.diff(np.append(starts, m))
+    gidx = np.cumsum(new_group) - 1            # group ordinal per row
+    ends = (starts + counts)[gidx]             # exclusive group end per row
+    pos = np.arange(m, dtype=np.int64)
+    lens = ends - pos - 1                      # pairs where row is the 'a'
+    total = int(lens.sum())
+    if total == 0:
+        return empty, empty
+    a_pos = np.repeat(pos, lens)
+    seg = np.repeat(pos + 1, lens)             # each block starts at a+1
+    within = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    return a_pos, seg + within
+
 # --- exact dedup ------------------------------------------------------------
 
 
@@ -257,20 +293,33 @@ def minhash_candidate_pairs(ds, num_hashes: int = 64, bands: int = 16, k: int = 
         import pyarrow.compute as pc
         return batch.filter(pc.is_in(batch.column("band_hash"), value_set=keep_hashes))
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.array(out_a, dtype="int64"),
-                             "doc_b": pd.array(out_b, dtype="int64")})
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = pc.cast(pc.bit_wise_and(batch.column("band_hash"), 255), pa.int32())
+        return batch.append_column("__b", b)
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        # One vectorized kernel per BUCKET of (band_id, band_hash) groups —
+        # per-group pandas dispatch dominated kernel time (VERDICT r3 #5).
+        g = g.sort_by([("band_id", "ascending"), ("band_hash", "ascending"),
+                       ("doc_id", "ascending")])
+        bid = g.column("band_id").to_numpy(zero_copy_only=False)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+        m = g.num_rows
+        new = np.empty(m, dtype=bool)
+        if m:
+            new[0] = True
+            new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        a_pos, b_pos = _pair_positions(new)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_a": pa.array(ids[a_pos], pa.int64()),
+                         "doc_b": pa.array(ids[b_pos], pa.int64())})
 
     from ontoray.stages.agg import default_coalesce
     pairs = (band_rows.map_batches(only_colliding, batch_format="pyarrow")
+             .map_batches(add_bucket, batch_format="pyarrow")
              .repartition(default_coalesce())
-             .groupby(["band_id", "band_hash"]).map_groups(pairs_of, batch_format="pandas"))
+             .groupby("__b").map_groups(pairs_of, batch_format="pyarrow"))
     # Distinct pairs (a pair can collide in several bands).
     return hash_aggregate(pairs, ["doc_a", "doc_b"],
                           partial_aggs=[("doc_a", "count")],
@@ -478,16 +527,19 @@ def _exact_pair_stats(ds, k: int = 3, max_df: int | None = None,
     shared = hash_join(exploded, kept, "h", "h", how="left_semi",
                        num_partitions=num_partitions)
 
-    def pairs_of(g: pd.DataFrame) -> pa.Table:
-        out_a, out_b = [], []
-        for _h, sub in g.groupby("h", sort=False):
-            ids = sorted(sub["doc_id"].tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64())})
+    def pairs_of(g: pa.Table) -> pa.Table:
+        # vectorized posting-list pair explosion (offsets + np.repeat)
+        g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        m = g.num_rows
+        new = np.empty(m, dtype=bool)
+        if m:
+            new[0] = True
+            np.not_equal(h[1:], h[:-1], out=new[1:])
+        a_pos, b_pos = _pair_positions(new)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_a": pa.array(ids[a_pos], pa.int64()),
+                         "doc_b": pa.array(ids[b_pos], pa.int64())})
 
     # Bucket by shingle hash (low byte) rather than groupby(h): one exchange
     # keyed on a small int, each group expands all its shingles' posting
@@ -501,7 +553,7 @@ def _exact_pair_stats(ds, k: int = 3, max_df: int | None = None,
     pair_counts = hash_aggregate(
         shared.map_batches(add_bucket, batch_format="pyarrow")
         .repartition(default_coalesce())
-        .groupby("__b").map_groups(pairs_of, batch_format="pandas"),
+        .groupby("__b").map_groups(pairs_of, batch_format="pyarrow"),
         ["doc_a", "doc_b"],
         partial_aggs=[("doc_a", "count")],
         aggs=[("doc_a_count", "sum")], rename={"doc_a_count_sum": "c"})
@@ -897,28 +949,37 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4):
     def only_colliding(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch.column("band_val"), value_set=keep_vals))
 
-    def pairs_of(g: pd.DataFrame) -> pa.Table:
-        recs = sorted(zip(g["doc_id"].tolist(), g["simhash"].tolist()))
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                a, sa = recs[i]
-                b, sb = recs[j]
-                if a == b:
-                    continue
-                h = ((sa ^ sb) & ((1 << 64) - 1)).bit_count()
-                if h <= max_hamming:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_h.append(h)
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64()),
-                         "hamming": pa.array(out_h, pa.int64())})
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch.column("band_val"), 255), pa.int32())
+        return batch.append_column("__b", b)
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        # vectorized bucket kernel: pair explosion + popcount Hamming
+        g = g.sort_by([("band_id", "ascending"), ("band_val", "ascending"),
+                       ("doc_id", "ascending")])
+        bid = g.column("band_id").to_numpy(zero_copy_only=False)
+        bv = g.column("band_val").to_numpy(zero_copy_only=False)
+        m = g.num_rows
+        new = np.empty(m, dtype=bool)
+        if m:
+            new[0] = True
+            new[1:] = (bid[1:] != bid[:-1]) | (bv[1:] != bv[:-1])
+        a_pos, b_pos = _pair_positions(new)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = g.column("simhash").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        a, b = ids[a_pos], ids[b_pos]
+        ham = _popcount64(sig[a_pos] ^ sig[b_pos])
+        keep = (a != b) & (ham <= max_hamming)
+        return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                         "doc_b": pa.array(b[keep], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int64())})
 
     from ontoray.stages.agg import default_coalesce
     pairs = (rows.map_batches(only_colliding, batch_format="pyarrow")
+             .map_batches(add_bucket, batch_format="pyarrow")
              .repartition(default_coalesce())
-             .groupby(["band_id", "band_val"]).map_groups(pairs_of, batch_format="pandas"))
+             .groupby("__b").map_groups(pairs_of, batch_format="pyarrow"))
     # A pair can collide in several bands — dedup on the pair key.
     return hash_aggregate(pairs, ["doc_a", "doc_b"],
                           partial_aggs=[("hamming", "min")],
@@ -1865,28 +1926,42 @@ def hamming_candidate_pairs(sig_ds, id_col: str, sig_col: str,
     _sch = sig_ds.schema()                          # resolved on the driver
     id_type = getattr(_sch, "base_schema", _sch).field(id_col).type
 
-    def pairs_of(g: pd.DataFrame) -> pa.Table:
-        recs = sorted(zip(g["__id"].tolist(), g["__sig"].tolist()))
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                a, sa = recs[i]
-                b, sb = recs[j]
-                if a == b:
-                    continue
-                h = ((int(sa) ^ int(sb)) & ((1 << 64) - 1)).bit_count()
-                if h <= max_hamming:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_h.append(h)
-        return pa.table({"id_a": pa.array(out_a, id_type),
-                         "id_b": pa.array(out_b, id_type),
-                         "hamming": pa.array(out_h, pa.int64())})
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = pc.cast(pc.bit_wise_and(batch.column("band_val"), 255), pa.int32())
+        return batch.append_column("__b", b)
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = g.sort_by([("band_id", "ascending"), ("band_val", "ascending"),
+                       ("__id", "ascending")])
+        bid = g.column("band_id").to_numpy(zero_copy_only=False)
+        bv = g.column("band_val").to_numpy(zero_copy_only=False)
+        m = g.num_rows
+        new = np.empty(m, dtype=bool)
+        if m:
+            new[0] = True
+            new[1:] = (bid[1:] != bid[:-1]) | (bv[1:] != bv[:-1])
+        a_pos, b_pos = _pair_positions(new)
+        ids = g.column("__id").combine_chunks()
+        a = ids.take(pa.array(a_pos, pa.int64()))
+        b = ids.take(pa.array(b_pos, pa.int64()))
+        sig = g.column("__sig").to_numpy(zero_copy_only=False)\
+            .astype(np.int64)
+        ham = _popcount64(sig[a_pos] ^ sig[b_pos])
+        keep = pc.and_(pc.not_equal(a, b),
+                       pa.array(ham <= max_hamming))
+        return pa.table({"id_a": pc.cast(a.filter(keep), id_type),
+                         "id_b": pc.cast(b.filter(keep), id_type),
+                         "hamming": pa.array(
+                             ham[keep.to_numpy(zero_copy_only=False)],
+                             pa.int64())})
 
     pairs = (rows.map_batches(only_colliding, batch_format="pyarrow")
+             .map_batches(add_bucket, batch_format="pyarrow")
              .repartition(default_coalesce())
-             .groupby(["band_id", "band_val"])
-             .map_groups(pairs_of, batch_format="pandas"))
+             .groupby("__b")
+             .map_groups(pairs_of, batch_format="pyarrow"))
     return hash_aggregate(pairs, ["id_a", "id_b"],
                           partial_aggs=[("hamming", "min")],
                           aggs=[("hamming_min", "min")],
@@ -2140,18 +2215,22 @@ def weighted_jaccard_pairs(ds, threshold_micro: int = 300_000, k: int = 3,
     df_filter = "df >= 2" if max_df is None else f"df >= 2 and df <= {max_df}"
     shared = wpost.filter(expr=df_filter)
 
-    def pairs_of(g: pd.DataFrame) -> pa.Table:
-        out_a, out_b, out_w = [], [], []
-        for _h, sub in g.groupby("h", sort=False):
-            recs = sorted(zip(sub["doc_id"].tolist(), sub["w"].tolist()))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    out_a.append(recs[i][0])
-                    out_b.append(recs[j][0])
-                    out_w.append(recs[i][1])
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64()),
-                         "w": pa.array(out_w, pa.int64())})
+    def pairs_of(g: pa.Table) -> pa.Table:
+        # vectorized weighted posting-list pair explosion; the shared
+        # shingle's weight rides the 'a' row (identical per group)
+        g = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        m = g.num_rows
+        new = np.empty(m, dtype=bool)
+        if m:
+            new[0] = True
+            np.not_equal(h[1:], h[:-1], out=new[1:])
+        a_pos, b_pos = _pair_positions(new)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_a": pa.array(ids[a_pos], pa.int64()),
+                         "doc_b": pa.array(ids[b_pos], pa.int64()),
+                         "w": pa.array(w[a_pos], pa.int64())})
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(batch.column("h"), 255), pa.int32())
@@ -2160,7 +2239,7 @@ def weighted_jaccard_pairs(ds, threshold_micro: int = 300_000, k: int = 3,
     pair_w = hash_aggregate(
         shared.map_batches(add_bucket, batch_format="pyarrow")
         .repartition(default_coalesce())
-        .groupby("__b").map_groups(pairs_of, batch_format="pandas"),
+        .groupby("__b").map_groups(pairs_of, batch_format="pyarrow"),
         ["doc_a", "doc_b"],
         partial_aggs=[("w", "sum")],
         aggs=[("w_sum", "sum")], rename={"w_sum_sum": "cw"})
