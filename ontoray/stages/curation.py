@@ -54,16 +54,29 @@ def _reachable_names(subclass_pairs: list[tuple[str, str]], root: str,
 
 
 def reachable_distributed(edges_ds, root: str, max_depth: int = 12,
-                          num_partitions: int = 64):
-    """Iterative semi-join reachability (SURVEY C1 scale path) with NO
-    corpus-proportional driver structure (VERDICT r2 #4: the old form
-    accumulated the full reachable set — nearly all learned nodes — as a
-    driver Python set and re-broadcast it every round).  Here the reach AND
-    each round's frontier stay Datasets: children of the frontier come from
-    a partitioned left-semi hash join on the SUBCLASS_OF edges, the new
-    frontier is an anti-join against the accumulated reach, and the driver
-    only ever sees per-round row COUNTS.  Returns a Dataset of reachable
-    names.  Equivalent to ``_reachable_names`` (pytest: TestReachableDs)."""
+                          num_partitions: int = 64, growth_cap: int = 4):
+    """Reachability from ``root`` over SUBCLASS_OF edges (SURVEY C1 scale
+    path) in O(log max_depth) exchange ROUNDS — not O(max_depth).
+
+    VERDICT r3 #3: the old frontier BFS ran ~max_depth sequential rounds of
+    (semi-join, distinct, anti-join) whose per-round all-to-all coordination
+    made the fully distributed branch shuffle-round-bound (graph_stats 2x
+    SLOWER at 32 CPUs than 8 at 8M pages).  This version doubles jump
+    tables instead: J_k = distinct (child, ancestor) pairs exactly 2^k
+    subclass hops apart (J_{k+1} = J_k ∘ J_k, one join + one distinct
+    each), then grows the reach set by joining J_0, J_1, ... ascending —
+    after processing jumps {1, 2, .., 2^K} every path of length ≤
+    2^(K+1)-1 is covered via its binary decomposition (ascending partial
+    sums are themselves reachable), and the exact BFS bound is preserved by
+    carrying min path length ``d`` and dropping d > max_depth.  Total
+    exchanges: ~2·log2(max_depth) vs ~3·max_depth.
+
+    Skew/growth trip-wire (the curation pattern): composed jump tables of a
+    fan-heavy DAG can outgrow the edge set; if |J_{k+1}| > growth_cap·|J_0|
+    the doubling aborts and the legacy frontier BFS finishes the job.  The
+    driver only ever sees row counts.  Returns a Dataset of reachable
+    names; equivalent to ``_reachable_names`` (pytest: TestDistributed
+    Reachability, incl. a forced-fallback case)."""
     import ray.data as rd
 
     from ontoray.stages.agg import hash_aggregate
@@ -71,30 +84,93 @@ def reachable_distributed(edges_ds, root: str, max_depth: int = 12,
 
     sub = edges_ds.filter(expr="rel == 'SUBCLASS_OF'").select_columns(
         ["src", "dst"]).materialize()
-    seed = rd.from_arrow(pa.table({"name": pa.array([root], pa.string())}))
-    reach = seed.materialize()
-    frontier = reach
-    for _ in range(max_depth):
-        children = hash_join(sub, frontier, "dst", "name", how="left_semi",
-                             num_partitions=num_partitions)
 
-        def as_name(batch: pa.Table) -> pa.Table:
-            return pa.table({"name": batch.column("src")})
+    def as_pair(batch: pa.Table) -> pa.Table:
+        return pa.table({"c": batch.column("src"), "a": batch.column("dst")})
 
-        cand = hash_aggregate(
-            children.map_batches(as_name, batch_format="pyarrow"), ["name"],
-            partial_aggs=[("name", "count")],
-            aggs=[("name_count", "sum")], rename={"name_count_sum": "__n"},
-            num_buckets=num_partitions).select_columns(["name"]).materialize()
-        if cand.count() == 0:
+    jump = hash_aggregate(
+        sub.map_batches(as_pair, batch_format="pyarrow"), ["c", "a"],
+        partial_aggs=[("c", "count")], aggs=[("c_count", "sum")],
+        rename={"c_count_sum": "__n"},
+        num_buckets=num_partitions).select_columns(["c", "a"]).materialize()
+    j0_count = jump.count()
+    if j0_count == 0:
+        return rd.from_arrow(pa.table({"name": pa.array([root], pa.string())}))
+
+    reach = rd.from_arrow(pa.table({
+        "name": pa.array([root], pa.string()),
+        "d": pa.array([0], pa.int64())})).materialize()
+
+    k, hop = 0, 1
+    fell_back = False
+    while hop <= max_depth:
+        # grow reach by the 2^k jump: children whose 2^k-ancestor is reached
+        cand = hash_join(jump, reach, "a", "name", right_cols=["d"],
+                         num_partitions=num_partitions)
+
+        def advance(batch: pa.Table, hop=hop) -> pa.Table:
+            d = pc.add(batch.column("d"), pa.scalar(hop, pa.int64()))
+            t = pa.table({"name": batch.column("c"), "d": d})
+            return t.filter(pc.less_equal(d, pa.scalar(max_depth, pa.int64())))
+
+        reach = hash_aggregate(
+            reach.union(cand.map_batches(advance, batch_format="pyarrow")),
+            ["name"], partial_aggs=[("d", "min")],
+            aggs=[("d_min", "min")], rename={"d_min_min": "d"},
+            num_buckets=num_partitions).materialize()
+
+        if 2 * hop > max_depth:
             break
-        nxt = hash_join(cand, reach, "name", "name", how="left_anti",
-                        num_partitions=num_partitions).materialize()
-        if nxt.count() == 0:
+        # compose the next jump table: exactly 2^(k+1) hops
+        nxt = hash_aggregate(
+            hash_join(jump, jump, "a", "c", right_cols=["a"],
+                      num_partitions=num_partitions)
+            .select_columns(["c", "a_r"])
+            .map_batches(lambda b: pa.table({"c": b.column("c"),
+                                             "a": b.column("a_r")}),
+                         batch_format="pyarrow"),
+            ["c", "a"], partial_aggs=[("c", "count")],
+            aggs=[("c_count", "sum")], rename={"c_count_sum": "__n"},
+            num_buckets=num_partitions).select_columns(["c", "a"]).materialize()
+        if nxt.count() > growth_cap * max(j0_count, 1):
+            fell_back = True
             break
-        reach = reach.union(nxt).materialize()
-        frontier = nxt
-    return reach
+        jump = nxt
+        k += 1
+        hop = 2 * hop
+
+    if fell_back:
+        # fan-heavy DAG: restart with the legacy frontier BFS from the root
+        # seed (restarting — not resuming from the partially-doubled reach —
+        # keeps the ≤ max_depth bound exact; the trip-wire fires at most
+        # once per job, so the wasted doubling work is bounded).
+        frontier = rd.from_arrow(pa.table({
+            "name": pa.array([root], pa.string())})).materialize()
+        reach_names = frontier
+        for _ in range(max_depth):
+            children = hash_join(sub, frontier, "dst", "name",
+                                 how="left_semi",
+                                 num_partitions=num_partitions)
+
+            def as_name(batch: pa.Table) -> pa.Table:
+                return pa.table({"name": batch.column("src")})
+
+            cand2 = hash_aggregate(
+                children.map_batches(as_name, batch_format="pyarrow"),
+                ["name"], partial_aggs=[("name", "count")],
+                aggs=[("name_count", "sum")], rename={"name_count_sum": "__n"},
+                num_buckets=num_partitions).select_columns(["name"]).materialize()
+            if cand2.count() == 0:
+                break
+            nxt2 = hash_join(cand2, reach_names, "name", "name",
+                             how="left_anti",
+                             num_partitions=num_partitions).materialize()
+            if nxt2.count() == 0:
+                break
+            reach_names = reach_names.union(nxt2).materialize()
+            frontier = nxt2
+        return reach_names
+    return reach.select_columns(["name"])
 
 
 def _degree_table(edges_ds, exclude: pa.Array):
@@ -627,19 +703,46 @@ def _max_depth_distributed(edges_ds, root: str, max_depth: int,
         cl = column_lists(fp, ["src", "parent"])
         return _depth_walk(dict(zip(cl["src"], cl["parent"])), root, max_depth)
 
-    frontier = rd.from_arrow(
-        pa.table({"name": pa.array([root], pa.string())})).materialize()
-    max_d = 0
-    for depth in range(1, max_depth + 2):
-        hit = hash_join(fp, frontier, "parent", "name", how="left_semi",
-                        num_partitions=num_partitions)
+    # Pointer doubling over the min-parent FOREST (each node exactly one
+    # parent, so no composition blow-up — VERDICT r3 #3): cur = (v, anc, d)
+    # starts as the forest with d=1; each round joins cur with itself on
+    # anc = v, jumping matched walks 2^k ancestors ahead in ONE partitioned
+    # join (unmatched walks have terminated).  ceil(log2(cap+1)) rounds
+    # resolve every chain length ≤ cap = max_depth+1 exactly (longer
+    # chains saturate at cap+1); the old join-BFS burned max_depth+1
+    # sequential semi-join rounds for the same answer.
+    import math
+    cap = max_depth + 1
+    rounds = max(1, math.ceil(math.log2(cap + 1)))
 
-        def as_name(batch: pa.Table) -> pa.Table:
-            return pa.table({"name": batch.column("src")})
+    def seed_cur(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": batch.column("src"),
+                         "anc": batch.column("parent"),
+                         "d": pa.array([1] * batch.num_rows, pa.int64())})
 
-        nxt = hit.map_batches(as_name, batch_format="pyarrow").materialize()
-        if nxt.count() == 0:
-            break
-        max_d = depth
-        frontier = nxt
+    cur = fp.map_batches(seed_cur, batch_format="pyarrow").materialize()
+    for _ in range(rounds):
+        j = hash_join(cur, cur, "anc", "v", how="left",
+                      right_cols=["anc", "d"], suffix="_p",
+                      num_partitions=num_partitions)
+
+        def advance(batch: pa.Table) -> pa.Table:
+            anc2 = pc.coalesce(batch.column("anc_p"), batch.column("anc"))
+            dp = pc.coalesce(batch.column("d_p"), pa.scalar(0, pa.int64()))
+            d2 = pc.min_element_wise(pc.add(batch.column("d"), dp),
+                                     pa.scalar(cap + 1, pa.int64()))
+            return pa.table({"v": batch.column("v"), "anc": anc2, "d": d2})
+
+        cur = j.map_batches(advance, batch_format="pyarrow").materialize()
+
+    def root_partial(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.equal(batch.column("anc"), root))
+        if m.num_rows == 0:
+            return pa.table({"m": pa.array([0], pa.int64())})
+        d = pc.min_element_wise(m.column("d"), pa.scalar(cap, pa.int64()))
+        return pa.table({"m": pa.array([pc.max(d).as_py()], pa.int64())})
+
+    max_d = max((r["m"] for r in
+                 cur.map_batches(root_partial, batch_format="pyarrow")
+                 .take_all()), default=0)
     return max_d

@@ -416,3 +416,59 @@ class TestReviewDeltas:
         from ontoray.stages.review import _last_wins
         rej, acc = _last_wins(t)
         assert rej.to_pylist() == [] and acc.to_pylist() == ["a"]
+
+
+class TestPointerDoubling:
+    """VERDICT r3 #3: log-round reachability / depth walk must stay exact —
+    deep chains crossing power-of-two boundaries, cycles, multi-parent DAGs,
+    and the growth-cap fallback all checked against the driver BFS."""
+
+    @staticmethod
+    def _edges_ds(pairs):
+        import pyarrow as pa
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in pairs], pa.string()),
+            "rel": pa.array(["SUBCLASS_OF"] * len(pairs), pa.string()),
+            "dst": pa.array([p[1] for p in pairs], pa.string())}))
+
+    def _check(self, pairs, root="R", max_depth=12, **kw):
+        from ontoray.stages.curation import (_reachable_names,
+                                             reachable_distributed)
+        want = _reachable_names(pairs, root, max_depth)
+        ds = reachable_distributed(self._edges_ds(pairs), root,
+                                   max_depth=max_depth, **kw)
+        got = {r["name"] for r in ds.take_all()}
+        assert got == want, (sorted(got), sorted(want))
+
+    def test_chain_lengths_across_power_boundaries(self, ray_session):
+        # chains of length 1..15 under max_depth=12: nodes 13..15 excluded
+        for n in (1, 2, 3, 4, 7, 8, 9, 12, 13, 15):
+            chain = [(f"c{i+1}", f"c{i}" if i else "R") for i in range(n)]
+            self._check(chain)
+
+    def test_cycle_and_multiparent(self, ray_session):
+        pairs = [("a", "R"), ("b", "a"), ("b", "z"),   # multi-parent b
+                 ("x", "y"), ("y", "x"),               # unreachable cycle
+                 ("c", "b"), ("R", "c")]               # cycle through root
+        self._check(pairs)
+
+    def test_forced_fallback_matches(self, ray_session):
+        # growth_cap=0 forces the legacy frontier BFS — same answer
+        chain = [(f"c{i+1}", f"c{i}" if i else "R") for i in range(9)]
+        chain += [("c3", "R"), ("q", "c9")]
+        self._check(chain, growth_cap=0)
+
+    def test_depth_walk_doubling(self, ray_session):
+        from ontoray.stages.curation import _max_depth_distributed
+        # chain of length n from Root: depth = min(n, max_depth+1)
+        for n in (1, 3, 8, 12, 13, 14, 16):
+            pairs = [(f"c{i+1}", f"c{i}" if i else "Root")
+                     for i in range(n)]
+            got = _max_depth_distributed(self._edges_ds(pairs), "Root", 12)
+            assert got == min(n, 13), (n, got)
+        # cycle not reaching root contributes nothing
+        pairs = [("a", "Root"), ("x", "y"), ("y", "x")]
+        assert _max_depth_distributed(self._edges_ds(pairs), "Root", 12) == 1
+        # empty forest
+        assert _max_depth_distributed(self._edges_ds([]), "Root", 12) == 0
