@@ -451,3 +451,87 @@ class TestAdviceNullSafety:
         # only the 3 fully-keyed rows survive: (s1,en), (s1,de), (s2,de)
         assert int(got["n"].iloc[0]) == 3
         assert len(got) == 4  # complete 2x2 grid over surviving vocabularies
+
+
+class TestRealDecodeKernels:
+    """VERDICT r3 #9: real dependency-free decode slots — a synthesized BMP
+    and WAV payload decoded through the actor pool, checked against
+    hand-computed features; non-BMP/WAV payloads still raise."""
+
+    @staticmethod
+    def _bmp(width, height, pixel_fn):
+        """Minimal bottom-up 24-bit BMP; pixel_fn(x, y) -> (b, g, r)."""
+        import struct
+        stride = ((width * 3 + 3) // 4) * 4
+        rows = b""
+        for y in reversed(range(height)):       # bottom-up storage
+            row = b"".join(bytes(pixel_fn(x, y)) for x in range(width))
+            rows += row + b"\x00" * (stride - len(row))
+        body = rows
+        header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                  + struct.pack("<iiHHIIiiII", 40, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+        # patch the info header properly: size/w/h/planes/bpp/compression
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                           len(body), 2835, 2835, 0, 0)
+        return b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + info + body
+
+    @staticmethod
+    def _wav(samples, rate=8000, channels=1):
+        import struct
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * 2, channels * 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def test_bmp_through_actor_pool(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+        from ontoray.extras.multimodal import decode_images
+        # 10x6 two-tone: left half dark gray, right half white
+        payload = self._bmp(10, 6, lambda x, y: (40, 40, 40) if x < 5
+                            else (255, 255, 255))
+        ds = rd.from_arrow(pa.table({
+            "url": pa.array(["img-1"], pa.string()),
+            "payload": pa.array([payload], pa.binary())}))
+        row = decode_images(ds, fake=False).take_all()[0]
+        assert (row["width"], row["height"]) == (10, 6)
+        assert row["n_bytes"] == len(payload)
+        # luma: gray=40, white=255, half each
+        want_luma = ((40 + 255) / 2) / 255.0
+        assert abs(row["mean_luma"] - want_luma) < 1e-6
+        # ahash: width 10 splits into index cells [2,2,1,1,1,1,1,1], so the
+        # x>=5 white half covers the right FIVE grid columns in every row
+        bits = format(row["phash"], "064b")
+        rows8 = [bits[i * 8:(i + 1) * 8] for i in range(8)]
+        # height 6 -> row cells [1]*6 + two EMPTY cells (score 0 -> bits 0)
+        assert rows8 == ["00011111"] * 6 + ["00000000"] * 2, rows8
+
+    def test_wav_through_actor_pool(self, ray_session):
+        import math
+        import ray.data as rd
+        from ontoray.extras.multimodal import decode_audio
+        n, rate = 8000, 8000                     # exactly 1 s
+        samples = [int(20000 * math.sin(2 * math.pi * 440 * i / rate))
+                   for i in range(n)]
+        payload = self._wav(samples, rate=rate)
+        clipped = self._wav([32767, -32768, 0, 5], rate=rate)
+        ds = rd.from_arrow(pa.table({
+            "url": pa.array(["a", "b"], pa.string()),
+            "payload": pa.array([payload, clipped], pa.binary())}))
+        rows = {r["url"]: r for r in decode_audio(ds, fake=False).take_all()}
+        a = rows["a"]
+        assert a["duration_ms"] == 1000 and a["sample_rate"] == rate
+        # sine RMS ~ amplitude/sqrt(2)
+        assert abs(a["rms"] - (20000 / 32768.0) / math.sqrt(2)) < 0.01
+        assert not a["clipping"]
+        assert rows["b"]["clipping"]
+
+    def test_non_bmp_raises(self, ray_session):
+        import pytest
+        from ontoray.extras.multimodal import DecodeImage, DecodeAudio
+        with pytest.raises(NotImplementedError, match="BMP"):
+            DecodeImage(fake=False)._decode(b"\x89PNG not a bmp" * 10)
+        with pytest.raises(NotImplementedError, match="PCM16"):
+            DecodeAudio(fake=False)._decode(b"ID3 not a wav" * 10)
