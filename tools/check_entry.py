@@ -74,6 +74,19 @@ def main():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    # Optional committed gate log (the judge-replayable artifact asked for
+    # by VERDICT r3 #1): one JSON record per query.
+    log_path = os.environ.get("CHECK_ENTRY_JSON")
+    log: list[dict] = []
+
+    def record(name, status, wall, rows_ray=None, rows_sql=None,
+               cols_ok=None, hash_ok=None, vhash=None, err=None):
+        if log_path:
+            log.append({"name": name, "status": status,
+                        "wall_s": round(wall, 2), "rows_ray": rows_ray,
+                        "rows_sql": rows_sql, "cols_ok": cols_ok,
+                        "hash_ok": hash_ok, "value_hash": vhash, "err": err})
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,22 +95,31 @@ def main():
             ray_df = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: ray error {type(e).__name__}: {str(e)[:160]}")
+            record(name, "fail", time.perf_counter() - t0,
+                   err=f"ray {type(e).__name__}: {str(e)[:160]}")
             n_fail += 1
             continue
         wall = time.perf_counter() - t0
         if name not in sqls:
             print(f"ROWS {name}: {len(ray_df)} rows, cols={sorted(ray_df.columns)} ({wall:.1f}s)")
+            record(name, "rows_only", wall, rows_ray=len(ray_df))
             n_pass += 1
             continue
         try:
             sql_df = con.execute(sqls[name]).df()
         except Exception as e:
             print(f"FAIL {name}: sql error {type(e).__name__}: {str(e)[:160]}")
+            record(name, "fail", wall,
+                   err=f"sql {type(e).__name__}: {str(e)[:160]}")
             n_fail += 1
             continue
         ok_rows = len(ray_df) == len(sql_df)
         ok_cols = sorted(ray_df.columns) == sorted(sql_df.columns)
         ok_hash = value_hash(ray_df) == value_hash(sql_df) if ok_rows and ok_cols else False
+        record(name, "pass" if (ok_rows and ok_cols and ok_hash) else "fail",
+               wall, rows_ray=len(ray_df), rows_sql=len(sql_df),
+               cols_ok=ok_cols, hash_ok=ok_hash,
+               vhash=value_hash(ray_df) if ok_hash else None)
         if ok_rows and ok_cols and ok_hash:
             print(f"PASS {name}: {len(ray_df)} rows match ({wall:.1f}s)")
             n_pass += 1
@@ -113,6 +135,11 @@ def main():
                 print("   only-oracle:", list(sb - sa)[:3])
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if log_path:
+        import json
+        with open(log_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": log}, f, indent=1)
     return 1 if n_fail else 0
 
 
