@@ -96,7 +96,8 @@ def main() -> None:
         "wall_curate_stats_forced_large": round(wall_curate, 1),
         "wall_graph_stats_forced_large": round(wall_stats, 1),
         "n_nodes": n_nodes, "n_edges": n_edges,
-        "removed": removed, "stats_depth": stats.get("max_subclass_depth"),
+        "removed": removed,
+        "stats_depth": (stats or {}).get("max_subclass_depth"),
     }))
     sys.stdout.flush()
     ray.shutdown()
