@@ -254,10 +254,7 @@ def fused_dedup_and_edges(triples_ds, entities_ds, alias: AliasData,
 
     from ontoray.stages.agg import hash_aggregate, stable_hash_column
 
-    rmap = resolution_map(entities_ds)
-    rk = sorted(rmap)
-    res_ref = ray.put((pa.array(rk, pa.string()),
-                       pa.array([rmap[k] for k in rk], pa.string())))
+    res_ref = ray.put(resolution_arrays(entities_ds))
 
     tcols = triples_ds.schema().names
     n_col = "n_obs" if "n_obs" in tcols else ("n" if "n" in tcols else None)
@@ -279,11 +276,7 @@ def fused_dedup_and_edges(triples_ds, entities_ds, alias: AliasData,
         td = g.group_by(["subj_norm", "pred_norm", "obj_norm"]).aggregate(
             [("conf", "max"), ("n", "sum")])
         nt = g.filter(pc.invert(pc.equal(g.column("pred_norm"), "subclass_of")))
-        rkeys, rvals = ray.get(res_ref)
-
-        def resolve(col):
-            idx = pc.index_in(col, value_set=rkeys)
-            return pc.coalesce(pc.take(rvals, idx), col).cast(pa.string())
+        resolve = _cached_resolver(res_ref)
 
         et = pa.table({"src": resolve(nt.column("subj_norm")),
                        "rel": _sanitize_rel_col(nt.column("pred_norm")),
@@ -369,25 +362,80 @@ def fused_dedup_and_edges(triples_ds, entities_ds, alias: AliasData,
     return triples_dd, edges
 
 
+def resolution_arrays(entities_ds) -> tuple[pa.Array, pa.Array]:
+    """Broadcast-mode resolution winners as KEY-SORTED parallel Arrow arrays
+    (surface, resolved) — the driver fold stays fully vectorized (one Arrow
+    multi-key sort + a key-change mask) instead of a 2M-iteration Python
+    dict loop (measured 5 s serial at the 8M bench shape).  Winner per
+    surface: mapped target first, then n_mentions desc, then lexicographic
+    resolved — identical to ``resolution_table``."""
+    import numpy as np
+
+    from ontoray.util import collect_table
+    empty = pa.array([], pa.string())
+    t = collect_table(entities_ds,
+                      ["name", "name_norm", "target", "decision", "n_mentions"])
+    if t is None or t.num_rows == 0:
+        return empty, empty
+    mapped = pc.and_(
+        pc.is_in(t.column("decision"),
+                 value_set=pa.array([MAP_EXACT, MAP_SIMILAR])),
+        pc.not_equal(pc.coalesce(t.column("target"), ""), ""))
+    s = pa.table({
+        "surface": t.column("name_norm"),
+        "prio": pc.cast(pc.invert(mapped), pa.int8()),
+        "nm": pc.coalesce(pc.cast(t.column("n_mentions"), pa.int64()),
+                          pa.scalar(0, pa.int64())),
+        "resolved": pc.if_else(mapped, t.column("target"), t.column("name")),
+    }).sort_by([("surface", "ascending"), ("prio", "ascending"),
+                ("nm", "descending"), ("resolved", "ascending")])
+    surf = s.column("surface").combine_chunks()
+    codes = surf.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    first = np.empty(len(codes), dtype=bool)
+    first[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=first[1:])
+    mask = pa.array(first)
+    return (surf.filter(mask).cast(pa.string()),
+            s.column("resolved").combine_chunks().filter(mask).cast(pa.string()))
+
+
 def resolution_map(entities_ds) -> dict[str, str]:
-    """Driver-side fold equivalent of ``resolution_table`` for broadcast mode:
-    since broadcast mode by definition fits the map in memory, build it with
-    ONE collect of the (vocabulary-bounded) entities instead of a bucket
-    shuffle + collect.  Same (mapped-first, then n_mentions desc, then
-    lexicographic resolved) winner per surface form; equality with the
-    distributed table is covered by the broadcast-vs-join edge test."""
-    from ontoray.util import column_lists
-    cl = column_lists(entities_ds, ["name", "name_norm", "target", "decision", "n_mentions"])
-    best: dict[str, tuple] = {}
-    for name, nn, target, dec, n_m in zip(cl["name"], cl["name_norm"], cl["target"],
-                                          cl["decision"], cl["n_mentions"]):
-        mapped = dec in (MAP_EXACT, MAP_SIMILAR) and target
-        resolved = target if mapped else name
-        key = (0 if mapped else 1, _INV - (n_m or 0), resolved)
-        cur = best.get(nn)
-        if cur is None or key < cur:
-            best[nn] = key
-    return {nn: k[2] for nn, k in best.items()}
+    """Driver-side dict view of ``resolution_arrays`` (kept for callers that
+    want point lookups; the hot paths broadcast the arrays directly)."""
+    keys, vals = resolution_arrays(entities_ds)
+    return dict(zip(keys.to_pylist(), vals.to_pylist()))
+
+
+_RESOLVER_CACHE: dict = {}
+
+
+def _cached_resolver(res_ref):
+    """Per-worker-process vectorized endpoint resolver over the broadcast
+    (keys, vals) arrays: the reusable hash index builds ONCE per worker
+    (pandas Index) instead of per ``pc.index_in`` call — at 64 buckets ×
+    2 endpoint columns × a 2M-entry vocabulary the per-call hash rebuild
+    was ~45 CPU-seconds of the fused edge exchange."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    key = res_ref.hex() if hasattr(res_ref, "hex") else id(res_ref)
+    ent = _RESOLVER_CACHE.get(key)
+    if ent is None:
+        rkeys, rvals = ray.get(res_ref)
+        ent = (pd.Index(rkeys.to_pandas()), rvals)
+        _RESOLVER_CACHE.clear()          # one live map per worker process
+        _RESOLVER_CACHE[key] = ent
+    pidx, rvals = ent
+
+    def resolve(col):
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        idx = pidx.get_indexer(c.to_pandas())
+        hit = idx >= 0
+        taken = pc.take(rvals, pa.array(np.where(hit, idx, 0), pa.int64()))
+        return pc.if_else(pa.array(hit), taken, c).cast(pa.string())
+
+    return resolve
 
 
 def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions: int = 16,
@@ -467,20 +515,12 @@ def build_edges(entities_ds, triples_dedup_ds, alias: AliasData, num_partitions:
         ntedges = nt.map_batches(finish_nt, batch_format="pyarrow")
     else:
         import ray
-        rmap = resolution_map(entities_ds)
-        # Broadcast as parallel key/value arrays: the per-batch lookup is then
-        # a vectorized index_in + take instead of a per-row dict.get loop.
-        keys = sorted(rmap)
-        res_ref = ray.put((pa.array(keys, pa.string()),
-                           pa.array([rmap[k] for k in keys], pa.string())))
+        # Broadcast as parallel key/value arrays; per-batch lookup reuses the
+        # per-worker cached hash index (_cached_resolver).
+        res_ref = ray.put(resolution_arrays(entities_ds))
 
         def finish_bc(batch: pa.Table) -> pa.Table:
-            rkeys, rvals = ray.get(res_ref)
-
-            def resolve(col):
-                idx = pc.index_in(col, value_set=rkeys)
-                return pc.coalesce(pc.take(rvals, idx), col).cast(pa.string())
-
+            resolve = _cached_resolver(res_ref)
             n = batch.num_rows
             return pa.table({
                 "src": resolve(batch.column("subj_norm")),
