@@ -65,6 +65,11 @@ class PipelineConfig:
                                       # with a per-worker cached broadcast — warm
                                       # workers, no pool spawn on the critical path)
     resolve_mode: str = "auto"        # edge endpoint resolution: broadcast | join | auto
+    # "auto" broadcasts while the (surface -> node) map stays under this many
+    # entries (~60 B/entry in the plasma broadcast + ~90 B/entry for each
+    # worker's cached hash index — 4M entries ≈ 240 MB shared + 360 MB/worker
+    # heap, comfortable on 4 GB workers); beyond it, partitioned hash join.
+    resolve_broadcast_max: int = 4_000_000
     sort_mode: str = "partitioned"    # final node/edge order: partitioned | global
     # or "shuffle" / "single_read" (see stages/ingest.py).  A/B at 500k/8:
     # broadcast_winners 28.1-30.0 s e2e vs single_read 30.7-32.4 s — the

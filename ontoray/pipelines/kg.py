@@ -406,9 +406,14 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
     # once it grows past driver-broadcast comfort.
     resolve_mode = cfg.resolve_mode
     if resolve_mode == "auto":
-        # Broadcast is faster until the resolution dict threatens driver /
-        # worker heap (~100 bytes/entry); beyond that, partitioned hash join.
-        resolve_mode = "join" if entities.count() > 1_000_000 else "broadcast"
+        # Broadcast (and the FUSED single-shuffle dedup+edges plan it
+        # enables) is faster until the resolution map threatens worker heap;
+        # beyond cfg.resolve_broadcast_max entries, partitioned hash join.
+        # The old 1M gate pushed the 8M bench corpus (2.26M entities) onto
+        # the join path — two extra corpus-scale exchanges for a map that
+        # broadcasts in ~140 MB.
+        resolve_mode = ("join" if entities.count() > cfg.resolve_broadcast_max
+                        else "broadcast")
 
     if resolve_mode == "broadcast":
         # FUSED plan: one corpus-scale shuffle (bucket by subj_norm) yields
