@@ -431,13 +431,49 @@ def _curate_and_stats_mid(nodes_ds, edges_ds, root, degree_threshold,
     out_nodes, out_edges = _filter_removed_broadcast(nodes_ds, edges_ds, gone)
 
     # ---- stats over the curated graph (exact _fold_stats semantics) ----
-    deg2_ds = _degree_table(out_edges, pa.array([], pa.string())).materialize()
-    if deg2_ds.count() > threshold:
-        return None
-    deg2_t = collect_table(deg2_ds, ["name", "degree"])
+    # The three remaining steps are mutually independent given ``gone``: the
+    # curated-degree exchange, the relation-histogram exchange, and the
+    # driver-side depth fold.  They overlap on threads (the driver mostly
+    # blocks in Ray waits; the fold releases the GIL in Arrow kernels) —
+    # serially they were ~6 s of the flat-in-CPUs curate tail at 8M pages.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ontoray.stages.agg import hash_aggregate
+
+    def _deg2():
+        deg2_ds = _degree_table(out_edges, pa.array([], pa.string())).materialize()
+        if deg2_ds.count() > threshold:
+            return None
+        t = collect_table(deg2_ds, ["name", "degree"])
+        return t if t is not None else pa.table(
+            {"name": _EMPTY_STR, "degree": pa.array([], pa.int64())})
+
+    def _rel_hist():
+        def rel_only(batch: pa.Table) -> pa.Table:
+            return pa.table({"rel": batch.column("rel")})
+
+        rows = hash_aggregate(
+            out_edges.map_batches(rel_only, batch_format="pyarrow"), ["rel"],
+            partial_aggs=[("rel", "count")], aggs=[("rel_count", "sum")],
+            rename={"rel_count_sum": "n"}, num_buckets=8).take_all()
+        return {r["rel"]: r["n"] for r in rows}
+
+    def _depth():
+        keep_sub = pc.invert(pc.or_(
+            pc.is_in(sub_t.column("src"), value_set=gone),
+            pc.is_in(sub_t.column("dst"), value_set=gone)))
+        cur_sub = sub_t.filter(keep_sub)
+        return _max_depth_vectorized(
+            cur_sub.column("src"), cur_sub.column("dst"), stats_root, max_depth)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_deg2, f_rel, f_depth = (ex.submit(_deg2), ex.submit(_rel_hist),
+                                  ex.submit(_depth))
+        deg2_t = f_deg2.result()
+        rel_hist = f_rel.result()
+        max_sub_depth = f_depth.result()
     if deg2_t is None:
-        deg2_t = pa.table({"name": _EMPTY_STR,
-                           "degree": pa.array([], pa.int64())})
+        return None
     kept_names = nodes_t.column("name").combine_chunks().filter(
         pc.invert(pc.is_in(nodes_t.column("name").combine_chunks(),
                            value_set=gone)))
@@ -448,28 +484,13 @@ def _curate_and_stats_mid(nodes_ds, edges_ds, root, degree_threshold,
     n_connected = int(pc.sum(pc.cast(
         pc.is_in(deg2_t.column("name").combine_chunks(), value_set=kept_names),
         pa.int64())).as_py() or 0)
-    from ontoray.stages.agg import hash_aggregate
-
-    def rel_only(batch: pa.Table) -> pa.Table:
-        return pa.table({"rel": batch.column("rel")})
-
-    rel_rows = hash_aggregate(
-        out_edges.map_batches(rel_only, batch_format="pyarrow"), ["rel"],
-        partial_aggs=[("rel", "count")], aggs=[("rel_count", "sum")],
-        rename={"rel_count_sum": "n"}, num_buckets=8).take_all()
-    rel_hist = {r["rel"]: r["n"] for r in rel_rows}
-    keep_sub = pc.invert(pc.or_(
-        pc.is_in(sub_t.column("src"), value_set=gone),
-        pc.is_in(sub_t.column("dst"), value_set=gone)))
-    cur_sub = sub_t.filter(keep_sub)
     n_nodes = len(kept_names)
     stats = {
         "n_nodes": n_nodes,
         "n_edges": n_edges_cur,
         "density": n_edges_cur / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 0.0,
         "rel_histogram": dict(sorted(rel_hist.items())),
-        "max_subclass_depth": _max_depth_vectorized(
-            cur_sub.column("src"), cur_sub.column("dst"), stats_root, max_depth),
+        "max_subclass_depth": max_sub_depth,
         "avg_degree": (deg_sum / n_connected) if n_connected else 0.0,
         "max_degree": deg_max,
         "n_orphan_nodes": n_nodes - n_connected,
