@@ -65,9 +65,10 @@ def _winner_keys(batch: pa.Table) -> pa.Table:
     on the key (same url captured twice with one timestamp) route through
     the keyed tie aggregate, whose min(cleaned_text) break is deterministic
     and mirrored by the oracle."""
-    ts = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
-    keys = [f"{t or 0:020d}" for t in ts]
-    return pa.table({"url": batch.column("url"), "k": pa.array(keys, pa.string())})
+    ts = pc.coalesce(pc.cast(batch.column("warc_ts"), pa.int64()),
+                     pa.scalar(0, pa.int64()))
+    keys = pc.utf8_lpad(pc.cast(ts, pa.string()), 20, "0")
+    return pa.table({"url": batch.column("url"), "k": keys})
 
 
 def compute_dup_winners(pages_ds, lang: str = "en") -> tuple[dict[str, str], dict[str, str]]:
