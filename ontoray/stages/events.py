@@ -129,9 +129,14 @@ def session_windows(events_ds, gap_s: int = 1800, key: str = "user_id",
                 "session_start_us": pa.array([], pa.int64()),
                 "session_end_us": pa.array([], pa.int64())})
         ts = g.column("ts_us").to_numpy(zero_copy_only=False)
-        # key-change mask from dictionary codes (no Python string compares)
-        codes = keys.combine_chunks().dictionary_encode()\
-            .indices.to_numpy(zero_copy_only=False)
+        # key-change mask from dictionary codes (no Python string compares).
+        # Null keys get code -1 so they form ONE group, matching the SQL
+        # mirror's PARTITION BY (NULLs are one window partition in SQL);
+        # without fill_null the indices come back float64 with NaN and
+        # NaN != NaN makes every null-key row its own session (ADVICE r4 #2).
+        codes = pc.fill_null(
+            keys.combine_chunks().dictionary_encode().indices, -1)\
+            .to_numpy(zero_copy_only=False)
         new_key = np.empty(n, dtype=bool)
         new_key[0] = True
         np.not_equal(codes[1:], codes[:-1], out=new_key[1:])

@@ -430,6 +430,12 @@ def _cached_resolver(res_ref):
 
     def resolve(col):
         c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if len(pidx) == 0:
+            # Empty resolution map (corpus produced triples but zero linked
+            # entities): pass surfaces through unchanged.  Without this guard
+            # np.where(hit, idx, 0) feeds index 0 into pc.take on a
+            # zero-length rvals array -> ArrowIndexError (ADVICE r4 #1).
+            return c.cast(pa.string())
         idx = pidx.get_indexer(c.to_pandas())
         hit = idx >= 0
         taken = pc.take(rvals, pa.array(np.where(hit, idx, 0), pa.int64()))

@@ -218,6 +218,21 @@ class TestGraph:
                          r["n_mentions"])
         assert sorted(map(key, fast.take_all())) == sorted(map(key, general.take_all()))
 
+    def test_cached_resolver_empty_map_passthrough(self, ray_session):
+        """A corpus with triples but ZERO linked entities broadcasts an
+        empty resolution map; the resolver must pass surfaces through
+        unchanged instead of pc.take-ing index 0 from a zero-length value
+        array (ADVICE r4 #1: ArrowIndexError)."""
+        import pyarrow as pa
+        import ray
+        from ontoray.stages.graph import _RESOLVER_CACHE, _cached_resolver
+        ref = ray.put((pa.array([], pa.string()), pa.array([], pa.string())))
+        _RESOLVER_CACHE.clear()
+        resolve = _cached_resolver(ref)
+        col = pa.chunked_array([pa.array(["alpha", "beta"], pa.string())])
+        out = resolve(col)
+        assert out.to_pylist() == ["alpha", "beta"]
+
     def test_rel_types_sanitized(self, small_engine):
         import re
         for r in small_engine.edges.take_all():

@@ -126,6 +126,26 @@ class TestEvents:
         assert len(rows) == 2
         assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 2
 
+    def test_session_windows_null_keys_one_group(self, ray_session):
+        """Null keys form ONE key group (matching the SQL mirror's
+        PARTITION BY semantics), not one single-event session per null row
+        (ADVICE r4 #2: NaN dictionary codes made every null row a new key)."""
+        import ray.data as rd
+        from ontoray.stages.events import session_windows
+        base = np.datetime64("2025-01-01T00:00:00", "us")
+        ts = [base, base + np.timedelta64(5, "m"), base + np.timedelta64(10, "m"),
+              base + np.timedelta64(120, "m"), base + np.timedelta64(7, "m")]
+        ds = rd.from_arrow(pa.table({
+            "user_id": pa.array([None, None, None, None, "u1"], pa.string()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]"), pa.timestamp("us"))}))
+        rows = session_windows(ds, gap_s=1800).take_all()
+        null_rows = sorted((r for r in rows if r["user_id"] is None),
+                           key=lambda r: r["session_id"])
+        # nulls: 3 events within the gap + 1 after a >30min gap -> 2 sessions
+        assert [r["n_events"] for r in null_rows] == [3, 1]
+        u1 = [r for r in rows if r["user_id"] == "u1"]
+        assert len(u1) == 1 and u1[0]["n_events"] == 1
+
 
 class TestAsofJoin:
     def test_backward_inclusive_with_ties(self, ray_session):
