@@ -621,36 +621,48 @@ def _q_events_session(sf_dir: str):
     return session_windows(ds, gap_s=1800)
 
 
-# Every query name that has appeared in CORRECTNESS_r01/r02/r03.json (all
+# Every query name that has appeared in CORRECTNESS_r01..r04.json (all
 # rows+schema+hash green — zero failures ever).  queries() rotates these to
 # the BACK so the driver's 50-query budget always lands on never-checked
-# entries first (round-4 rotation directive, VERDICT.md "Next round" #1).
+# entries first (re-rotated each round; VERDICT r4 "Next round" #1).
 _DRIVER_CHECKED = frozenset({
     'ann_ivf', 'ann_lsh', 'ann_topk', 'ann_topk_multi',
-    'cms_heavy_tokens', 'custs_inactive', 'custs_orders_outer', 'dedup_clusters',
-    'dedup_exact', 'dedup_jaccard', 'dedup_minhash', 'dedup_simhash',
-    'dedup_simhash_pairs', 'doc_stats', 'docs_blocklist', 'docs_bm25',
-    'docs_boilerplate', 'docs_decile', 'docs_decontaminate', 'docs_dsir',
+    'cms_heavy_tokens', 'custs_inactive', 'custs_orders_outer', 'custs_returned',
+    'custs_rfm', 'custs_skyline', 'dedup_clusters', 'dedup_exact',
+    'dedup_jaccard', 'dedup_minhash', 'dedup_simhash', 'dedup_simhash_pairs',
+    'doc_stats', 'docs_blocklist', 'docs_bm25', 'docs_boilerplate',
+    'docs_ccnet', 'docs_decile', 'docs_decontaminate', 'docs_dsir',
     'docs_dup_spans', 'docs_lm_score', 'docs_mixture', 'docs_neardup_keep',
-    'docs_pack', 'docs_pii_redact', 'docs_repetition', 'docs_scrub_spans',
-    'docs_split', 'embed_centroids', 'embed_kmeans', 'embed_neardup',
-    'embed_semdedup', 'events_asof', 'events_cumsum', 'events_distinct_users',
-    'events_hopping', 'events_lag', 'events_rank', 'events_rolling',
-    'events_seq', 'events_session', 'events_window', 'events_zscore',
-    'hll_tokens_by_source', 'host_stats', 'kg_chunks', 'kg_clean_docs',
-    'kg_components', 'kg_confidence_topk', 'kg_cooccurrence', 'kg_degree_topk',
-    'kg_edges', 'kg_entities', 'kg_entity_decisions', 'kg_jsonld_export',
-    'kg_jsonld_validation', 'kg_mention_contexts', 'kg_mention_counts', 'kg_mention_sources',
-    'kg_mentions', 'kg_nodes', 'kg_pagerank', 'kg_review_queue',
-    'kg_saturation', 'kg_summary', 'kg_triangles', 'kg_triples',
-    'kg_triples_norm', 'lang_counts', 'lineitem_corr', 'lineitem_price_bands',
-    'lineitem_pricing', 'lineitem_quantiles', 'lineitem_quantiles_cont', 'lm_bigrams',
-    'lm_collocations', 'multimodal_audio_features', 'multimodal_frame_sample', 'multimodal_image_features',
-    'multimodal_resize_plan', 'nations_with_both', 'orders_anti_deleted', 'orders_by_nation',
-    'orders_by_nation_skew', 'orders_by_region', 'orders_revenue', 'quality_filter',
-    'sample_group_cap', 'sample_stratified', 'sample_weighted', 'text_fingerprint',
-    'text_langid', 'tfidf_top_terms', 'token_counts_by_source', 'top_parts_per_brand',
-    'topk_parts', 'url_canonical',
+    'docs_novelty', 'docs_pack', 'docs_pii_redact', 'docs_postings',
+    'docs_quality_logit', 'docs_readability', 'docs_repetition', 'docs_sample_k',
+    'docs_scrub_spans', 'docs_split', 'docs_split_by_host', 'docs_topics',
+    'docs_winnow', 'embed_centroids', 'embed_hardneg', 'embed_kmeans',
+    'embed_knn', 'embed_neardup', 'embed_pq', 'embed_semdedup',
+    'events_ab', 'events_asof', 'events_attribution', 'events_bursts',
+    'events_cumsum', 'events_distinct_users', 'events_funnel', 'events_hll_window',
+    'events_hopping', 'events_lag', 'events_mad', 'events_markov',
+    'events_pivot', 'events_rank', 'events_retention', 'events_rolling',
+    'events_seq', 'events_session', 'events_window', 'events_winsorized',
+    'events_zscore', 'hll_tokens_by_source', 'host_stats', 'kg_chunks',
+    'kg_clean_docs', 'kg_clustering', 'kg_communities', 'kg_components',
+    'kg_confidence_topk', 'kg_cooc_pmi', 'kg_cooccurrence', 'kg_degree_dist',
+    'kg_degree_topk', 'kg_edges', 'kg_entities', 'kg_entity_decisions',
+    'kg_entity_density', 'kg_hits', 'kg_jsonld_export', 'kg_jsonld_validation',
+    'kg_kcore', 'kg_mention_contexts', 'kg_mention_counts', 'kg_mention_sources',
+    'kg_mentions', 'kg_nodes', 'kg_pagerank', 'kg_resource_alloc',
+    'kg_review_queue', 'kg_saturation', 'kg_similar_nodes', 'kg_summary',
+    'kg_taxonomy_depth', 'kg_triangles', 'kg_triples', 'kg_triples_norm',
+    'kg_walks', 'lang_counts', 'lineitem_corr', 'lineitem_price_bands',
+    'lineitem_pricing', 'lineitem_q14', 'lineitem_q6', 'lineitem_quantiles',
+    'lineitem_quantiles_cont', 'lm_bigrams', 'lm_bpe', 'lm_collocations',
+    'lm_renyi2', 'lm_vocab', 'multimodal_audio_features', 'multimodal_frame_sample',
+    'multimodal_image_features', 'multimodal_resize_plan', 'nations_with_both', 'orders_anti_deleted',
+    'orders_by_nation', 'orders_by_nation_skew', 'orders_by_region', 'orders_gini',
+    'orders_late_ship', 'orders_monthly_ma', 'orders_q3', 'orders_revenue',
+    'orders_rollup', 'orders_share', 'quality_filter', 'sample_group_cap',
+    'sample_stratified', 'sample_weighted', 'text_fingerprint', 'text_langid',
+    'text_rake', 'tfidf_top_terms', 'token_counts_by_source', 'top_parts_per_brand',
+    'topk_parts', 'url_canonical', 'web_anchors', 'web_host_rank',
 })
 
 
@@ -659,10 +671,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     The driver's correctness pass runs a bounded prefix (50 entries) of this
     dict, so the order is: every query NEVER seen by a CORRECTNESS_r* pass
-    (in registration order = oldest promotion first), then the 98
+    (in registration order = oldest promotion first), then the 148
     already-driver-verified queries for leftover-budget re-verification.
     All 260 entries are hash-green vs their DuckDB mirrors via the local
-    gate (tools/check_entry.py — full log committed as CHECK_LOCAL_r4.json).
+    gate (tools/check_entry.py — full log committed as CHECK_LOCAL_r5.json).
     """
     reg = _registry()
     ordered = {k: v for k, v in reg.items() if k not in _DRIVER_CHECKED}
