@@ -77,6 +77,11 @@ class PipelineConfig:
     # scan is cheap HERE; single_read wins when the second scan costs real
     # IO (cold/remote object storage at the 100-TB shape).
     url_dedup_strategy: str = "broadcast_winners"
+    # Auto-gate for 'broadcast_winners': above this many DUPLICATED urls the
+    # winner fold would build driver-side Python dicts past comfort (~2M
+    # entries ≈ hundreds of MB), so extract_docs falls back to 'shuffle'
+    # (no driver state, one text exchange) — mirrors resolve_mode='auto'.
+    dup_broadcast_max: int = 2_000_000
     canonicalize_urls: bool = False   # normalize urls (utm/fragment/port/case/www)
                                       # BEFORE per-url dedup (text/urlnorm.py)
     embed_dim: int = 64               # char-ngram hash embedding dimension

@@ -83,7 +83,8 @@ def _docs_stage_partitioned(ckpt: CheckpointManager, pages_ds, cfg: PipelineConf
 
     # canonicalize=False: urls were already canonicalized above (the resume
     # partition filter must see the same form the output is partitioned by).
-    docs = extract_docs(pages_sub, dedup_strategy=cfg.url_dedup_strategy)
+    docs = extract_docs(pages_sub, dedup_strategy=cfg.url_dedup_strategy,
+                        dup_broadcast_max=cfg.dup_broadcast_max)
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -346,7 +347,8 @@ def run_kg_pipeline(pages_ds, cfg: PipelineConfig | None = None,
         # winner filter instead.
         docs = stage("docs", lambda: extract_docs(
             pages_ds, dedup_strategy=cfg.url_dedup_strategy,
-            canonicalize=cfg.canonicalize_urls),
+            canonicalize=cfg.canonicalize_urls,
+            dup_broadcast_max=cfg.dup_broadcast_max),
             reused=not cfg.fuse_docs and cfg.url_dedup_strategy != "single_read")
 
     # Fused hot path: chunk + mention + triple extraction in ONE pass over

@@ -41,6 +41,28 @@ class TestByteIdentity:
         eng_urls = [r["url"] for r in small_engine.docs.take_all()]
         assert len(eng_urls) == len(set(eng_urls))
 
+    def test_dup_broadcast_auto_gate(self, ray_session, small_corpus, monkeypatch):
+        """dup_broadcast_max=0 forces the shuffle fallback (the
+        multi-snapshot-crawl regime — VERDICT r4 'what's wrong' #4): output
+        identical to the default broadcast path, and no driver winner dicts
+        are ever built (guarded)."""
+        import ray.data as rd
+
+        import ontoray.stages.ingest as ingest
+        from ontoray.stages.ingest import extract_docs
+        ds = rd.from_arrow(small_corpus)
+        key = lambda r: (r["url"], r["doc_text"])
+        default = sorted(map(key, extract_docs(ds).take_all()))
+
+        def boom(*a, **k):
+            raise AssertionError("driver winner-dict fold past the gate")
+
+        monkeypatch.setattr(ingest, "_winners_from_dups", boom)
+        gated = sorted(map(key, extract_docs(
+            ds, dup_broadcast_max=0).take_all()))
+        monkeypatch.undo()
+        assert default and default == gated
+
     @pytest.mark.parametrize("strategy", ["broadcast_winners", "shuffle", "single_read"])
     def test_url_dedup_exact_duplicate_records(self, ray_session, strategy):
         """Byte-identical records (same url, same warc_ts, same bytes) tie on
