@@ -535,3 +535,105 @@ class TestRealDecodeKernels:
             DecodeImage(fake=False)._decode(b"\x89PNG not a bmp" * 10)
         with pytest.raises(NotImplementedError, match="PCM16"):
             DecodeAudio(fake=False)._decode(b"ID3 not a wav" * 10)
+
+    @staticmethod
+    def _png(width, height, pixel_fn, channels=3, filters=None):
+        """Minimal 8-bit non-interlaced PNG; pixel_fn(x, y) -> channel
+        tuple.  ``filters``: per-row filter types (default all 0) — rows
+        are filtered FORWARD per the spec so the decoder must reconstruct."""
+        import struct
+        import zlib
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        bpp = channels
+        raw_rows = [bytes(b for x in range(width) for b in pixel_fn(x, y))
+                    for y in range(height)]
+        filters = filters or [0] * height
+        out = b""
+        prev = bytes(width * channels)
+        for y, row in enumerate(raw_rows):
+            f = filters[y]
+            if f == 0:
+                enc = row
+            elif f == 1:
+                enc = bytes((row[i] - (row[i - bpp] if i >= bpp else 0)) & 255
+                            for i in range(len(row)))
+            elif f == 2:
+                enc = bytes((row[i] - prev[i]) & 255 for i in range(len(row)))
+            elif f == 3:
+                enc = bytes((row[i] - (((row[i - bpp] if i >= bpp else 0)
+                                        + prev[i]) >> 1)) & 255
+                            for i in range(len(row)))
+            else:                                  # Paeth
+                def paeth(a, b, c):
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    return a if (pa_ <= pb and pa_ <= pc_) else \
+                        (b if pb <= pc_ else c)
+                enc = bytes((row[i] - paeth(row[i - bpp] if i >= bpp else 0,
+                                            prev[i],
+                                            prev[i - bpp] if i >= bpp else 0))
+                            & 255 for i in range(len(row)))
+            out += bytes([f]) + enc
+            prev = row
+
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(out)) + chunk(b"IEND", b""))
+
+    def test_png_matches_bmp_features(self, ray_session):
+        """The same pixel grid decoded from PNG (all five filter types
+        exercised) and BMP must yield identical luma/ahash features."""
+        import ray.data as rd
+        from ontoray.extras.multimodal import decode_images
+
+        def px_rgb(x, y):                          # gradient + blocks
+            return ((x * 23 + y * 7) % 256, (x * 5) % 256, (y * 41) % 256)
+
+        w, h = 13, 10
+        png = self._png(w, h, px_rgb, channels=3,
+                        filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+        bmp = self._bmp(w, h, lambda x, y: tuple(reversed(px_rgb(x, y))))
+        ds = rd.from_arrow(pa.table({
+            "url": pa.array(["png-1", "bmp-1"], pa.string()),
+            "payload": pa.array([png, bmp], pa.binary())}))
+        rows = {r["url"]: r for r in decode_images(ds, fake=False).take_all()}
+        p, b = rows["png-1"], rows["bmp-1"]
+        assert (p["width"], p["height"]) == (b["width"], b["height"]) == (w, h)
+        assert abs(p["mean_luma"] - b["mean_luma"]) < 1e-6
+        assert p["phash"] == b["phash"]
+
+    def test_png_gray_and_alpha_variants(self, ray_session):
+        from ontoray.extras.multimodal import DecodeImage
+        d = DecodeImage(fake=False)
+        gray = self._png(6, 4, lambda x, y: (x * 40 % 256,), channels=1)
+        w, h, luma, _ = d._decode(gray)
+        assert (w, h) == (6, 4) and 0.0 < luma < 1.0
+        rgba = self._png(6, 4, lambda x, y: (10, 20, 30, 255), channels=4)
+        w2, h2, luma2, _ = d._decode(rgba)
+        want = (0.299 * 10 + 0.587 * 20 + 0.114 * 30) / 255.0
+        assert (w2, h2) == (6, 4) and abs(luma2 - want) < 1e-6
+
+    def test_png_unsupported_variants_raise(self, ray_session):
+        import struct
+        import zlib
+
+        import pytest
+        from ontoray.extras.multimodal import DecodeImage
+        d = DecodeImage(fake=False)
+
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+
+        # palette (color type 3) and 16-bit depth are out of scope
+        for bitd, color in ((8, 3), (16, 2)):
+            ihdr = struct.pack(">IIBBBBB", 4, 4, bitd, color, 0, 0, 0)
+            payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                       + chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+                       + chunk(b"IEND", b""))
+            with pytest.raises(NotImplementedError, match="PNG variant"):
+                d._decode(payload)
