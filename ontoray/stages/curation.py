@@ -393,8 +393,11 @@ def _curate_and_stats_mid(nodes_ds, edges_ds, root, degree_threshold,
 
     if nodes_ds.count() > threshold:
         return None
+    # Materialize the taxonomic subgraph once: count() then collect_table()
+    # on the lazy filter view re-ran the full edge scan twice (r5 flat-tail
+    # profile: curate was ~7 s CPU-flat at 8M).
     sub_ds = edges_ds.filter(expr="rel == 'SUBCLASS_OF'").select_columns(
-        ["src", "dst"])
+        ["src", "dst"]).materialize()
     if sub_ds.count() > threshold:
         return None
     sub_t = collect_table(sub_ds, ["src", "dst"])
@@ -431,32 +434,69 @@ def _curate_and_stats_mid(nodes_ds, edges_ds, root, degree_threshold,
     out_nodes, out_edges = _filter_removed_broadcast(nodes_ds, edges_ds, gone)
 
     # ---- stats over the curated graph (exact _fold_stats semantics) ----
-    # The three remaining steps are mutually independent given ``gone``: the
-    # curated-degree exchange, the relation-histogram exchange, and the
-    # driver-side depth fold.  They overlap on threads (the driver mostly
-    # blocks in Ray waits; the fold releases the GIL in Arrow kernels) —
-    # serially they were ~6 s of the flat-in-CPUs curate tail at 8M pages.
+    # Curated degrees DERIVE from the already-collected ``deg_t`` (its basis
+    # excludes orphan-touching edges; the curated graph additionally drops
+    # edges touching ``low``), so the second corpus-scale degree exchange is
+    # replaced by ONE broadcast-filtered side scan that emits two TINY
+    # per-batch products — value-counted endpoints of low-touching edges
+    # (the degree delta) and value-counted rels of curated edges (the
+    # histogram) — folded on the driver.  The scan parallelizes with CPUs;
+    # the two exchanges it replaces were coordination-latency-flat (~4 s of
+    # the r4 curate tail).  The depth fold overlaps on a thread as before.
     from concurrent.futures import ThreadPoolExecutor
 
-    from ontoray.stages.agg import hash_aggregate
+    low_arr = low.combine_chunks() if isinstance(low, pa.ChunkedArray) else low
+    orph_arr = orphans.combine_chunks() \
+        if isinstance(orphans, pa.ChunkedArray) else orphans
 
-    def _deg2():
-        deg2_ds = _degree_table(out_edges, pa.array([], pa.string())).materialize()
-        if deg2_ds.count() > threshold:
-            return None
-        t = collect_table(deg2_ds, ["name", "degree"])
-        return t if t is not None else pa.table(
-            {"name": _EMPTY_STR, "degree": pa.array([], pa.int64())})
+    def _side_products(batch: pa.Table) -> pa.Table:
+        b = batch
+        if len(orph_arr):
+            bad = pc.or_(pc.is_in(b.column("src"), value_set=orph_arr),
+                         pc.is_in(b.column("dst"), value_set=orph_arr))
+            b = b.filter(pc.invert(bad))
+        tl = pc.or_(pc.is_in(b.column("src"), value_set=low_arr),
+                    pc.is_in(b.column("dst"), value_set=low_arr)) \
+            if len(low_arr) else pa.array([False] * b.num_rows, pa.bool_())
+        removed_b = b.filter(tl)
+        kept_b = b.filter(pc.invert(tl))
+        rvc = pc.value_counts(pa.concat_arrays(
+            [removed_b.column("src").combine_chunks(),
+             removed_b.column("dst").combine_chunks()]))
+        kvc = pc.value_counts(kept_b.column("rel").combine_chunks())
+        return pa.table({
+            "kind": pa.array(["deg"] * len(rvc) + ["rel"] * len(kvc),
+                             pa.string()),
+            "key": pa.concat_arrays([rvc.field("values"), kvc.field("values")]),
+            "n": pa.concat_arrays([pc.cast(rvc.field("counts"), pa.int64()),
+                                   pc.cast(kvc.field("counts"), pa.int64())]),
+        })
 
-    def _rel_hist():
-        def rel_only(batch: pa.Table) -> pa.Table:
-            return pa.table({"rel": batch.column("rel")})
-
-        rows = hash_aggregate(
-            out_edges.map_batches(rel_only, batch_format="pyarrow"), ["rel"],
-            partial_aggs=[("rel", "count")], aggs=[("rel_count", "sum")],
-            rename={"rel_count_sum": "n"}, num_buckets=8).take_all()
-        return {r["rel"]: r["n"] for r in rows}
+    def _side():
+        t = collect_table(
+            edges_ds.select_columns(["src", "rel", "dst"]).map_batches(
+                _side_products, batch_format="pyarrow"),
+            ["kind", "key", "n"])
+        if t is None:
+            t = pa.table({"kind": _EMPTY_STR, "key": _EMPTY_STR,
+                          "n": pa.array([], pa.int64())})
+        agg = t.group_by(["kind", "key"]).aggregate([("n", "sum")])
+        deg_delta = agg.filter(pc.equal(agg.column("kind"), "deg"))
+        rel_t = agg.filter(pc.equal(agg.column("kind"), "rel"))
+        hist = dict(zip(rel_t.column("key").to_pylist(),
+                        rel_t.column("n_sum").to_pylist()))
+        # deg2 = deg_t - delta, dropping names whose degree reaches 0
+        names = deg_t.column("name").combine_chunks()
+        idx = pc.index_in(names, value_set=deg_delta.column("key")
+                          .combine_chunks())
+        delta = pc.coalesce(
+            pc.take(deg_delta.column("n_sum").combine_chunks(), idx),
+            pa.scalar(0, pa.int64()))
+        newdeg = pc.subtract(pc.cast(deg_t.column("degree").combine_chunks(),
+                                     pa.int64()), delta)
+        keep = pc.greater(newdeg, 0)
+        return pa.table({"name": names.filter(keep),
+                         "degree": newdeg.filter(keep)}), hist
 
     def _depth():
         keep_sub = pc.invert(pc.or_(
@@ -466,14 +506,10 @@ def _curate_and_stats_mid(nodes_ds, edges_ds, root, degree_threshold,
         return _max_depth_vectorized(
             cur_sub.column("src"), cur_sub.column("dst"), stats_root, max_depth)
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        f_deg2, f_rel, f_depth = (ex.submit(_deg2), ex.submit(_rel_hist),
-                                  ex.submit(_depth))
-        deg2_t = f_deg2.result()
-        rel_hist = f_rel.result()
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_side, f_depth = ex.submit(_side), ex.submit(_depth)
+        deg2_t, rel_hist = f_side.result()
         max_sub_depth = f_depth.result()
-    if deg2_t is None:
-        return None
     kept_names = nodes_t.column("name").combine_chunks().filter(
         pc.invert(pc.is_in(nodes_t.column("name").combine_chunks(),
                            value_set=gone)))

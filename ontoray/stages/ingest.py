@@ -94,41 +94,61 @@ def _keyed_metadata(pages_ds, lang: str = "en"):
             .map_batches(_winner_keys, batch_format="pyarrow"))
 
 
-def _dups_dataset(keyed):
+def _dups_partial(batch: pa.Table) -> pa.Table:
+    """Per-block combiner: (url, k) multiplicities (the tie detector)."""
+    g = batch.group_by(["url", "k"]).aggregate([("k", "count")])
+    return g.rename_columns(["url", "k", "c"])
+
+
+def _dups_reduce(g: pa.Table) -> pa.Table:
+    """Per-url-bucket winner fold: the two-level aggregation (per-(url,key)
+    multiplicity, then the per-url winner) runs entirely vectorized, and the
+    n>=2 filter applies here too, so only dup-bounded rows leave."""
+    per_key = (g.group_by(["url", "k"]).aggregate([("c", "sum")])
+               .rename_columns(["url", "k", "c"]))
+    v = pc.binary_join_element_wise(
+        per_key.column("k"),
+        pc.utf8_lpad(pc.cast(per_key.column("c"), pa.string()), 10, "0"), "")
+    enc = pa.table({"url": per_key.column("url"), "v": v,
+                    "c": per_key.column("c")})
+    out = (enc.group_by(["url"]).aggregate([("v", "min"), ("c", "sum")])
+           .rename_columns(["url", "v", "n"]))
+    return out.filter(pc.greater_equal(out.column("n"), 2)).select(["url", "v"])
+
+
+def _dups_dataset(keyed, use_manual_exchange: bool = True):
     """Aggregate an already-keyed (url, k) dataset into the DUPLICATED-url
     winner rows (url, v) — v encodes the winning key plus its multiplicity —
     kept DISTRIBUTED so callers can count it before deciding to fold it into
     driver dicts (the auto-gate: on a multi-snapshot crawl the duplicated-url
     vocabulary is a large fraction of all urls — VERDICT r4 "what's
-    wrong" #4)."""
+    wrong" #4).
+
+    Default plan: the two-wave ``manual_hash_exchange`` (combiner + split in
+    wave 1, per-bucket winner fold in wave 2) — 1.1 s vs 3.4 s through the
+    Dataset sort shuffle for the same 7.3M combiner rows at 8M pages / 8
+    CPUs (the sort shuffle's latency floor was the dominant flat term of the
+    docs stage; r5 flat-tail profile).  ``use_manual_exchange=False`` keeps
+    the streaming ``repartition + groupby`` plan (equality-tested)."""
+    if use_manual_exchange:
+        from ontoray.stages.exchange import manual_hash_exchange
+        # Combiner fused into the scan; the materialized blocks are combiner
+        # outputs, so the exchange waves see pre-compressed metadata rows.
+        mat = keyed.map_batches(_dups_partial,
+                                batch_format="pyarrow").materialize()
+        return manual_hash_exchange(mat, ["url"], _dups_reduce,
+                                    num_buckets=16)
+
     from ontoray.stages.agg import _with_bucket
 
-    # ONE url-bucketed exchange; the two-level aggregation (per-(url,key)
-    # multiplicity — the tie detector — then the per-url winner) runs
-    # entirely inside the vectorized reduce, and the n>=2 filter applies
-    # there too, so only dup-bounded rows reach the driver.
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["url", "k"]).aggregate([("k", "count")])
-        return g.rename_columns(["url", "k", "c"])
-
     def reduce_bucket(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__bucket"])
-        per_key = (g.group_by(["url", "k"]).aggregate([("c", "sum")])
-                   .rename_columns(["url", "k", "c"]))
-        v = pc.binary_join_element_wise(
-            per_key.column("k"),
-            pc.utf8_lpad(pc.cast(per_key.column("c"), pa.string()), 10, "0"), "")
-        enc = pa.table({"url": per_key.column("url"), "v": v,
-                        "c": per_key.column("c")})
-        out = (enc.group_by(["url"]).aggregate([("v", "min"), ("c", "sum")])
-               .rename_columns(["url", "v", "n"]))
-        return out.filter(pc.greater_equal(out.column("n"), 2)).select(["url", "v"])
+        return _dups_reduce(g.drop_columns(["__bucket"]))
 
     # Coalesce the combiner output before the exchange: the sort shuffle's
     # cost is super-linear in input block count (a 64-file read feeds ~64
     # blocks -> ~19 s; 16 blocks -> ~6 s for the whole pass, measured at 8
     # CPUs on the 500k-page corpus).  Rows here are url-vocabulary-bounded.
-    return (keyed.map_batches(partial, batch_format="pyarrow")
+    return (keyed.map_batches(_dups_partial, batch_format="pyarrow")
             .map_batches(lambda b: _with_bucket(b, ["url"], 64),
                          batch_format="pyarrow")
             .repartition(16)

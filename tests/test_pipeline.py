@@ -41,6 +41,42 @@ class TestByteIdentity:
         eng_urls = [r["url"] for r in small_engine.docs.take_all()]
         assert len(eng_urls) == len(set(eng_urls))
 
+    def test_manual_exchange_matches_sort_shuffle(self, ray_session, small_corpus):
+        """The two-wave manual hash exchange (_dups_dataset default) must
+        equal the streaming repartition+groupby plan row-for-row."""
+        import ray.data as rd
+
+        from ontoray.stages.ingest import _dups_dataset, _keyed_metadata
+        keyed = _keyed_metadata(rd.from_arrow(small_corpus))
+        key = lambda r: (r["url"], r["v"])
+        manual = sorted(map(key, _dups_dataset(keyed).take_all()))
+        stream = sorted(map(key, _dups_dataset(
+            keyed, use_manual_exchange=False).take_all()))
+        assert manual and manual == stream
+
+    def test_manual_exchange_primitive(self, ray_session):
+        """Unit shape: partials combine, keys never split across buckets,
+        empty blocks tolerated."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from ontoray.stages.exchange import manual_hash_exchange
+        t = pa.table({"g": pa.array([f"k{i % 7}" for i in range(1000)]),
+                      "x": pa.array(list(range(1000)), pa.int64())})
+        mat = rd.from_arrow(t).repartition(9).materialize()
+
+        def red(g: pa.Table) -> pa.Table:
+            out = g.group_by(["g"]).aggregate([("x", "sum")])
+            return out.rename_columns(["g", "sx"])
+
+        rows = manual_hash_exchange(mat, ["g"], red, num_buckets=4).take_all()
+        got = {r["g"]: r["sx"] for r in rows}
+        want = {}
+        for i in range(1000):
+            want[f"k{i % 7}"] = want.get(f"k{i % 7}", 0) + i
+        assert got == want
+        assert len(rows) == 7          # one output row per key, no splits
+
     def test_dup_broadcast_auto_gate(self, ray_session, small_corpus, monkeypatch):
         """dup_broadcast_max=0 forces the shuffle fallback (the
         multi-snapshot-crawl regime — VERDICT r4 'what's wrong' #4): output
