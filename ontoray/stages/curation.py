@@ -217,6 +217,82 @@ def _flat(a):
     return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
 
+class _EncodedTaxo:
+    """Shared int encoding of the taxonomic (src, dst) pairs for the MID
+    branch's two driver folds: ``_reachable_arrow`` and
+    ``_max_depth_vectorized`` each paid their own unique + index_in over the
+    same ~2.3M-pair subgraph (~1 s each at 8M pages; the curate tail is
+    CPU-flat driver time — r5 profile).  Encode ONCE against a SORTED vocab
+    so integer order == string order (min-parent's deterministic MIN-dst
+    rule survives the encoding)."""
+
+    def __init__(self, sub_src, sub_dst):
+        import numpy as np
+        vocab = pc.unique(pa.concat_arrays([_flat(sub_src), _flat(sub_dst)]))
+        self.vocab = vocab.take(pc.array_sort_indices(vocab))
+        self.s = pc.index_in(sub_src, value_set=self.vocab)\
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+        self.d = pc.index_in(sub_dst, value_set=self.vocab)\
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _root_id(self, root: str):
+        idx = pc.index_in(pa.array([root], pa.string()), value_set=self.vocab)[0]
+        return None if not idx.is_valid else idx.as_py()
+
+    def reachable(self, root: str, max_depth: int) -> pa.Array:
+        """Same level semantics as ``_reachable_arrow``."""
+        import numpy as np
+        rid = self._root_id(root)
+        if rid is None:
+            return pa.array([root], pa.string())
+        reached = np.zeros(len(self.vocab), bool)
+        reached[rid] = True
+        for _ in range(max_depth):
+            m = reached[self.d] & ~reached[self.s]
+            if not m.any():
+                break
+            reached[self.s[m]] = True
+        return self.vocab.filter(pa.array(reached))
+
+    def max_depth_after_removal(self, gone, root: str, max_depth: int) -> int:
+        """``_max_depth_vectorized`` over the pairs with neither endpoint in
+        ``gone`` — gone-filter, min-parent and BFS all on int codes."""
+        import numpy as np
+        gid = pc.index_in(gone, value_set=self.vocab)
+        gid = gid.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(gid):
+            m = ~(np.isin(self.s, gid) | np.isin(self.d, gid))
+            s2, d2 = self.s[m], self.d[m]
+        else:
+            s2, d2 = self.s, self.d
+        if len(s2) == 0:
+            return 0
+        # min-parent forest: sorted vocab makes min-code == min-string
+        order = np.lexsort((d2, s2))
+        ss, dd = s2[order], d2[order]
+        first = np.empty(len(ss), dtype=bool)
+        first[0] = True
+        np.not_equal(ss[1:], ss[:-1], out=first[1:])
+        fp_s, fp_d = ss[first], dd[first]
+        rid = self._root_id(root)
+        if rid is None:
+            return 0
+        if (fp_s == rid).any():        # root has a parent: exact fallback
+            names_s = self.vocab.take(pa.array(fp_s, pa.int64())).to_pylist()
+            names_d = self.vocab.take(pa.array(fp_d, pa.int64())).to_pylist()
+            return _depth_walk(dict(zip(names_s, names_d)), root, max_depth)
+        level = np.full(len(self.vocab), -1, np.int64)
+        level[rid] = 0
+        max_d = 0
+        for depth in range(1, max_depth + 2):
+            m = (level[fp_d] == depth - 1) & (level[fp_s] == -1)
+            if not m.any():
+                break
+            level[fp_s[m]] = depth
+            max_d = depth
+        return max_d
+
+
 def _reachable_arrow(sub_src, sub_dst, root: str, max_depth: int) -> pa.Array:
     """Vectorized frontier expansion (same level semantics as
     ``_reachable_names``): int-encode the SUBCLASS_OF endpoints once, then
@@ -410,14 +486,37 @@ def _curate_and_stats_mid(nodes_ds, edges_ds, root, degree_threshold,
     learned_arr = (nodes_t.filter(pc.equal(nodes_t.column("source"),
                                            "learned_from_dataset"))
                    .column("name").combine_chunks())
-    reach_arr = _reachable_arrow(sub_t.column("src"), sub_t.column("dst"),
-                                 root, max_depth)
+    taxo = _EncodedTaxo(sub_t.column("src"), sub_t.column("dst"))
+    reach_arr = taxo.reachable(root, max_depth)
     orphans = learned_arr.filter(
         pc.invert(pc.is_in(learned_arr, value_set=reach_arr)))
 
-    # C2 degrees over non-orphan edges: ONE two-phase exchange; the degree
+    # C2 degrees over non-orphan edges: per-block endpoint value-counts feed
+    # the two-wave manual exchange (metadata-bounded reduce; the sort
+    # shuffle's flat latency was part of the curate tail); the degree
     # vocabulary (entities + literal endpoints) is trip-wired before collect.
-    deg_ds = _degree_table(edges_ds, orphans).materialize()
+    from ontoray.stages.exchange import manual_hash_exchange
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        b = batch
+        if len(orphans):
+            bad = pc.or_(pc.is_in(b.column("src"), value_set=orphans),
+                         pc.is_in(b.column("dst"), value_set=orphans))
+            b = b.filter(pc.invert(bad))
+        vc = pc.value_counts(pa.concat_arrays(
+            [b.column("src").combine_chunks(),
+             b.column("dst").combine_chunks()]))
+        return pa.table({"name": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    def _deg_reduce(g: pa.Table) -> pa.Table:
+        out = g.group_by(["name"]).aggregate([("c", "sum")])
+        return out.rename_columns(["name", "degree"])
+
+    deg_mat = edges_ds.select_columns(["src", "dst"]).map_batches(
+        _deg_partial, batch_format="pyarrow").materialize()
+    deg_ds = manual_hash_exchange(deg_mat, ["name"], _deg_reduce,
+                                  num_buckets=16).materialize()
     if deg_ds.count() > threshold:
         return None
     deg_t = collect_table(deg_ds, ["name", "degree"])
@@ -499,12 +598,7 @@ def _curate_and_stats_mid(nodes_ds, edges_ds, root, degree_threshold,
                          "degree": newdeg.filter(keep)}), hist
 
     def _depth():
-        keep_sub = pc.invert(pc.or_(
-            pc.is_in(sub_t.column("src"), value_set=gone),
-            pc.is_in(sub_t.column("dst"), value_set=gone)))
-        cur_sub = sub_t.filter(keep_sub)
-        return _max_depth_vectorized(
-            cur_sub.column("src"), cur_sub.column("dst"), stats_root, max_depth)
+        return taxo.max_depth_after_removal(gone, stats_root, max_depth)
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_side, f_depth = ex.submit(_side), ex.submit(_depth)

@@ -346,12 +346,30 @@ def fused_dedup_and_edges(triples_ds, entities_ds, alias: AliasData,
     all_edges = (tedges.union(base_edges)
                  .map_batches(_bool_to_int, batch_format="pyarrow")
                  .union(eparts))
-    deduped = hash_aggregate(
-        all_edges, ["src", "rel", "dst"],
-        partial_aggs=[("taxonomic", "max"), ("conf", "max"), ("n", "sum")],
-        aggs=[("taxonomic_max", "max"), ("conf_max", "max"), ("n_sum", "sum")],
-        rename={"taxonomic_max_max": "taxonomic", "conf_max_max": "confidence",
-                "n_sum_sum": "n_obs"})
+
+    # Edge-vocabulary rollup via the two-wave manual exchange: the input is
+    # combiner-compressed metadata (per-bucket edge partials + task/baseline
+    # edges), exactly the shape where the Dataset sort shuffle's flat ~3 s
+    # latency floor dominates (r5 flat-tail profile: the edges stage wall
+    # scaled 1.2x from 2 to 8 CPUs).  Per-bucket reduce output is edge-
+    # vocabulary-bounded.
+    from ontoray.stages.exchange import manual_hash_exchange
+
+    def _edge_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["src", "rel", "dst"]).aggregate(
+            [("taxonomic", "max"), ("conf", "max"), ("n", "sum")])
+        return g.rename_columns(["src", "rel", "dst", "taxonomic", "conf", "n"])
+
+    def _edge_reduce(g: pa.Table) -> pa.Table:
+        out = g.group_by(["src", "rel", "dst"]).aggregate(
+            [("taxonomic", "max"), ("conf", "max"), ("n", "sum")])
+        return out.rename_columns(["src", "rel", "dst", "taxonomic",
+                                   "confidence", "n_obs"])
+
+    mat_edges = all_edges.map_batches(_edge_partial,
+                                      batch_format="pyarrow").materialize()
+    deduped = manual_hash_exchange(mat_edges, ["src", "rel", "dst"],
+                                   _edge_reduce, num_buckets=16)
 
     def _int_to_bool(batch: pa.Table) -> pa.Table:
         return batch.set_column(batch.schema.get_field_index("taxonomic"), "taxonomic",
