@@ -60,7 +60,7 @@ def manual_hash_exchange(mat_ds, keys: list[str], reduce_fn,
 
         from ontoray.stages.agg import stable_hash_column
         t = _as_arrow(block)
-        if partial_fn is not None:
+        if partial_fn is not None and t.num_columns:
             t = partial_fn(t)
         if t.num_rows == 0:
             empty = t.slice(0, 0)
@@ -83,9 +83,14 @@ def manual_hash_exchange(mat_ds, keys: list[str], reduce_fn,
     @ray.remote
     def reduce_bucket(*parts):
         live = [p for p in parts if p.num_rows]
-        if not live:
-            return reduce_fn(parts[0])
-        return reduce_fn(pa.concat_tables(live, promote_options="default"))
+        if live:
+            return reduce_fn(pa.concat_tables(live, promote_options="default"))
+        # All-empty bucket (tiny inputs / skewed keys): reduce an empty
+        # slice that CARRIES the combiner schema — a zero-column empty
+        # block (Ray emits those for empty upstream arms) would make the
+        # reduce_fn's group_by fail on its key columns.
+        base = next((p for p in parts if p.num_columns), None)
+        return reduce_fn(base.slice(0, 0)) if base is not None else pa.table({})
 
     block_refs = []
     for bundle in mat_ds.iter_internal_ref_bundles():
