@@ -41,6 +41,17 @@ class TestByteIdentity:
         eng_urls = [r["url"] for r in small_engine.docs.take_all()]
         assert len(eng_urls) == len(set(eng_urls))
 
+    def test_distinct_mentions_manual_matches_stream(self, ray_session, small_engine):
+        """distinct_mentions' manual-exchange default == the streaming
+        hash_aggregate plan."""
+        from ontoray.stages.linking import distinct_mentions
+        key = lambda r: (r["mention"], r["n_mentions"])
+        manual = sorted(map(key, distinct_mentions(
+            small_engine.mentions).take_all()))
+        stream = sorted(map(key, distinct_mentions(
+            small_engine.mentions, use_manual_exchange=False).take_all()))
+        assert manual and manual == stream
+
     def test_manual_exchange_matches_sort_shuffle(self, ray_session, small_corpus):
         """The two-wave manual hash exchange (_dups_dataset default) must
         equal the streaming repartition+groupby plan row-for-row."""
