@@ -722,8 +722,19 @@ def curate_distributed(nodes_ds, edges_ds, root: str = "ElectronicComponent",
     from ontoray.stages.joins import hash_join
 
     reach_ds = reachable_distributed(edges_ds, root, max_depth, num_partitions)
-    learned_ds = (nodes_ds.filter(expr="source == 'learned_from_dataset'")
-                  .select_columns(["name"]))
+
+    def _learned_names(batch: pa.Table) -> pa.Table:
+        # One batch-level filter+project instead of filter(expr) +
+        # select_columns: Ray 2.49's planner mis-reports the schema of that
+        # chain on some lineages (returns the PRE-projection columns), and
+        # hash_join trusts .schema() for its output layout — the mismatched
+        # pad then KeyErrors on the missing columns (r5 regression, caught
+        # by test_curation_branches_equal).
+        sel = batch.filter(pc.equal(batch.column("source"),
+                                    "learned_from_dataset"))
+        return sel.select(["name"])
+
+    learned_ds = nodes_ds.map_batches(_learned_names, batch_format="pyarrow")
     orphans_ds = hash_join(learned_ds, reach_ds, "name", "name",
                            how="left_anti",
                            num_partitions=num_partitions).materialize()
